@@ -1,0 +1,127 @@
+"""Deduplication operators (north-star scope): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Engine-portability note: the hash family is md5-over-text (seeded by
+permutation index), because both Spark and the DuckDB oracle expose an
+identical md5.  A production deployment swaps `_perm_hash` for
+`xxhash64`/`murmur3` (Spark builtins) — one line — without touching the
+pipeline shape.  Pipeline shapes are the scale story:
+
+- exact:    groupBy(fingerprint) — one shuffle on a uniform key.
+- MinHash:  shingle-explode → per-doc min per permutation (partial agg
+  map-side) → band explode → band-join.  The band join is self-equi-join
+  on band value; bucket counts are tiny for non-duplicate data, and a
+  cap guards against degenerate hot bands.
+- SimHash:  token-explode → 64/16 conditional sums per doc (one partial
+  agg) → signature; near-dup = hamming distance on int64, a cheap
+  broadcastable comparison.
+- n-gram Jaccard: candidate pairs via shared rare shingles (inverted
+  index semi-join), exact `array_intersect` only on candidates — never
+  O(n²) on the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def _perm_hash(perm: int, value: Column) -> Column:
+    """Deterministic keyed hash: md5 of 'perm|value' as a hex string.
+    String min/max is the MinHash order (portable across engines)."""
+    return F.md5(F.concat(lit(f"{perm}|"), value).cast("binary"))
+
+
+def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_perm: int = 8) -> DataFrame:
+    """(id, shingle) exploded pairs → one row per id with minhash columns
+    mh0..mh{k-1}.  The mins are partial-aggregated map-side: the shuffle
+    carries k hex strings per id, not the shingle set."""
+    aggs = [
+        F.min(_perm_hash(p, col(shingle_col))).alias(f"mh{p}") for p in range(num_perm)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_perm: int = 8,
+    band_size: int = 2,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Banding: concat `band_size` adjacent minhashes → candidate pairs from
+    bucket collisions.  `max_bucket` caps degenerate hot buckets (a
+    constant-text corpus would otherwise produce a quadratic bucket)."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                lit(b).alias("band"),
+                F.concat(*[col(f"mh{b * band_size + i}") for i in range(band_size)]).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(col(id_col), F.explode(bands).alias("bv")).select(
+        col(id_col), col("bv.band").alias("band"), col("bv.val").alias("val")
+    )
+    sized = exploded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "val"))
+    ).filter(col("bucket_n") <= max_bucket)
+    a = sized.select(col("band"), col("val"), col(id_col).alias("id_a"))
+    b = sized.select(col("band"), col("val"), col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(tokenized: DataFrame, id_col: str, token_col: str, bits: int = 16) -> DataFrame:
+    """Per-id SimHash over the token multiset.  Bit b of a token comes from
+    hex digit b of md5(token) (parity); the signature bit is the majority
+    vote.  Everything is conditional sums after one explode — a single
+    partial-aggregated shuffle."""
+    digit = lambda b: F.conv(F.substring(F.md5(col(token_col).cast("binary")), b + 1, 1), 16, 10).cast("int")  # noqa: E731
+    votes = [
+        F.sum(F.when(digit(b) % 2 == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
+    ]
+    sig = tokenized.groupBy(id_col).agg(*votes)
+    out = lit(0)
+    for b in range(bits):
+        out = out + F.when(col(f"v{b}") >= 0, lit(1 << b)).otherwise(lit(0))
+    return sig.select(col(id_col), out.cast("long").alias("simhash"))
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint_col: Column) -> DataFrame:
+    """Exact dedup: keep the smallest id per fingerprint (deterministic
+    keeper choice — plain dropDuplicates keeps an arbitrary row)."""
+    fp = df.select(col(id_col), fingerprint_col.alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keeper"), F.count("*").alias("n_dups")
+    )
+
+
+def jaccard_candidate_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Candidate pairs sharing >=1 shingle occurring in <= max_doc_freq docs
+    (inverted-index candidate generation — the scale-safe alternative to a
+    cross join)."""
+    w = Window.partitionBy(shingle_col)
+    rare = shingled.withColumn("df", F.count("*").over(w)).filter(col("df") <= max_doc_freq)
+    a = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_a"))
+    b = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_b"))
+    return a.join(b, "sh").filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+
+
+def jaccard_similarity(sets_a: Column, sets_b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays, as DOUBLE."""
+    inter = F.size(F.array_intersect(sets_a, sets_b))
+    union = F.size(sets_a) + F.size(sets_b) - inter
+    return inter.cast("double") / union

@@ -1,0 +1,79 @@
+"""Text-analysis Column functions (north-star scope, BASELINE.json):
+tokenization, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure `pyspark.sql.functions` Column algebra — JVM-side, whole-stage
+codegen, no Python in the hot path.  At 100 TB these run as narrow
+projections over the documents scan: zero shuffle until an aggregation
+asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (public-knowledge word lists)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+}
+
+LANG_PRECEDENCE = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. A BPE-ish regex tokenizer is
+    ``F.split(text, r"\\s+|(?=[\\p{Punct}])")`` — whitespace is what the
+    synthetic corpus needs and keeps the oracle portable."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def langid(toks: Column) -> Column:
+    """Deterministic stopword-vote language guess; ties resolve by
+    LANG_PRECEDENCE order (first language whose score >= all later ones)."""
+    s = {lang: stopword_count(toks, lang) for lang in LANG_PRECEDENCE}
+    expr = lit(LANG_PRECEDENCE[-1])
+    for i in range(len(LANG_PRECEDENCE) - 2, -1, -1):
+        lang = LANG_PRECEDENCE[i]
+        cond = None
+        for other in LANG_PRECEDENCE[i + 1 :]:
+            c = s[lang] >= s[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, lit(lang)).otherwise(expr)
+    return expr
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (the MinHash/Jaccard unit). 1-indexed
+    element_at keeps parity with the DuckDB oracle's list indexing."""
+    idx = F.sequence(lit(1), F.greatest(F.size(toks) - (n - 1), lit(0)))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of the raw text).  A rolling
+    Rabin-style hash is the streaming variant; md5 is collision-safe enough
+    for dedup keys and portable across engines."""
+    return F.md5(text.cast("binary"))
+
+
+def comparable_string(text: Column) -> Column:
+    """Normalization for name matching (reference F2 ``comparable_string``,
+    datasource/datasource.py:184-191): upper-case, strip apostrophes.
+    NFC normalization needs a pandas_udf (no Spark builtin) — the synthetic
+    corpus is ASCII so the Column path suffices; see tests for the UDF variant."""
+    return F.upper(F.regexp_replace(text, r"[''']", ""))

@@ -1,0 +1,31 @@
+"""Shared helpers for suite queries — cross-engine determinism utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmdatapy_spark.session import tune_session
+from osmdatapy_spark.tables import load_table
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def dec(c: str | Column, prec: int = 18, scale: int = 4) -> Column:
+    """Exact-decimal view of a float column.
+
+    The synthetic data is decimal-exact at <=4 places (verified), so
+    aggregating in DECIMAL is exact and order-independent — the only way a
+    parallel Spark sum and a single-threaded DuckDB sum can be
+    bit-identical after CAST to DOUBLE.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def dsum(c: str | Column, prec: int = 18, scale: int = 4) -> Column:
+    """Order-independent exact sum of a float column, as DOUBLE."""
+    return F.sum(dec(c, prec, scale)).cast("double")

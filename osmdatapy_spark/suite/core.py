@@ -1,0 +1,497 @@
+"""Core relational operator suite — scans, filters, joins, aggregates,
+windows, sorts, set ops (SURVEY.md §2.1-§2.6).
+
+Each query exercises one operator family from the reference's inventory,
+re-expressed on the driver's synthetic tables so the DuckDB oracle can
+verify it.  Reference citations are per-operator in the docstrings.
+
+Scale notes (100 TB mindset), applied throughout:
+- dimension joins (`nation`, `region`, `supplier`, small `part` subsets)
+  are explicitly `broadcast()` — no shuffle of the fact table;
+- fact-fact joins (orders ⋈ lineitem) are plain equi-joins: Catalyst
+  picks SMJ and AQE handles skew; at scale these tables would be
+  co-bucketed on the join key to eliminate the exchange entirely;
+- aggregations are expressed as single groupBy so Spark plans
+  partial (map-side) + final aggregation — never collect-then-reduce;
+- windows partition on high-cardinality keys (user_id, orderkey) so the
+  shuffle is well-distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from osmdatapy_spark.suite._util import T, dec, dsum
+from osmdatapy_spark.suite.registry import register
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections (S-family, P-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_scan_project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity >= 45
+    """,
+    doc="Projection + pushed filter (ref predicate pushdown, primitives.py:26-27). "
+    "`.explain` must show PushedFilters on the parquet scan and a 4-column ReadSchema.",
+)
+def rel_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .filter((col("l_shipdate") >= lit("2000-01-01").cast("timestamp")) & (col("l_quantity") >= 45))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "rel_idset_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (1, 7, 42, 100, 555, 1001, 4999)
+    """,
+    doc="Id-set lookup (ref P5: node_ids/way_ids, osmquery.py:117-136). Small sets "
+    "compile to an IN-list pushed to the scan; large sets become a broadcast semi-join.",
+)
+def rel_idset_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = [1, 7, 42, 100, 555, 1001, 4999]
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(col("o_orderkey").isin(ids))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(8,4))) * (1 + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="Flagship TPC-H-Q1-style scan+agg (ref A-family; groupBy aggregations "
+    "_frame.py:298-303 generalized). Partial agg map-side; 6 groups → tiny shuffle.",
+)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+    disc_price = dec("l_extendedprice", 12, 4) * (lit(1) - dec("l_discount", 8, 4))
+    charge = disc_price * (lit(1) + dec("l_tax", 8, 4))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+        (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "rel_agg_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct-count + min/max per group (ref A2/A5 value_counts + "
+    "distinct, _geometry.py:76-82, osmdata.py:144). Distinct agg = two-phase "
+    "shuffle; min/max are order-independent so safe on DOUBLE.",
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "rel_pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_A,
+      CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_N,
+      CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="Pivot / unstack to wide columns (ref A2 unstack _frame.py:241-243; tag "
+    "pivot _frame.py:59-68). Pivot on an EXPLICIT value list — never on unbounded "
+    "keys at scale (SURVEY §7 hard-point 3); compiles to one pass of conditional aggs.",
+)
+def rel_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+    return out.select(
+        "l_linestatus",
+        col("A").alias("qty_A"),
+        col("N").alias("qty_N"),
+        col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "rel_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    doc="Distinct (ref A5, osmdata.py:144). Hash-aggregate with map-side partial dedup.",
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "rel_dropdup_keep_first",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+    doc="Deterministic dropDuplicates (ref A6, _frame.py:126). Plain dropDuplicates "
+    "keeps an arbitrary row; a total order via row_number makes it reproducible — "
+    "required for any engine whose scans are parallel.",
+)
+def rel_dropdup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_quantity")
+    return (
+        T(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@register(
+    "rel_collect_sorted",
+    oracle="""
+    SELECT p_brand, array_to_string(list_sort(list(p_partkey)), ',') AS partkeys
+    FROM part GROUP BY p_brand
+    """,
+    doc="Collect-to-list per group (ref A7 collect_by_indices, _geometry.py:68-106). "
+    "Sorted before join so the result is order-canonical; at scale bound group size "
+    "or use slice() to cap memory per key.",
+)
+def rel_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("p_partkey")), lambda x: x.cast("string")), ","
+            ).alias("partkeys")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_join_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    bench=True,
+    doc="Fact-fact + dimension joins (ref J1/J4 pandas merges, _frame.py:33-40, "
+    "osmdata.py:81-84). nation/customer are broadcast (no fact shuffle for dims); "
+    "lineitem⋈orders shuffles on orderkey — at 100 TB both sides co-bucketed on it.",
+)
+def rel_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", 12, 4) * (lit(1) - dec("l_discount", 8, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), col("o_custkey") == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@register(
+    "rel_semi_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 49)
+    """,
+    doc="Left-semi join (ref J2 semi-reduction, osmdata.py:194-197). Semi joins "
+    "never duplicate the probe side and broadcast when small.",
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem").filter(col("l_quantity") > 49)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_name")
+
+
+@register(
+    "rel_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_totalprice > 300000)
+    """,
+    doc="Left-anti join (ref J3 isin-negation, _frame.py:27-28). The reference "
+    "materializes an id set; anti-join streams instead — no driver-side set at scale.",
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    big = T(spark, sf_dir, "orders").filter(col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "rel_left_join_coalesce",
+    oracle="""
+    SELECT c_custkey, COALESCE(o.cnt, 0) AS n_orders
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON c_custkey = o.o_custkey
+    """,
+    doc="Left outer join + null-fill (ref J5/J6 left merges + upsert, "
+    "_frame.py:126-133,45-52). Aggregate-before-join shrinks the build side — "
+    "same rewrite the reference does by querying only needed way ids.",
+)
+def rel_left_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    per_cust = T(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey", F.coalesce(col("cnt"), lit(0)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (W-family) / sorts / limits / set ops (O-family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_lag_delta",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM ev
+    """,
+    doc="lag/lead boundary detection (ref W1, _frame.py:254-256,279-281). Unique "
+    "(ts,event_id) tiebreak makes the frame total-ordered → deterministic.",
+)
+def rel_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return T(spark, sf_dir, "events").select(
+        "event_id", "user_id", (col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@register(
+    "rel_window_running_sum",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM ev
+    """,
+    doc="Running sum / segment numbering (ref W2 cumsum, _geometry.py:109-117, "
+    "_frame.py:290). Exact-decimal window sum: engines disagree on float "
+    "accumulation trees (DuckDB uses segment trees), decimals are order-free.",
+)
+def rel_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value", 18, 6)).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "rel_window_dup_mask",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           (COUNT(*) OVER (PARTITION BY l_partkey) > 1) AS is_shared
+    FROM lineitem
+    """,
+    doc="Duplicated-mask (ref W3, _frame.py:277 — topology split points). "
+    "count-over-partition instead of a two-pass duplicated() scan.",
+)
+def rel_window_dup_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_partkey")
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", (F.count("*").over(w) > 1).alias("is_shared")
+    )
+
+
+@register(
+    "rel_first_last_per_group",
+    oracle="""
+    WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value)  OVER w AS last_val
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Per-group first/last (ref A1 end_values, _frame.py:298-303 — way "
+    "endpoints). Full-frame window + distinct; with array-typed refs this is just "
+    "element_at(refs, ±1) with no shuffle at all.",
+)
+def rel_first_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(w).alias("last_val"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "rel_cumcount",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS BIGINT) AS pos
+    FROM lineitem
+    """,
+    doc="cumcount within group (ref A3, _frame.py:246-249). With array refs this is "
+    "posexplode — zero shuffle; shown here in window form.",
+)
+def rel_cumcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", (F.row_number().over(w) - 1).cast("long").alias("pos")
+    )
+
+
+@register(
+    "rel_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    doc="Top-k (absent in reference — §2.11 — but required for parity-plus). "
+    "orderBy+limit compiles to TakeOrderedAndProject: per-partition heaps, no "
+    "global sort. Unique o_orderkey tiebreak ⇒ deterministic.",
+)
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "rel_union_branches",
+    oracle="""
+    SELECT o_orderkey, 'high_value' AS src FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="Union of filtered branches (ref O3 concat, _frame.py:96,171,231). "
+    "unionByName keeps it schema-safe; no shuffle — branch scans stay pipelined.",
+)
+def rel_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders")
+    high = orders.filter(col("o_totalprice") > 400000).select("o_orderkey", lit("high_value").alias("src"))
+    urgent = orders.filter(col("o_orderpriority") == "1-URGENT").select("o_orderkey", lit("urgent").alias("src"))
+    return high.unionByName(urgent)
+
+
+@register(
+    "rel_daily_counts",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Date-bucketed aggregation (absent in reference — timestamps pass through "
+    "raw, primitives.py:150-171; required for the events table). Day truncation "
+    "is a pure projection → partial agg still map-side.",
+)
+def rel_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value", 18, 6)).cast("double").alias("total_value"))
+    )
+
+
+@register(
+    "rel_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON expansion (ref F3 expand_json, datasource.py:153-182). "
+    "get_json_object stays JVM-side; full parse would use from_json with an "
+    "explicit schema — never schema_of_json per-row at scale.",
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )

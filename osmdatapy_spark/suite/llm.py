@@ -1,0 +1,373 @@
+"""LLM-training-data pipeline suite (north-star scope, BASELINE.json):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+text analysis, multimodal plumbing, streaming-shaped windows.
+
+Engine-portable hashing is md5 (see functions/dedup.py docstring); the
+DuckDB oracles re-derive every pipeline independently from the same spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from osmdatapy_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_candidate_pairs,
+    jaccard_similarity,
+    lsh_band_pairs,
+    minhash_signature,
+    simhash,
+)
+from osmdatapy_spark.functions.multimodal import decode_binary_meta
+from osmdatapy_spark.functions.similarity import brute_force_topk
+from osmdatapy_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    langid,
+    stopword_count,
+    tokens,
+    word_shingles,
+)
+from osmdatapy_spark.suite._util import T
+from osmdatapy_spark.suite.registry import register
+
+# shared DuckDB CTEs ---------------------------------------------------------
+
+TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+)
+"""
+
+SHINGLES_CTE = r"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks
+)
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(word_shingles(tokens(col("text")))).alias("s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    WITH {TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             / len(t) AS stop_ratio,
+           CAST(list_sum(list_transform(t, x -> CAST(strlen(x) AS BIGINT))) AS DOUBLE)
+             / len(t) AS avg_token_len
+    FROM toks
+    """,
+    bench=True,
+    doc="Token counting + quality ratios per document (north-star text "
+    "analysis). Pure Column algebra over a split — a narrow projection, no "
+    "shuffle; at 100 TB this pipelines inside the scan stage.",
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    t = tokens(col("text"))
+    n = F.size(t)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        (stopword_count(t, "en").cast("double") / n).alias("stop_ratio"),
+        (
+            F.aggregate(t, lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double")
+            / n
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "llm_quality_filter",
+    oracle=f"""
+    WITH {TOKS_CTE}
+    SELECT d.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t) AS diversity,
+           (len(t.t) BETWEEN 20 AND 95)
+             AND (CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t) > 0.3) AS keep
+    FROM documents d JOIN toks t USING (doc_id)
+    """,
+    doc="Quality-score gate for training-data curation: token-count band + "
+    "type-token diversity threshold, as a boolean keep flag.",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    t = tokens(col("text"))
+    n = F.size(t)
+    diversity = F.size(F.array_distinct(t)).cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        diversity.alias("diversity"),
+        (n.between(20, 95) & (diversity > 0.3)).alias("keep"),
+    )
+
+
+@register(
+    "llm_langid",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    scores AS (
+      SELECT doc_id,
+        len(list_filter(t, x -> x IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) AS s_en,
+        len(list_filter(t, x -> x IN ({",".join(repr(w) for w in STOPWORDS["de"])}))) AS s_de,
+        len(list_filter(t, x -> x IN ({",".join(repr(w) for w in STOPWORDS["es"])}))) AS s_es,
+        len(list_filter(t, x -> x IN ({",".join(repr(w) for w in STOPWORDS["fr"])}))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id,
+      CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+    doc="Language-ID heuristic (stopword vote with deterministic precedence "
+    "tie-break). The production variant adds char n-gram profiles; same shape.",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid(tokens(col("text"))).alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content fingerprint: one shuffle on a uniform hash "
+    "key; deterministic keeper = min(doc_id).",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", fingerprint(col("text")))
+
+
+@register(
+    "llm_jaccard_pairs",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20
+    ),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.5
+    """,
+    bench=True,
+    doc="Exact n-gram Jaccard near-dup detection with inverted-index "
+    "candidate generation (shared rare shingle, doc-freq <= 20) — never "
+    "O(n²) over the corpus; exact set intersection only on candidates.",
+)
+def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    shingled = _shingled(spark, sf_dir)
+    cand = jaccard_candidate_pairs(shingled, "doc_id", "s", max_doc_freq=20)
+    sets = docs.select("doc_id", word_shingles(tokens(col("text"))).alias("s"))
+    sa = sets.select(col("doc_id").alias("id_a"), col("s").alias("sa"))
+    sb = sets.select(col("doc_id").alias("id_b"), col("s").alias("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard_similarity(col("sa"), col("sb")).alias("jac"))
+        .filter(col("jac") >= 0.5)
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n        ".join(
+        f"min(md5('{p}|' || g)) AS m{p}" for p in range(8)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS val FROM sig" for b in range(4)
+    )
+    return f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS n FROM bands
+    ),
+    keep AS (SELECT * FROM sized WHERE n <= 50)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keep a JOIN keep b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=_minhash_oracle(),
+    bench=True,
+    doc="MinHash(8 perms) + LSH(4 bands × 2) near-dup candidate pairs. "
+    "Shuffle profile: one partial-aggregated groupBy(doc) for signatures, one "
+    "band self-join with a hot-bucket cap — scales linearly in corpus size.",
+)
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingled = _shingled(spark, sf_dir)
+    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
+    pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
+    return pairs.select(col("id_a"), col("id_b"))
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), {b + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    combine = " + ".join(f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH {TOKS_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+    votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register(
+    "llm_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash signatures over the token multiset (majority vote per "
+    "md5-derived bit). Near-dup = small hamming distance on an int — the "
+    "cheapest broadcastable similarity key.",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", F.explode(tokens(col("text"))).alias("tok"))
+    return simhash(tokenized, "doc_id", "tok", bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_cosine_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    p AS (SELECT * FROM c WHERE vec_id < 10),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+               4) AS cos
+      FROM c CROSS JOIN p
+      WHERE p.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
+    """,
+    bench=True,
+    doc="Brute-force cosine top-k (ANN baseline): probes broadcast, corpus "
+    "never shuffles; ranking on rounded cosine + id tiebreak for a total "
+    "order. The LSH-bucketed scale path is functions/similarity.py:"
+    "hyperplane_lsh_buckets.",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") < 10)
+    out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, decimals=4)
+    return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + streaming-shaped window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS INTEGER) AS fake_width,
+           CAST(64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS INTEGER) AS fake_height
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: text bytes stand in for an opaque "
+    "payload; mapInPandas streams Arrow batches through a (stubbed) decoder "
+    "that derives deterministic metadata — the schema/batching/partitioning is "
+    "the real deliverable (functions/multimodal.py).",
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(col("text"), "UTF-8").alias("payload")
+    )
+    return decode_binary_meta(docs, "doc_id", "payload")
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation (beyond-reference: the events stream "
+    "face). Same code path serves readStream with a watermark — see "
+    "streaming/windows.py and its test; batch mode here for the oracle.",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(T(spark, sf_dir, "events"))

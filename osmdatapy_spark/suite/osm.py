@@ -1,0 +1,566 @@
+"""OSM-semantics operator suite over *derived* element tables.
+
+The driver's testdata has no OSM tables, so each query first derives a
+deterministic OSM-shaped dataset from the synthetic star schema (same
+derivation written twice: once in Spark, once in the DuckDB oracle's CTEs
+— an independent double implementation, which is exactly what makes the
+oracle meaningful):
+
+- ``way_refs(way_id, pos, node_id)``  := lineitem (l_orderkey, l_linenumber, l_partkey)
+- ``nodes(osmid, lon, lat)``          := part, coords = pure integer arithmetic
+- way ``tags``                        := orders columns → OSM-ish keys (modulo rules)
+- ``rel_members``                     := orders grouped by customer
+
+Every reference-specific pipeline (SURVEY §2.2 tag predicates, §2.3 joins,
+§2.7 geometry/topology) gets exercised on these with a value-level oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from osmdatapy_spark.operators.geometry import linestring_wkt, point_wkt, way_geom_type
+from osmdatapy_spark.operators.rings import reorder_rings, ring_node_sequence
+from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
+from osmdatapy_spark.query import Query
+from osmdatapy_spark.suite._util import T
+from osmdatapy_spark.suite.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def derived_way_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_linenumber is NOT unique within an order in the synthetic data, so
+    # pos must be a row_number over a total order — otherwise member order
+    # (and every downstream endpoint/topology result) is engine-dependent.
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return li.select(
+        col("l_orderkey").alias("way_id"),
+        F.row_number().over(w).alias("pos"),
+        col("l_partkey").alias("node_id"),
+    )
+
+
+def derived_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = T(spark, sf_dir, "part")
+    return part.select(
+        col("p_partkey").alias("osmid"),
+        ((col("p_partkey") % 360) - 180 + 0.5).cast("double").alias("lon"),
+        ((col("p_partkey") % 170) - 85 + 0.25).cast("double").alias("lat"),
+    )
+
+
+def _opt_map(*pairs) -> F.Column:
+    """MAP from (key, value-Column) pairs, dropping NULL values — the Spark
+    idiom for a sparse tags map."""
+    args = []
+    for k, v in pairs:
+        args += [lit(k), v]
+    return F.map_filter(F.create_map(*args), lambda k, v: v.isNotNull())
+
+
+def derived_way_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Way elements with OSM-ish tags derived from orders via modulo rules."""
+    o = T(spark, sf_dir, "orders")
+    k = col("o_orderkey")
+    tags = _opt_map(
+        (
+            "highway",
+            F.when(k % 5 == 0, "residential")
+            .when(k % 5 == 1, "primary")
+            .when(k % 5 == 2, "service")
+            .when(k % 5 == 3, "footway"),
+        ),
+        ("building", F.when(k % 4 == 0, "yes").when(k % 4 == 1, "no").when(k % 4 == 2, "house")),
+        ("area", F.when(k % 7 == 0, "no")),
+        ("natural", F.when(k % 11 == 0, "coastline")),
+        ("barrier", F.when(k % 13 == 0, "wall")),
+        ("name", F.when(k % 3 == 0, F.concat(lit("way-"), k.cast("string")))),
+    )
+    return o.select(k.alias("osmid"), lit(1).cast("tinyint").alias("osmtype"), tags.alias("tags"))
+
+
+def derived_node_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    k = col("p_partkey")
+    tags = _opt_map(
+        ("amenity", F.when(k % 10 == 0, "restaurant").when(k % 10 == 1, "cafe")),
+        ("shop", F.when(k % 7 == 0, "bakery")),
+        ("tourism", F.when(k % 9 == 0, "hotel")),
+        ("name", F.when(k % 3 == 0, F.concat(lit("node-"), k.cast("string")))),
+    )
+    return p.select(k.alias("osmid"), lit(0).cast("tinyint").alias("osmtype"), tags.alias("tags"))
+
+
+# DuckDB-side derivations as reusable CTE text
+WAYS_CTE = """
+ways AS (
+  SELECT l_orderkey AS way_id,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pos,
+         l_partkey AS node_id
+  FROM lineitem
+)
+"""
+
+NODES_CTE = """
+nodes AS (
+  SELECT p_partkey AS osmid,
+         CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((p_partkey % 170) - 85 + 0.25 AS DOUBLE) AS lat
+  FROM part
+)
+"""
+
+# orders → way tag columns (wide form; the oracle never needs a map type)
+WAY_TAGS_CTE = """
+way_tags AS (
+  SELECT o_orderkey AS osmid,
+    CASE o_orderkey % 5 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
+                        WHEN 2 THEN 'service' WHEN 3 THEN 'footway' END AS highway,
+    CASE o_orderkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN 'house' END AS building,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'no' END AS area,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'coastline' END AS "natural",
+    CASE WHEN o_orderkey % 13 = 0 THEN 'wall' END AS barrier,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'way-' || CAST(o_orderkey AS VARCHAR) END AS name
+  FROM orders
+)
+"""
+
+NODE_TAGS_CTE = """
+node_tags AS (
+  SELECT p_partkey AS osmid,
+    CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity,
+    CASE WHEN p_partkey % 7 = 0 THEN 'bakery' END AS shop,
+    CASE WHEN p_partkey % 9 = 0 THEN 'hotel' END AS tourism,
+    CASE WHEN p_partkey % 3 = 0 THEN 'node-' || CAST(p_partkey AS VARCHAR) END AS name
+  FROM part
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/G endpoints + G10 topology
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_way_endpoints",
+    oracle=f"""
+    WITH {WAYS_CTE}
+    SELECT DISTINCT way_id,
+           FIRST_VALUE(node_id) OVER w AS source,
+           LAST_VALUE(node_id)  OVER w AS target,
+           COUNT(*) OVER w AS n_nodes
+    FROM ways
+    WINDOW w AS (PARTITION BY way_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Way endpoint extraction (ref A1 end_values, _frame.py:298-303).",
+)
+def osm_way_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return way_endpoints(derived_way_refs(spark, sf_dir))
+
+
+@register(
+    "osm_topology_segments",
+    oracle=f"""
+    WITH {WAYS_CTE},
+    marked AS (
+      SELECT way_id, pos, node_id,
+             COUNT(*) OVER (PARTITION BY node_id) > 1 AS is_shared,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) = 1 AS is_first,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos DESC) = 1 AS is_last
+      FROM ways
+    ),
+    boundaries AS (
+      SELECT * FROM marked WHERE is_shared OR is_first OR is_last
+    ),
+    segs AS (
+      SELECT way_id,
+             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) - 1 AS seg,
+             node_id AS source,
+             LEAD(node_id) OVER (PARTITION BY way_id ORDER BY pos) AS target,
+             LEAD(pos) OVER (PARTITION BY way_id ORDER BY pos) - pos + 1 AS n_nodes
+      FROM boundaries
+    )
+    SELECT way_id, CAST(seg AS BIGINT) AS seg, source, target, CAST(n_nodes AS BIGINT) AS n_nodes
+    FROM segs WHERE target IS NOT NULL
+    """,
+    bench=True,
+    doc="Topology segmentation — the reference's flagship pipeline (G10 "
+    "relation_topology, _frame.py:267-296): split ways at shared nodes, emit "
+    "per-segment source/target. Two well-keyed shuffles; see operators/topology.py.",
+)
+def osm_topology_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = topology_segments(derived_way_refs(spark, sf_dir))
+    return segs.select(
+        "way_id",
+        col("seg").cast("long").alias("seg"),
+        "source",
+        "target",
+        col("n_nodes").cast("long").alias("n_nodes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-family: tag predicates (the _validate_tagval truth table, live)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_tag_filter_keep_first",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}
+    SELECT osmid FROM way_tags
+    WHERE (COALESCE(highway IN ('residential','primary'), FALSE) OR building IS NOT NULL)
+      AND NOT COALESCE(highway = 'residential' AND name IS NULL, FALSE)
+      AND NOT (COALESCE(area = 'no', FALSE) OR COALESCE("natural" = 'coastline', FALSE))
+    """,
+    doc="keep/exclude with keep_first=True ⇒ keep ∧ ¬exclude (ref "
+    "primitives.py:213-215). Keep: highway∈{residential,primary} ∨ building=*; "
+    "exclude: area=no ∨ natural=coastline ∨ (residential ∧ unnamed). Pure Column "
+    "algebra over the tags map — no UDF, fully pushdown-eligible.",
+)
+def osm_tag_filter_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elements = derived_way_elements(spark, sf_dir)
+    q = Query(
+        ways=True,
+        keep={"highway": ["residential", "primary"], "building": []},
+        exclude={"area": ["no"], "natural": ["coastline"]},
+        keep_first=True,
+        tags=False,
+    )
+    # the extra "residential ∧ unnamed" exclusion exercises compound
+    # exclude composition via append_exclude
+    base = elements.filter(q.compile())
+    # guard with map_contains_key so the predicate is two-valued (a bare
+    # tags['highway']=='residential' is NULL when the key is absent and a
+    # negated NULL silently drops the row)
+    unnamed_res = (
+        F.map_contains_key("tags", "highway")
+        & (col("tags").getItem("highway") == "residential")
+        & ~F.map_contains_key("tags", "name")
+    )
+    return base.filter(~unnamed_res).select("osmid")
+
+
+@register(
+    "osm_tag_filter_keep_last",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}
+    SELECT osmid FROM way_tags
+    WHERE NOT (COALESCE(building = 'no', FALSE) OR COALESCE(barrier = 'wall', FALSE))
+       OR COALESCE(highway = 'footway', FALSE)
+    """,
+    doc="keep/exclude with keep_first=False ⇒ ¬exclude ∨ keep (ref "
+    "primitives.py:213-215): exclusions dominate unless a keep pair rescues the row.",
+)
+def osm_tag_filter_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elements = derived_way_elements(spark, sf_dir)
+    q = Query(
+        ways=True,
+        keep={"highway": ["footway"]},
+        exclude={"building": ["no"], "barrier": ["wall"]},
+        keep_first=False,
+        tags=False,
+    )
+    return elements.filter(q.compile()).select("osmid")
+
+
+@register(
+    "osm_must_tags",
+    oracle=f"""
+    WITH {NODE_TAGS_CTE}
+    SELECT osmid, amenity, shop FROM node_tags
+    WHERE amenity IS NOT NULL OR shop IS NOT NULL
+    """,
+    doc="must_tags existence predicate (ref P3 _validate_tag, "
+    "primitives.py:178-183) + tag projection to wide columns (P7 + tag pivot "
+    "_frame.py:59-68 on an explicit key list).",
+)
+def osm_must_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elements = derived_node_elements(spark, sf_dir)
+    q = Query(nodes=True, must_tags=["amenity", "shop"], tags=["amenity", "shop"])
+    out = elements.filter(q.compile()).withColumn("tags", q.tag_projection())
+    return out.select(
+        "osmid",
+        col("tags").getItem("amenity").alias("amenity"),
+        col("tags").getItem("shop").alias("shop"),
+    )
+
+
+@register(
+    "osm_default_query_highways",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}
+    SELECT osmid, highway, name FROM way_tags
+    WHERE highway IS NOT NULL
+      AND NOT (COALESCE(highway IN ('corridor','proposed','construction','elevator',
+                                    'abandoned','platform','raceway'), FALSE)
+               OR COALESCE(area = 'yes', FALSE))
+    """,
+    doc="Default 'highways' query (ref defaults.py:67-206, merge semantics "
+    "osmquery.py:78-101): must_tags=[highway], keep_first=False with the standard "
+    "exclusions, projected to its default tag list.",
+)
+def osm_default_query_highways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    elements = derived_way_elements(spark, sf_dir)
+    q = Query(defaults="highways")
+    out = elements.filter(q.compile()).withColumn("tags", q.tag_projection())
+    return out.select(
+        "osmid",
+        col("tags").getItem("highway").alias("highway"),
+        col("tags").getItem("name").alias("name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G4 area heuristic + G7 ring closing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_area_heuristic",
+    oracle=f"""
+    WITH {WAYS_CTE}, {WAY_TAGS_CTE},
+    refs AS (
+      SELECT way_id, list(node_id ORDER BY pos) AS r FROM ways GROUP BY way_id
+    ),
+    closed AS (
+      SELECT way_id,
+             CASE WHEN way_id % 3 = 0 THEN list_append(r, r[1]) ELSE r END AS r
+      FROM refs
+    ),
+    typed AS (
+      SELECT c.way_id, len(c.r) AS n, c.r[1] = c.r[-1] AS is_closed,
+             t.highway, t.building, t.area, t."natural", t.barrier
+      FROM closed c JOIN way_tags t ON c.way_id = t.osmid
+    )
+    SELECT way_id,
+      CASE
+        WHEN n <= 1 THEN 0
+        WHEN n < 4 THEN 2
+        WHEN NOT is_closed THEN 2
+        WHEN area = 'no' THEN 2
+        WHEN barrier = 'wall' THEN 3
+        WHEN "natural" = 'coastline' OR building = 'no' THEN 2
+        WHEN building IS NOT NULL OR "natural" IS NOT NULL OR area IS NOT NULL THEN 3
+        ELSE 2
+      END AS geom_type
+    FROM typed
+    """,
+    doc="Way line-vs-area heuristic (ref G4 _way_geotype primitives.py:260-285 "
+    "+ Overpass rules defaults.py:5-56, corrected semantics per SURVEY §2.12). "
+    "Ways closed by construction for way_id%3=0 (exercises G7 ring closing too). "
+    "The oracle re-derives the decision tree independently in SQL.",
+)
+def osm_area_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = (
+        derived_way_refs(spark, sf_dir)
+        .groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "node_id"))), lambda s: s["node_id"]
+            ).alias("refs")
+        )
+    )
+    closed = refs.withColumn(
+        "refs",
+        F.when(
+            col("way_id") % 3 == 0, F.concat(col("refs"), F.array(F.element_at("refs", 1)))
+        ).otherwise(col("refs")),
+    )
+    tags = derived_way_elements(spark, sf_dir).select(col("osmid").alias("way_id"), "tags")
+    joined = closed.join(tags, "way_id")
+    return joined.select(
+        "way_id", way_geom_type(col("refs"), col("tags")).cast("int").alias("geom_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 coords join + G1/G2 WKT geometry
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_coords_lookup",
+    oracle=f"""
+    WITH {NODES_CTE}
+    SELECT osmid, lon, lat FROM nodes WHERE osmid IN (1, 5, 17, 42, 99, 150)
+    """,
+    doc="Point lookup by id (ref J4 coords, osmdata.py:81-84 searchsorted → "
+    "broadcast join here).",
+)
+def osm_coords_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    return nodes.filter(col("osmid").isin([1, 5, 17, 42, 99, 150])).select("osmid", "lon", "lat")
+
+
+@register(
+    "osm_point_wkt",
+    oracle=f"""
+    WITH {NODES_CTE}
+    SELECT osmid, printf('POINT (%.7f %.7f)', lon, lat) AS wkt
+    FROM nodes WHERE osmid % 50 = 0
+    """,
+    doc="Bulk point construction (ref G1 _geometry.py:8-22) as WKT text built "
+    "JVM-side via format_string — no UDF, engine-portable via C printf semantics.",
+)
+def osm_point_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir).filter(col("osmid") % 50 == 0)
+    return nodes.select("osmid", point_wkt(col("lon"), col("lat")).alias("wkt"))
+
+
+@register(
+    "osm_linestring_wkt",
+    oracle=f"""
+    WITH {WAYS_CTE}, {NODES_CTE}
+    SELECT w.way_id,
+           'LINESTRING (' || string_agg(printf('%.7f %.7f', n.lon, n.lat), ', ' ORDER BY w.pos) || ')' AS wkt
+    FROM ways w JOIN nodes n ON w.node_id = n.osmid
+    GROUP BY w.way_id
+    """,
+    bench=True,
+    doc="Bulk linestring construction (ref G2 _geometry.py:25-41 + coords "
+    "gather _frame.py:103-105): posexplode-join-recollect, then pure array→text. "
+    "The node join is the scale-defining shuffle; nodes table broadcast when small.",
+)
+def osm_linestring_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
+    joined = ways.join(broadcast(nodes), "node_id")
+    coords = joined.groupBy("way_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
+            lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
+        ).alias("coords")
+    )
+    return coords.select("way_id", linestring_wkt(col("coords")).alias("wkt"))
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 relation expansion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_relation_expand",
+    oracle=f"""
+    WITH {WAYS_CTE},
+    rel_members AS (
+      SELECT o_custkey AS rel_id, o_orderkey AS way_id FROM orders
+    ),
+    ends AS (
+      SELECT way_id, min(pos) AS p0, max(pos) AS p1, count(*) AS n FROM ways GROUP BY way_id
+    )
+    SELECT m.rel_id,
+           COUNT(*) AS n_member_ways,
+           CAST(SUM(e.n) AS BIGINT) AS n_member_nodes
+    FROM rel_members m JOIN ends e ON m.way_id = e.way_id
+    GROUP BY m.rel_id
+    """,
+    doc="Relation→way expansion (ref J1/J2, _frame.py:33-40 + osmdata.py:194-205): "
+    "membership join then per-relation rollup. The reference stops at depth 1 "
+    "(TODO at osmdata.py:192); arbitrary depth = iterating this join.",
+)
+def osm_relation_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = T(spark, sf_dir, "orders").select(
+        col("o_custkey").alias("rel_id"), col("o_orderkey").alias("way_id")
+    )
+    way_sizes = derived_way_refs(spark, sf_dir).groupBy("way_id").agg(F.count("*").alias("n"))
+    return (
+        members.join(way_sizes, "way_id")
+        .groupBy("rel_id")
+        .agg(F.count("*").alias("n_member_ways"), F.sum("n").alias("n_member_nodes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 ring chaining (applyInPandas) with a constructive oracle
+# ---------------------------------------------------------------------------
+
+_RING_N_RELS = 12
+_RING_LEN = 8  # nodes per ring cycle; 4 ways of 2 edges each
+
+
+def _ring_members(spark: SparkSession) -> DataFrame:
+    """Construct chainable member ways from a known cycle, scrambled and
+    partially reversed, so the chaining kernel has real work to do.
+
+    Ring r has nodes 1000r..1000r+7 in a cycle; way j of ring r covers
+    nodes (2j, 2j+1, 2j+2 mod 8). Ways with odd j are stored reversed;
+    member order is scrambled by (j*37) % 11.
+    """
+    rows = []
+    for r in range(_RING_N_RELS):
+        base = 1000 * r
+        for j in range(_RING_LEN // 2):
+            nodes = [base + (2 * j) % _RING_LEN, base + (2 * j + 1) % _RING_LEN, base + (2 * j + 2) % _RING_LEN]
+            if j % 2 == 1:
+                nodes = nodes[::-1]
+            rows.append((r, 10 * r + j, (j * 37) % 11, nodes))
+    return spark.createDataFrame(
+        rows, "rel_id long, way_id long, member_pos int, refs array<long>"
+    )
+
+
+@register(
+    "osm_ring_assembly",
+    oracle=f"""
+    WITH rels AS (SELECT UNNEST(generate_series(0, {_RING_N_RELS - 1})) AS rel_id),
+    seq AS (SELECT UNNEST(generate_series(0, {_RING_LEN})) AS i)
+    SELECT r.rel_id, 0 AS ring,
+           string_agg(CAST(1000 * r.rel_id + (s.i % {_RING_LEN}) AS VARCHAR), ',' ORDER BY s.i) AS nodes_csv
+    FROM rels r CROSS JOIN seq s
+    GROUP BY r.rel_id
+    """,
+    doc="Ring assembly via endpoint chaining (ref G6 _reorder_ring "
+    "_frame.py:181-215 — THE sequential-per-group kernel, here "
+    "groupBy(rel_id).applyInPandas). Input rings are constructed from known "
+    "cycles (scrambled + partially reversed), output canonicalized (min-node "
+    "rotation, ascending direction), so the oracle can state the expected cycle "
+    "in closed form. Covers G6 chaining, direction flip, G7 closing.",
+)
+def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    members = _ring_members(spark)
+    ends = members.select(
+        "rel_id",
+        "way_id",
+        "member_pos",
+        F.element_at("refs", 1).alias("source"),
+        F.element_at("refs", -1).alias("target"),
+    )
+    ordered = reorder_rings(ends)
+    way_refs = members.select("way_id", F.posexplode("refs").alias("pos", "node_id"))
+    rings = ring_node_sequence(ordered, way_refs)
+
+    # canonicalize the closed cycle: drop closing dup, rotate min-first,
+    # ascending direction, re-close
+    open_ring = F.expr("slice(nodes, 1, size(nodes) - 1)")
+    rings = rings.withColumn("open", open_ring)
+    mpos = F.array_position(col("open"), F.array_min(col("open")))
+    rot = F.concat(
+        F.expr("slice(open, int(mpos), size(open) - int(mpos) + 1)"),
+        F.expr("slice(open, 1, int(mpos) - 1)"),
+    )
+    rings = rings.withColumn("mpos", mpos).withColumn("rot", rot)
+    fwd = F.element_at("rot", 2) <= F.element_at("rot", -1)
+    canon = F.when(fwd, col("rot")).otherwise(
+        F.concat(F.slice("rot", 1, 1), F.reverse(F.expr("slice(rot, 2, size(rot) - 1)")))
+    )
+    rings = rings.withColumn("canon", F.concat(canon, F.slice(canon, 1, 1)))
+    return rings.select(
+        "rel_id",
+        col("ring").cast("int").alias("ring"),
+        F.array_join(F.transform("canon", lambda x: x.cast("string")), ",").alias("nodes_csv"),
+    )

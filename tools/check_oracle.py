@@ -1,0 +1,109 @@
+"""Local mimic of the driver's t2 correctness gate: run every registered
+Spark query AND its DuckDB oracle at a given sf dir, compare row count,
+column names/order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from osmdatapy_spark.session import get_spark  # noqa: E402
+from osmdatapy_spark.suite import QUERY_REGISTRY  # noqa: E402
+from osmdatapy_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) == "object":
+            df[c] = df[c].astype(str)
+        # normalize away engine-specific numeric backends
+        if str(df[c].dtype).startswith(("UInt", "uint", "Int8", "Int16", "Int32", "int8", "int16", "int32")):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) in ("Int64",):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) in ("Float32", "float32", "Float64"):
+            df[c] = df[c].astype("float64")
+        if "datetime" in str(df[c].dtype):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        if str(df[c].dtype) == "bool" or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype("bool")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, qd in QUERY_REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if qd.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(qd.oracle).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        try:
+            a, b = canon(sdf), canon(odf)
+        except Exception as e:
+            print(f"FAIL  {name}: CANON ERROR {e}")
+            n_fail += 1
+            continue
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rowcount {len(a)} vs {len(b)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            print(f"PASS  {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+        except AssertionError as e:
+            msg = str(e).split("\n")[0:4]
+            print(f"FAIL  {name}: VALUES differ: {' | '.join(msg)}")
+            # show first mismatching rows for debugging
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            if bad.any():
+                i = bad.idxmax()
+                print(f"      spark row {i}: {a.loc[i].to_dict()}")
+                print(f"      duck  row {i}: {b.loc[i].to_dict()}")
+            n_fail += 1
+
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
