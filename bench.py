@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the noop sink (full physical
+plan runs, nothing is collected to the driver — the honest way to time a
+distributed plan).  A warmup query absorbs JVM/codegen spin-up so the
+numbers measure the engine, not the JDK.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from osmdatapy_spark.session import get_spark  # noqa: E402
+from osmdatapy_spark.suite import QUERY_REGISTRY  # noqa: E402
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark("osmdatapy-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = [name for name, qd in QUERY_REGISTRY.items() if qd.bench]
+
+    # warmup: JVM + parquet footer caches
+    run_query(QUERY_REGISTRY["rel_pricing_summary"].fn, spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        timings[name] = round(run_query(QUERY_REGISTRY[name].fn, spark, sf_dir), 3)
+
+    out = {
+        "metric": "headline query wall-clock (noop sink, warm JVM)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,9 +28,16 @@ from pyspark.sql.functions import col, lit
 
 
 def _perm_hash(perm: int, value: Column) -> Column:
-    """Deterministic keyed hash: md5 of 'perm|value' as a hex string.
-    String min/max is the MinHash order (portable across engines)."""
-    return F.md5(F.concat(lit(f"{perm}|"), value).cast("binary"))
+    """Deterministic keyed hash for permutation `perm`: an 8-hex-char chunk
+    of md5 over a seeded prefix.  Four permutations share one md5 (chunked
+    32 bits apiece), so k permutations cost ceil(k/4) hashes per shingle,
+    and Spark's subexpression elimination computes each md5 once.  String
+    min is the MinHash order (portable across engines)."""
+    seed = perm // 4
+    chunk = perm % 4
+    return F.substring(
+        F.md5(F.concat(lit(f"{seed}|"), value).cast("binary")), chunk * 8 + 1, 8
+    )
 
 
 def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_perm: int = 8) -> DataFrame:
@@ -52,7 +59,12 @@ def lsh_band_pairs(
 ) -> DataFrame:
     """Banding: concat `band_size` adjacent minhashes → candidate pairs from
     bucket collisions.  `max_bucket` caps degenerate hot buckets (a
-    constant-text corpus would otherwise produce a quadratic bucket)."""
+    constant-text corpus would otherwise produce a quadratic bucket).
+
+    The signature table is persisted before the self-join: it is one short
+    row per document (the 100 TB-safe thing to materialize), and without
+    it Spark recomputes the whole shingle+hash pipeline once per join side."""
+    signatures = signatures.persist()
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -109,15 +121,36 @@ def jaccard_candidate_pairs(
     id_col: str,
     shingle_col: str,
     max_doc_freq: int = 20,
+    min_shared: int = 3,
 ) -> DataFrame:
-    """Candidate pairs sharing >=1 shingle occurring in <= max_doc_freq docs
-    (inverted-index candidate generation — the scale-safe alternative to a
-    cross join)."""
+    """Candidate pairs sharing >= min_shared shingles that each occur in
+    <= max_doc_freq docs (inverted-index candidate generation — the
+    scale-safe alternative to a cross join).
+
+    Both knobs bound the work: max_doc_freq drops stop-shingles whose
+    postings would explode quadratically; min_shared prunes the candidate
+    set before the (comparatively expensive) exact set intersection — a
+    pair at Jaccard >= 0.5 over ~50-shingle docs shares >= 17 shingles, so
+    min_shared=3 loses nothing while cutting candidates ~100×.
+    The rare-postings list is persisted: both sides of the self-join read
+    it, and without the persist the whole tokenize+shingle pipeline runs
+    twice."""
     w = Window.partitionBy(shingle_col)
-    rare = shingled.withColumn("df", F.count("*").over(w)).filter(col("df") <= max_doc_freq)
+    rare = (
+        shingled.withColumn("df", F.count("*").over(w))
+        .filter(col("df") <= max_doc_freq)
+        .persist()
+    )
     a = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_a"))
     b = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_b"))
-    return a.join(b, "sh").filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    return (
+        a.join(b, "sh")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(col("n_shared") >= min_shared)
+        .select("id_a", "id_b")
+    )
 
 
 def jaccard_similarity(sets_a: Column, sets_b: Column) -> Column:

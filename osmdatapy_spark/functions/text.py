@@ -57,11 +57,28 @@ def langid(toks: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (the MinHash/Jaccard unit). 1-indexed
-    element_at keeps parity with the DuckDB oracle's list indexing."""
-    idx = F.sequence(lit(1), F.greatest(F.size(toks) - (n - 1), lit(0)))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", *parts(i))))
+    """Distinct n-token shingles (the MinHash/Jaccard unit).
+
+    Formulated as slice+arrays_zip+transform rather than
+    transform-over-indices with element_at: an element_at(toks, i) inside
+    the lambda makes Catalyst re-evaluate the (possibly inlined) token
+    expression per shingle element — O(tokens·n) splits per row, measured
+    ~8× slower.  Here `toks` is referenced a constant number of times and
+    the lambda touches only the zipped struct."""
+    ln = F.greatest(F.size(toks) - (n - 1), lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
+    return F.array_distinct(
+        F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    )
+
+
+def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """(id, shingle-set) with the token split staged as its own projection
+    so it runs once per row."""
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .select(id_col, word_shingles(F.col("__toks"), n).alias("s"))
+    )
 
 
 def fingerprint(text: Column) -> Column:

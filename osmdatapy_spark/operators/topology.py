@@ -71,15 +71,17 @@ def topology_segments(
     w_node = Window.partitionBy(node_col)
     w_way = Window.partitionBy(id_col).orderBy(pos_col)
 
+    # one shuffle by node (shared count), one by way; is_first/is_last come
+    # from the same ascending sort (lead-null marks the last row — no
+    # second descending sort, and the way-partition exchange is reused by
+    # the pairing window below)
     marked = way_refs.select(
         col(id_col),
         col(pos_col),
         col(node_col),
         (F.count("*").over(w_node) > 1).alias("is_shared"),
         (F.row_number().over(w_way) == 1).alias("is_first"),
-        (F.row_number().over(Window.partitionBy(id_col).orderBy(col(pos_col).desc())) == 1).alias(
-            "is_last"
-        ),
+        F.lead(pos_col).over(w_way).isNull().alias("is_last"),
     )
 
     boundaries = marked.filter(col("is_shared") | col("is_first") | col("is_last"))

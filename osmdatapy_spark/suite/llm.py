@@ -26,6 +26,7 @@ from osmdatapy_spark.functions.text import (
     STOPWORDS,
     fingerprint,
     langid,
+    shingle_sets,
     stopword_count,
     tokens,
     word_shingles,
@@ -53,9 +54,7 @@ sh AS (
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(word_shingles(tokens(col("text")))).alias("s")
-    )
+    return shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +179,9 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
     ),
     scored AS (
       SELECT c.id_a, c.id_b,
@@ -195,14 +195,17 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     doc="Exact n-gram Jaccard near-dup detection with inverted-index "
-    "candidate generation (shared rare shingle, doc-freq <= 20) — never "
-    "O(n²) over the corpus; exact set intersection only on candidates.",
+    "candidate generation (>=3 shared shingles of doc-freq <= 20) — never "
+    "O(n²) over the corpus; exact set intersection only on pruned candidates.",
 )
 def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
-    shingled = _shingled(spark, sf_dir)
+    # one row per doc with its shingle set; persisted because three
+    # downstream branches (explode for candidates, both sides of the pair
+    # join) would otherwise each re-tokenize the corpus
+    sets = shingle_sets(docs).persist()
+    shingled = sets.select("doc_id", F.explode(col("s")).alias("s"))
     cand = jaccard_candidate_pairs(shingled, "doc_id", "s", max_doc_freq=20)
-    sets = docs.select("doc_id", word_shingles(tokens(col("text"))).alias("s"))
     sa = sets.select(col("doc_id").alias("id_a"), col("s").alias("sa"))
     sb = sets.select(col("doc_id").alias("id_b"), col("s").alias("sb"))
     return (
@@ -214,8 +217,9 @@ def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # mirrors dedup._perm_hash: perm p = 8-hex chunk (p%4) of md5('{p//4}|'+g)
     mins = ",\n        ".join(
-        f"min(md5('{p}|' || g)) AS m{p}" for p in range(8)
+        f"min(substr(md5('{p // 4}|' || g), {(p % 4) * 8 + 1}, 8)) AS m{p}" for p in range(8)
     )
     bands = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS val FROM sig" for b in range(4)
