@@ -1,0 +1,252 @@
+"""Custom Spark data source for ``.osm.pbf`` files (Python DataSource API).
+
+This is the Spark-native replacement for the reference's whole engine
+entry path ``OSM(filepath)`` (``osmdatapy/osmdata.py:29-39``): instead of
+a driver-resident two-pass scan with offset/string/coordinate caches, the
+file becomes an ordinary DataFrame scan —
+
+- **partition planning** = the blob framing scan (reference S1/S2,
+  ``osmdata.py:95-125``): one ``InputPartition`` per OSMData blob, so a
+  1000-executor cluster decodes 1000 blobs concurrently.  Blob offsets are
+  computed once on the driver by reading only frame lengths + headers
+  (~16 bytes per blob), not the data.
+- **element-kind pruning** = the reference's block pruning
+  (``osmquery.py:242-257``): the ``osmtypes`` *read option* restricts
+  which element kinds a relation decodes (``read_pbf(spark, p,
+  osmtypes={0})`` skips way/relation decode entirely).  This is an
+  option, NOT ``pushFilters``, deliberately: absorbed pushed filters are
+  per-scan state, and Spark's scan reuse merges two scans of the same
+  Python-DS relation even when their pushed filters differ — a plan
+  that filters one relation two different ways (e.g. the engine's
+  geometry pipeline joining elements to its own ways subset) silently
+  returns wrong rows.  Verified empirically on Spark 4.1.2:
+  ``scan.filter(t=0).union(scan.filter(t=1))`` yields one branch twice.
+  ``pushFilters`` is therefore implemented to absorb NOTHING (Spark
+  re-applies every filter above the scan), making all scans of a
+  relation identical and reuse-safe, while the option carries the
+  pruning per *relation* (each bronze table gets its own relation).
+- **column pruning**: metadata (version/timestamp/changeset) is only
+  decoded when the pruned schema asks for it — the reference's
+  field-decode pruning (``primitives.py:23-29``).
+
+The unified row shape is SURVEY.md §1.5's element model: one table, all
+three kinds, map tags, array refs/members.  ``read_pbf_tables`` splits it
+into the four bronze tables the engine operates on.
+
+Usage::
+
+    spark.dataSource.register(PbfDataSource)
+    df = spark.read.format("osmpbf").load("/path/to/area.osm.pbf")
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.functions import col
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from osmdatapy_spark.sources.pbf_codec import (
+    BlobSpan,
+    decode_primitive_block,
+    parse_header_block,
+    read_blob,
+    scan_blob_spans,
+)
+
+PBF_SCHEMA = StructType(
+    [
+        StructField("osmid", LongType(), False),
+        StructField("osmtype", IntegerType(), False),
+        StructField("tags", MapType(StringType(), StringType()), False),
+        StructField("lon", DoubleType(), True),
+        StructField("lat", DoubleType(), True),
+        StructField("refs", ArrayType(LongType()), True),
+        StructField(
+            "members",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("ref", LongType(), False),
+                        StructField("type", IntegerType(), False),
+                        StructField("role", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("version", IntegerType(), True),
+        StructField("timestamp", LongType(), True),
+        StructField("changeset", LongType(), True),
+    ]
+)
+
+
+class PbfPartition(InputPartition):
+    def __init__(self, path: str, blob_type: str, offset: int, size: int):
+        self.path = path
+        self.blob_type = blob_type
+        self.offset = offset
+        self.size = size
+
+
+class PbfDataSourceReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osmpbf source requires a path")
+        self.validate = options.get("validate", "true").lower() == "true"
+        # per-relation element-kind restriction (None = all kinds); comes
+        # from the 'osmtypes' option, e.g. "0" or "0,1" — see module doc
+        # for why this is an option and not absorbed pushFilters state
+        raw = options.get("osmtypes")
+        self.wanted_types: set[int] | None = (
+            {int(t) for t in str(raw).split(",") if t != ""} if raw is not None else None
+        )
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb nothing: yielding every filter back makes Spark re-apply
+        them all, so scans of this relation stay interchangeable under scan
+        reuse (see module docstring for the wrong-results hazard)."""
+        yield from filters
+
+    def partitions(self) -> Sequence[PbfPartition]:
+        spans = scan_blob_spans(self.path)
+        if self.validate:
+            headers = [s for s in spans if s.blob_type == "OSMHeader"]
+            if headers:
+                req, _ = parse_header_block(read_blob(self.path, headers[0]))
+                unsupported = set(req) - {"OsmSchema-V0.6", "DenseNodes"}
+                if unsupported:
+                    raise ValueError(f"unsupported required PBF features: {unsupported}")
+        return [
+            PbfPartition(self.path, s.blob_type, s.offset, s.size)
+            for s in spans
+            if s.blob_type == "OSMData"
+        ]
+
+    def read(self, partition: PbfPartition) -> Iterator[tuple]:
+        want_meta = any(
+            f.name in ("version", "timestamp", "changeset") for f in self.schema.fields
+        )
+        block = read_blob(partition.path, BlobSpan(partition.blob_type, partition.offset, partition.size))
+        wanted = self.wanted_types
+        for el in decode_primitive_block(block, with_metadata=want_meta):
+            if wanted is not None and el.osmtype not in wanted:
+                continue
+            yield (
+                el.osmid,
+                el.osmtype,
+                el.tags,
+                el.lon,
+                el.lat,
+                el.refs,
+                [(m[0], m[1], m[2]) for m in el.members] if el.members is not None else None,
+                el.version,
+                el.timestamp,
+                el.changeset,
+            )
+
+
+class PbfDataSource(DataSource):
+    """``spark.read.format("osmpbf")`` — OSM PBF as a DataFrame."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "osmpbf"
+
+    def schema(self) -> StructType:
+        return PBF_SCHEMA
+
+    def reader(self, schema: StructType) -> PbfDataSourceReader:
+        return PbfDataSourceReader(schema, self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent per-session registration.  Also enables Spark 4's Python
+    data-source filter pushdown (runtime-settable; a reader implementing
+    ``pushFilters`` errors if the flag is off)."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(PbfDataSource)
+        _REGISTERED.add(key)
+
+
+def read_pbf(
+    spark: SparkSession, path: str, osmtypes: set[int] | None = None
+) -> DataFrame:
+    """Open a .pbf as a DataFrame; ``osmtypes`` restricts decoded element
+    kinds at the source (per-relation static pruning)."""
+    register(spark)
+    reader = spark.read.format("osmpbf")
+    if osmtypes is not None:
+        reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
+    return reader.load(path)
+
+
+def read_pbf_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Split the unified scan into the engine's bronze tables (SURVEY §1.5):
+
+    - ``elements(osmid, osmtype, tags, version, timestamp, changeset)``
+    - ``nodes(osmid, lon, lat)`` — the reference's geometry cache
+      (``osmdata.py:127-133``) as a plain table
+    - ``way_refs(way_id, pos, node_id)`` — exploded membership
+    - ``rel_members(rel_id, pos, member_id, member_type, role)``
+
+    Each branch gets its OWN relation (a fresh ``read_pbf`` call): filter
+    pushdown is stateful per reader instance, so branches sharing one
+    relation inside one plan would clobber each other's pushed ``osmtype``
+    sets.  Each branch then pushes its own kind filter and pruned columns —
+    the nodes branch never decodes way/relation wire fields.  At scale,
+    persist these as partitioned parquet (bronze) and all downstream
+    queries get parquet-native pruning."""
+    elements = read_pbf(spark, path).select(
+        "osmid", "osmtype", "tags", "refs", "members", "version", "timestamp", "changeset"
+    )
+    nodes = read_pbf(spark, path, osmtypes={0}).select("osmid", "lon", "lat")
+    way_refs = (
+        read_pbf(spark, path, osmtypes={1})
+        .select("osmid", F.posexplode("refs").alias("pos", "node_id"))
+        .select(col("osmid").alias("way_id"), "pos", "node_id")
+    )
+    rel_members = (
+        read_pbf(spark, path, osmtypes={2})
+        .select("osmid", F.posexplode("members").alias("pos", "m"))
+        .select(
+            col("osmid").alias("rel_id"),
+            "pos",
+            col("m.ref").alias("member_id"),
+            col("m.type").alias("member_type"),
+            col("m.role").alias("role"),
+        )
+    )
+    return {
+        "elements": elements,
+        "nodes": nodes,
+        "way_refs": way_refs,
+        "rel_members": rel_members,
+    }

@@ -1,0 +1,557 @@
+"""Pure-Python OSM PBF wire codec (decode *and* encode).
+
+Decode side replaces the reference's Cython kernels
+(``osmdatapy/protobuf.pyx:10-156``) and block parsers
+(``osmdatapy/headers.py:9-121``, ``primitives.py:9-147``,
+``dense.py:8-51``): varint/zigzag primitives, the file framing scan, and
+per-block element decoding.  It runs *inside data-source partitions* —
+one blob per partition — so single-core Python speed is multiplied by the
+cluster; there is no driver-side whole-file pass (the reference's pass 1,
+``osmdata.py:95-125``, becomes the cheap framing scan in
+``scan_blob_spans``, which reads only the 4-byte lengths + BlobHeaders).
+
+Encode side exists for tests/fixtures: build small deterministic ``.pbf``
+files without any protobuf library.
+
+Wire format (public OSM PBF spec, fileformat.proto / osmformat.proto):
+
+    file   := { uint32_be(len(BlobHeader)) BlobHeader Blob }
+    BlobHeader := 1:type(string) 3:datasize(int32)
+    Blob       := 1:raw(bytes) | (2:raw_size(int32) 3:zlib_data(bytes))
+    HeaderBlock    := 4:required_features* 5:optional_features*
+    PrimitiveBlock := 1:stringtable 2:primitivegroup* 17:granularity
+                      18:date_granularity 19:lat_offset 20:lon_offset
+    StringTable    := 1:bytes*
+    PrimitiveGroup := 1:node* 2:dense 3:way* 4:relation*
+    Node     := 1:id(sint64) 2:keys(packed u32) 3:vals 4:info
+                8:lat(sint64) 9:lon(sint64)
+    DenseNodes := 1:id(packed sint64 Δ) 5:denseinfo 8:lat(packed sint64 Δ)
+                  9:lon(packed sint64 Δ) 10:keys_vals(packed u32,
+                  0-terminated per node)
+    Way      := 1:id 2:keys 3:vals 4:info 8:refs(packed sint64 Δ)
+    Relation := 1:id 2:keys 3:vals 4:info 8:roles_sid(packed u32)
+                9:memids(packed sint64 Δ) 10:types(packed enum)
+    Info     := 1:version(int32) 2:timestamp(int64) 3:changeset(int64)
+    DenseInfo:= 1:version(packed i32) 2:timestamp(packed sint64 Δ)
+                3:changeset(packed sint64 Δ)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+# ---------------------------------------------------------------------------
+# varint primitives (reference protobuf.pyx:177-287)
+# ---------------------------------------------------------------------------
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Unsigned LEB128 varint at ``pos`` → (value, new_pos)."""
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def zigzag(n: int) -> int:
+    """Decode zigzag-encoded signed int."""
+    return (n >> 1) ^ -(n & 1)
+
+
+def read_packed_varints(buf: bytes, start: int, end: int) -> list[int]:
+    out = []
+    pos = start
+    while pos < end:
+        v, pos = read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def iter_fields(buf: bytes, start: int, end: int) -> Iterator[tuple[int, int, int | bytes]]:
+    """Walk protobuf fields in buf[start:end] → (field_no, wire_type, value).
+
+    wire 0 → varint value (int); wire 2 → the raw bytes slice; wire 1/5 →
+    8/4-byte slices (unused by OSM PBF but handled for robustness).
+    """
+    pos = start
+    while pos < end:
+        key, pos = read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = read_varint(buf, pos)
+            yield field, 0, v
+        elif wire == 2:
+            ln, pos = read_varint(buf, pos)
+            yield field, 2, buf[pos : pos + ln]
+            pos += ln
+        elif wire == 5:
+            yield field, 5, buf[pos : pos + 4]
+            pos += 4
+        elif wire == 1:
+            yield field, 1, buf[pos : pos + 8]
+            pos += 8
+        else:  # pragma: no cover - malformed input
+            raise ValueError(f"unsupported wire type {wire} at {pos}")
+
+
+# ---------------------------------------------------------------------------
+# framing scan (reference S1/S2, osmdata.py:95-125 + headers.py:9-30)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BlobSpan:
+    """One blob's location in the file: the data-source partition unit."""
+
+    blob_type: str  # 'OSMHeader' | 'OSMData'
+    offset: int  # file offset of the Blob payload
+    size: int  # payload byte length
+
+
+def scan_blob_spans(path: str) -> list[BlobSpan]:
+    """Enumerate blob frames by reading only lengths + BlobHeaders.
+
+    This is the driver-side planning pass: O(#blobs) tiny reads, not a
+    full-file decode (contrast reference pass 1 which decodes every block
+    to build caches, ``headers.py:124-201``)."""
+    spans: list[BlobSpan] = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (hlen,) = struct.unpack(">I", head)
+            header = f.read(hlen)
+            btype = "OSMData"
+            datasize = 0
+            for field, _, val in iter_fields(header, 0, len(header)):
+                if field == 1:
+                    btype = bytes(val).decode("utf-8")
+                elif field == 3:
+                    datasize = val
+            offset = f.tell()
+            spans.append(BlobSpan(btype, offset, datasize))
+            f.seek(datasize, 1)
+    return spans
+
+
+def read_blob(path: str, span: BlobSpan) -> bytes:
+    """Read + decompress one blob payload (reference S3, headers.py:33-78).
+    zlib is the codec used in practice; raw passthrough also supported."""
+    with open(path, "rb") as f:
+        f.seek(span.offset)
+        payload = f.read(span.size)
+    raw: Optional[bytes] = None
+    for field, _, val in iter_fields(payload, 0, len(payload)):
+        if field == 1:  # raw
+            raw = bytes(val)
+        elif field == 3:  # zlib_data
+            raw = zlib.decompress(bytes(val))
+        elif field in (4, 5, 6):  # lzma/lz4/zstd: not produced by mainstream tools
+            raise ValueError("unsupported PBF compression codec (only raw/zlib)")
+    if raw is None:
+        raise ValueError("empty Blob")
+    return raw
+
+
+def parse_header_block(block: bytes) -> tuple[list[str], list[str]]:
+    """HeaderBlock → (required_features, optional_features)
+    (reference S4, headers.py:81-121)."""
+    req, opt = [], []
+    for field, _, val in iter_fields(block, 0, len(block)):
+        if field == 4:
+            req.append(bytes(val).decode("utf-8"))
+        elif field == 5:
+            opt.append(bytes(val).decode("utf-8"))
+    return req, opt
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock decode (reference S5-S12)
+# ---------------------------------------------------------------------------
+
+NODE, WAY, RELATION = 0, 1, 2
+
+
+@dataclass
+class Element:
+    """Unified decoded element row (SURVEY.md §1.5 data model)."""
+
+    osmid: int
+    osmtype: int
+    tags: dict[str, str]
+    lon: Optional[float] = None
+    lat: Optional[float] = None
+    refs: Optional[list[int]] = None
+    members: Optional[list[tuple[int, int, str]]] = None  # (ref, type, role)
+    version: Optional[int] = None
+    timestamp: Optional[int] = None
+    changeset: Optional[int] = None
+
+
+def _decode_stringtable(data: bytes) -> list[str]:
+    return [
+        bytes(val).decode("utf-8", "replace")
+        for field, _, val in iter_fields(data, 0, len(data))
+        if field == 1
+    ]
+
+
+def _decode_info(data: bytes) -> tuple[Optional[int], Optional[int], Optional[int]]:
+    version = timestamp = changeset = None
+    for field, _, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            version = val
+        elif field == 2:
+            timestamp = val
+        elif field == 3:
+            changeset = val
+    return version, timestamp, changeset
+
+
+def decode_primitive_block(block: bytes, with_metadata: bool = False) -> list[Element]:
+    """Decode every element of one PrimitiveBlock.
+
+    Predicate evaluation does NOT happen here (contrast reference
+    primitives.py:26-27 early aborts): rows flow into Spark and Catalyst
+    filters them — pushed filters instead prune whole *partitions* in
+    ``PbfDataSourceReader.partitions``/``read``."""
+    strings: list[str] = []
+    groups: list[bytes] = []
+    granularity = 100
+    lat_off = lon_off = 0
+    date_gran = 1000
+    for field, _, val in iter_fields(block, 0, len(block)):
+        if field == 1:
+            strings = _decode_stringtable(val)
+        elif field == 2:
+            groups.append(bytes(val))
+        elif field == 17:
+            granularity = val
+        elif field == 18:
+            date_gran = val
+        elif field == 19:
+            lat_off = val
+        elif field == 20:
+            lon_off = val
+
+    scale = 1e-9
+    out: list[Element] = []
+    for group in groups:
+        for field, _, val in iter_fields(group, 0, len(group)):
+            if field == 1:
+                out.append(_decode_node(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
+            elif field == 2:
+                out.extend(_decode_dense(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
+            elif field == 3:
+                out.append(_decode_way(val, strings, with_metadata, date_gran))
+            elif field == 4:
+                out.append(_decode_relation(val, strings, with_metadata, date_gran))
+    return out
+
+
+def _tags_from_keyvals(keys: list[int], vals: list[int], strings: list[str]) -> dict[str, str]:
+    return {strings[k]: strings[v] for k, v in zip(keys, vals)}
+
+
+def _apply_info(el: Element, info: Optional[bytes], with_metadata: bool, date_gran: int) -> None:
+    if not with_metadata or info is None:
+        return
+    v, ts, cs = _decode_info(info)
+    el.version = v
+    el.timestamp = ts * date_gran // 1000 if ts is not None else None
+    el.changeset = cs
+
+
+def _decode_node(
+    data: bytes, strings, gran, lat_off, lon_off, scale, with_metadata, date_gran
+) -> Element:
+    """Non-dense Node (reference primitives.py:9-44 — whose cached-node path
+    is broken, SURVEY §2.12; implemented per spec here)."""
+    osmid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    lat = lon = 0
+    info = None
+    for field, wire, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            osmid = zigzag(val)
+        elif field == 2:
+            keys = read_packed_varints(val, 0, len(val))
+        elif field == 3:
+            vals = read_packed_varints(val, 0, len(val))
+        elif field == 4:
+            info = bytes(val)
+        elif field == 8:
+            lat = zigzag(val)
+        elif field == 9:
+            lon = zigzag(val)
+    el = Element(
+        osmid,
+        NODE,
+        _tags_from_keyvals(keys, vals, strings),
+        lon=(lon * gran + lon_off) * scale,
+        lat=(lat * gran + lat_off) * scale,
+    )
+    _apply_info(el, info, with_metadata, date_gran)
+    return el
+
+
+def _decode_dense(
+    data: bytes, strings, gran, lat_off, lon_off, scale, with_metadata, date_gran
+) -> list[Element]:
+    """DenseNodes with delta decoding (reference dense.py:8-51; its metadata
+    path is broken — SURVEY §2.12 — spec semantics here)."""
+    ids: list[int] = []
+    lats: list[int] = []
+    lons: list[int] = []
+    keyvals: list[int] = []
+    versions: list[int] = []
+    timestamps: list[int] = []
+    changesets: list[int] = []
+    for field, _, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            ids = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+        elif field == 5:
+            for f2, _, v2 in iter_fields(val, 0, len(val)):
+                if f2 == 1:
+                    versions = read_packed_varints(v2, 0, len(v2))
+                elif f2 == 2:
+                    timestamps = [zigzag(v) for v in read_packed_varints(v2, 0, len(v2))]
+                elif f2 == 3:
+                    changesets = [zigzag(v) for v in read_packed_varints(v2, 0, len(v2))]
+        elif field == 8:
+            lats = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+        elif field == 9:
+            lons = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+        elif field == 10:
+            keyvals = read_packed_varints(val, 0, len(val))
+
+    out: list[Element] = []
+    cur_id = cur_lat = cur_lon = cur_ts = cur_cs = 0
+    kv_pos = 0
+    for i in range(len(ids)):
+        cur_id += ids[i]
+        cur_lat += lats[i]
+        cur_lon += lons[i]
+        tags: dict[str, str] = {}
+        while kv_pos < len(keyvals) and keyvals[kv_pos] != 0:
+            tags[strings[keyvals[kv_pos]]] = strings[keyvals[kv_pos + 1]]
+            kv_pos += 2
+        kv_pos += 1  # skip the 0 terminator
+        el = Element(
+            cur_id,
+            NODE,
+            tags,
+            lon=(cur_lon * gran + lon_off) * scale,
+            lat=(cur_lat * gran + lat_off) * scale,
+        )
+        if with_metadata and versions:
+            cur_ts += timestamps[i] if i < len(timestamps) else 0
+            cur_cs += changesets[i] if i < len(changesets) else 0
+            el.version = versions[i] if i < len(versions) else None
+            el.timestamp = cur_ts * date_gran // 1000
+            el.changeset = cur_cs
+        out.append(el)
+    return out
+
+
+def _decode_way(data: bytes, strings, with_metadata, date_gran) -> Element:
+    """Way with delta-decoded refs (reference primitives.py:47-90)."""
+    osmid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    refs: list[int] = []
+    info = None
+    for field, _, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            osmid = val
+        elif field == 2:
+            keys = read_packed_varints(val, 0, len(val))
+        elif field == 3:
+            vals = read_packed_varints(val, 0, len(val))
+        elif field == 4:
+            info = bytes(val)
+        elif field == 8:
+            deltas = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            acc = 0
+            for d in deltas:
+                acc += d
+                refs.append(acc)
+    el = Element(osmid, WAY, _tags_from_keyvals(keys, vals, strings), refs=refs)
+    _apply_info(el, info, with_metadata, date_gran)
+    return el
+
+
+def _decode_relation(data: bytes, strings, with_metadata, date_gran) -> Element:
+    """Relation with delta-decoded member ids (reference primitives.py:93-147)."""
+    osmid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    roles: list[int] = []
+    memids: list[int] = []
+    types: list[int] = []
+    info = None
+    for field, _, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            osmid = val
+        elif field == 2:
+            keys = read_packed_varints(val, 0, len(val))
+        elif field == 3:
+            vals = read_packed_varints(val, 0, len(val))
+        elif field == 4:
+            info = bytes(val)
+        elif field == 8:
+            roles = read_packed_varints(val, 0, len(val))
+        elif field == 9:
+            deltas = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            acc = 0
+            for d in deltas:
+                acc += d
+                memids.append(acc)
+        elif field == 10:
+            types = read_packed_varints(val, 0, len(val))
+    members = [
+        (memids[i], types[i], strings[roles[i]] if i < len(roles) else "")
+        for i in range(len(memids))
+    ]
+    el = Element(osmid, RELATION, _tags_from_keyvals(keys, vals, strings), members=members)
+    _apply_info(el, info, with_metadata, date_gran)
+    return el
+
+
+# ---------------------------------------------------------------------------
+# encode side (fixtures/tests only — the reference has no writer at all)
+# ---------------------------------------------------------------------------
+
+
+def write_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_zigzag(n: int) -> bytes:
+    return write_varint((n << 1) ^ (n >> 63) if n < 0 else n << 1)
+
+
+def _field(field_no: int, wire: int) -> bytes:
+    return write_varint(field_no << 3 | wire)
+
+
+def enc_varint_field(field_no: int, value: int) -> bytes:
+    return _field(field_no, 0) + write_varint(value)
+
+
+def enc_bytes_field(field_no: int, data: bytes) -> bytes:
+    return _field(field_no, 2) + write_varint(len(data)) + data
+
+
+def enc_packed_field(field_no: int, values: list[int], signed: bool = False) -> bytes:
+    body = b"".join(write_zigzag(v) if signed else write_varint(v) for v in values)
+    return enc_bytes_field(field_no, body)
+
+
+def enc_packed_deltas(field_no: int, values: list[int]) -> bytes:
+    deltas = [values[0]] + [values[i] - values[i - 1] for i in range(1, len(values))] if values else []
+    return enc_packed_field(field_no, deltas, signed=True)
+
+
+class PbfWriter:
+    """Minimal deterministic .osm.pbf writer for fixtures."""
+
+    def __init__(self, granularity: int = 100):
+        self.granularity = granularity
+        self.strings: list[str] = [""]  # index 0 reserved (spec)
+        self._sidx: dict[str, int] = {}
+        self.groups: list[bytes] = []
+
+    def sid(self, s: str) -> int:
+        if s not in self._sidx:
+            self._sidx[s] = len(self.strings)
+            self.strings.append(s)
+        return self._sidx[s]
+
+    def _kv(self, tags: dict[str, str]) -> tuple[list[int], list[int]]:
+        return [self.sid(k) for k in tags], [self.sid(v) for v in tags.values()]
+
+    def add_dense_nodes(self, nodes: list[tuple[int, float, float, dict[str, str]]]) -> None:
+        """nodes: [(id, lon, lat, tags)] — becomes one DenseNodes group."""
+        ids = [n[0] for n in nodes]
+        lons = [round(n[1] * 1e9) // self.granularity for n in nodes]
+        lats = [round(n[2] * 1e9) // self.granularity for n in nodes]
+        keyvals: list[int] = []
+        for _, _, _, tags in nodes:
+            for k, v in tags.items():
+                keyvals += [self.sid(k), self.sid(v)]
+            keyvals.append(0)
+        dense = (
+            enc_packed_deltas(1, ids)
+            + enc_packed_deltas(8, lats)
+            + enc_packed_deltas(9, lons)
+            + enc_packed_field(10, keyvals)
+        )
+        self.groups.append(enc_bytes_field(2, dense))
+
+    def add_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> None:
+        keys, vals = self._kv(tags)
+        way = (
+            enc_varint_field(1, osmid)
+            + enc_packed_field(2, keys)
+            + enc_packed_field(3, vals)
+            + enc_packed_deltas(8, refs)
+        )
+        self.groups.append(enc_bytes_field(3, way))
+
+    def add_relation(
+        self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
+    ) -> None:
+        """members: [(ref, type, role)]"""
+        keys, vals = self._kv(tags)
+        rel = (
+            enc_varint_field(1, osmid)
+            + enc_packed_field(2, keys)
+            + enc_packed_field(3, vals)
+            + enc_packed_field(8, [self.sid(m[2]) for m in members])
+            + enc_packed_deltas(9, [m[0] for m in members])
+            + enc_packed_field(10, [m[1] for m in members])
+        )
+        self.groups.append(enc_bytes_field(4, rel))
+
+    def _blob(self, block: bytes) -> bytes:
+        compressed = zlib.compress(block)
+        return enc_varint_field(2, len(block)) + enc_bytes_field(3, compressed)
+
+    def _frame(self, blob_type: str, blob: bytes) -> bytes:
+        header = enc_bytes_field(1, blob_type.encode()) + enc_varint_field(3, len(blob))
+        return struct.pack(">I", len(header)) + header + blob
+
+    def write(self, path: str, groups_per_block: int = 1) -> None:
+        header_block = enc_bytes_field(4, b"OsmSchema-V0.6") + enc_bytes_field(
+            4, b"DenseNodes"
+        )
+        with open(path, "wb") as f:
+            f.write(self._frame("OSMHeader", self._blob(header_block)))
+            for i in range(0, len(self.groups), groups_per_block):
+                chunk = self.groups[i : i + groups_per_block]
+                st = b"".join(enc_bytes_field(1, s.encode()) for s in self.strings)
+                block = (
+                    enc_bytes_field(1, st)
+                    + b"".join(enc_bytes_field(2, g) for g in chunk)
+                    + enc_varint_field(17, self.granularity)
+                )
+                f.write(self._frame("OSMData", self._blob(block)))

@@ -1,0 +1,159 @@
+"""Text / dedup / similarity / multimodal function kernels against
+hand-computable expectations (numpy / python set algebra as the oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_candidate_pairs,
+    jaccard_similarity,
+    lsh_band_pairs,
+    minhash_signature,
+    simhash,
+)
+from osmdatapy_spark.functions.multimodal import decode_binary_meta, fake_decode_meta
+from osmdatapy_spark.functions.similarity import brute_force_topk, cosine, dot
+from osmdatapy_spark.functions.text import (
+    comparable_string,
+    fingerprint,
+    langid,
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and the dog sat too"),
+        (2, "the cat sat on the mat and the dog sat too"),  # exact dup of 1
+        (3, "the cat sat on the red mat and the dog sat too"),  # near-dup
+        (4, "der hund ist ein guter hund und das ist gut"),
+        (5, "completely different words entirely unrelated content here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokens_and_count(docs):
+    out = docs.select("doc_id", token_count(col("text")).alias("n")).collect()
+    counts = {r["doc_id"]: r["n"] for r in out}
+    assert counts[1] == 11 and counts[5] == 8
+
+
+def test_word_shingles_matches_python(docs):
+    rows = docs.select("doc_id", "text", word_shingles(tokens(col("text")), 3).alias("s")).collect()
+    for r in rows:
+        toks = r["text"].split()
+        expect = list(dict.fromkeys(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+        assert r["s"] == expect
+
+
+def test_langid(docs):
+    out = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", langid(tokens(col("text"))).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+
+
+def test_fingerprint_dups(docs):
+    fp = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint(col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_comparable_string(spark):
+    df = spark.createDataFrame([("l'hôpital d'été",)], "s string")
+    assert df.select(comparable_string(col("s")).alias("c")).first()["c"] == "LHÔPITAL DÉTÉ"
+
+
+def _shingled(docs):
+    return docs.select("doc_id", F.explode(word_shingles(tokens(col("text")), 3)).alias("s"))
+
+
+def test_minhash_identical_signatures(docs):
+    sig = minhash_signature(_shingled(docs), "doc_id", "s", num_perm=8)
+    rows = {r["doc_id"]: [r[f"mh{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[1] == rows[2]  # identical docs → identical signatures
+    shared = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared >= 4  # near-dup shares most minhashes
+    assert rows[1] != rows[5]
+
+
+def test_lsh_finds_near_dups(docs):
+    sig = minhash_signature(_shingled(docs), "doc_id", "s", num_perm=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2).collect()}
+    assert (1, 2) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_jaccard_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_candidate_pairs(_shingled(docs), "doc_id", "s", max_doc_freq=4, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_near_vs_far(docs):
+    tokenized = docs.select("doc_id", F.explode(tokens(col("text"))).alias("t"))
+    out = {r["doc_id"]: r["simhash"] for r in simhash(tokenized, "doc_id", "t", bits=16).collect()}
+    assert out[1] == out[2]
+    ham_near = bin(out[1] ^ out[3]).count("1")
+    ham_far = bin(out[1] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_exact_dedup_and_jaccard_similarity(docs):
+    from osmdatapy_spark.functions.text import fingerprint as fp
+
+    groups = exact_dedup(docs, "doc_id", fp(col("text")))
+    rows = {r["keeper"]: r["n_dups"] for r in groups.collect()}
+    assert rows[1] == 2  # docs 1+2 collapse
+    assert rows[3] == 1
+
+    df = docs.sparkSession.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "sa array<string>, sb array<string>"
+    )
+    assert df.select(jaccard_similarity(col("sa"), col("sb")).alias("j")).first()["j"] == 0.5
+
+
+def test_dot_cosine_vs_numpy(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [-1.0, 0.5, 2.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(dot(col("a"), col("b")).alias("d"), cosine(col("a"), col("b")).alias("c")).first()
+    expect_d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    assert abs(row["d"] - expect_d) < 1e-12
+    assert abs(row["c"] - expect_d / (na * nb)) < 1e-12
+
+
+def test_brute_force_topk(spark):
+    vecs = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(col("vec_id") == 1)
+    out = brute_force_topk(corpus, probes, k=2).collect()
+    assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_multimodal_decode(spark):
+    payloads = [(1, b"hello"), (2, b"world!!"), (3, b"")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_binary_meta(df).collect()}
+    for did, payload in payloads:
+        nb, w, h = fake_decode_meta(payload)
+        assert (out[did]["n_bytes"], out[did]["fake_width"], out[did]["fake_height"]) == (nb, w, h)

@@ -1,0 +1,109 @@
+"""Topology + ring operators: hand-built fixtures and the SURVEY §5.4
+property checks (segment endpoints are boundary nodes; rings close;
+chained order is reachable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osmdatapy_spark.operators.rings import reorder_rings, ring_node_sequence
+from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
+
+
+def _refs_df(spark, ways: dict[int, list[int]]):
+    rows = [(wid, pos, nid) for wid, nds in ways.items() for pos, nid in enumerate(nds)]
+    return spark.createDataFrame(rows, "way_id long, pos int, node_id long")
+
+
+def test_way_endpoints(spark):
+    df = _refs_df(spark, {1: [10, 11, 12], 2: [12, 13]})
+    out = {r["way_id"]: r for r in way_endpoints(df).collect()}
+    assert (out[1]["source"], out[1]["target"], out[1]["n_nodes"]) == (10, 12, 3)
+    assert (out[2]["source"], out[2]["target"], out[2]["n_nodes"]) == (12, 13, 2)
+
+
+def test_topology_no_shared_nodes(spark):
+    df = _refs_df(spark, {1: [10, 11, 12]})
+    segs = topology_segments(df).collect()
+    assert len(segs) == 1
+    assert (segs[0]["source"], segs[0]["target"], segs[0]["n_nodes"]) == (10, 12, 3)
+
+
+def test_topology_split_at_shared(spark):
+    # node 12 shared between ways 1 and 2 → way 1 splits there
+    df = _refs_df(spark, {1: [10, 11, 12, 13, 14], 2: [12, 20]})
+    segs = {(s["way_id"], s["seg"]): s for s in topology_segments(df).collect()}
+    assert len([k for k in segs if k[0] == 1]) == 2
+    assert (segs[(1, 0)]["source"], segs[(1, 0)]["target"]) == (10, 12)
+    assert (segs[(1, 1)]["source"], segs[(1, 1)]["target"]) == (12, 14)
+    assert (segs[(2, 0)]["source"], segs[(2, 0)]["target"]) == (12, 20)
+
+
+def test_topology_property_invariants(spark):
+    """Every segment's source/target is a boundary node (first/last/shared)
+    and consecutive segments of a way chain target→source."""
+    ways = {
+        1: [1, 2, 3, 4, 5],
+        2: [5, 6, 7],
+        3: [3, 8, 9],
+        4: [9, 7],
+        5: [2, 9],
+    }
+    df = _refs_df(spark, ways)
+    segs = topology_segments(df).collect()
+    flat = [n for nds in ways.values() for n in nds]
+    shared = {n for n in flat if flat.count(n) > 1}
+    for wid, nds in ways.items():
+        wsegs = sorted((s for s in segs if s["way_id"] == wid), key=lambda s: s["seg"])
+        assert wsegs[0]["source"] == nds[0]
+        assert wsegs[-1]["target"] == nds[-1]
+        for a, b in zip(wsegs, wsegs[1:]):
+            assert a["target"] == b["source"] and a["target"] in shared
+        # segment node counts cover the whole way (shared endpoint counted
+        # by both adjacent segments)
+        assert sum(s["n_nodes"] for s in wsegs) == len(nds) + len(wsegs) - 1
+
+
+def _members_df(spark, rel_id, ways: dict[int, list[int]], order: list[int]):
+    refs = _refs_df(spark, ways)
+    ends = way_endpoints(refs)
+    members = spark.createDataFrame(
+        [(rel_id, wid, pos) for pos, wid in enumerate(order)],
+        "rel_id long, way_id long, member_pos int",
+    ).join(ends, "way_id")
+    return members, refs
+
+
+def test_ring_single_closed(spark):
+    # square via two ways, second stored reversed: 1-2-3 + 1-4-3 (reversed)
+    ways = {101: [1, 2, 3], 102: [1, 4, 3]}
+    members, refs = _members_df(spark, 7, ways, [101, 102])
+    ordered = reorder_rings(members)
+    rows = {r["way_id"]: r for r in ordered.collect()}
+    assert rows[102]["direction"] == -1  # must flip to chain 3 → 1
+    seq = ring_node_sequence(ordered, refs).collect()
+    assert len(seq) == 1
+    nodes = seq[0]["nodes"]
+    assert nodes[0] == nodes[-1]  # closed
+    assert nodes == [1, 2, 3, 4, 1]
+
+
+def test_ring_two_rings(spark):
+    # outer square 1-2-3-4-1 split in two ways + separate inner 5-6-7-5
+    ways = {
+        201: [1, 2, 3],
+        202: [3, 4, 1],
+        203: [5, 6, 7, 5],
+    }
+    members, refs = _members_df(spark, 8, ways, [201, 202, 203])
+    seq = {r["ring"]: r["nodes"] for r in ring_node_sequence(reorder_rings(members), refs).collect()}
+    assert len(seq) == 2
+    assert seq[0] == [1, 2, 3, 4, 1]
+    assert seq[1] == [5, 6, 7, 5]
+
+
+def test_ring_chain_break_starts_new_ring(spark):
+    ways = {301: [1, 2], 302: [9, 8]}  # no shared endpoint
+    members, _ = _members_df(spark, 9, ways, [301, 302])
+    rings = {r["way_id"]: r["ring"] for r in reorder_rings(members).collect()}
+    assert rings[301] == 0 and rings[302] == 1

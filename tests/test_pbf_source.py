@@ -1,0 +1,126 @@
+"""PBF data source: codec round-trip, partition planning, pushdown,
+bronze-table split, and the OSM facade end-to-end on a real .pbf file."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.engine import OSM
+from osmdatapy_spark.query import Query
+from osmdatapy_spark.sources.pbf import read_pbf, read_pbf_tables
+from osmdatapy_spark.sources.pbf_codec import (
+    decode_primitive_block,
+    read_blob,
+    scan_blob_spans,
+    read_varint,
+    write_varint,
+    write_zigzag,
+    zigzag,
+)
+
+
+def test_varint_roundtrip():
+    for n in (0, 1, 127, 128, 300, 2**31, 2**63 - 1):
+        buf = write_varint(n)
+        v, pos = read_varint(buf, 0)
+        assert v == n and pos == len(buf)
+
+
+def test_zigzag_roundtrip():
+    for n in (0, -1, 1, -2, 2, -(2**31), 2**31, -(2**62)):
+        buf = write_zigzag(n)
+        v, _ = read_varint(buf, 0)
+        assert zigzag(v) == n
+
+
+def test_framing_scan(fixture_pbf):
+    spans = scan_blob_spans(fixture_pbf)
+    types = [s.blob_type for s in spans]
+    assert types[0] == "OSMHeader"
+    assert types.count("OSMData") >= 2  # groups_per_block=3 over 8 groups
+
+
+def test_codec_decode(fixture_pbf):
+    spans = [s for s in scan_blob_spans(fixture_pbf) if s.blob_type == "OSMData"]
+    els = [e for s in spans for e in decode_primitive_block(read_blob(fixture_pbf, s))]
+    by_id = {(e.osmtype, e.osmid): e for e in els}
+    assert len(by_id) == 9 + 6 + 2
+    n5 = by_id[(0, 5)]
+    assert n5.tags == {"amenity": "cafe"}
+    assert abs(n5.lon - 10.001) < 1e-7 and abs(n5.lat - 50.001) < 1e-7
+    w101 = by_id[(1, 101)]
+    assert w101.refs == [1, 2, 3]
+    assert w101.tags["highway"] == "primary"
+    r201 = by_id[(2, 201)]
+    assert [m[0] for m in r201.members] == [101, 102, 103, 104]
+    assert r201.members[0][2] == "outer"
+
+
+def test_spark_read(spark, fixture_pbf):
+    df = read_pbf(spark, fixture_pbf)
+    assert df.count() == 17
+    counts = {r["osmtype"]: r["n"] for r in df.groupBy("osmtype").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 9, 1: 6, 2: 2}
+
+
+def test_osmtypes_option_prunes_kinds(spark, fixture_pbf):
+    assert read_pbf(spark, fixture_pbf, osmtypes={1}).count() == 6
+    assert read_pbf(spark, fixture_pbf, osmtypes={0, 2}).count() == 11
+
+
+def test_two_filters_one_relation_is_correct(spark, fixture_pbf):
+    """Regression: scan reuse must not merge differently-filtered scans of
+    one relation (the hazard that absorbed pushFilters state triggers —
+    see sources/pbf.py module docstring)."""
+    scan = read_pbf(spark, fixture_pbf)
+    a = scan.filter(col("osmtype") == 0).select("osmid")
+    b = scan.filter(col("osmtype") == 1).select("osmid")
+    assert a.unionAll(b).count() == 15
+
+
+def test_bronze_tables(spark, fixture_pbf):
+    t = read_pbf_tables(spark, fixture_pbf)
+    assert t["nodes"].count() == 9
+    refs = {r["way_id"]: r["node_id"] for r in t["way_refs"].filter(col("pos") == 0).collect()}
+    assert refs[101] == 1 and refs[106] == 1
+    m = t["rel_members"].filter(col("rel_id") == 201).orderBy("pos").collect()
+    assert [r["member_id"] for r in m] == [101, 102, 103, 104]
+    assert m[0]["role"] == "outer"
+
+
+def test_osm_facade_from_pbf(spark, fixture_pbf):
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    q = Query(ways=True, keep={"highway": []})
+    res = osm.query(q).collect()
+    assert sorted(r["osmid"] for r in res) == [101, 102, 105]
+
+    # geometry mode: node points + way linestrings as WKT
+    qg = Query(nodes=True, ways=True, keep={"amenity": [], "highway": []}, geometry=True)
+    geo = {r["osmid"]: r["geometry"] for r in osm.query(qg).collect()}
+    assert geo[5].startswith("POINT")
+    assert geo[101].startswith("LINESTRING")
+
+    # ring assembly: the multipolygon relation chains into one closed ring
+    # (the route relation 202 also yields chain-break rings — not asserted)
+    rings = [r for r in osm.relation_rings().collect() if r["rel_id"] == 201]
+    assert len(rings) == 1
+    nodes = rings[0]["nodes"]
+    assert nodes[0] == nodes[-1]
+    assert set(nodes) == {1, 2, 3, 6, 9, 8, 7, 4}
+
+
+def test_topology_from_pbf(spark, fixture_pbf):
+    """Way 105 (2-5-8) shares node 2 with 101 and node 8 with 103: the
+    shared nodes split 101 and 103 into two segments each."""
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    segs = osm.topology().collect()
+    by_way: dict[int, list] = {}
+    for s in segs:
+        by_way.setdefault(s["way_id"], []).append(s)
+    assert len(by_way[101]) == 2  # split at node 2
+    assert len(by_way[103]) == 2  # split at node 8
+    assert len(by_way[105]) == 1  # interior node 5 unshared
+    seg_101 = sorted(by_way[101], key=lambda s: s["seg"])
+    assert (seg_101[0]["source"], seg_101[0]["target"]) == (1, 2)
+    assert (seg_101[1]["source"], seg_101[1]["target"]) == (2, 3)
