@@ -28,7 +28,11 @@ def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    elapsed = time.time() - t0
+    # queries must not lean on leaked caches from earlier queries — each
+    # timing is a cold, self-contained plan
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -22,7 +22,7 @@ pipeline shape.  Pipeline shapes are the scale story:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
@@ -50,6 +50,18 @@ def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_pe
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Expand a bounded id-array per bucket into ordered (id_a < id_b)
+    pairs with array combinatorics — no self-join, no second pass over the
+    upstream pipeline.  Callers must cap bucket size first."""
+    combos = (
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+        f"y -> struct(x as id_a, y as id_b))))"
+    )
+    return buckets.select(F.explode(F.expr(combos)).alias("p")).select("p.id_a", "p.id_b")
+
+
 def lsh_band_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -61,10 +73,12 @@ def lsh_band_pairs(
     bucket collisions.  `max_bucket` caps degenerate hot buckets (a
     constant-text corpus would otherwise produce a quadratic bucket).
 
-    The signature table is persisted before the self-join: it is one short
-    row per document (the 100 TB-safe thing to materialize), and without
-    it Spark recomputes the whole shingle+hash pipeline once per join side."""
-    signatures = signatures.persist()
+    Shape: groupBy(band,val) + in-array pair expansion — ONE shuffle of
+    (#docs × #bands) short rows, versus the naive window + self-join which
+    shuffles three times and re-runs the signature pipeline per join side
+    (Spark does not reuse the exchange across self-join branches here —
+    measured).  Bucket arrays are bounded by max_bucket so the expansion
+    is O(max_bucket²) worst-case per bucket, executor-local."""
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -78,17 +92,12 @@ def lsh_band_pairs(
     exploded = signatures.select(col(id_col), F.explode(bands).alias("bv")).select(
         col(id_col), col("bv.band").alias("band"), col("bv.val").alias("val")
     )
-    sized = exploded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "val"))
-    ).filter(col("bucket_n") <= max_bucket)
-    a = sized.select(col("band"), col("val"), col(id_col).alias("id_a"))
-    b = sized.select(col("band"), col("val"), col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "val"])
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    buckets = (
+        exploded.groupBy("band", "val")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    return _bucket_pairs(buckets).distinct()
 
 
 def simhash(tokenized: DataFrame, id_col: str, token_col: str, bits: int = 16) -> DataFrame:
@@ -132,20 +141,18 @@ def jaccard_candidate_pairs(
     set before the (comparatively expensive) exact set intersection — a
     pair at Jaccard >= 0.5 over ~50-shingle docs shares >= 17 shingles, so
     min_shared=3 loses nothing while cutting candidates ~100×.
-    The rare-postings list is persisted: both sides of the self-join read
-    it, and without the persist the whole tokenize+shingle pipeline runs
-    twice."""
-    w = Window.partitionBy(shingle_col)
-    rare = (
-        shingled.withColumn("df", F.count("*").over(w))
-        .filter(col("df") <= max_doc_freq)
-        .persist()
+
+    Shape: groupBy(shingle) postings list + in-array pair expansion +
+    groupBy(pair) count — two shuffles, single pass over the shingle
+    pipeline (the window + self-join formulation runs it once per join
+    side and shuffles a third time)."""
+    postings = (
+        shingled.groupBy(shingle_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
     )
-    a = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_a"))
-    b = rare.select(col(shingle_col).alias("sh"), col(id_col).alias("id_b"))
     return (
-        a.join(b, "sh")
-        .filter(col("id_a") < col("id_b"))
+        _bucket_pairs(postings)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(col("n_shared") >= min_shared)
