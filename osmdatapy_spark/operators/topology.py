@@ -71,29 +71,38 @@ def topology_segments(
     w_node = Window.partitionBy(node_col)
     w_way = Window.partitionBy(id_col).orderBy(pos_col)
 
-    # one shuffle by node (shared count), one by way; is_first/is_last come
-    # from the same ascending sort (lead-null marks the last row — no
-    # second descending sort, and the way-partition exchange is reused by
-    # the pairing window below)
-    marked = way_refs.select(
+    # STAGED so the plan has exactly two exchanges: the node-count window
+    # runs in its own select (exchange by node_id), THEN everything keyed
+    # by way comes as one chain — is_first/is_last from the ascending sort
+    # (lead-null marks the last row; no second descending sort), boundary
+    # filter, and the pairing window, all reusing ONE exchange+sort by
+    # (way_id, pos).  Mixing the node window into the way-keyed select
+    # makes Catalyst evaluate the way windows first and re-exchange by
+    # way_id after the node count — a third shuffle for nothing
+    # (observed; tests/test_plans.py pins the 2-exchange shape).
+    shared = way_refs.select(
         col(id_col),
         col(pos_col),
         col(node_col),
         (F.count("*").over(w_node) > 1).alias("is_shared"),
-        (F.row_number().over(w_way) == 1).alias("is_first"),
-        F.lead(pos_col).over(w_way).isNull().alias("is_last"),
     )
 
-    boundaries = marked.filter(col("is_shared") | col("is_first") | col("is_last"))
+    boundaries = shared.select(
+        "*",
+        (
+            col("is_shared")
+            | (F.row_number().over(w_way) == 1)
+            | F.lead(pos_col).over(w_way).isNull()
+        ).alias("is_boundary"),
+    ).filter(col("is_boundary"))
 
-    w_b = Window.partitionBy(id_col).orderBy(pos_col)
     seg = (
         boundaries.select(
             col(id_col),
-            (F.row_number().over(w_b) - 1).alias("seg"),
+            (F.row_number().over(w_way) - 1).alias("seg"),
             col(node_col).alias("source"),
-            F.lead(node_col).over(w_b).alias("target"),
-            (F.lead(pos_col).over(w_b) - col(pos_col) + 1).alias("n_nodes"),
+            F.lead(node_col).over(w_way).alias("target"),
+            (F.lead(pos_col).over(w_way) - col(pos_col) + 1).alias("n_nodes"),
         )
         .filter(col("target").isNotNull())
     )

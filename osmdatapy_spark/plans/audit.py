@@ -1,0 +1,108 @@
+"""Physical-plan auditing: make ``.explain`` assertions testable.
+
+The 100 TB discipline is that every operator's plan is *inspected*, not
+assumed: filters reached the scan, projections pruned the schema, no
+surprise extra exchange, Python only where intended.  This module parses
+``df.explain("formatted")`` output into a summary dict so tests (and the
+bench) can assert plan shape, the way the reference relies on its
+hand-built block pruning (``osmquery.py:242-257``) — except here the
+assertions run in CI.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    n_exchanges: int = 0  # shuffle boundaries
+    n_broadcasts: int = 0  # broadcast exchanges (not counted as shuffles)
+    n_scans: int = 0
+    n_codegen_stages: int = 0
+    n_python_evals: int = 0  # BatchEvalPython / ArrowEvalPython / FlatMap*
+    n_sorts: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    text: str = ""
+
+
+def explain_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The string ``df.explain(mode)`` prints, without the print."""
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def plan_summary(df: DataFrame) -> PlanSummary:
+    """Parse the formatted physical plan into countable facts."""
+    text = explain_text(df)
+    s = PlanSummary(text=text)
+    for line in text.splitlines():
+        name = line.strip()
+        # node lines look like "(3) Exchange" or "(12) Scan parquet ..."
+        m = re.match(r"\(\d+\)\s+(\S+.*)", name)
+        if m:
+            node = m.group(1)
+            if node.startswith("Exchange"):
+                s.n_exchanges += 1
+            elif node.startswith("BroadcastExchange"):
+                s.n_broadcasts += 1
+            elif node.startswith(("Scan", "BatchScan")):
+                s.n_scans += 1
+            elif node.startswith(("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "FlatMapGroupsInArrow")):
+                s.n_python_evals += 1
+            elif node.startswith("Sort"):
+                s.n_sorts += 1
+        pm = re.search(r"PushedFilters: \[(.*?)\]", line)
+        if pm and pm.group(1):
+            s.pushed_filters.append(pm.group(1))
+        rm = re.search(r"ReadSchema: (.*)", line)
+        if rm:
+            s.read_schemas.append(rm.group(1).strip())
+    # BroadcastExchange lines also match the Exchange prefix; separate them
+    s.n_broadcasts = s.text.count("BroadcastExchange")
+    s.n_exchanges = s.n_exchanges - s.n_broadcasts
+    # whole-stage codegen spans show as "*(n)" in simple mode only
+    simple = explain_text(df, "simple")
+    s.n_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    return s
+
+
+def assert_plan(
+    df: DataFrame,
+    max_exchanges: int | None = None,
+    require_pushed_filter: str | None = None,
+    require_pruned_columns: list[str] | None = None,
+    forbid_python: bool = False,
+) -> PlanSummary:
+    """Assert structural properties of a physical plan; returns the summary
+    so callers can make further checks.  Raises AssertionError with the
+    offending plan text."""
+    s = plan_summary(df)
+    if max_exchanges is not None and s.n_exchanges > max_exchanges:
+        raise AssertionError(
+            f"plan has {s.n_exchanges} shuffles (max {max_exchanges}):\n{s.text}"
+        )
+    if require_pushed_filter is not None and not any(
+        require_pushed_filter in f for f in s.pushed_filters
+    ):
+        raise AssertionError(
+            f"no pushed filter matching {require_pushed_filter!r} "
+            f"(pushed: {s.pushed_filters}):\n{s.text}"
+        )
+    if require_pruned_columns is not None:
+        for schema in s.read_schemas:
+            read_cols = set(re.findall(r"(\w+):", schema))
+            extra = read_cols - set(require_pruned_columns)
+            if extra:
+                raise AssertionError(
+                    f"scan reads unpruned columns {sorted(extra)} "
+                    f"(allowed {require_pruned_columns}):\n{s.text}"
+                )
+    if forbid_python and s.n_python_evals > 0:
+        raise AssertionError(f"plan contains Python evaluation nodes:\n{s.text}")
+    return s

@@ -1,0 +1,582 @@
+"""Extension suite: remaining SURVEY §2 parity surfaces (tag pivot,
+member dedup anti-join, multi-geometry collect, metadata projection,
+polygon ring algebra G8/G9, depth-2 relation expansion, info stats) plus
+beyond-reference engine operators a complete analytics engine needs
+(as-of join, interval/range join, rollup, grid-cell ANN, sliding and
+session windows).
+
+Every query follows the registry's cross-engine determinism rules; the
+DuckDB oracle re-derives each result independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from osmdatapy_spark.functions.similarity import grid_topk
+from osmdatapy_spark.suite._util import T, dsum
+from osmdatapy_spark.suite.osm import (
+    NODES_CTE,
+    WAY_TAGS_CTE,
+    WAYS_CTE,
+    derived_node_elements,
+    derived_way_elements,
+    derived_way_refs,
+    derived_nodes,
+)
+from osmdatapy_spark.suite.registry import register
+
+# ---------------------------------------------------------------------------
+# Tag pivot (reference _frame.py:59-68: EAV → wide columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_tag_pivot",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}
+    SELECT osmid, highway, building, name
+    FROM way_tags
+    WHERE highway IS NOT NULL OR building IS NOT NULL OR name IS NOT NULL
+    """,
+    doc="Tag pivot: MAP<k,v> → wide columns for an explicit key list "
+    "(reference tag unstack, _frame.py:59-68). With a map column the pivot "
+    "is a pure projection — no shuffle, unlike pandas unstack; unbounded "
+    "key sets stay as the map (SURVEY §7 'what's hard' #3).",
+)
+def osm_tag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = derived_way_elements(spark, sf_dir)
+    out = ways.select(
+        "osmid",
+        col("tags").getItem("highway").alias("highway"),
+        col("tags").getItem("building").alias("building"),
+        col("tags").getItem("name").alias("name"),
+    )
+    return out.filter(
+        col("highway").isNotNull() | col("building").isNotNull() | col("name").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 way-member dedup (anti-join) — reference _frame.py:27-28
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_way_member_dedup",
+    oracle=f"""
+    WITH {WAYS_CTE},
+    member_ways AS (SELECT DISTINCT o_orderkey AS way_id FROM orders WHERE o_custkey % 3 = 0)
+    SELECT DISTINCT w.way_id FROM ways w
+    WHERE w.way_id NOT IN (SELECT way_id FROM member_ways)
+    """,
+    doc="Way-member dedup (ref J3, _frame.py:27-28: drop ways already "
+    "present as relation members) — a left_anti join, not isin-negation: "
+    "the member set never collects to the driver.",
+)
+def osm_way_member_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = derived_way_refs(spark, sf_dir).select("way_id").distinct()
+    members = (
+        T(spark, sf_dir, "orders")
+        .filter(col("o_custkey") % 3 == 0)
+        .select(col("o_orderkey").alias("way_id"))
+    )
+    return ways.join(members, "way_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# A7 collect-to-multi (reference _geometry.py:68-106)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_multipoint_collect",
+    oracle=f"""
+    WITH {NODES_CTE}
+    SELECT osmid % 50 AS grp,
+           'MULTIPOINT (' || string_agg(
+               printf('%.7f %.7f', lon, lat), ', ' ORDER BY osmid) || ')' AS wkt,
+           COUNT(*) AS n_points
+    FROM nodes GROUP BY osmid % 50
+    """,
+    doc="Collect-to-multi (ref A7 collect_by_indices, _geometry.py:68-106): "
+    "group point geometries into MULTIPOINT WKT. collect_list of structs + "
+    "array_sort gives a deterministic member order without a sort shuffle.",
+)
+def osm_multipoint_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    pts = nodes.groupBy((col("osmid") % 50).alias("grp")).agg(
+        F.array_sort(F.collect_list(F.struct("osmid", "lon", "lat"))).alias("pts")
+    )
+    return pts.select(
+        "grp",
+        F.concat(
+            lit("MULTIPOINT ("),
+            F.array_join(
+                F.transform(col("pts"), lambda p: F.format_string("%.7f %.7f", p["lon"], p["lat"])),
+                ", ",
+            ),
+            lit(")"),
+        ).alias("wkt"),
+        F.size("pts").cast("long").alias("n_points"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S12/P8 metadata projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_metadata",
+    oracle="""
+    SELECT o_orderkey AS osmid,
+           CAST(o_orderkey % 8 + 1 AS INTEGER) AS version,
+           CAST(epoch(o_orderdate) AS BIGINT) AS timestamp,
+           o_orderkey // 7 AS changeset
+    FROM orders WHERE o_orderkey % 8 >= 4
+    """,
+    doc="Metadata decode + projection (ref S12 info/dense_info, "
+    "primitives.py:150-171 + P8 field pruning): version/timestamp/changeset "
+    "columns appear only when the query asks (metadata=True), and column "
+    "pruning keeps them out of the scan otherwise.",
+)
+def osm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        col("o_orderkey").alias("osmid"),
+        (col("o_orderkey") % 8 + 1).cast("int").alias("version"),
+        F.unix_timestamp("o_orderdate").alias("timestamp"),
+        (col("o_orderkey") / 7).cast("long").alias("changeset"),
+    ).filter(col("o_orderkey") % 8 >= 4)
+
+
+# ---------------------------------------------------------------------------
+# G8/G9 polygon ring algebra: complex-ring pruning + polygon grouping
+# ---------------------------------------------------------------------------
+
+RINGS_CTE = """
+rings AS (
+  SELECT o_custkey AS rel_id,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS ring,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'inner' ELSE 'outer' END AS role
+  FROM orders
+)
+"""
+
+
+@register(
+    "osm_polygon_rings",
+    oracle=f"""
+    WITH {RINGS_CTE},
+    counted AS (
+      SELECT *,
+             SUM(CASE WHEN role = 'inner' THEN 1 ELSE 0 END) OVER (PARTITION BY rel_id) AS n_inner,
+             SUM(CASE WHEN role = 'outer' THEN 1 ELSE 0 END) OVER (PARTITION BY rel_id) AS n_outer
+      FROM rings
+    ),
+    kept AS (
+      SELECT * FROM counted
+      WHERE NOT (n_inner > 1 AND n_outer > 1 AND role = 'inner')
+    )
+    SELECT rel_id, CAST(ring AS BIGINT) AS ring, role,
+           CAST(SUM(CASE WHEN role = 'outer' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY rel_id ORDER BY ring
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS poly
+    FROM kept
+    """,
+    doc="Polygon ring algebra: G8 complex-ring pruning (_frame.py:234-244 — "
+    "drop inner rings when a relation has >1 inner AND >1 outer) and G9 "
+    "polygon grouping indices (_frame.py:251-256 — running count of outer "
+    "rings assigns each ring to its polygon). Window counts + running sum, "
+    "both partitioned by rel_id — a single exchange feeds every step.",
+)
+def osm_polygon_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    rings = o.select(
+        col("o_custkey").alias("rel_id"),
+        (
+            F.row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey")) - 1
+        ).alias("ring"),
+        F.when(col("o_orderkey") % 3 == 0, "inner").otherwise("outer").alias("role"),
+    )
+    w_rel = Window.partitionBy("rel_id")
+    counted = rings.select(
+        "*",
+        F.sum(F.when(col("role") == "inner", 1).otherwise(0)).over(w_rel).alias("n_inner"),
+        F.sum(F.when(col("role") == "outer", 1).otherwise(0)).over(w_rel).alias("n_outer"),
+    )
+    kept = counted.filter(
+        ~((col("n_inner") > 1) & (col("n_outer") > 1) & (col("role") == "inner"))
+    )
+    w_run = Window.partitionBy("rel_id").orderBy("ring").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return kept.select(
+        "rel_id",
+        col("ring").cast("long").alias("ring"),
+        "role",
+        (F.sum(F.when(col("role") == "outer", 1).otherwise(0)).over(w_run) - 1)
+        .cast("long")
+        .alias("poly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 depth-2 relation expansion (the reference stops at depth 1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_relation_expand_depth2",
+    oracle=f"""
+    WITH {WAYS_CTE},
+    way_sizes AS (SELECT way_id, COUNT(*) AS n FROM ways GROUP BY way_id)
+    SELECT c.c_nationkey AS super_rel,
+           COUNT(DISTINCT c.c_custkey) AS n_member_rels,
+           COUNT(*) AS n_member_ways,
+           CAST(SUM(s.n) AS BIGINT) AS n_member_nodes
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN way_sizes s ON s.way_id = o.o_orderkey
+    GROUP BY c.c_nationkey
+    """,
+    doc="Depth-2 relation expansion (the reference's TODO at "
+    "osmdata.py:192 stops at depth 1): super-relation → member relations → "
+    "member ways → node rollup, as two joins + one aggregation. Arbitrary "
+    "depth is this join iterated to a fixpoint.",
+)
+def osm_relation_expand_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    sizes = derived_way_refs(spark, sf_dir).groupBy("way_id").agg(F.count("*").alias("n"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(sizes, col("o_orderkey") == col("way_id"))
+        .groupBy(col("c_nationkey").alias("super_rel"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_member_rels"),
+            F.count("*").alias("n_member_ways"),
+            F.sum("n").alias("n_member_nodes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S15 info() introspection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_info",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE},
+    node_tags AS (
+      SELECT p_partkey AS osmid,
+        CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity,
+        CASE WHEN p_partkey % 7 = 0 THEN 'bakery' END AS shop,
+        CASE WHEN p_partkey % 9 = 0 THEN 'hotel' END AS tourism,
+        CASE WHEN p_partkey % 3 = 0 THEN 'node-' || CAST(p_partkey AS VARCHAR) END AS name
+      FROM part
+    ),
+    u AS (
+      SELECT 0 AS osmtype, osmid,
+             (amenity IS NOT NULL)::INT + (shop IS NOT NULL)::INT
+             + (tourism IS NOT NULL)::INT + (name IS NOT NULL)::INT AS n_tags
+      FROM node_tags
+      UNION ALL
+      SELECT 1 AS osmtype, osmid,
+             (highway IS NOT NULL)::INT + (building IS NOT NULL)::INT
+             + (area IS NOT NULL)::INT + ("natural" IS NOT NULL)::INT
+             + (barrier IS NOT NULL)::INT + (name IS NOT NULL)::INT AS n_tags
+      FROM way_tags
+    )
+    SELECT CAST(osmtype AS TINYINT) AS osmtype, COUNT(*) AS n_elements,
+           CAST(SUM(n_tags) AS BIGINT) AS n_tag_pairs,
+           COUNT(DISTINCT osmid) AS n_distinct_ids
+    FROM u GROUP BY osmtype
+    """,
+    doc="Engine introspection (ref OSM.info(), osmdata.py:41-73): element "
+    "counts, tag-pair totals, distinct ids per kind — the cache-MB report "
+    "reframed as catalog statistics.",
+)
+def osm_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    els = derived_node_elements(spark, sf_dir).unionByName(derived_way_elements(spark, sf_dir))
+    return els.groupBy("osmtype").agg(
+        F.count("*").alias("n_elements"),
+        F.sum(F.size("tags")).cast("long").alias("n_tag_pairs"),
+        F.countDistinct("osmid").alias("n_distinct_ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+    WITH quotes AS (
+      SELECT o_custkey AS k, o_orderdate AS t,
+             MAX(o_totalprice) AS price
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_custkey, o_orderdate
+    ),
+    trades AS (
+      SELECT o_orderkey AS trade_id, o_custkey AS k, o_orderdate AS t
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT t.trade_id,
+           (SELECT MAX(q.t) FROM quotes q WHERE q.k = t.k AND q.t <= t.t) AS quote_time,
+           (SELECT q.price FROM quotes q WHERE q.k = t.k AND q.t <= t.t
+            ORDER BY q.t DESC LIMIT 1) AS quote_price
+    FROM trades t
+    """,
+    doc="As-of join (absent from the reference, §2.11): each 'trade' picks "
+    "the latest 'quote' at or before its time per key. Implemented the "
+    "scale-right way — tag + union + one window pass (last_value ignoring "
+    "nulls over the merged stream), NOT a per-row range probe: one sort "
+    "shuffle by (key, time) total, identical to a sort-merge as-of.",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    quotes = (
+        o.filter(col("o_orderkey") % 2 == 0)
+        .groupBy(col("o_custkey").alias("k"), col("o_orderdate").alias("t"))
+        .agg(F.max("o_totalprice").alias("price"))
+        .select("k", "t", lit(None).cast("long").alias("trade_id"), "price")
+    )
+    trades = o.filter(col("o_orderkey") % 2 == 1).select(
+        col("o_custkey").alias("k"),
+        col("o_orderdate").alias("t"),
+        col("o_orderkey").alias("trade_id"),
+        lit(None).cast("double").alias("price"),
+    )
+    merged = quotes.unionByName(trades)
+    # quotes sort before trades at equal t (is_trade asc) so an as-of tie
+    # ('at or before') is visible to the trade row
+    w = (
+        Window.partitionBy("k")
+        .orderBy(col("t"), col("trade_id").isNotNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = merged.select(
+        "trade_id",
+        F.last(F.when(col("price").isNotNull(), col("t")), ignorenulls=True)
+        .over(w)
+        .alias("quote_time"),
+        F.last("price", ignorenulls=True).over(w).alias("quote_price"),
+    )
+    return joined.filter(col("trade_id").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: interval/range join via bin bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate AS s,
+             l_shipdate + INTERVAL (l_linenumber % 7) DAY AS e
+      FROM lineitem
+    ),
+    probes AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS d FROM lineitem)
+    SELECT p.d AS probe_month, COUNT(*) AS n_covering
+    FROM probes p JOIN iv ON p.d BETWEEN iv.s AND iv.e
+    GROUP BY p.d
+    """,
+    doc="Interval containment join (absent from the reference, §2.11). "
+    "Scale shape: expand each interval to the months it covers (bounded "
+    "fan-out) and equi-join on the month bin, then filter exactly — turns "
+    "an O(n·m) theta join into a partitioned hash join; DuckDB oracles the "
+    "naive BETWEEN predicate.",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    iv = li.select(
+        col("l_shipdate").alias("s"),
+        F.expr("timestampadd(DAY, l_linenumber % 7, l_shipdate)").alias("e"),
+    )
+    # equi-join key: every month bin the interval touches
+    binned = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", col("s")), F.date_trunc("month", col("e")), F.expr("interval 1 month")
+            )
+        ).alias("bin"),
+    )
+    probes = li.select(F.date_trunc("month", col("l_shipdate")).alias("d")).distinct()
+    return (
+        probes.join(binned, probes.d == binned.bin)
+        .filter(col("d").between(col("s"), col("e")))
+        .groupBy(col("d").alias("probe_month"))
+        .agg(F.count("*").alias("n_covering"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: rollup / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS INTEGER) AS lvl,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="ROLLUP revenue by region/nation with grouping-id (absent from the "
+    "reference, §2.11). Spark expands grouping sets before the exchange — "
+    "partial aggregation still applies, so the rollup costs one shuffle.",
+)
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    joined = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup(col("r_name").alias("region"), col("n_name").alias("nation"))
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .select("region", "nation", "lvl", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: grid-cell ANN (IVF-style scale path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ann_grid_topk",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    p AS (SELECT * FROM c WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+               4) AS cos
+      FROM c JOIN p ON c.cell = p.cell AND p.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+    """,
+    bench=True,
+    doc="IVF-style ANN: sign-grid coarse quantizer (16 cells over the first "
+    "4 dims) restricts candidate scoring to the probe's cell — ~1/16 of the "
+    "brute-force work, same ranking discipline (rounded cosine + id "
+    "tiebreak). A production deployment swaps the quantizer for k-means "
+    "cells; the join/partition shape is identical.",
+)
+def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") % 50 == 0)
+    out = grid_topk(emb, probes, "vec_id", "embedding", k=3, n_dims=4, decimals=4)
+    return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: sliding + session windows (streaming-unified shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+      UNION ALL
+      SELECT event_type, to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+    )
+    SELECT ws AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM starts GROUP BY ws, event_type
+    """,
+    doc="Sliding-window aggregation (1h window / 30min slide) — the "
+    "streaming-unified form: the same window() expression runs under "
+    "readStream with a watermark. Each event expands to windows/slide "
+    "rows before one partial-aggregated shuffle.",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.suite._util import dec
+
+    events = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
+        )
+        .select(col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "stream_session_counts",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sid
+    """,
+    doc="Session windows (30min inactivity gap) per user — Spark's "
+    "session_window() in batch mode; under readStream the same expression "
+    "runs with watermark-bounded state. Oracle is the classic "
+    "gaps-and-islands rewrite.",
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), col("user_id"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            col("w.start").alias("session_start"),
+            col("n").alias("n_events"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions for headline queries: pushdown reaches
+the parquet scan, column pruning holds, shuffle counts stay at the
+designed minimum, and the JVM-only hot paths contain no Python nodes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.plans.audit import assert_plan, plan_summary
+from osmdatapy_spark.suite import QUERY_REGISTRY
+from osmdatapy_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return QUERY_REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    assert_plan(
+        df,
+        require_pushed_filter="l_quantity",
+        require_pruned_columns=["l_orderkey", "l_quantity"],
+    )
+
+
+def test_pricing_summary_single_shuffle(spark):
+    # scan → partial agg → ONE exchange → final agg; the flagship agg must
+    # never shuffle raw rows (partial aggregation is the map-side combine)
+    assert_plan(q(spark, "rel_pricing_summary"), max_exchanges=1, forbid_python=True)
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    # nation/region/supplier are dims: the plan must broadcast them, and
+    # the only hash-partition exchange allowed is the groupBy aggregation
+    s = assert_plan(q(spark, "rel_join_revenue_by_nation"), forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
+
+
+def test_topology_two_shuffles(spark):
+    # designed shape (operators/topology.py): one exchange by node_id for
+    # the shared count, ONE by way_id shared by the boundary windows and
+    # the pairing window — pinned on the operator itself (the suite query
+    # adds a third exchange deriving pos, which real way_refs data has)
+    from osmdatapy_spark.operators.topology import topology_segments
+
+    refs = spark.createDataFrame(
+        [(1, 0, 10), (1, 1, 11), (1, 2, 12), (2, 0, 12), (2, 1, 13)],
+        "way_id long, pos int, node_id long",
+    )
+    assert_plan(topology_segments(refs), max_exchanges=2, forbid_python=True)
+    assert_plan(q(spark, "osm_topology_segments"), max_exchanges=3, forbid_python=True)
+
+
+def test_token_stats_no_shuffle(spark):
+    # narrow projection: tokenization/quality scoring must pipeline inside
+    # the scan stage — zero exchanges at any scale
+    assert_plan(q(spark, "llm_token_stats"), max_exchanges=0, forbid_python=True)
+
+
+def test_ring_assembly_python_is_scoped(spark):
+    # G6 is THE pandas kernel (SURVEY §7); exactly one grouped-pandas node,
+    # nothing else Python
+    s = plan_summary(q(spark, "osm_ring_assembly"))
+    assert s.n_python_evals == 1, s.text
+
+
+def test_minhash_two_shuffles(spark):
+    # signature groupBy(doc) + bucket groupBy(band,val) (+ distinct) — the
+    # shingle explosion itself must not shuffle
+    s = plan_summary(q(spark, "llm_minhash_lsh"))
+    assert s.n_exchanges <= 3, s.text
+    assert s.n_python_evals == 0, s.text
