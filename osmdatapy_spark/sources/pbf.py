@@ -102,11 +102,16 @@ PBF_SCHEMA = StructType(
 
 
 class PbfPartition(InputPartition):
-    def __init__(self, path: str, blob_type: str, offset: int, size: int):
+    """One read task = a RUN of adjacent OSMData blobs.
+
+    A blob is ~8k elements in real files but can be tiny; planning
+    coalesces adjacent blobs until ``partition_bytes`` of compressed
+    payload so task count tracks data volume, not blob count (the same
+    contract as ``spark.sql.files.maxPartitionBytes`` for file sources)."""
+
+    def __init__(self, path: str, spans: list[tuple[int, int]]):
         self.path = path
-        self.blob_type = blob_type
-        self.offset = offset
-        self.size = size
+        self.spans = spans  # [(offset, size), ...]
 
 
 class PbfDataSourceReader(DataSourceReader):
@@ -123,6 +128,10 @@ class PbfDataSourceReader(DataSourceReader):
         self.wanted_types: set[int] | None = (
             {int(t) for t in str(raw).split(",") if t != ""} if raw is not None else None
         )
+        # ~1 MB compressed ≈ 60-130k elements in tool-produced files ≈ a
+        # sub-second decode task: small enough for even scheduling, large
+        # enough to amortize Python worker dispatch
+        self.partition_bytes = int(options.get("partition_bytes", 1024 * 1024))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb nothing: yielding every filter back makes Spark re-apply
@@ -139,33 +148,77 @@ class PbfDataSourceReader(DataSourceReader):
                 unsupported = set(req) - {"OsmSchema-V0.6", "DenseNodes"}
                 if unsupported:
                     raise ValueError(f"unsupported required PBF features: {unsupported}")
-        return [
-            PbfPartition(self.path, s.blob_type, s.offset, s.size)
-            for s in spans
-            if s.blob_type == "OSMData"
+        out: list[PbfPartition] = []
+        run: list[tuple[int, int]] = []
+        run_bytes = 0
+        for s in spans:
+            if s.blob_type != "OSMData":
+                continue
+            run.append((s.offset, s.size))
+            run_bytes += s.size
+            if run_bytes >= self.partition_bytes:
+                out.append(PbfPartition(self.path, run))
+                run, run_bytes = [], 0
+        if run:
+            out.append(PbfPartition(self.path, run))
+        return out
+
+    def read(self, partition: PbfPartition) -> Iterator:
+        """Yield ONE Arrow RecordBatch per blob: columnar transfer into the
+        JVM, no per-row pickling (the Python-DS fast path).  Only the
+        fields present in the (possibly pruned) schema are materialized —
+        metadata wire fields are not even decoded unless asked for
+        (reference field-decode pruning, primitives.py:23-29)."""
+        import pyarrow as pa
+
+        fields = [f.name for f in self.schema.fields]
+        want_meta = any(f in ("version", "timestamp", "changeset") for f in fields)
+        wanted = self.wanted_types
+        els = [
+            el
+            for offset, size in partition.spans
+            for el in decode_primitive_block(
+                read_blob(partition.path, BlobSpan("OSMData", offset, size)),
+                with_metadata=want_meta,
+            )
+            if wanted is None or el.osmtype in wanted
         ]
 
-    def read(self, partition: PbfPartition) -> Iterator[tuple]:
-        want_meta = any(
-            f.name in ("version", "timestamp", "changeset") for f in self.schema.fields
-        )
-        block = read_blob(partition.path, BlobSpan(partition.blob_type, partition.offset, partition.size))
-        wanted = self.wanted_types
-        for el in decode_primitive_block(block, with_metadata=want_meta):
-            if wanted is not None and el.osmtype not in wanted:
-                continue
-            yield (
-                el.osmid,
-                el.osmtype,
-                el.tags,
-                el.lon,
-                el.lat,
-                el.refs,
-                [(m[0], m[1], m[2]) for m in el.members] if el.members is not None else None,
-                el.version,
-                el.timestamp,
-                el.changeset,
-            )
+        arrow_types = {
+            "osmid": pa.int64(),
+            "osmtype": pa.int32(),
+            "tags": pa.map_(pa.string(), pa.string()),
+            "lon": pa.float64(),
+            "lat": pa.float64(),
+            "refs": pa.list_(pa.int64()),
+            "members": pa.list_(
+                pa.struct(
+                    [
+                        pa.field("ref", pa.int64(), nullable=False),
+                        pa.field("type", pa.int32(), nullable=False),
+                        pa.field("role", pa.string()),
+                    ]
+                )
+            ),
+            "version": pa.int32(),
+            "timestamp": pa.int64(),
+            "changeset": pa.int64(),
+        }
+        # one python-level pass per requested column, plain attribute reads
+        def column(name: str) -> list:
+            if name == "tags":
+                return [list(e.tags.items()) for e in els]
+            if name == "members":
+                return [
+                    [{"ref": m[0], "type": m[1], "role": m[2]} for m in e.members]
+                    if e.members is not None
+                    else None
+                    for e in els
+                ]
+            return [getattr(e, name) for e in els]
+
+        arrays = [pa.array(column(name), type=arrow_types[name]) for name in fields]
+        yield pa.RecordBatch.from_arrays(arrays, names=fields)
 
 
 class PbfDataSource(DataSource):

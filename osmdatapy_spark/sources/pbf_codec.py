@@ -67,11 +67,52 @@ def zigzag(n: int) -> int:
 
 
 def read_packed_varints(buf: bytes, start: int, end: int) -> list[int]:
-    out = []
+    """Packed unsigned varints with the 1-byte fast path inlined — this is
+    the decode hot loop (ids/lats/lons/keyvals), worth keeping call-free."""
+    out: list[int] = []
+    append = out.append
     pos = start
     while pos < end:
-        v, pos = read_varint(buf, pos)
-        out.append(v)
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:
+            append(b)
+            continue
+        result = b & 0x7F
+        shift = 7
+        b = buf[pos]
+        pos += 1
+        while b & 0x80:
+            result |= (b & 0x7F) << shift
+            shift += 7
+            b = buf[pos]
+            pos += 1
+        append(result | (b << shift))
+    return out
+
+
+def read_packed_signed(buf: bytes, start: int, end: int) -> list[int]:
+    """Packed zigzag-signed varints, decode + zigzag in one pass."""
+    out: list[int] = []
+    append = out.append
+    pos = start
+    while pos < end:
+        b = buf[pos]
+        pos += 1
+        if b < 0x80:
+            append((b >> 1) ^ -(b & 1))
+            continue
+        result = b & 0x7F
+        shift = 7
+        b = buf[pos]
+        pos += 1
+        while b & 0x80:
+            result |= (b & 0x7F) << shift
+            shift += 7
+            b = buf[pos]
+            pos += 1
+        result |= b << shift
+        append((result >> 1) ^ -(result & 1))
     return out
 
 
@@ -319,19 +360,19 @@ def _decode_dense(
     changesets: list[int] = []
     for field, _, val in iter_fields(data, 0, len(data)):
         if field == 1:
-            ids = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            ids = read_packed_signed(val, 0, len(val))
         elif field == 5:
             for f2, _, v2 in iter_fields(val, 0, len(val)):
                 if f2 == 1:
                     versions = read_packed_varints(v2, 0, len(v2))
                 elif f2 == 2:
-                    timestamps = [zigzag(v) for v in read_packed_varints(v2, 0, len(v2))]
+                    timestamps = read_packed_signed(v2, 0, len(v2))
                 elif f2 == 3:
-                    changesets = [zigzag(v) for v in read_packed_varints(v2, 0, len(v2))]
+                    changesets = read_packed_signed(v2, 0, len(v2))
         elif field == 8:
-            lats = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            lats = read_packed_signed(val, 0, len(val))
         elif field == 9:
-            lons = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            lons = read_packed_signed(val, 0, len(val))
         elif field == 10:
             keyvals = read_packed_varints(val, 0, len(val))
 
@@ -381,7 +422,7 @@ def _decode_way(data: bytes, strings, with_metadata, date_gran) -> Element:
         elif field == 4:
             info = bytes(val)
         elif field == 8:
-            deltas = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            deltas = read_packed_signed(val, 0, len(val))
             acc = 0
             for d in deltas:
                 acc += d
@@ -412,7 +453,7 @@ def _decode_relation(data: bytes, strings, with_metadata, date_gran) -> Element:
         elif field == 8:
             roles = read_packed_varints(val, 0, len(val))
         elif field == 9:
-            deltas = [zigzag(v) for v in read_packed_varints(val, 0, len(val))]
+            deltas = read_packed_signed(val, 0, len(val))
             acc = 0
             for d in deltas:
                 acc += d
@@ -507,15 +548,24 @@ class PbfWriter:
         )
         self.groups.append(enc_bytes_field(2, dense))
 
-    def add_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> None:
+    def _enc_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> bytes:
         keys, vals = self._kv(tags)
-        way = (
+        return (
             enc_varint_field(1, osmid)
             + enc_packed_field(2, keys)
             + enc_packed_field(3, vals)
             + enc_packed_deltas(8, refs)
         )
-        self.groups.append(enc_bytes_field(3, way))
+
+    def add_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> None:
+        self.groups.append(enc_bytes_field(3, self._enc_way(osmid, refs, tags)))
+
+    def add_ways(self, ways: list[tuple[int, list[int], dict[str, str]]]) -> None:
+        """Batch: one PrimitiveGroup holding many ways (the realistic block
+        shape — ~8k elements per group in tool-produced files)."""
+        self.groups.append(
+            b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in ways)
+        )
 
     def add_relation(
         self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
