@@ -514,6 +514,152 @@ def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osm_polygon_wkt",
+    oracle="""
+    SELECT n_nationkey AS rel_id,
+           CASE WHEN n_nationkey % 2 = 0 THEN
+             printf('POLYGON ((%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f), '
+                    || '(%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f))',
+                CAST(n_nationkey AS DOUBLE), CAST(n_nationkey AS DOUBLE),
+                n_nationkey + 2.0, CAST(n_nationkey AS DOUBLE),
+                n_nationkey + 2.0, n_nationkey + 2.0,
+                CAST(n_nationkey AS DOUBLE), n_nationkey + 2.0,
+                CAST(n_nationkey AS DOUBLE), CAST(n_nationkey AS DOUBLE),
+                n_nationkey + 0.5, n_nationkey + 0.5,
+                n_nationkey + 1.0, n_nationkey + 0.5,
+                n_nationkey + 1.0, n_nationkey + 1.0,
+                n_nationkey + 0.5, n_nationkey + 1.0,
+                n_nationkey + 0.5, n_nationkey + 0.5)
+           ELSE
+             printf('POLYGON ((%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f))',
+                CAST(n_nationkey AS DOUBLE), CAST(n_nationkey AS DOUBLE),
+                n_nationkey + 2.0, CAST(n_nationkey AS DOUBLE),
+                n_nationkey + 2.0, n_nationkey + 2.0,
+                CAST(n_nationkey AS DOUBLE), n_nationkey + 2.0,
+                CAST(n_nationkey AS DOUBLE), CAST(n_nationkey AS DOUBLE))
+           END AS wkt
+    FROM nation
+    """,
+    doc="Polygon WKT assembly with holes (ref G3 _geometry.py:44-65 + ring "
+    "orchestration _frame.py:107-179): outer ring + optional inner ring → "
+    "POLYGON ((outer), (hole)). Constructive fixture (squares per nation "
+    "key) so the oracle states the expected text in closed form; pure "
+    "transform/array_join Column algebra — no UDF, no shuffle.",
+)
+def osm_polygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.geometry import polygon_wkt
+
+    n = T(spark, sf_dir, "nation").select(col("n_nationkey").cast("double").alias("k"))
+
+    def square(x0, y0, side):
+        pts = [(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side), (x0, y0)]
+        return F.array(
+            *[F.struct(p[0].alias("lon"), p[1].alias("lat")) for p in pts]
+        )
+
+    outer = square(col("k"), col("k"), F.lit(2.0))
+    inner = square(col("k") + 0.5, col("k") + 0.5, F.lit(0.5))
+    rings = F.when((col("k") % 2) == 0, F.array(outer, inner)).otherwise(F.array(outer))
+    return n.select(
+        col("k").cast("int").alias("rel_id"), polygon_wkt(rings).alias("wkt")
+    )
+
+
+@register(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           upper(nfc_normalize(replace(text, '''', ''))) AS comparable,
+           md5(text) AS fp
+    FROM documents
+    """,
+    doc="Text normalization for matching (ref F2 comparable_string, "
+    "datasource/datasource.py:184-191): strip apostrophes, NFC-normalize, "
+    "upper-case + md5 fingerprint. NFC has no Spark builtin, so it runs as "
+    "an Arrow-batched pandas UDF (unicodedata) sandwiched between Column "
+    "ops — the documented pattern for the rare Python-required scalar.",
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint parser rejects
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    nfc = pandas_udf(_nfc, "string")
+
+    docs = T(spark, sf_dir, "documents")
+    from osmdatapy_spark.functions.text import fingerprint
+
+    return docs.select(
+        "doc_id",
+        F.upper(nfc(F.regexp_replace(col("text"), "'", ""))).alias("comparable"),
+        fingerprint(col("text")).alias("fp"),
+    )
+
+
+@register(
+    "osm_default_query_buildings",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}
+    SELECT osmid, building, name FROM way_tags
+    WHERE building IS NOT NULL AND NOT COALESCE(building = 'no', FALSE)
+    """,
+    doc="Default 'buildings' query (ref defaults.py:109-141): "
+    "must_tags=[building], keep_first=False excluding building=no, "
+    "projected to the default tag list.",
+)
+def osm_default_query_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.query import Query
+    from osmdatapy_spark.suite.osm import derived_way_elements
+
+    elements = derived_way_elements(spark, sf_dir)
+    q = Query(defaults="buildings")
+    out = elements.filter(q.compile()).withColumn("tags", q.tag_projection())
+    return out.select(
+        "osmid",
+        col("tags").getItem("building").alias("building"),
+        col("tags").getItem("name").alias("name"),
+    )
+
+
+@register(
+    "osm_default_query_pois",
+    oracle="""
+    WITH node_tags AS (
+      SELECT p_partkey AS osmid,
+        CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity,
+        CASE WHEN p_partkey % 7 = 0 THEN 'bakery' END AS shop,
+        CASE WHEN p_partkey % 9 = 0 THEN 'hotel' END AS tourism,
+        CASE WHEN p_partkey % 3 = 0 THEN 'node-' || CAST(p_partkey AS VARCHAR) END AS name
+      FROM part
+    )
+    SELECT osmid, amenity, shop, tourism, name FROM node_tags
+    WHERE amenity IS NOT NULL OR shop IS NOT NULL OR tourism IS NOT NULL
+    """,
+    doc="Default 'pois' query (ref defaults.py:144-206): keep-any over "
+    "amenity/shop/tourism/leisure with keep_first=True, node kind.",
+)
+def osm_default_query_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.query import Query
+    from osmdatapy_spark.suite.osm import derived_node_elements
+
+    elements = derived_node_elements(spark, sf_dir)
+    q = Query(defaults="pois")
+    out = elements.filter(q.compile()).withColumn("tags", q.tag_projection())
+    return out.select(
+        "osmid",
+        col("tags").getItem("amenity").alias("amenity"),
+        col("tags").getItem("shop").alias("shop"),
+        col("tags").getItem("tourism").alias("tourism"),
+        col("tags").getItem("name").alias("name"),
+    )
+
+
+@register(
     "stream_sliding_counts",
     oracle="""
     WITH starts AS (

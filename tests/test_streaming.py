@@ -4,6 +4,9 @@ and must agree with its batch execution — the unified-API guarantee."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from osmdatapy_spark.streaming.stateful import running_user_totals
 from osmdatapy_spark.streaming.windows import streaming_tumbling_counts, tumbling_counts
 from osmdatapy_spark.tables import load_table
 
@@ -35,4 +38,35 @@ def test_stream_matches_batch(spark, tmp_path):
         (r["window_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
         for r in spark.sql("select * from t_stream_counts").collect()
     }
+    assert got == batch
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState totals under availableNow must equal the
+    batch groupBy oracle (update-mode: last emitted row per user wins)."""
+    events = load_table(spark, SF_DIR, "events").select("user_id", "value", "ts")
+    batch = {
+        r["user_id"]: (r["n"], round(r["total"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    staged = str(tmp_path / "events_state")
+    events.write.parquet(staged)
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql(
+        "select * from (select *, row_number() over (partition by user_id order by n_events desc) rn"
+        " from t_state_totals) where rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in rows}
     assert got == batch
