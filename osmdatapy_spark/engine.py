@@ -20,7 +20,7 @@ from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col
+from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.operators.rings import reorder_rings, ring_node_sequence
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
@@ -180,3 +180,133 @@ class OSM:
         )
         ordered = reorder_rings(members)
         return ring_node_sequence(ordered, self.way_refs)
+
+    def relation_areas(self) -> DataFrame:
+        """Full relation area pipeline (reference ``_frame.py:107-179``):
+        chain member ways into rings (G6/G7), classify rings by member
+        role, drop inner rings of unsupported complex relations (G8),
+        group rings into polygons (G9), attach coordinates (J4), and
+        assemble POLYGON / MULTIPOLYGON WKT (G3).
+
+        Returns ``(rel_id, wkt)`` for relations tagged as areas
+        (type ∈ {multipolygon, boundary} — G5).  Scale shape: everything
+        shuffles by rel_id except the one node-coordinate join; ring
+        arrays ride along, never exploding to per-node rows between steps.
+        """
+        from osmdatapy_spark.operators.geometry import polygon_wkt
+        from osmdatapy_spark.defaults import RELATION_AREA
+
+        area_rels = self.elements.filter(
+            (col("osmtype") == OSMTYPE_RELATION)
+            & col("tags").getItem("type").isin(RELATION_AREA)
+        ).select(col("osmid").alias("rel_id"))
+
+        ways = way_endpoints(self.way_refs)
+        members = (
+            self.rel_members.join(area_rels, "rel_id", "left_semi")
+            .filter(col("member_type") == OSMTYPE_WAY)
+            .select(
+                "rel_id",
+                col("member_id").alias("way_id"),
+                col("pos").alias("member_pos"),
+                "role",
+            )
+            .join(ways, "way_id")
+        )
+        ordered = reorder_rings(members)
+        rings = ring_node_sequence(ordered, self.way_refs)
+
+        # ring role = role of its first member way (reference uses member
+        # roles to split outer/inner, _frame.py:115-136)
+        roles = (
+            ordered.join(
+                members.select("rel_id", "way_id", "role"), ["rel_id", "way_id"]
+            )
+            .groupBy("rel_id", "ring")
+            .agg(
+                F.min(F.struct(col("pos"), col("role"))).alias("fr"),
+            )
+            .select("rel_id", "ring", F.coalesce(col("fr.role"), F.lit("outer")).alias("role"))
+        )
+        rings = rings.join(roles, ["rel_id", "ring"])
+
+        # G8: drop inner rings when >1 inner AND >1 outer (documented
+        # unsupported case, reference _frame.py:234-244)
+        from pyspark.sql import Window as W
+
+        w_rel = W.partitionBy("rel_id")
+        counted = rings.select(
+            "*",
+            F.sum(F.when(col("role") == "inner", 1).otherwise(0)).over(w_rel).alias("n_in"),
+            F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_rel).alias("n_out"),
+        )
+        kept = counted.filter(
+            ~((col("n_in") > 1) & (col("n_out") > 1) & (col("role") == "inner"))
+        )
+
+        # G9: polygon index = running count of outer rings
+        w_run = W.partitionBy("rel_id").orderBy("ring").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        indexed = kept.select(
+            "rel_id",
+            "ring",
+            "role",
+            "nodes",
+            (F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_run) - 1).alias(
+                "poly"
+            ),
+        )
+
+        # J4: one node-coordinate join, then re-collect ordered ring coords
+        ring_pts = indexed.select(
+            "rel_id", "ring", "role", "poly", F.posexplode("nodes").alias("pt_pos", "node_id")
+        )
+        joined = ring_pts.join(
+            self.nodes.select(col("osmid").alias("node_id"), "lon", "lat"), "node_id", "left"
+        )
+        ring_coords = joined.groupBy("rel_id", "ring", "role", "poly").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pt_pos", "lon", "lat"))),
+                lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
+            ).alias("coords")
+        )
+
+        # G3: rings → polygons (outer first, then holes), polygons → WKT
+        polys = ring_coords.groupBy("rel_id", "poly").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.when(col("role") == "inner", 1).otherwise(0).alias("inner"),
+                            col("ring"),
+                            col("coords").alias("coords"),
+                        )
+                    )
+                ),
+                lambda s: s["coords"],
+            ).alias("rings")
+        )
+        per_rel = polys.groupBy("rel_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(col("poly"), polygon_wkt(col("rings")).alias("w")))),
+                lambda s: s["w"],
+            ).alias("polys")
+        )
+        return per_rel.select(
+            "rel_id",
+            F.when(F.size("polys") == 1, F.element_at("polys", 1))
+            .otherwise(
+                F.concat(
+                    lit("MULTIPOLYGON ("),
+                    F.array_join(
+                        F.transform(
+                            col("polys"), lambda p: F.regexp_replace(p, "^POLYGON ", "")
+                        ),
+                        ", ",
+                    ),
+                    lit(")"),
+                )
+            )
+            .alias("wkt"),
+        )

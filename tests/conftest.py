@@ -56,5 +56,12 @@ def fixture_pbf(tmp_path_factory):
         {"type": "multipolygon", "landuse": "park"},
     )
     w.add_relation(202, [(101, 1, ""), (105, 1, "")], {"type": "route", "route": "bus"})
+    # holed multipolygon: outer = closed square 106, inner = diamond 107
+    w.add_way(107, [2, 6, 8, 4, 2], {})
+    w.add_relation(
+        203,
+        [(106, 1, "outer"), (107, 1, "inner")],
+        {"type": "multipolygon", "natural": "water"},
+    )
     w.write(path, groups_per_block=3)  # >1 block exercises partition planning
     return path

@@ -45,7 +45,7 @@ def test_codec_decode(fixture_pbf):
     spans = [s for s in scan_blob_spans(fixture_pbf) if s.blob_type == "OSMData"]
     els = [e for s in spans for e in decode_primitive_block(read_blob(fixture_pbf, s))]
     by_id = {(e.osmtype, e.osmid): e for e in els}
-    assert len(by_id) == 9 + 6 + 2
+    assert len(by_id) == 9 + 7 + 3
     n5 = by_id[(0, 5)]
     assert n5.tags == {"amenity": "cafe"}
     assert abs(n5.lon - 10.001) < 1e-7 and abs(n5.lat - 50.001) < 1e-7
@@ -59,14 +59,14 @@ def test_codec_decode(fixture_pbf):
 
 def test_spark_read(spark, fixture_pbf):
     df = read_pbf(spark, fixture_pbf)
-    assert df.count() == 17
+    assert df.count() == 19
     counts = {r["osmtype"]: r["n"] for r in df.groupBy("osmtype").agg(F.count("*").alias("n")).collect()}
-    assert counts == {0: 9, 1: 6, 2: 2}
+    assert counts == {0: 9, 1: 7, 2: 3}
 
 
 def test_osmtypes_option_prunes_kinds(spark, fixture_pbf):
-    assert read_pbf(spark, fixture_pbf, osmtypes={1}).count() == 6
-    assert read_pbf(spark, fixture_pbf, osmtypes={0, 2}).count() == 11
+    assert read_pbf(spark, fixture_pbf, osmtypes={1}).count() == 7
+    assert read_pbf(spark, fixture_pbf, osmtypes={0, 2}).count() == 12
 
 
 def test_two_filters_one_relation_is_correct(spark, fixture_pbf):
@@ -76,7 +76,7 @@ def test_two_filters_one_relation_is_correct(spark, fixture_pbf):
     scan = read_pbf(spark, fixture_pbf)
     a = scan.filter(col("osmtype") == 0).select("osmid")
     b = scan.filter(col("osmtype") == 1).select("osmid")
-    assert a.unionAll(b).count() == 15
+    assert a.unionAll(b).count() == 16
 
 
 def test_bronze_tables(spark, fixture_pbf):
@@ -124,3 +124,17 @@ def test_topology_from_pbf(spark, fixture_pbf):
     seg_101 = sorted(by_way[101], key=lambda s: s["seg"])
     assert (seg_101[0]["source"], seg_101[0]["target"]) == (1, 2)
     assert (seg_101[1]["source"], seg_101[1]["target"]) == (2, 3)
+
+
+def test_relation_areas(spark, fixture_pbf):
+    """Full area pipeline: rel 201 (4 outer ways) → POLYGON; rel 203
+    (closed outer square 106 + inner diamond 107) → POLYGON with a hole;
+    the route relation 202 is excluded by the G5 type dispatch."""
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    areas = {r["rel_id"]: r["wkt"] for r in osm.relation_areas().collect()}
+    assert set(areas) == {201, 203}
+    assert areas[201].startswith("POLYGON ((") and areas[201].count("(") == 2
+    # holed polygon: two rings → three '(' (POLYGON ((outer), (hole)))
+    assert areas[203].startswith("POLYGON ((") and areas[203].count("(") == 3
+    # hole contains the inner diamond's coordinates (node 2 = 10.001, 50.0)
+    assert "10.0010000 50.0000000" in areas[203].split("), (")[1]

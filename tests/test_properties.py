@@ -1,0 +1,99 @@
+"""Property-based checks (hypothesis): the Query truth table against a
+pure-Python reference evaluator, and topology invariants over random way
+sets.  Cases are generated in bulk and evaluated in ONE DataFrame per
+hypothesis example so Spark roundtrips stay cheap."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from osmdatapy_spark.operators.topology import topology_segments
+from osmdatapy_spark.query import Query
+
+KEYS = ["highway", "building", "amenity", "access", "area"]
+VALS = ["primary", "yes", "no", "cafe", "private"]
+
+tag_maps = st.dictionaries(st.sampled_from(KEYS), st.sampled_from(VALS), max_size=4)
+filter_dicts = st.dictionaries(
+    st.sampled_from(KEYS),
+    st.lists(st.sampled_from(VALS), max_size=2),  # [] = any value
+    min_size=1,
+    max_size=3,
+)
+
+
+def py_filter_match(tags: dict, fd: dict | None) -> bool:
+    """Reference semantics of _validate_tagval (primitives.py:186-215)."""
+    if fd is None:
+        return False
+    for k, vals in fd.items():
+        if k in tags and (not vals or tags[k] in vals):
+            return True
+    return False
+
+
+def py_query_keeps(tags: dict, keep, exclude, keep_first, must) -> bool:
+    if must is not None and not any(k in tags for k in must):
+        return False
+    if keep is None and exclude is None:
+        return True
+    kps = py_filter_match(tags, keep)
+    exs = py_filter_match(tags, exclude)
+    return (kps and not exs) if keep_first else (not exs or kps)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    maps=st.lists(tag_maps, min_size=1, max_size=30),
+    keep=st.one_of(st.none(), filter_dicts),
+    exclude=st.one_of(st.none(), filter_dicts),
+    keep_first=st.booleans(),
+    must=st.one_of(st.none(), st.lists(st.sampled_from(KEYS), min_size=1, max_size=2)),
+)
+def test_query_truth_table_matches_python(spark, maps, keep, exclude, keep_first, must):
+    try:
+        q = Query(
+            nodes=True, keep=keep, exclude=exclude, keep_first=keep_first, must_tags=must
+        )
+    except ValueError:
+        return  # invalid keep/exclude combination — validator's job
+    df = spark.createDataFrame(
+        [(i, 0, m) for i, m in enumerate(maps)],
+        "osmid long, osmtype int, tags map<string,string>",
+    )
+    got = sorted(r["osmid"] for r in df.filter(q.compile()).collect())
+    want = sorted(
+        i for i, m in enumerate(maps) if py_query_keeps(m, keep, exclude, keep_first, must)
+    )
+    assert got == want, f"keep={keep} exclude={exclude} kf={keep_first} must={must}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ways=st.dictionaries(
+        st.integers(1, 20),
+        st.lists(st.integers(1, 15), min_size=2, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_topology_invariants_random(spark, ways):
+    rows = [(wid, pos, nid) for wid, nds in ways.items() for pos, nid in enumerate(nds)]
+    df = spark.createDataFrame(rows, "way_id long, pos int, node_id long")
+    segs = topology_segments(df).collect()
+    flat = [n for nds in ways.values() for n in nds]
+    shared = {n for n in flat if flat.count(n) > 1}
+    for wid, nds in ways.items():
+        wsegs = sorted((s for s in segs if s["way_id"] == wid), key=lambda s: s["seg"])
+        # endpoints preserved
+        assert wsegs[0]["source"] == nds[0]
+        assert wsegs[-1]["target"] == nds[-1]
+        # consecutive segments chain through shared interior nodes only
+        for a, b in zip(wsegs, wsegs[1:]):
+            assert a["target"] == b["source"]
+            assert a["target"] in shared
+        # segment seams are exactly the shared interior nodes
+        interior_shared = [n for n in nds[1:-1] if n in shared]
+        assert len(wsegs) == len(interior_shared) + 1
+        # node counts cover the way with seams double-counted
+        assert sum(s["n_nodes"] for s in wsegs) == len(nds) + len(wsegs) - 1
