@@ -145,9 +145,13 @@ def jaccard_candidate_pairs(
     Shape: groupBy(shingle) postings list + in-array pair expansion +
     groupBy(pair) count — two shuffles, single pass over the shingle
     pipeline (the window + self-join formulation runs it once per join
-    side and shuffles a third time)."""
+    side and shuffles a third time).  The postings shuffle is keyed by
+    xxhash64(shingle), not the shingle text: 8-byte keys instead of
+    ~30-byte strings.  A 64-bit collision could only ADD a candidate pair
+    (~1e-8 chance corpus-wide), and candidates are exactly verified
+    downstream — correctness is unaffected."""
     postings = (
-        shingled.groupBy(shingle_col)
+        shingled.groupBy(F.xxhash64(col(shingle_col)).alias("__sh"))
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
     )
