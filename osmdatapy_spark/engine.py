@@ -120,6 +120,16 @@ class OSM:
 
     def _with_geometry(self, out: DataFrame, q: Query) -> DataFrame:
         nodes = self.nodes
+        # elements may carry refs inline (PBF scan) or only via the exploded
+        # way_refs table (bronze-tier fixtures) — attach arrays on demand
+        if "refs" not in out.columns and self.way_refs is not None:
+            refs = self.way_refs.groupBy("way_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "node_id"))),
+                    lambda s: s["node_id"],
+                ).alias("refs")
+            )
+            out = out.join(refs, out.osmid == refs.way_id, "left").drop("way_id")
         pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
         # node points (reference J6/G1, _frame.py:44-52)
         out = out.join(pts, out.osmid == pts["_nid"], "left").drop("_nid")

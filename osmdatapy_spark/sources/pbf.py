@@ -130,8 +130,12 @@ class PbfDataSourceReader(DataSourceReader):
         )
         # ~1 MB compressed ≈ 60-130k elements in tool-produced files ≈ a
         # sub-second decode task: small enough for even scheduling, large
-        # enough to amortize Python worker dispatch
+        # enough to amortize Python worker dispatch.  The blob-count cap
+        # bounds elements-per-task too (a blob is ~8k elements regardless
+        # of how well it compressed), so pathological compression ratios
+        # can't serialize the scan.
         self.partition_bytes = int(options.get("partition_bytes", 1024 * 1024))
+        self.partition_blobs = int(options.get("partition_blobs", 8))
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb nothing: yielding every filter back makes Spark re-apply
@@ -156,7 +160,7 @@ class PbfDataSourceReader(DataSourceReader):
                 continue
             run.append((s.offset, s.size))
             run_bytes += s.size
-            if run_bytes >= self.partition_bytes:
+            if run_bytes >= self.partition_bytes or len(run) >= self.partition_blobs:
                 out.append(PbfPartition(self.path, run))
                 run, run_bytes = [], 0
         if run:

@@ -110,3 +110,15 @@ def test_ring_direction_flip(osm):
     )
     d = {r["way_id"]: r["direction"] for r in reorder_rings(members).collect()}
     assert d[7] == 1 and d[8] == -1
+
+
+def test_query_topology_mode(osm):
+    """Full reference topology mode (README.md:25): query(ways, geometry,
+    topology) returns per-segment rows with source/target; degenerate way
+    4 contributes no segment."""
+    q = Query(ways=True, must_tags=["highway"], geometry=True, topology=True)
+    rows = {
+        (r["osmid"], r["seg"]): (r["source"], r["target"])
+        for r in osm.query(q).collect()
+    }
+    assert rows == {(1, 0): (1, 4), (5, 0): (50, 52), (6, 0): (52, 53)}
