@@ -514,6 +514,63 @@ def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_intersect_except",
+    oracle="""
+    SELECT 'both' AS src, c_custkey AS k FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'only_customers' AS src, c_custkey AS k FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 0
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT set operations (absent from the reference, "
+    "§2.11). Spark plans both as aggregated semi/anti joins — one shuffle "
+    "each on the set key.",
+)
+def rel_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        T(spark, sf_dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").alias("k"))
+    )
+    ords = T(spark, sf_dir, "orders").select(col("o_custkey").alias("k"))
+    both = cust.intersect(ords).select(lit("both").alias("src"), "k")
+    only = cust.exceptAll(ords).distinct().select(lit("only_customers").alias("src"), "k")
+    return both.unionByName(only)
+
+
+@register(
+    "rel_rank_dense_ntile",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking windows rank/dense_rank/ntile (absent from the reference, "
+    "§2.5 note). One exchange by customer; the order-by carries a unique "
+    "tiebreaker so ranks are engine-portable.",
+)
+def rel_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
     "osm_polygon_wkt",
     oracle="""
     SELECT n_nationkey AS rel_id,
