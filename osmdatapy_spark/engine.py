@@ -113,9 +113,31 @@ class OSM:
 
         if q.geometry:
             out = self._with_geometry(out, q)
+            if q.relations and self.rel_members is not None:
+                # relation areas (multipolygon/boundary — G5 dispatch inside
+                # relation_areas); join by osmid restricted to relation rows
+                areas = self.relation_areas().select(
+                    col("rel_id").alias("_arid"), col("wkt").alias("_awkt")
+                )
+                out = out.join(
+                    areas,
+                    (col("osmtype") == OSMTYPE_RELATION) & (col("osmid") == col("_arid")),
+                    "left",
+                ).drop("_arid")
+                out = out.withColumn(
+                    "geometry", F.coalesce(col("geometry"), col("_awkt"))
+                ).drop("_awkt")
         if q.topology:
             segs = self.topology(q)
-            out = out.drop("refs").join(segs, out.osmid == segs.way_id, "inner").drop("way_id")
+            out = (
+                out.drop("refs")
+                .join(
+                    segs,
+                    (out.osmid == segs.way_id) & (col("osmtype") == OSMTYPE_WAY),
+                    "inner",
+                )
+                .drop("way_id")
+            )
         return out
 
     def _with_geometry(self, out: DataFrame, q: Query) -> DataFrame:
@@ -129,10 +151,18 @@ class OSM:
                     lambda s: s["node_id"],
                 ).alias("refs")
             )
-            out = out.join(refs, out.osmid == refs.way_id, "left").drop("way_id")
+            out = out.join(
+                refs,
+                (out.osmid == refs.way_id) & (col("osmtype") == OSMTYPE_WAY),
+                "left",
+            ).drop("way_id")
         pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
-        # node points (reference J6/G1, _frame.py:44-52)
-        out = out.join(pts, out.osmid == pts["_nid"], "left").drop("_nid")
+        # node points (reference J6/G1, _frame.py:44-52); osmid is NOT
+        # unique across element kinds, so the join is osmtype-gated — a way
+        # whose id collides with a node id must not pick up coordinates
+        out = out.join(
+            pts, (out.osmid == pts["_nid"]) & (col("osmtype") == 0), "left"
+        ).drop("_nid")
         point = point_wkt(col("lon"), col("lat"))
         out = out.withColumn(
             "geom_type",

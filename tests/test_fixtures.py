@@ -122,3 +122,23 @@ def test_query_topology_mode(osm):
         for r in osm.query(q).collect()
     }
     assert rows == {(1, 0): (1, 4), (5, 0): (50, 52), (6, 0): (52, 53)}
+
+
+def test_id_collision_across_kinds(osm):
+    """osmid is NOT globally unique: fixture node 1 and way 1 coexist.
+    Geometry joins must be osmtype-gated so the way never inherits the
+    node's coordinates and the node never inherits refs."""
+    q = Query(nodes=True, ways=True, must_tags=["highway", "amenity"], geometry=True)
+    rows = {(r["osmid"], r["osmtype"]): r["geometry"] for r in osm.query(q).collect()}
+    assert rows[(1, 0)].startswith("POINT")
+    assert rows[(1, 1)].startswith("LINESTRING")
+
+
+def test_query_relation_geometry(osm):
+    """query(relations, geometry) returns assembled area WKT for
+    multipolygon relations (reference _frame.py:87-97 dispatch)."""
+    q = Query(relations=True, geometry=True)
+    rows = {r["osmid"]: r["geometry"] for r in osm.query(q).collect()}
+    assert rows[2].startswith("POLYGON ((") and rows[2].count("(") == 3  # holed
+    assert rows[3].startswith("MULTIPOLYGON")
+    assert rows[5] is None  # route: not an area
