@@ -72,6 +72,48 @@ class OSM:
             tables["elements"], tables["nodes"], tables["way_refs"], tables["rel_members"]
         )
 
+    # -- bronze persistence (SCALE.md: "what would change first") ----------
+
+    def to_bronze(self, path: str, buckets: int = 0) -> None:
+        """Persist the four tables as parquet — the one-time materialization
+        that replaces the reference's in-memory caches (osmdata.py:29-39).
+        Every later query gets row-group statistics + dictionary filtering.
+
+        With ``buckets`` > 0, nodes and way_refs are written as bucketed
+        TABLES (osmid / node id) so topology and coordinate joins co-locate
+        without an exchange; bucketing requires saveAsTable (a metastore),
+        so plain-path deployments fall back to sorted parquet."""
+        self.elements.write.mode("overwrite").parquet(f"{path}/elements")
+        nodes = self.nodes.sortWithinPartitions("osmid")
+        refs = self.way_refs
+        if buckets:
+            nodes.write.mode("overwrite").bucketBy(buckets, "osmid").sortBy(
+                "osmid"
+            ).option("path", f"{path}/nodes").saveAsTable("bronze_nodes")
+            refs.write.mode("overwrite").bucketBy(buckets, "node_id").option(
+                "path", f"{path}/way_refs"
+            ).saveAsTable("bronze_way_refs")
+        else:
+            nodes.write.mode("overwrite").parquet(f"{path}/nodes")
+            if refs is not None:
+                refs.write.mode("overwrite").parquet(f"{path}/way_refs")
+        if self.rel_members is not None:
+            self.rel_members.write.mode("overwrite").parquet(f"{path}/rel_members")
+
+    @classmethod
+    def from_bronze(cls, spark: SparkSession, path: str) -> "OSM":
+        read = spark.read.parquet
+        refs_path = f"{path}/way_refs"
+        mem_path = f"{path}/rel_members"
+
+        def opt(p):
+            try:
+                return read(p)
+            except Exception:
+                return None
+
+        return cls(read(f"{path}/elements"), read(f"{path}/nodes"), opt(refs_path), opt(mem_path))
+
     # -- introspection (reference osmdata.py:41-84) ------------------------
 
     def info(self) -> DataFrame:

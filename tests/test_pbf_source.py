@@ -138,3 +138,18 @@ def test_relation_areas(spark, fixture_pbf):
     assert areas[203].startswith("POLYGON ((") and areas[203].count("(") == 3
     # hole contains the inner diamond's coordinates (node 2 = 10.001, 50.0)
     assert "10.0010000 50.0000000" in areas[203].split("), (")[1]
+
+
+def test_bronze_roundtrip(spark, fixture_pbf, tmp_path):
+    """PBF → bronze parquet → engine: results identical to the direct scan."""
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    bronze = str(tmp_path / "bronze")
+    osm.to_bronze(bronze)
+    osm2 = OSM.from_bronze(spark, bronze)
+    q = Query(ways=True, keep={"highway": []})
+    direct = sorted(r["osmid"] for r in osm.query(q).collect())
+    via_bronze = sorted(r["osmid"] for r in osm2.query(q).collect())
+    assert direct == via_bronze
+    segs_a = sorted((s["way_id"], s["seg"], s["source"], s["target"]) for s in osm.topology().collect())
+    segs_b = sorted((s["way_id"], s["seg"], s["source"], s["target"]) for s in osm2.topology().collect())
+    assert segs_a == segs_b
