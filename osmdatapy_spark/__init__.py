@@ -17,6 +17,7 @@ and the PBF blob decoder inside the custom data source.
 from osmdatapy_spark.query import Query
 from osmdatapy_spark.engine import OSM
 from osmdatapy_spark.session import get_spark
+from osmdatapy_spark.sources.datasource import OSM_datasource
 
-__all__ = ["OSM", "Query", "get_spark"]
+__all__ = ["OSM", "Query", "OSM_datasource", "get_spark"]
 __version__ = "0.1.0"

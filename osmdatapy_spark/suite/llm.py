@@ -198,7 +198,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate generation (>=3 shared shingles of doc-freq <= 20) — never "
     "O(n²) over the corpus; exact set intersection only on pruned candidates.",
 )
-def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     # one row per doc with its shingle set; persisted because three
     # downstream branches (explode for candidates, both sides of the pair
@@ -214,6 +214,44 @@ def llm_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jaccard_similarity(col("sa"), col("sb")).alias("jac"))
         .filter(col("jac") >= 0.5)
     )
+
+
+@register(
+    "llm_dedup_keep_best",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    rare AS (
+      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20
+    ),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT doc_id AS keeper FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM scored WHERE jac >= 0.5)
+    """,
+    doc="Corpus curation: drop every document that has a near-duplicate "
+    "with a smaller id (canonical min-id keeper per near-dup pair; full "
+    "transitive clustering = iterating min-propagation over the pair "
+    "edges to a fixpoint). Anti-join against the verified pair set — the "
+    "standard keep-best reduction for training-data dedup.",
+)
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_impl(spark, sf_dir)
+    dropped = pairs.select(col("id_b").alias("doc_id")).distinct()
+    return docs.join(dropped, "doc_id", "left_anti").select(col("doc_id").alias("keeper"))
 
 
 def _minhash_oracle() -> str:
