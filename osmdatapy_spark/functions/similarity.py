@@ -112,6 +112,102 @@ def grid_topk(
     )
 
 
+def md5_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1), derived
+    from md5 so BOTH engines (Spark and the DuckDB oracle) can embed the
+    exact same decimal literals — no RNG state ships anywhere.  A production
+    deployment swaps these for Gaussian planes without changing any join
+    shape."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        comps = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{j}".encode()).hexdigest()
+            comps.append((int(h[:8], 16) % 2000) / 1000.0 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def plane_band_buckets(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    planes_per_band: int,
+) -> DataFrame:
+    """(id, band, bucket) rows: bucket = sign pattern of the band's plane
+    projections.  One narrow projection + explode — the vector itself never
+    leaves the row, so the only thing that shuffles downstream is
+    (band, bucket, id)."""
+    v = as_double(col(vec_col))
+    n_bands = len(planes) // planes_per_band
+    bands = []
+    for b in range(n_bands):
+        bucket = lit(0)
+        for k in range(planes_per_band):
+            plane = F.array(*[lit(c) for c in planes[b * planes_per_band + k]])
+            bucket = bucket + F.when(dot(v, plane) >= 0, lit(1 << k)).otherwise(lit(0))
+        bands.append(F.struct(lit(b).alias("band"), bucket.cast("int").alias("bucket")))
+    return vectors.select(col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
+        col(id_col), col("bb.band").alias("band"), col("bb.bucket").alias("bucket")
+    )
+
+
+def embed_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    decimals: int = 4,
+    max_bucket: int = 200,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH blocking
+    (bands of sign bits) generates candidates, exact cosine verifies them.
+    The corpus is never self-joined at large: candidates come from
+    groupBy(band, bucket) + in-bucket array combinatorics (bounded by
+    ``max_bucket``), then exactly two lookups of the vectors for the
+    surviving pairs.  Recall is the standard LSH trade-off — a pair is a
+    candidate iff it agrees on ALL sign bits of at least one band; more
+    bands / fewer planes per band raise recall.
+
+    Reference has no similarity ops (SURVEY.md §2.11) — north-star scope."""
+    from osmdatapy_spark.functions.dedup import _bucket_pairs
+
+    planes = md5_planes(n_planes, dim or _vec_dim(corpus, vec_col), seed)
+    bucketed = plane_band_buckets(corpus, id_col, vec_col, planes, planes_per_band)
+    buckets = (
+        bucketed.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    cand = _bucket_pairs(buckets).distinct()
+    vecs = corpus.select(col(id_col), as_double(col(vec_col)).alias("v"))
+    return (
+        cand.join(vecs.select(col(id_col).alias("id_a"), col("v").alias("va")), "id_a")
+        .join(vecs.select(col(id_col).alias("id_b"), col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(col("va"), col("vb")), decimals).alias("cos"),
+        )
+        .filter(col("cos") >= threshold)
+    )
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the schema-declared element count of
+    the first row (driver-side, one tiny job).  At scale the dim is a known
+    table property; this probe keeps the API self-contained."""
+    row = df.select(F.size(col(vec_col)).alias("d")).first()
+    return int(row["d"])
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -21,7 +21,7 @@ from osmdatapy_spark.functions.dedup import (
     simhash,
 )
 from osmdatapy_spark.functions.multimodal import decode_binary_meta
-from osmdatapy_spark.functions.similarity import brute_force_topk
+from osmdatapy_spark.functions.similarity import brute_force_topk, embed_neardup_pairs
 from osmdatapy_spark.functions.text import (
     STOPWORDS,
     fingerprint,
@@ -368,6 +368,77 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(col("vec_id") < 10)
     out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, decimals=4)
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
+
+
+def _embed_neardup_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    planes_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> str:
+    """DuckDB mirror of similarity.embed_neardup_pairs: the md5-derived
+    hyperplanes are embedded as the SAME decimal literals both engines
+    parse, so bucket assignment — and therefore the candidate set — is
+    bit-identical."""
+    from osmdatapy_spark.functions.similarity import md5_planes
+
+    planes = md5_planes(n_planes, dim, seed)
+    n_bands = n_planes // planes_per_band
+    band_selects = []
+    for b in range(n_bands):
+        bits = []
+        for k in range(planes_per_band):
+            comps = ",".join(repr(c) for c in planes[b * planes_per_band + k])
+            proj = (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> v[i] * (CAST([{comps}] AS DOUBLE[]))[i]))"
+            )
+            bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << k} ELSE 0 END")
+        bucket = " + ".join(bits)
+        band_selects.append(f"SELECT vec_id, {b} AS band, {bucket} AS bucket FROM c")
+    bkt_union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    bkt AS ({bkt_union}),
+    ok AS (
+      SELECT band, bucket FROM bkt GROUP BY band, bucket
+      HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bkt a
+      JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+    )
+    SELECT id_a, id_b,
+           round(
+             list_sum(list_transform(generate_series(1, {dim}), i -> ca.v[i] * cb.v[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> ca.v[i] * ca.v[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> cb.v[i] * cb.v[i])))),
+             4) AS cos
+    FROM cand JOIN c ca ON ca.vec_id = cand.id_a JOIN c cb ON cb.vec_id = cand.id_b
+    WHERE cos >= {threshold}
+    """
+
+
+@register(
+    "llm_embed_neardup",
+    oracle=_embed_neardup_oracle(),
+    doc="Embedding-cosine near-duplicate pairs (north-star dedup family): "
+    "random-hyperplane LSH blocking (4 bands x 2 sign bits, deterministic "
+    "md5-derived planes) generates candidates via groupBy(band,bucket) + "
+    "in-bucket combinatorics, then exact cosine >= 0.4 verifies. The corpus "
+    "never cross-joins; only (band,bucket,id) triples shuffle.",
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return embed_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, planes_per_band=2, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------

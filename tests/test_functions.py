@@ -19,7 +19,13 @@ from osmdatapy_spark.functions.dedup import (
     simhash,
 )
 from osmdatapy_spark.functions.multimodal import decode_binary_meta, fake_decode_meta
-from osmdatapy_spark.functions.similarity import brute_force_topk, cosine, dot
+from osmdatapy_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    dot,
+    embed_neardup_pairs,
+    md5_planes,
+)
 from osmdatapy_spark.functions.text import (
     comparable_string,
     fingerprint,
@@ -148,6 +154,32 @@ def test_brute_force_topk(spark):
     probes = corpus.filter(col("vec_id") == 1)
     out = brute_force_topk(corpus, probes, k=2).collect()
     assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_embed_neardup_pairs(spark):
+    # 1&2 identical (cos=1.0) -> share every band bucket, must be found;
+    # 3 orthogonal and 4 antipodal never pass the 0.4 threshold even if
+    # they collide in some bucket.
+    vecs = [
+        (1, [1.0, 0.5, -0.3, 0.8]),
+        (2, [1.0, 0.5, -0.3, 0.8]),
+        (3, [-0.5, 1.0, 0.8, -0.2]),
+        (4, [-1.0, -0.5, 0.3, -0.8]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = embed_neardup_pairs(corpus, threshold=0.4, planes_per_band=2, dim=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert all(c >= 0.4 for c in pairs.values())
+    assert (3, 4) not in pairs and (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_md5_planes_deterministic():
+    a = md5_planes(4, 8)
+    b = md5_planes(4, 8)
+    assert a == b
+    assert all(-1.0 <= c < 1.0 for plane in a for c in plane)
+    assert md5_planes(4, 8, seed=7) != a
 
 
 def test_multimodal_decode(spark):
