@@ -47,10 +47,10 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         m = re.match(r"\(\d+\)\s+(\S+.*)", name)
         if m:
             node = m.group(1)
-            if node.startswith("Exchange"):
-                s.n_exchanges += 1
-            elif node.startswith("BroadcastExchange"):
+            if node.startswith("BroadcastExchange"):
                 s.n_broadcasts += 1
+            elif node.startswith("Exchange"):
+                s.n_exchanges += 1
             elif node.startswith(("Scan", "BatchScan")):
                 s.n_scans += 1
             elif node.startswith(("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas", "FlatMapGroupsInArrow")):
@@ -63,9 +63,6 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         rm = re.search(r"ReadSchema: (.*)", line)
         if rm:
             s.read_schemas.append(rm.group(1).strip())
-    # BroadcastExchange lines also match the Exchange prefix; separate them
-    s.n_broadcasts = s.text.count("BroadcastExchange")
-    s.n_exchanges = s.n_exchanges - s.n_broadcasts
     # whole-stage codegen spans show as "*(n)" in simple mode only
     simple = explain_text(df, "simple")
     s.n_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", simple)))

@@ -69,6 +69,14 @@ def test_ring_assembly_python_is_scoped(spark):
     assert s.n_python_evals == 1, s.text
 
 
+def test_embed_neardup_plan(spark):
+    # LSH blocking: bucket groupBy + candidate-pair distinct are the only
+    # shuffles; the per-pair vector lookups broadcast at this size and the
+    # plane projections are pure Column algebra (no Python anywhere)
+    s = assert_plan(q(spark, "llm_embed_neardup"), max_exchanges=2, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
+
+
 def test_minhash_two_shuffles(spark):
     # signature groupBy(doc) + bucket groupBy(band,val) (+ distinct) — the
     # shingle explosion itself must not shuffle
