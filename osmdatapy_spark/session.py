@@ -34,6 +34,16 @@ def get_spark(app_name: str = "osmdatapy-spark", cpus: int | None = None) -> Spa
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split-packing floor: the 4 MB default collapses every sub-4MB file
+        # to ONE task, serializing the whole map stage on small inputs (the
+        # local sf* tables are sub-MB; lineitem sf0.1 is 10 MB → 3 tasks).
+        # 512 KB lets local[32] parallelize scans ~7×. At scale this knob is
+        # inert for well-sized files (maxPartitionBytes governs); a
+        # tiny-file lake would raise it back via the env override.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", "524288"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
