@@ -184,20 +184,50 @@ def scan_blob_spans(path: str) -> list[BlobSpan]:
     return spans
 
 
+def decompress_blob_field(field: int, data: bytes) -> bytes:
+    """Decode one Blob `data` oneof member by proto field number
+    (fileformat.proto: 1 raw, 3 zlib, 4 lzma, 5 bzip2[obsolete], 6 lz4,
+    7 zstd).  The reference enforces zlib-only (headers.py:84-85); we
+    support every codec the spec names — stdlib where possible, lz4/zstd
+    behind import-tries since mainstream producers emit zlib."""
+    if field == 1:
+        return data
+    if field == 3:
+        return zlib.decompress(data)
+    if field == 4:
+        import lzma
+
+        return lzma.decompress(data)
+    if field == 5:
+        import bz2
+
+        return bz2.decompress(data)
+    if field == 6:
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - lib absent in container
+            raise ValueError("lz4-compressed PBF blob but the lz4 package is not installed") from e
+        return lz4.frame.decompress(data)
+    if field == 7:
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - lib absent in container
+            raise ValueError("zstd-compressed PBF blob but the zstandard package is not installed") from e
+        return zstandard.ZstdDecompressor().decompress(data)
+    raise ValueError(f"unknown PBF Blob data field {field}")
+
+
 def read_blob(path: str, span: BlobSpan) -> bytes:
     """Read + decompress one blob payload (reference S3, headers.py:33-78).
-    zlib is the codec used in practice; raw passthrough also supported."""
+    zlib is the codec in the wild; every spec codec dispatches through
+    decompress_blob_field."""
     with open(path, "rb") as f:
         f.seek(span.offset)
         payload = f.read(span.size)
     raw: Optional[bytes] = None
     for field, _, val in iter_fields(payload, 0, len(payload)):
-        if field == 1:  # raw
-            raw = bytes(val)
-        elif field == 3:  # zlib_data
-            raw = zlib.decompress(bytes(val))
-        elif field in (4, 5, 6):  # lzma/lz4/zstd: not produced by mainstream tools
-            raise ValueError("unsupported PBF compression codec (only raw/zlib)")
+        if field in (1, 3, 4, 5, 6, 7):
+            raw = decompress_blob_field(field, bytes(val))
     if raw is None:
         raise ValueError("empty Blob")
     return raw
@@ -515,8 +545,9 @@ def enc_packed_deltas(field_no: int, values: list[int]) -> bytes:
 class PbfWriter:
     """Minimal deterministic .osm.pbf writer for fixtures."""
 
-    def __init__(self, granularity: int = 100):
+    def __init__(self, granularity: int = 100, codec: str = "zlib"):
         self.granularity = granularity
+        self.codec = codec  # zlib | lzma | bz2 | raw (spec fields 3/4/5/1)
         self.strings: list[str] = [""]  # index 0 reserved (spec)
         self._sidx: dict[str, int] = {}
         self.groups: list[bytes] = []
@@ -583,6 +614,16 @@ class PbfWriter:
         self.groups.append(enc_bytes_field(4, rel))
 
     def _blob(self, block: bytes) -> bytes:
+        if self.codec == "raw":
+            return enc_bytes_field(1, block)
+        if self.codec == "lzma":
+            import lzma
+
+            return enc_varint_field(2, len(block)) + enc_bytes_field(4, lzma.compress(block))
+        if self.codec == "bz2":
+            import bz2
+
+            return enc_varint_field(2, len(block)) + enc_bytes_field(5, bz2.compress(block))
         compressed = zlib.compress(block)
         return enc_varint_field(2, len(block)) + enc_bytes_field(3, compressed)
 

@@ -57,6 +57,23 @@ def test_codec_decode(fixture_pbf):
     assert r201.members[0][2] == "outer"
 
 
+def test_all_stdlib_codecs_roundtrip(tmp_path):
+    # the reference enforces zlib-only (headers.py:84-85); we decode every
+    # spec codec — raw/zlib/lzma/bz2 here, lz4/zstd import-gated
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    for codec in ("raw", "zlib", "lzma", "bz2"):
+        path = str(tmp_path / f"{codec}.osm.pbf")
+        w = PbfWriter(codec=codec)
+        w.add_dense_nodes([(1, 10.0, 50.0, {"amenity": "cafe"})])
+        w.add_way(101, [1, 1], {"highway": "primary"})
+        w.write(path)
+        spans = [s for s in scan_blob_spans(path) if s.blob_type == "OSMData"]
+        els = [e for s in spans for e in decode_primitive_block(read_blob(path, s))]
+        assert {(e.osmtype, e.osmid) for e in els} == {(0, 1), (1, 101)}, codec
+        assert els[0].tags == {"amenity": "cafe"}
+
+
 def test_spark_read(spark, fixture_pbf):
     df = read_pbf(spark, fixture_pbf)
     assert df.count() == 19
