@@ -495,3 +495,57 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "rel_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated quantiles per group (beyond-reference "
+    "OLAP: the reference has no percentile anywhere, SURVEY §2.11). Exact "
+    "percentile sorts within the aggregation — at 100 TB swap to "
+    "approx_percentile (t-digest sketch, partial-aggregated) when an "
+    "epsilon-bound answer is acceptable; verified bit-identical vs "
+    "quantile_cont on identical doubles.",
+)
+def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "rel_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(l_quantity / 5), 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Fixed-width histogram: clamped floor bucketing + count "
+    "(beyond-reference OLAP). Integer bucket keys aggregate partial "
+    "map-side; the DECIMAL sum keeps the price column order-independent "
+    "across engines.",
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.least(F.floor(col("l_quantity") / 5), F.lit(9)).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        )
+    )
