@@ -54,3 +54,108 @@ def decode_binary_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
             )
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=DECODE_META_SCHEMA)
+
+
+def fake_features(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for an embedding model: component j is an
+    md5-derived float in [0, 1).  Replace with a real encoder (CLIP et al.)
+    when available — the Arrow-batch plumbing around it doesn't change."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(payload + f"|{j}".encode()).hexdigest()
+        out.append((int(h[:8], 16) % 1000) / 1000.0)
+    return out
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 4
+) -> DataFrame:
+    """Feature extraction over a binary column: one DOUBLE column per
+    component (f0..f{dim-1}), Arrow-batched via mapInPandas.  Wide columns
+    (not an array) so the result joins/filters without element_at overhead
+    downstream; no shuffle introduced."""
+    schema = f"{id_col} long, " + ", ".join(f"f{j} double" for j in range(dim))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_features(b, dim) for b in pdf[bin_col]]
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j in range(dim):
+                out[f"f{j}"] = pd.array([f[j] for f in feats], dtype="float64")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: tile md5(payload) out to
+    exactly width*height bytes.  A real implementation decodes + resamples
+    (PIL/opencv) — raise NotImplementedError there for unsupported formats;
+    the batch plumbing is unchanged."""
+    need = width * height
+    seed = hashlib.md5(payload).digest()
+    reps = need // len(seed) + 1
+    return (seed * reps)[:need]
+
+
+def resize_binary(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize every payload to width×height via mapInPandas — bytes stay in
+    Arrow buffers between JVM and Python, never per-row pickled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "resized": [fake_resize(b, width, height) for b in pdf[bin_col]],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, schema=f"{id_col} long, resized binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame_bytes: int = 16,
+    every: int = 4,
+) -> DataFrame:
+    """Frame sampling over an opaque video-shaped payload: split into fixed
+    ``frame_bytes`` frames, keep every ``every``-th, emit one row per kept
+    frame (doc_id, frame_idx, frame_md5, n_bytes).  The one-input-row →
+    many-output-rows shape is the real deliverable: mapInPandas handles
+    flatMap-style expansion without an explode shuffle, and a real decoder
+    (ffmpeg keyframe extraction) slots into the same loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests, sizes = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    chunk = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "frame_md5": digests,
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, schema=f"{id_col} long, frame_idx long, frame_md5 string, n_bytes long"
+    )

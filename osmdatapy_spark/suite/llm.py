@@ -20,7 +20,11 @@ from osmdatapy_spark.functions.dedup import (
     minhash_signature,
     simhash,
 )
-from osmdatapy_spark.functions.multimodal import decode_binary_meta
+from osmdatapy_spark.functions.multimodal import (
+    decode_binary_meta,
+    extract_features,
+    sample_frames,
+)
 from osmdatapy_spark.functions.similarity import brute_force_topk, embed_neardup_pairs
 from osmdatapy_spark.functions.text import (
     STOPWORDS,
@@ -465,6 +469,59 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(col("text"), "UTF-8").alias("payload")
     )
     return decode_binary_meta(docs, "doc_id", "payload")
+
+
+@register(
+    "llm_frame_sample",
+    oracle="""
+    WITH ix AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(1, CAST(ceil(strlen(text) / 64.0) AS BIGINT))) AS i
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             (i - 1) * 4 AS frame_idx,
+             substr(text, (i - 1) * 4 * 16 + 1, 16) AS chunk
+      FROM ix
+    )
+    SELECT doc_id, frame_idx, md5(chunk) AS frame_md5,
+           CAST(strlen(chunk) AS BIGINT) AS n_bytes
+    FROM f
+    """,
+    doc="Multimodal frame sampling: fixed 16-byte frames over an opaque "
+    "payload, every 4th kept — mapInPandas one-row→many-rows expansion "
+    "(the flatMap shape a real ffmpeg keyframe extractor needs), no "
+    "explode shuffle. Text bytes stand in for video; ASCII corpus makes "
+    "the byte/char slicing oracle-exact.",
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(docs, "doc_id", "payload", frame_bytes=16, every=4)
+
+
+@register(
+    "llm_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(text || '|0'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f0,
+           CAST(CAST(('0x' || substr(md5(text || '|1'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f1,
+           CAST(CAST(('0x' || substr(md5(text || '|2'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f2,
+           CAST(CAST(('0x' || substr(md5(text || '|3'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 AS f3
+    FROM documents
+    """,
+    doc="Multimodal feature extraction: Arrow-batched mapInPandas deriving "
+    "a deterministic fake embedding (md5-chunk floats) per payload — the "
+    "plumbing a real CLIP/encoder stage uses, wide DOUBLE columns out, "
+    "zero shuffle.",
+)
+def llm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(docs, "doc_id", "payload", dim=4)
 
 
 @register(

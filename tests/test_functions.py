@@ -18,7 +18,15 @@ from osmdatapy_spark.functions.dedup import (
     minhash_signature,
     simhash,
 )
-from osmdatapy_spark.functions.multimodal import decode_binary_meta, fake_decode_meta
+from osmdatapy_spark.functions.multimodal import (
+    decode_binary_meta,
+    extract_features,
+    fake_decode_meta,
+    fake_features,
+    fake_resize,
+    resize_binary,
+    sample_frames,
+)
 from osmdatapy_spark.functions.similarity import (
     brute_force_topk,
     cosine,
@@ -189,3 +197,26 @@ def test_multimodal_decode(spark):
     for did, payload in payloads:
         nb, w, h = fake_decode_meta(payload)
         assert (out[did]["n_bytes"], out[did]["fake_width"], out[did]["fake_height"]) == (nb, w, h)
+
+
+def test_multimodal_features_resize_frames(spark):
+    import hashlib
+
+    payloads = [(1, b"a" * 40), (2, b"xyz")]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    feats = {r["doc_id"]: r for r in extract_features(df, dim=4).collect()}
+    for did, payload in payloads:
+        expect = fake_features(payload, 4)
+        assert [feats[did][f"f{j}"] for j in range(4)] == expect
+        assert all(0 <= v < 1 for v in expect)
+
+    resized = {r["doc_id"]: r["resized"] for r in resize_binary(df, 8, 6).collect()}
+    for did, payload in payloads:
+        assert len(resized[did]) == 48
+        assert bytes(resized[did]) == fake_resize(payload, 8, 6)
+
+    # 40 bytes / frame_bytes=16 -> frames 0,1,2; every=2 keeps 0 and 2
+    frames = [r for r in sample_frames(df, frame_bytes=16, every=2).collect() if r["doc_id"] == 1]
+    assert [(r["frame_idx"], r["n_bytes"]) for r in sorted(frames, key=lambda r: r["frame_idx"])] == [(0, 16), (2, 8)]
+    assert frames[0]["frame_md5"] == hashlib.md5(b"a" * 16).hexdigest()
