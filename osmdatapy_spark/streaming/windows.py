@@ -31,6 +31,35 @@ def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     )
 
 
+def enriched_nation_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each event joins the static customer
+    dimension (broadcast — the stream side never shuffles for the join),
+    then aggregates per nation and hour.
+
+    In streaming mode the static side is re-read per micro-batch by Spark;
+    at scale pin it with a broadcast hint exactly as here.  State is the
+    windowed aggregate only — the join itself is stateless."""
+    dim = customer.select(col("c_custkey").alias("user_id"), "c_nationkey")
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), col("c_nationkey"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value", 18, 6)).cast("double").alias("total_value"),
+        )
+        .select(col("w.start").alias("window_start"), "c_nationkey", "n", "total_value")
+    )
+
+
+def streaming_enriched_nation_counts(
+    spark: SparkSession, events_path: str, customer: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """enriched_nation_counts as an actual stream-static join."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return enriched_nation_counts(stream.withWatermark("ts", watermark), customer)
+
+
 def streaming_tumbling_counts(
     spark: SparkSession, events_path: str, duration: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

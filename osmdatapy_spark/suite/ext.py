@@ -783,3 +783,27 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("n").alias("n_events"),
         )
     )
+
+
+@register(
+    "stream_enrich_join",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS window_start,
+           c.c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment join (beyond-reference streaming face): "
+    "events stream x broadcast customer dim, then windowed per-nation "
+    "aggregate. The stream side never shuffles for the join; only the "
+    "windowed aggregate keeps state. Streaming parity pinned by "
+    "tests/test_streaming.py::test_stream_enrich_matches_batch.",
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.streaming.windows import enriched_nation_counts
+
+    return enriched_nation_counts(
+        T(spark, sf_dir, "events"), T(spark, sf_dir, "customer")
+    )

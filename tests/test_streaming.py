@@ -41,6 +41,39 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_stream_enrich_matches_batch(spark, tmp_path):
+    """Stream-static join: the same enrichment function over readStream
+    (availableNow) must equal its batch execution."""
+    from osmdatapy_spark.streaming.windows import (
+        enriched_nation_counts,
+        streaming_enriched_nation_counts,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    batch = {
+        (r["window_start"], r["c_nationkey"]): (r["n"], round(r["total_value"], 6))
+        for r in enriched_nation_counts(events, customer).collect()
+    }
+
+    staged = str(tmp_path / "events_enrich")
+    events.write.parquet(staged)
+    q = (
+        streaming_enriched_nation_counts(spark, staged, customer)
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["window_start"], r["c_nationkey"]): (r["n"], round(r["total_value"], 6))
+        for r in spark.sql("select * from t_enrich").collect()
+    }
+    assert got == batch
+
+
 def test_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState totals under availableNow must equal the
     batch groupBy oracle (update-mode: last emitted row per user wins)."""
