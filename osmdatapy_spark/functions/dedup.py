@@ -164,6 +164,51 @@ def jaccard_candidate_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation to a fixpoint: every node ends labeled with the smallest id
+    reachable from it — the canonical cluster id for transitive dedup.
+
+    Shape per iteration: one join (labels onto the symmetrized edge list)
+    + one groupBy(min).  ``localCheckpoint`` truncates lineage so the plan
+    doesn't grow with iterations; the loop count is the graph diameter,
+    which for near-dup clusters is small (duplicate groups are cliques or
+    short chains).  At planet scale swap in the large-star/small-star
+    algorithm (same join primitives, fewer rounds) — the driver-side loop
+    itself is how GraphFrames/GraphX iterate too.
+
+    Returns (id, cluster); only nodes that appear in ``edges`` are
+    returned — callers left-join and coalesce to default singletons."""
+    sym = edges.select(col(id_a).alias("src"), col(id_b).alias("dst")).union(
+        edges.select(col(id_b).alias("src"), col(id_a).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select(col("src").alias("id")).distinct().withColumn("lbl", col("id"))
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["src"] == labels["id"]).select(
+            col("dst").alias("id"), col("lbl")
+        )
+        new_labels = (
+            labels.select("id", "lbl")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(col("n.lbl") != col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", col("lbl").alias("cluster"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
 def jaccard_similarity(sets_a: Column, sets_b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays, as DOUBLE."""
     inter = F.size(F.array_intersect(sets_a, sets_b))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from osmdatapy_spark.functions.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_candidate_pairs,
     jaccard_similarity,
@@ -256,6 +257,57 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_pairs_impl(spark, sf_dir)
     dropped = pairs.select(col("id_b").alias("doc_id")).distinct()
     return docs.join(dropped, "doc_id", "left_anti").select(col("doc_id").alias("keeper"))
+
+
+@register(
+    "llm_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    ),
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jac >= 0.5),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    cc(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT cc.a, s.b FROM cc JOIN sym s ON cc.b = s.a
+    ),
+    lbl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM cc GROUP BY a)
+    SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN lbl l USING (doc_id)
+    """,
+    doc="Transitive near-dup clustering: connected components over the "
+    "verified Jaccard pair graph via min-label propagation to fixpoint "
+    "(functions/dedup.py:connected_components — join + groupBy(min) per "
+    "round, lineage truncated by localCheckpoint). Every doc gets the min "
+    "doc_id of its duplicate component as cluster id; singletons are their "
+    "own cluster. Oracle is DuckDB's recursive CTE transitive closure.",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_impl(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce(col("cluster"), col("doc_id")).alias("cluster")
+    )
 
 
 def _minhash_oracle() -> str:

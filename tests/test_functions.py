@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col
 
 from osmdatapy_spark.functions.dedup import (
+    connected_components,
     exact_dedup,
     jaccard_candidate_pairs,
     jaccard_similarity,
@@ -162,6 +163,17 @@ def test_brute_force_topk(spark):
     probes = corpus.filter(col("vec_id") == 1)
     out = brute_force_topk(corpus, probes, k=2).collect()
     assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_connected_components(spark):
+    # chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    # clique 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 def test_embed_neardup_pairs(spark):
