@@ -549,3 +549,41 @@ def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "rel_hierarchy_rollup",
+    oracle="""
+    WITH ex AS (
+      SELECT o_orderkey, o_totalprice,
+             UNNEST(generate_series(0, 9)) AS i
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderkey // CAST(pow(10, i) AS BIGINT) AS node_id, o_totalprice
+      FROM ex
+    )
+    SELECT node_id, COUNT(*) AS n_desc,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM a WHERE node_id > 0 GROUP BY 1
+    """,
+    doc="Hierarchical rollup: every order aggregates into ALL its ancestors "
+    "in a decimal-digit tree (parent = id div 10) — the arbitrary-depth "
+    "generalization of the reference's depth-1 relation expansion TODO "
+    "(osmdata.py:192). Known-depth hierarchies expand declaratively "
+    "(explode over ancestor levels, one shuffle on the ancestor key) — no "
+    "driver loop; unknown-depth graphs use the iterative-join shape "
+    "(functions/dedup.py:connected_components).",
+)
+def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    anc = o.select(
+        F.explode(
+            F.expr("transform(sequence(0, 9), i -> o_orderkey div CAST(pow(10, i) AS BIGINT))")
+        ).alias("node_id"),
+        col("o_totalprice"),
+    ).filter(col("node_id") > 0)
+    return anc.groupBy("node_id").agg(
+        F.count("*").alias("n_desc"),
+        F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("total_price"),
+    )
