@@ -83,3 +83,33 @@ def test_minhash_two_shuffles(spark):
     s = plan_summary(q(spark, "llm_minhash_lsh"))
     assert s.n_exchanges <= 3, s.text
     assert s.n_python_evals == 0, s.text
+
+
+# queries whose plans legitimately contain Python nodes (the pandas kernels)
+_PYTHON_OK = {
+    "osm_ring_assembly",      # applyInPandas ring chaining (G6)
+    "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
+    "llm_multimodal_meta",    # mapInPandas binary decode
+    "llm_frame_sample",       # mapInPandas flatMap expansion
+    "llm_feature_extract",    # mapInPandas feature stub
+}
+
+# iterative queries that execute driver-side loops at build time — their
+# final-plan audit is covered by their own operator tests
+_SKIP_BUILD = {"llm_dedup_clusters"}
+
+
+def test_all_query_plans_python_containment(spark):
+    """Blanket audit: NO registered query may sneak a Python eval node into
+    its plan unless it is one of the declared pandas kernels — the
+    'UDFs are the slow path' rule enforced across the whole suite."""
+    offenders = {}
+    for name, qd in QUERY_REGISTRY.items():
+        if name in _SKIP_BUILD:
+            continue
+        s = plan_summary(qd.fn(spark, SF_DIR))
+        if name in _PYTHON_OK:
+            assert s.n_python_evals >= 1, f"{name} expected a pandas kernel"
+        elif s.n_python_evals:
+            offenders[name] = s.n_python_evals
+    assert not offenders, f"unexpected Python nodes: {offenders}"

@@ -97,3 +97,35 @@ def test_topology_invariants_random(spark, ways):
         assert len(wsegs) == len(interior_shared) + 1
         # node counts cover the way with seams double-counted
         assert sum(s["n_nodes"] for s in wsegs) == len(nds) + len(wsegs) - 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from osmdatapy_spark.functions.dedup import connected_components
+
+    # python union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
+    assert got == expect
