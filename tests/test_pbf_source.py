@@ -170,3 +170,25 @@ def test_bronze_roundtrip(spark, fixture_pbf, tmp_path):
     segs_a = sorted((s["way_id"], s["seg"], s["source"], s["target"]) for s in osm.topology().collect())
     segs_b = sorted((s["way_id"], s["seg"], s["source"], s["target"]) for s in osm2.topology().collect())
     assert segs_a == segs_b
+
+
+def test_bucketed_bronze_join_has_no_exchange(spark, fixture_pbf, tmp_path):
+    """The SCALE.md headline: co-bucketed nodes/way_refs join WITHOUT a
+    shuffle — the biggest exchange in the topology/coords pipeline
+    disappears when the bronze tier is bucketed on the join key."""
+    from osmdatapy_spark.plans.audit import plan_summary
+
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    osm.to_bronze(str(tmp_path / "bronze"), buckets=4)
+    try:
+        nodes = spark.table("bronze_nodes")
+        refs = spark.table("bronze_way_refs")
+        joined = refs.join(nodes, refs["node_id"] == nodes["osmid"]).select(
+            "way_id", "node_id", "lon", "lat"
+        )
+        assert joined.count() > 0
+        s = plan_summary(joined)
+        assert s.n_exchanges == 0, s.text
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bronze_nodes")
+        spark.sql("DROP TABLE IF EXISTS bronze_way_refs")
