@@ -94,3 +94,30 @@ def comparable_string(text: Column) -> Column:
     NFC normalization needs a pandas_udf (no Spark builtin) — the synthetic
     corpus is ASCII so the Column path suffices; see tests for the UDF variant."""
     return F.upper(F.regexp_replace(text, r"[''']", ""))
+
+
+# -- PII scrubbing + deterministic sampling (training-data curation) --------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace email addresses and phone-number-shaped spans with typed
+    placeholder tokens — the standard pre-training redaction pass.  Pure
+    regexp_replace: JVM-side, streams inside the scan stage, no shuffle.
+    Patterns are RE2-safe (no backrefs/lookahead) so the same strings run
+    in Spark, DuckDB, and ripgrep-style corpus tools."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-portable sampling bucket in [0, buckets):
+    md5 of the key's string form, first 8 hex digits mod buckets.  The
+    point is reproducibility — the SAME doc keeps/drops across reruns,
+    engines, and cluster sizes, unlike rand()-based sampling.  (Spark's
+    xxhash64 is faster; md5 is the cross-engine-checkable choice, same
+    trade as functions/dedup.py.)"""
+    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).cast("int")

@@ -155,6 +155,77 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid(tokens(col("text"))).alias("pred_lang"))
 
 
+@register(
+    "llm_pii_scrub",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com tel +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+    FROM injected
+    """,
+    doc="PII redaction pass (training-data curation): email + phone spans "
+    "replaced with typed placeholders via JVM-side regexp_replace — "
+    "shuffle-free, pipelines inside the scan. Deterministic synthetic PII "
+    "is injected per doc so the scrub is exercised non-trivially; RE2-safe "
+    "patterns keep Spark and DuckDB byte-identical (compared by md5).",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import EMAIL_RE, scrub_pii
+
+    docs = T(spark, sf_dir, "documents")
+    injected = F.concat(
+        col("text"),
+        lit(" user"),
+        col("doc_id").cast("string"),
+        lit("@example.com tel +1 (555) 010-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(scrub_pii(injected).cast("binary")).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(injected, lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(doc_id % 5 AS INTEGER) AS stratum,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, stratum, bucket FROM b
+    WHERE bucket < CASE WHEN stratum = 0 THEN 50 ELSE 10 END
+    """,
+    doc="Deterministic stratified sampling: md5-hash bucket in [0,100) per "
+    "doc, per-stratum keep rates (50% for stratum 0, 10% otherwise). "
+    "Hash-based (not rand()) so the sample is reproducible across reruns, "
+    "engines, and cluster sizes — the property a training-data pipeline "
+    "needs for auditable subsets. Shuffle-free narrow projection.",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import hash_bucket
+
+    docs = T(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        (col("doc_id") % 5).cast("int").alias("stratum"),
+        hash_bucket(col("doc_id"), 100).alias("bucket"),
+    )
+    return b.filter(
+        col("bucket") < F.when(col("stratum") == 0, lit(50)).otherwise(lit(10))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

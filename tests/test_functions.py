@@ -38,7 +38,9 @@ from osmdatapy_spark.functions.similarity import (
 from osmdatapy_spark.functions.text import (
     comparable_string,
     fingerprint,
+    hash_bucket,
     langid,
+    scrub_pii,
     token_count,
     tokens,
     word_shingles,
@@ -163,6 +165,24 @@ def test_brute_force_topk(spark):
     probes = corpus.filter(col("vec_id") == 1)
     out = brute_force_topk(corpus, probes, k=2).collect()
     assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_scrub_pii_and_hash_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.io or call +44 20 7946 0958 today")],
+        "doc_id long, text string",
+    )
+    out = df.select(scrub_pii(col("text")).alias("s")).first()["s"]
+    assert out == "mail me at <EMAIL> or call <PHONE> today"
+    # deterministic and stable: same key -> same bucket, buckets in range
+    b = (
+        spark.range(200)
+        .select(hash_bucket(col("id"), 10).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert {r["b"] for r in b} == set(range(10))
 
 
 def test_connected_components(spark):
