@@ -121,3 +121,17 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     trade as functions/dedup.py.)"""
     h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
     return (h.cast("long") % buckets).cast("int")
+
+
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """GPT-2-style pre-tokenization: contraction suffixes, space-prefixed
+    letter runs, digit runs, punctuation runs (the split a BPE vocabulary
+    is trained over).  Simplified to an RE2-safe subset (no lookahead) so
+    the identical pattern runs in Spark (Java regex) and DuckDB (RE2) —
+    verified token-for-token in tests.  regexp_extract_all is JVM-side and
+    shuffle-free; token COUNTING for data budgeting needs only this, not a
+    vocabulary."""
+    return F.regexp_extract_all(text, lit(BPE_SPLIT_RE), 0)

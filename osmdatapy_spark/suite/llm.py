@@ -156,6 +156,31 @@ def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish token counting for data budgeting: GPT-2-style regex "
+    "pre-tokenization (contractions / letter runs / digit runs / "
+    "punctuation, RE2-safe subset) next to the whitespace count — the "
+    "token-budget estimate a training pipeline reports per document. "
+    "JVM-side regexp_extract_all, shuffle-free.",
+)
+def llm_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import bpe_tokens
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_tokens(col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "llm_pii_scrub",
     oracle=r"""
     WITH injected AS (

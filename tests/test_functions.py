@@ -167,6 +167,14 @@ def test_brute_force_topk(spark):
     assert [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
 
 
+def test_bpe_tokens(spark):
+    from osmdatapy_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([(1, "Don't count 123 tokens!")], "doc_id long, text string")
+    got = df.select(bpe_tokens(col("text")).alias("t")).first()["t"]
+    assert got == ["Don", "'t", " count", " 123", " tokens", "!"]
+
+
 def test_scrub_pii_and_hash_bucket(spark):
     df = spark.createDataFrame(
         [(1, "mail me at jo.doe+x@corp.io or call +44 20 7946 0958 today")],
