@@ -587,3 +587,54 @@ def rel_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_desc"),
         F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "rel_cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (beyond-reference: the reference has no grouping "
+    "sets, SURVEY §2.11): all 2^2 rollup combinations in ONE pass — Spark "
+    "expands the grouping sets before the partial aggregation, so the "
+    "shuffle still carries only per-group partials.",
+)
+def rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rel_skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation over a 3-value hot key: phase 1 "
+    "groups by (key, salt=pmod(xxhash64(unique cols),16)) so no single "
+    "reducer owns a hot key's whole partition; phase 2 merges the 16 "
+    "partials per key. DECIMAL sums reassociate exactly, so the result is "
+    "bit-identical to the direct groupBy (the oracle) — the pattern AQE "
+    "skew handling can't apply to aggregations, written out explicitly.",
+)
+def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("l_extendedprice", 18, 4)).alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("total_price"),
+    )
