@@ -638,3 +638,26 @@ def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("total_price"),
     )
+
+
+@register(
+    "rel_approx_sketches",
+    oracle=None,  # approximate by design: HLL++/t-digest differ across
+    # engines, so the driver's rows-only check applies; accuracy vs exact
+    # values is asserted in tests/test_suite_contract.py
+    doc="Approximate aggregates — the 100 TB substitutes for exact distinct "
+    "and quantiles: approx_count_distinct (HyperLogLog++, one partial-agg "
+    "shuffle of fixed-size sketches regardless of cardinality) and "
+    "approx_percentile (t-digest). Exact counterparts: rel_agg_stats, "
+    "rel_quantiles.",
+)
+def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+            F.count("*").alias("n"),
+        )
+    )

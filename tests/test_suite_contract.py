@@ -13,10 +13,15 @@ from osmdatapy_spark.tables import TABLE_NAMES
 SF_DIR = "/root/testdata/sf0.001"
 
 
+# approximate-by-design queries: the driver records a rows-only check;
+# value accuracy is asserted by dedicated tests instead
+ROWS_ONLY_OK = {"rel_approx_sketches"}
+
+
 def test_registry_complete():
     assert len(QUERY_REGISTRY) >= 43
     missing_oracle = [n for n, qd in QUERY_REGISTRY.items() if qd.oracle is None]
-    assert missing_oracle == [], f"queries without oracle: {missing_oracle}"
+    assert set(missing_oracle) <= ROWS_ONLY_OK, f"queries without oracle: {missing_oracle}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
@@ -35,3 +40,31 @@ def test_oracles_parse_in_duckdb():
     for name, qd in QUERY_REGISTRY.items():
         if qd.oracle:
             con.execute(f"SELECT * FROM ({qd.oracle}) LIMIT 0")
+
+
+def test_approx_sketches_accuracy(spark):
+    """The rows-only query must still be NEAR-correct: HLL++ within its
+    2% rsd (5x margin), t-digest median within 1% of exact."""
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+    from osmdatapy_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERY_REGISTRY["rel_approx_sketches"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        )
+        .collect()
+    }
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.10
+        assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.01
