@@ -90,9 +90,10 @@ class OSM:
             nodes.write.mode("overwrite").bucketBy(buckets, "osmid").sortBy(
                 "osmid"
             ).option("path", f"{path}/nodes").saveAsTable("bronze_nodes")
-            refs.write.mode("overwrite").bucketBy(buckets, "node_id").option(
-                "path", f"{path}/way_refs"
-            ).saveAsTable("bronze_way_refs")
+            if refs is not None:
+                refs.write.mode("overwrite").bucketBy(buckets, "node_id").option(
+                    "path", f"{path}/way_refs"
+                ).saveAsTable("bronze_way_refs")
         else:
             nodes.write.mode("overwrite").parquet(f"{path}/nodes")
             if refs is not None:

@@ -176,7 +176,10 @@ class Query:
         ``osmquery.py:355``); compiled to pure Column algebra so it stays in
         whole-stage codegen — no UDF.
         """
-        if filter_dict is None:
+        if not filter_dict:
+            # None and {} both mean "no filter" — an empty dict would
+            # otherwise crash at parts[0] (and matches the reference's
+            # treatment of absent filters, osmquery.py:347-374)
             return None
         parts: list[Column] = []
         for key, values in filter_dict.items():

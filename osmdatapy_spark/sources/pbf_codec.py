@@ -106,7 +106,7 @@ def np_read_packed_varints(buf, start: int, end: int):
 
     n_bytes = end - start
     if n_bytes < _NP_MIN_BYTES:
-        return np.asarray(read_packed_varints(buf, start, end), dtype=np.int64)
+        return _varints_to_int64(read_packed_varints(buf, start, end))
     arr8 = np.frombuffer(buf, dtype=np.uint8, count=n_bytes, offset=start)
     ends = arr8 < 0x80
     end_pos = np.flatnonzero(ends)
@@ -115,18 +115,40 @@ def np_read_packed_varints(buf, start: int, end: int):
     starts_pos[1:] = end_pos[:-1] + 1
     lengths = end_pos - starts_pos + 1
     if lengths.max() > 9:
-        return np.asarray(read_packed_varints(buf, start, end), dtype=np.int64)
+        return _varints_to_int64(read_packed_varints(buf, start, end))
     arr = arr8.astype(np.int64)
     payload = arr & 0x7F
     shifts = (np.arange(n_bytes, dtype=np.int64) - np.repeat(starts_pos, lengths)) * 7
     return np.add.reduceat(payload << shifts, starts_pos)
 
 
+def _varints_to_int64(vals):
+    """Python varint ints → int64 array with protobuf wrap-around semantics:
+    a 10-byte varint carries a value >= 2^63 (any negative int64 on the
+    wire), which np.asarray(..., int64) rejects with OverflowError — mask to
+    64 bits and reinterpret the uint64 pattern as signed instead."""
+    import numpy as np
+
+    if vals and (max(vals) >> 63):
+        return np.array(
+            [v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64
+        ).view(np.int64)
+    return np.asarray(vals, dtype=np.int64)
+
+
 def np_read_packed_signed(buf, start: int, end: int):
     """Vectorized packed zigzag-signed decode (delta streams: ids, lats,
-    lons, timestamps).  Returns a numpy int64 array."""
+    lons, timestamps).  Returns a numpy int64 array.
+
+    Zigzag is defined on the *unsigned* wire value, so the shift must be
+    logical — compute in uint64 and reinterpret, or a 10-byte varint
+    (wire value >= 2^63) decodes to the wrong sign."""
+    import numpy as np
+
     v = np_read_packed_varints(buf, start, end)
-    return (v >> 1) ^ -(v & 1)
+    u = v.view(np.uint64)
+    one = np.uint64(1)
+    return ((u >> one) ^ (np.uint64(0) - (u & one))).view(np.int64)
 
 
 def read_packed_signed(buf: bytes, start: int, end: int) -> list[int]:

@@ -34,6 +34,24 @@ def test_zigzag_roundtrip():
         assert zigzag(v) == n
 
 
+def test_ten_byte_varint_decodes_via_int64_wraparound():
+    # a 10-byte varint (any negative int64 on the wire, or zigzag of
+    # |delta| >= 2^62) exceeds int64 as an unsigned value; the vectorized
+    # decoder must reinterpret the 64-bit pattern, not raise OverflowError
+    from osmdatapy_spark.sources.pbf_codec import np_read_packed_varints
+
+    big = (-5) & 0xFFFFFFFFFFFFFFFF  # wire encoding of int64 -5
+    buf = write_varint(big) + write_varint(7) + write_varint(2**63 - 1)
+    out = np_read_packed_varints(buf, 0, len(buf))
+    assert list(out) == [-5, 7, 2**63 - 1]
+    # zigzag path: |delta| >= 2^62 round-trips through the signed decoder
+    from osmdatapy_spark.sources.pbf_codec import np_read_packed_signed
+
+    buf2 = write_zigzag(-(2**62) - 3) + write_zigzag(11)
+    out2 = np_read_packed_signed(buf2, 0, len(buf2))
+    assert list(out2) == [-(2**62) - 3, 11]
+
+
 def test_framing_scan(fixture_pbf):
     spans = scan_blob_spans(fixture_pbf)
     types = [s.blob_type for s in spans]

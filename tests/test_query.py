@@ -124,6 +124,14 @@ def test_append_and_copy():
     assert q2.keep["highway"] == []
 
 
+def test_empty_filter_dict_is_noop(elements):
+    # keep={} / exclude={} must behave like "no filter", not crash compile()
+    q = Query(ways=True, keep={}, exclude={}, tags=False)
+    got = {r.osmid for r in elements.filter(q.compile()).collect()}
+    base = {r.osmid for r in elements.filter(Query(ways=True, tags=False).compile()).collect()}
+    assert got == base
+
+
 def test_validators():
     with pytest.raises(ValueError):
         Query(ways=True, exclude={"access": []})  # keep_first without keep
