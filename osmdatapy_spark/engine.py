@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
-from osmdatapy_spark.operators.rings import reorder_rings, ring_node_sequence
+from osmdatapy_spark.operators.rings import reorder_rings, ring_chains, ring_node_sequence
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
 from osmdatapy_spark.operators.geometry import (
     linestring_wkt,
@@ -157,13 +157,15 @@ class OSM:
         if q.geometry:
             out = self._with_geometry(out, q)
             if q.relations and self.rel_members is not None:
-                # relation areas (multipolygon/boundary — G5 dispatch inside
-                # relation_areas); join by osmid restricted to relation rows
-                areas = self.relation_areas().select(
+                # relation geometry (G5 dispatch): areas for
+                # type ∈ {multipolygon, boundary}, linestrings for
+                # type=route — ONE shared chaining pipeline, one left join
+                # (reference _frame.py:87-105)
+                rel_geoms = self._relation_geometries(self._relation_kinds()).select(
                     col("rel_id").alias("_arid"), col("wkt").alias("_awkt")
                 )
                 out = out.join(
-                    areas,
+                    rel_geoms,
                     (col("osmtype") == OSMTYPE_RELATION) & (col("osmid") == col("_arid")),
                     "left",
                 ).drop("_arid")
@@ -184,10 +186,14 @@ class OSM:
         return out
 
     def _with_geometry(self, out: DataFrame, q: Query) -> DataFrame:
+        """Node/way geometry attachment, gated on the query's element kinds:
+        a relation-only query joins neither the nodes table nor way refs —
+        those joins would be row-free work (the kind filter already ran in
+        ``q.apply``), and every skipped join is a skipped exchange."""
         nodes = self.nodes
         # elements may carry refs inline (PBF scan) or only via the exploded
         # way_refs table (bronze-tier fixtures) — attach arrays on demand
-        if "refs" not in out.columns and self.way_refs is not None:
+        if q.ways and "refs" not in out.columns and self.way_refs is not None:
             refs = self.way_refs.groupBy("way_id").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "node_id"))),
@@ -199,22 +205,25 @@ class OSM:
                 (out.osmid == refs.way_id) & (col("osmtype") == OSMTYPE_WAY),
                 "left",
             ).drop("way_id")
-        pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
-        # node points (reference J6/G1, _frame.py:44-52); osmid is NOT
-        # unique across element kinds, so the join is osmtype-gated — a way
-        # whose id collides with a node id must not pick up coordinates
-        out = out.join(
-            pts, (out.osmid == pts["_nid"]) & (col("osmtype") == 0), "left"
-        ).drop("_nid")
-        point = point_wkt(col("lon"), col("lat"))
-        out = out.withColumn(
-            "geom_type",
-            F.when(col("osmtype") == 0, GEOM_POINT).when(
+        if q.nodes:
+            pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
+            # node points (reference J6/G1, _frame.py:44-52); osmid is NOT
+            # unique across element kinds, so the join is osmtype-gated — a
+            # way whose id collides with a node id must not pick up coords
+            out = out.join(
+                pts, (out.osmid == pts["_nid"]) & (col("osmtype") == 0), "left"
+            ).drop("_nid")
+            point = point_wkt(col("lon"), col("lat"))
+        else:
+            point = lit(None).cast("string")
+        gt = F.when(col("osmtype") == 0, GEOM_POINT)
+        if q.ways and "refs" in out.columns:
+            gt = gt.when(
                 (col("osmtype") == OSMTYPE_WAY) & col("refs").isNotNull(),
                 way_geom_type(col("refs"), col("tags")),
-            ),
-        )
-        if "refs" in out.columns:
+            )
+        out = out.withColumn("geom_type", gt)
+        if q.ways and "refs" in out.columns:
             coords = self._refs_coords(out.filter(col("osmtype") == OSMTYPE_WAY))
             out = out.join(coords, "osmid", "left")
             line = linestring_wkt(col("coords"))
@@ -226,7 +235,7 @@ class OSM:
             ).drop("coords")
         else:
             out = out.withColumn("geometry", F.when(col("osmtype") == 0, point))
-        return out.drop("lon", "lat")
+        return out.drop(*[c for c in ("lon", "lat") if c in out.columns])
 
     def _refs_coords(self, ways: DataFrame) -> DataFrame:
         """refs ARRAY<LONG> → ordered ARRAY<STRUCT<lon,lat>> via posexplode +
@@ -253,70 +262,158 @@ class OSM:
             refs = refs.join(kept, refs.way_id == kept.osmid, "left_semi")
         return topology_segments(refs)
 
+    def _way_ref_arrays(self) -> DataFrame:
+        """(way_id, refs ARRAY<LONG>) — ONE aggregation of the refs table
+        serving endpoints (element_at projections) and node sequences."""
+        return self.way_refs.groupBy("way_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "node_id"))),
+                lambda s: s["node_id"],
+            ).alias("refs")
+        )
+
     def relation_rings(self) -> DataFrame:
         """Multipolygon ring assembly (reference G6-G9; operators.rings)."""
-        ways = way_endpoints(self.way_refs)
+        from osmdatapy_spark.operators.geometry import close_rings
+
         members = (
             self.rel_members.filter(col("member_type") == OSMTYPE_WAY)
             .select("rel_id", col("member_id").alias("way_id"), col("pos").alias("member_pos"))
-            .join(ways, "way_id")
+            .join(self._way_ref_arrays(), "way_id")
         )
-        ordered = reorder_rings(members)
-        return ring_node_sequence(ordered, self.way_refs)
+        return ring_chains(members).withColumn("nodes", close_rings(col("nodes")))
+
+    def _relation_kinds(self, area: bool = True, line: bool = True) -> DataFrame:
+        """(rel_id, kind) for geometry-bearing relations — the G5 dispatch
+        (reference ``_rel_geotype``, primitives.py:288-305) as data."""
+        from osmdatapy_spark.defaults import RELATION_AREA, RELATION_LINESTRING
+
+        tval = col("tags").getItem("type")
+        kind = lit(None).cast("string")
+        if line:
+            kind = F.when(tval.isin(RELATION_LINESTRING), "line").otherwise(kind)
+        if area:
+            kind = F.when(tval.isin(RELATION_AREA), "area").otherwise(kind)
+        return (
+            self.elements.filter(col("osmtype") == OSMTYPE_RELATION)
+            .select(col("osmid").alias("rel_id"), kind.alias("kind"))
+            .filter(col("kind").isNotNull())
+        )
 
     def relation_areas(self) -> DataFrame:
-        """Full relation area pipeline (reference ``_frame.py:107-179``):
-        chain member ways into rings (G6/G7), classify rings by member
-        role, drop inner rings of unsupported complex relations (G8),
-        group rings into polygons (G9), attach coordinates (J4), and
-        assemble POLYGON / MULTIPOLYGON WKT (G3).
+        """(rel_id, wkt) POLYGON/MULTIPOLYGON for type ∈ {multipolygon,
+        boundary} relations (reference ``_frame.py:107-179``)."""
+        return self._relation_geometries(self._relation_kinds(line=False))
 
-        Returns ``(rel_id, wkt)`` for relations tagged as areas
-        (type ∈ {multipolygon, boundary} — G5).  Scale shape: everything
-        shuffles by rel_id except the one node-coordinate join; ring
-        arrays ride along, never exploding to per-node rows between steps.
-        """
-        from osmdatapy_spark.operators.geometry import polygon_wkt
-        from osmdatapy_spark.defaults import RELATION_AREA
+    def relation_lines(self) -> DataFrame:
+        """(rel_id, wkt) LINESTRING/MULTILINESTRING for type=route
+        relations (reference line branch ``_frame.py:87-105``)."""
+        return self._relation_geometries(self._relation_kinds(area=False))
 
-        area_rels = self.elements.filter(
-            (col("osmtype") == OSMTYPE_RELATION)
-            & col("tags").getItem("type").isin(RELATION_AREA)
-        ).select(col("osmid").alias("rel_id"))
+    def _relation_geometries(self, kinds: DataFrame) -> DataFrame:
+        """Relation geometry assembly shared by areas and routes: ONE
+        member-chaining pipeline (G6 kernel, endpoint join, node-sequence
+        expansion), splitting into the polygon ring algebra (G7-G9 + G3)
+        and the linestring branch only at WKT assembly — the two types are
+        disjoint by the G5 dispatch, so a unionByName stitches the result.
 
-        ways = way_endpoints(self.way_refs)
+        Scale shape: ONE refs aggregation + ONE way_id join feed the fused
+        chain kernel (``ring_chains`` — refs ride the rel_id exchange
+        through Arrow); after the kernel everything stays keyed by rel_id
+        except the per-branch node-coordinate join (each branch joins only
+        its own rings, so the combined join volume equals the
+        single-pipeline cost); ring node arrays never explode between
+        steps."""
         members = (
-            self.rel_members.join(area_rels, "rel_id", "left_semi")
+            self.rel_members.join(kinds, "rel_id")
             .filter(col("member_type") == OSMTYPE_WAY)
             .select(
                 "rel_id",
                 col("member_id").alias("way_id"),
                 col("pos").alias("member_pos"),
                 "role",
+                "kind",
             )
-            .join(ways, "way_id")
+            .join(self._way_ref_arrays(), "way_id")
         )
-        ordered = reorder_rings(members)
-        rings = ring_node_sequence(ordered, self.way_refs)
+        # role + kind travel through the fused chaining kernel's schema
+        # (rings.CHAIN_SCHEMA) — no re-join to recover them
+        chains = ring_chains(members)
+        # G7 ring closing applies to the area branch only
+        from osmdatapy_spark.operators.geometry import close_rings
 
-        # ring role = role of its first member way (reference uses member
-        # roles to split outer/inner, _frame.py:115-136)
-        roles = (
-            ordered.join(
-                members.select("rel_id", "way_id", "role"), ["rel_id", "way_id"]
-            )
-            .groupBy("rel_id", "ring")
-            .agg(
-                F.min(F.struct(col("pos"), col("role"))).alias("fr"),
-            )
-            .select("rel_id", "ring", F.coalesce(col("fr.role"), F.lit("outer")).alias("role"))
+        chains = chains.withColumn(
+            "nodes",
+            F.when(col("kind") == "area", close_rings(col("nodes"))).otherwise(col("nodes")),
         )
-        rings = rings.join(roles, ["rel_id", "ring"])
+        areas = self._assemble_areas(chains.filter(col("kind") == "area"))
+        lines = self._assemble_lines(chains.filter(col("kind") == "line"))
+        return areas.unionByName(lines)
+
+    def _ring_coords(self, rings: DataFrame, extra_keys: list[str]) -> DataFrame:
+        """J4: one node-coordinate join, then re-collect ordered per-ring
+        coordinate arrays (reference coords gather, _frame.py:103-105)."""
+        keys = ["rel_id", "ring", *extra_keys]
+        pts = rings.select(*keys, F.posexplode("nodes").alias("pt_pos", "node_id"))
+        joined = pts.join(
+            self.nodes.select(col("osmid").alias("node_id"), "lon", "lat"), "node_id", "left"
+        )
+        return joined.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pt_pos", "lon", "lat"))),
+                lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
+            ).alias("coords")
+        )
+
+    def _assemble_lines(self, chains: DataFrame) -> DataFrame:
+        """Chains → LINESTRING per chain; MULTILINESTRING when a route has
+        more than one chain (gaps) — reference ``make_lines``
+        (_geometry.py:25-41)."""
+        chain_coords = self._ring_coords(chains, [])
+        lines = chain_coords.select(
+            "rel_id", "ring", linestring_wkt(col("coords")).alias("line")
+        )
+        per_rel = lines.groupBy("rel_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(col("ring"), col("line")))),
+                lambda s: s["line"],
+            ).alias("lines")
+        )
+        return per_rel.select(
+            "rel_id",
+            F.when(F.size("lines") == 1, F.element_at("lines", 1))
+            .otherwise(
+                F.concat(
+                    lit("MULTILINESTRING ("),
+                    F.array_join(
+                        F.transform(
+                            col("lines"), lambda l: F.regexp_replace(l, "^LINESTRING ", "")
+                        ),
+                        ", ",
+                    ),
+                    lit(")"),
+                )
+            )
+            .alias("wkt"),
+        )
+
+    def _assemble_areas(self, rings: DataFrame) -> DataFrame:
+        """Closed rings → POLYGON/MULTIPOLYGON WKT: classify rings by the
+        first member's role, drop inner rings of unsupported complex
+        relations (G8, _frame.py:234-244), group rings into polygons (G9,
+        _frame.py:251-256), attach coordinates (J4), assemble WKT (G3)."""
+        from osmdatapy_spark.operators.geometry import polygon_wkt
+        from pyspark.sql import Window as W
+
+        rings = rings.select(
+            "rel_id",
+            "ring",
+            "nodes",
+            F.coalesce(col("ring_role"), F.lit("outer")).alias("role"),
+        )
 
         # G8: drop inner rings when >1 inner AND >1 outer (documented
         # unsupported case, reference _frame.py:234-244)
-        from pyspark.sql import Window as W
-
         w_rel = W.partitionBy("rel_id")
         counted = rings.select(
             "*",
@@ -341,19 +438,7 @@ class OSM:
             ),
         )
 
-        # J4: one node-coordinate join, then re-collect ordered ring coords
-        ring_pts = indexed.select(
-            "rel_id", "ring", "role", "poly", F.posexplode("nodes").alias("pt_pos", "node_id")
-        )
-        joined = ring_pts.join(
-            self.nodes.select(col("osmid").alias("node_id"), "lon", "lat"), "node_id", "left"
-        )
-        ring_coords = joined.groupBy("rel_id", "ring", "role", "poly").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pt_pos", "lon", "lat"))),
-                lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
-            ).alias("coords")
-        )
+        ring_coords = self._ring_coords(indexed, ["role", "poly"])
 
         # G3: rings → polygons (outer first, then holes), polygons → WKT
         polys = ring_coords.groupBy("rel_id", "poly").agg(

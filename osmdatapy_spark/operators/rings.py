@@ -20,11 +20,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 RING_SCHEMA = (
-    "rel_id long, way_id long, pos int, direction int, ring int"
+    "rel_id long, way_id long, pos int, direction int, ring int, "
+    "ring_role string, kind string"
 )
 
 
-def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
+def _chain(s, t, roles):
     """Greedy endpoint chaining, reference semantics (_frame.py:181-215):
 
     start from the first way (input order), walk from its target node; at
@@ -32,15 +33,18 @@ def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
     node (forward, direction=1), else whose target matches (reversed,
     direction=-1), else start a new ring at the next untraversed way.
     Deterministic given input order (member position within the relation).
+
+    Returns (pos, direction, ring, ring_roles): per-member chain position,
+    orientation, 0-based ring index, and per-ring starting-member role.
     """
-    pdf = pdf.sort_values("member_pos", kind="stable").reset_index(drop=True)
-    n = len(pdf)
-    s = pdf["source"].to_numpy()
-    t = pdf["target"].to_numpy()
+    n = len(s)
     trav = [False] * n
     pos = [0] * n
     direction = [1] * n
     ring = [0] * n
+    ring_roles = [roles[0] if n else None]
+    if not n:
+        return pos, direction, ring, ring_roles
 
     trav[0] = True
     node = t[0]
@@ -58,10 +62,34 @@ def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
                 nxt = next(i for i in range(n) if not trav[i])
                 node = t[nxt]
                 cur_ring += 1
+                ring_roles.append(roles[nxt])
         trav[nxt] = True
         pos[nxt] = step
         ring[nxt] = cur_ring
+    return pos, direction, ring, ring_roles
 
+
+def _member_meta(pdf: pd.DataFrame):
+    n = len(pdf)
+    roles = list(pdf["role"]) if "role" in pdf.columns else [None] * n
+    kind = pdf["kind"].iloc[0] if "kind" in pdf.columns and n else None
+    return roles, kind
+
+
+def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-relation chaining kernel over endpoint columns (see ``_chain``).
+
+    ``ring_role`` = the member role of the way each ring *started* at
+    (reference splits outer/inner by member role, _frame.py:115-136) —
+    carried through here so downstream never re-joins members to recover
+    it (one whole join + groupBy saved in the area pipeline).
+    """
+    pdf = pdf.sort_values("member_pos", kind="stable").reset_index(drop=True)
+    n = len(pdf)
+    roles, kind = _member_meta(pdf)
+    pos, direction, ring, ring_roles = _chain(
+        pdf["source"].to_numpy(), pdf["target"].to_numpy(), roles
+    )
     return pd.DataFrame(
         {
             "rel_id": pdf["rel_id"],
@@ -69,34 +97,103 @@ def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
             "pos": pd.array(pos, dtype="int32"),
             "direction": pd.array(direction, dtype="int32"),
             "ring": pd.array(ring, dtype="int32"),
+            "ring_role": [ring_roles[r] for r in ring],
+            "kind": [kind] * n,
         }
     )
+
+
+CHAIN_SCHEMA = "rel_id long, ring int, nodes array<bigint>, ring_role string, kind string"
+
+
+def _chain_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-relation chain + node-sequence kernel: members arrive with their
+    full ``refs`` arrays, so chaining AND joint-node-deduped sequence
+    expansion happen in one pass — no post-kernel refs join, no trim
+    window, no flatten groupBy (three shuffles of the heaviest data in the
+    split formulation).  Output: one row per ring, nodes OPEN (callers
+    close area rings with ``close_rings``)."""
+    pdf = pdf.sort_values("member_pos", kind="stable").reset_index(drop=True)
+    n = len(pdf)
+    roles, kind = _member_meta(pdf)
+    refs = [list(r) for r in pdf["refs"]]
+    s = [r[0] if r else None for r in refs]
+    t = [r[-1] if r else None for r in refs]
+    pos, direction, ring, ring_roles = _chain(s, t, roles)
+
+    order = sorted(range(n), key=lambda i: pos[i])
+    seqs: dict[int, list] = {}
+    for i in order:
+        nodes = refs[i][::-1] if direction[i] == -1 else refs[i]
+        r = ring[i]
+        if r in seqs:
+            # consecutive ways share the joint node (reference dedup at
+            # _frame.py:162-163) — drop the new way's first node
+            seqs[r].extend(nodes[1:])
+        else:
+            seqs[r] = list(nodes)
+    rings = sorted(seqs)
+    return pd.DataFrame(
+        {
+            "rel_id": pdf["rel_id"].iloc[:1].repeat(len(rings)).reset_index(drop=True)
+            if n
+            else pd.Series([], dtype="int64"),
+            "ring": pd.array(rings, dtype="int32"),
+            "nodes": [seqs[r] for r in rings],
+            "ring_role": [ring_roles[r] for r in rings],
+            "kind": [kind] * len(rings),
+        }
+    )
+
+
+def ring_chains(members: DataFrame) -> DataFrame:
+    """Chain member ways into rings AND expand to ordered node sequences in
+    ONE ``applyInPandas`` pass (the fused form of ``reorder_rings`` +
+    ``ring_node_sequence`` — same semantics, pinned by
+    tests/test_operators.py parity test).
+
+    Input: ``(rel_id, way_id, member_pos, refs ARRAY<LONG>[, role, kind])``.
+    Output: ``(rel_id, ring, nodes ARRAY<LONG>, ring_role, kind)`` with
+    OPEN node sequences (area callers close via ``close_rings``).
+
+    Scale: ONE shuffle by rel_id; the refs arrays ride the same exchange
+    through Arrow instead of shuffling separately by way_id and flowing
+    through a join + window + second groupBy.  Per-group payload is the
+    relation's total member nodes — bounded by real-world relation sizes.
+    """
+    cols = ["rel_id", "way_id", "member_pos", "refs"]
+    cols += [c for c in ("role", "kind") if c in members.columns]
+    return members.select(*cols).groupBy("rel_id").applyInPandas(_chain_one, schema=CHAIN_SCHEMA)
 
 
 def reorder_rings(members: DataFrame) -> DataFrame:
     """Chain each relation's member ways into ordered rings.
 
-    Input: ``(rel_id, way_id, member_pos, source, target)`` — one row per
-    member way with its endpoint node ids (from
+    Input: ``(rel_id, way_id, member_pos, source, target[, role])`` — one
+    row per member way with its endpoint node ids (from
     ``topology.way_endpoints``).  Output adds ``pos`` (order in ring),
     ``direction`` (1 forward / -1 reversed), ``ring`` (0-based ring index
-    within the relation).
+    within the relation), ``ring_role`` (role of the ring's first member).
     """
+    cols = ["rel_id", "way_id", "member_pos", "source", "target"]
+    cols += [c for c in ("role", "kind") if c in members.columns]
     return (
-        members.select("rel_id", "way_id", "member_pos", "source", "target")
+        members.select(*cols)
         .groupBy("rel_id")
         .applyInPandas(_reorder_one, schema=RING_SCHEMA)
     )
 
 
-def ring_node_sequence(ordered: DataFrame, way_refs: DataFrame) -> DataFrame:
+def ring_node_sequence(ordered: DataFrame, way_refs: DataFrame, close: bool = True) -> DataFrame:
     """Expand chained rings to ordered node lists (reference
     _frame.py:152-171): join member ways to their refs, reverse refs where
     direction=-1, drop the duplicated joint node between consecutive ways,
-    close the ring if needed.
+    close the ring if needed (``close=False`` keeps open chains — the
+    route/linestring branch, reference _frame.py:87-105).
 
-    Returns ``(rel_id, ring, nodes ARRAY<LONG>)`` — array-native, no
-    per-node shuffle: the refs arrays ride along the rel_id shuffle.
+    Returns ``(rel_id, ring, nodes ARRAY<LONG>, ring_role)`` —
+    array-native, no per-node shuffle: the refs arrays ride along the
+    rel_id shuffle.
     """
     refs = way_refs.groupBy(F.col("way_id")).agg(
         F.array_sort(
@@ -125,9 +222,15 @@ def ring_node_sequence(ordered: DataFrame, way_refs: DataFrame) -> DataFrame:
                     F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("part")))),
                     lambda st: st["part"],
                 )
-            ).alias("nodes")
+            ).alias("nodes"),
+            # all rows of a ring carry the same ring_role/kind — min() picks
+            # them without another join (see _reorder_one)
+            F.min("ring_role").alias("ring_role"),
+            F.min("kind").alias("kind"),
         )
     )
+    if not close:
+        return seq
     # close rings (reference G7 _close_rings, _frame.py:217-232)
     return seq.withColumn(
         "nodes",

@@ -33,20 +33,16 @@ from pyspark.sql.functions import col
 
 def way_endpoints(way_refs: DataFrame, id_col: str = "way_id", pos_col: str = "pos", node_col: str = "node_id") -> DataFrame:
     """Per-way first/last node (reference A1 ``end_values``,
-    _frame.py:298-303).  Returns (way_id, source, target, n_nodes)."""
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy(pos_col)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        way_refs.select(
-            col(id_col),
-            F.first(node_col).over(w).alias("source"),
-            F.last(node_col).over(w).alias("target"),
-            F.count("*").over(w).alias("n_nodes"),
-        )
-        .distinct()
+    _frame.py:298-303).  Returns (way_id, source, target, n_nodes).
+
+    Single partial-aggregated shuffle: ``min_by``/``max_by`` on position
+    fold map-side, so only one (way_id → 3 longs) row per way crosses the
+    exchange.  (The window-first/last + distinct formulation costs TWO
+    exchanges carrying full member rows — measured, see PLANS.md.)"""
+    return way_refs.groupBy(id_col).agg(
+        F.min_by(node_col, pos_col).alias("source"),
+        F.max_by(node_col, pos_col).alias("target"),
+        F.count("*").alias("n_nodes"),
     )
 
 

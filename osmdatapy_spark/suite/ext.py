@@ -807,3 +807,105 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_nation_counts(
         T(spark, sf_dir, "events"), T(spark, sf_dir, "customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# G2/G5 relation route linestrings (reference _frame.py:87-105 line branch)
+# ---------------------------------------------------------------------------
+
+_ROUTE_N_RELS = 10
+
+
+def _route_tables(spark: SparkSession):
+    """Constructed route fixture: relation r (id 200000+r) is type=route.
+    r % 3 == 0 → ways cover TWO disjoint node paths (b..b+4 and
+    b+100..b+104, two ways each) → MULTILINESTRING; otherwise one path
+    b..b+8 over four ways → LINESTRING.  Odd-indexed member ways are
+    stored reversed to exercise the direction flip; node coords follow the
+    same modulo formula as ``derived_nodes`` so the oracle can state the
+    WKT in closed form."""
+    way_rows, mem_rows, el_rows = [], [], []
+    node_ids = set()
+    for r in range(_ROUTE_N_RELS):
+        base = 1000 * r
+        if r % 3 == 0:
+            specs = [
+                (0, [base, base + 1, base + 2]),
+                (1, [base + 2, base + 3, base + 4]),
+                (2, [base + 100, base + 101, base + 102]),
+                (3, [base + 102, base + 103, base + 104]),
+            ]
+        else:
+            specs = [(j, [base + 2 * j, base + 2 * j + 1, base + 2 * j + 2]) for j in range(4)]
+        for j, nodes in specs:
+            wid = 100 * r + j
+            if j % 2 == 1:
+                nodes = nodes[::-1]
+            node_ids.update(nodes)
+            way_rows += [(wid, p, nid) for p, nid in enumerate(nodes)]
+            mem_rows.append((200000 + r, j, wid, 1, ""))
+        el_rows.append((200000 + r, 2, {"type": "route"}))
+    node_rows = [
+        (n, float((n % 360) - 180 + 0.5), float((n % 170) - 85 + 0.25))
+        for n in sorted(node_ids)
+    ]
+    elements = spark.createDataFrame(
+        el_rows, "osmid long, osmtype tinyint, tags map<string,string>"
+    )
+    nodes = spark.createDataFrame(node_rows, "osmid long, lon double, lat double")
+    way_refs = spark.createDataFrame(way_rows, "way_id long, pos int, node_id long")
+    rel_members = spark.createDataFrame(
+        mem_rows, "rel_id long, pos int, member_id long, member_type int, role string"
+    )
+    return elements, nodes, way_refs, rel_members
+
+
+@register(
+    "osm_route_linestring",
+    oracle=f"""
+    WITH routes AS (SELECT UNNEST(generate_series(0, {_ROUTE_N_RELS - 1})) AS r),
+    pieces AS (
+      SELECT r, UNNEST(CASE WHEN r % 3 = 0 THEN [0, 1] ELSE [0] END) AS p FROM routes
+    ),
+    pts AS (
+      SELECT r, p, s.i, 1000 * r + 100 * p + s.i AS node
+      FROM pieces, (SELECT UNNEST(generate_series(0, 8)) AS i) s
+      WHERE s.i <= CASE WHEN r % 3 = 0 THEN 4 ELSE 8 END
+    ),
+    lines AS (
+      SELECT r, p,
+             string_agg(printf('%.7f %.7f',
+                               CAST((node % 360) - 180 + 0.5 AS DOUBLE),
+                               CAST((node % 170) - 85 + 0.25 AS DOUBLE)),
+                        ', ' ORDER BY s.i) AS body
+      FROM pts s GROUP BY r, p
+    ),
+    agg AS (
+      SELECT r, COUNT(*) AS n_lines,
+             string_agg('(' || body || ')', ', ' ORDER BY p) AS multi,
+             MIN(body) AS single
+      FROM lines GROUP BY r
+    )
+    SELECT 200000 + r AS rel_id,
+           CASE WHEN n_lines = 1 THEN 'LINESTRING (' || single || ')'
+                ELSE 'MULTILINESTRING (' || multi || ')' END AS wkt
+    FROM agg
+    """,
+    doc="Relation route→linestring assembly (ref line branch _frame.py:87-105, "
+    "make_lines _geometry.py:25-41, G5 dispatch primitives.py:288-305): "
+    "type=route members chained by the G6 kernel WITHOUT ring closing, one "
+    "LINESTRING per chain, MULTILINESTRING when the route has gaps. Runs "
+    "through the full OSM.query facade (engine.relation_lines); fixture "
+    "routes are constructed from known paths (scrambled directions) so the "
+    "oracle states the expected WKT in closed form.",
+)
+def osm_route_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    elements, nodes, way_refs, rel_members = _route_tables(spark)
+    osm = OSM.from_tables(elements, nodes, way_refs, rel_members)
+    out = osm.query(Query(relations=True, geometry=True, tags=False))
+    return out.select(col("osmid").alias("rel_id"), col("geometry").alias("wkt"))

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.operators.geometry import linestring_wkt, point_wkt, way_geom_type
-from osmdatapy_spark.operators.rings import reorder_rings, ring_node_sequence
+from osmdatapy_spark.operators.rings import ring_chains
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
 from osmdatapy_spark.query import Query
 from osmdatapy_spark.suite._util import T
@@ -39,12 +39,20 @@ def derived_way_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and every downstream endpoint/topology result) is engine-dependent.
     from pyspark.sql import Window
 
-    li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    return li.select(
+    li = T(spark, sf_dir, "lineitem").select(
         col("l_orderkey").alias("way_id"),
-        F.row_number().over(w).alias("pos"),
         col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
+    # window partitions by the ALIAS so the output partitioning survives the
+    # final projection — downstream groupBy(way_id) then reuses this
+    # exchange instead of adding its own (alias-aware partitioning only
+    # tracks attributes that remain in the project list)
+    w = Window.partitionBy("way_id").orderBy("l_linenumber", "node_id")
+    return li.select(
+        "way_id",
+        F.row_number().over(w).alias("pos"),
+        "node_id",
     )
 
 
@@ -522,27 +530,20 @@ def _ring_members(spark: SparkSession) -> DataFrame:
     GROUP BY r.rel_id
     """,
     doc="Ring assembly via endpoint chaining (ref G6 _reorder_ring "
-    "_frame.py:181-215 — THE sequential-per-group kernel, here "
-    "groupBy(rel_id).applyInPandas). Input rings are constructed from known "
+    "_frame.py:181-215 — THE sequential-per-group kernel, here the fused "
+    "groupBy(rel_id).applyInPandas chain+sequence pass: ONE exchange, refs "
+    "arrays ride through Arrow). Input rings are constructed from known "
     "cycles (scrambled + partially reversed), output canonicalized (min-node "
     "rotation, ascending direction), so the oracle can state the expected cycle "
     "in closed form. Covers G6 chaining, direction flip, G7 closing.",
 )
 def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.geometry import close_rings
     from osmdatapy_spark.session import tune_session
 
     tune_session(spark)
     members = _ring_members(spark)
-    ends = members.select(
-        "rel_id",
-        "way_id",
-        "member_pos",
-        F.element_at("refs", 1).alias("source"),
-        F.element_at("refs", -1).alias("target"),
-    )
-    ordered = reorder_rings(ends)
-    way_refs = members.select("way_id", F.posexplode("refs").alias("pos", "node_id"))
-    rings = ring_node_sequence(ordered, way_refs)
+    rings = ring_chains(members).withColumn("nodes", close_rings(col("nodes")))
 
     # canonicalize the closed cycle: drop closing dup, rotate min-first,
     # ascending direction, re-close

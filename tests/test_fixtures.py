@@ -141,4 +141,6 @@ def test_query_relation_geometry(osm):
     rows = {r["osmid"]: r["geometry"] for r in osm.query(q).collect()}
     assert rows[2].startswith("POLYGON ((") and rows[2].count("(") == 3  # holed
     assert rows[3].startswith("MULTIPOLYGON")
-    assert rows[5] is None  # route: not an area
+    # route relations assemble as linestrings since round 2 (reference
+    # line branch _frame.py:87-105)
+    assert rows[5].startswith(("LINESTRING (", "MULTILINESTRING ("))

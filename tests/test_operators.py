@@ -107,3 +107,44 @@ def test_ring_chain_break_starts_new_ring(spark):
     members, _ = _members_df(spark, 9, ways, [301, 302])
     rings = {r["way_id"]: r["ring"] for r in reorder_rings(members).collect()}
     assert rings[301] == 0 and rings[302] == 1
+
+
+def test_ring_chains_matches_split_formulation(spark):
+    """The fused chain+sequence kernel (ring_chains — one exchange, refs
+    through Arrow) must produce exactly the reorder_rings →
+    ring_node_sequence result on rings, roles, and node order."""
+    from osmdatapy_spark.operators.rings import ring_chains
+
+    ways = {
+        401: [1, 2, 3],
+        402: [3, 4, 1],   # closes ring 0 with 401
+        403: [7, 6, 5],   # ring 1 with 404, stored so 404 must flip
+        404: [7, 8, 5],
+        405: [20, 21],    # isolated → ring 2
+    }
+    roles = {401: "outer", 402: "outer", 403: "inner", 404: "inner", 405: "outer"}
+    refs = _refs_df(spark, ways)
+    ends = way_endpoints(refs)
+    order = [401, 402, 403, 404, 405]
+    base = spark.createDataFrame(
+        [(11, wid, pos, roles[wid]) for pos, wid in enumerate(order)],
+        "rel_id long, way_id long, member_pos int, role string",
+    )
+    split = {
+        (r["rel_id"], r["ring"]): (r["nodes"], r["ring_role"])
+        for r in ring_node_sequence(
+            reorder_rings(base.join(ends, "way_id")), refs, close=False
+        ).collect()
+    }
+    arrays = refs.groupBy("way_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "node_id"))), lambda s: s["node_id"]
+        ).alias("refs")
+    )
+    fused = {
+        (r["rel_id"], r["ring"]): (r["nodes"], r["ring_role"])
+        for r in ring_chains(base.join(arrays, "way_id")).collect()
+    }
+    assert split == fused
+    assert fused[(11, 0)][0] == [1, 2, 3, 4, 1]
+    assert fused[(11, 0)][1] == "outer" and fused[(11, 1)][1] == "inner"

@@ -175,6 +175,36 @@ def test_relation_areas(spark, fixture_pbf):
     assert "10.0010000 50.0000000" in areas[203].split("), (")[1]
 
 
+def test_relation_lines(spark, fixture_pbf):
+    """Route relation 202 = ways 101 (1-2-3) and 105 (2-5-8): the two ways
+    don't chain end-to-end, so the route assembles as a MULTILINESTRING of
+    two open chains (reference line branch _frame.py:87-105); area
+    relations 201/203 are excluded by the G5 type dispatch."""
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    lines = {r["rel_id"]: r["wkt"] for r in osm.relation_lines().collect()}
+    assert set(lines) == {202}
+    wkt = lines[202]
+    assert wkt.startswith("MULTILINESTRING ((")
+    chains = wkt[len("MULTILINESTRING ("):-1].split("), (")
+    assert len(chains) == 2
+    # chain 0 = way 101 nodes 1,2,3 (lat 50.0 row); open — 3 points, not closed
+    assert chains[0].count(",") == 2
+    assert "10.0000000 50.0000000" in chains[0]
+    # chain 1 = way 105 nodes 2,5,8 (lon 10.001 column)
+    assert "10.0010000 50.0020000" in chains[1]
+
+
+def test_query_attaches_route_linestrings(spark, fixture_pbf):
+    """OSM.query(geometry=True) coalesces route linestrings into the
+    geometry column next to relation areas (reference _frame.py:87-105)."""
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    q = Query(relations=True, geometry=True)
+    got = {r["osmid"]: r["geometry"] for r in osm.query(q).collect()}
+    assert got[202].startswith("MULTILINESTRING (")
+    assert got[201].startswith("POLYGON (")
+    assert got[203].startswith("POLYGON (")
+
+
 def test_bronze_roundtrip(spark, fixture_pbf, tmp_path):
     """PBF → bronze parquet → engine: results identical to the direct scan."""
     osm = OSM.from_pbf(spark, fixture_pbf)

@@ -62,11 +62,19 @@ def test_token_stats_no_shuffle(spark):
     assert_plan(q(spark, "llm_token_stats"), max_exchanges=0, forbid_python=True)
 
 
+def test_way_endpoints_single_shuffle(spark):
+    # A1 endpoints = groupBy + min_by/max_by: ONE partial-aggregated
+    # exchange (the window+distinct form costs two, carrying full rows)
+    assert_plan(q(spark, "osm_way_endpoints"), max_exchanges=1, forbid_python=True)
+
+
 def test_ring_assembly_python_is_scoped(spark):
     # G6 is THE pandas kernel (SURVEY §7); exactly one grouped-pandas node,
-    # nothing else Python
+    # nothing else Python — and the fused chain+sequence form needs only
+    # ONE exchange (refs ride the rel_id shuffle through Arrow)
     s = plan_summary(q(spark, "osm_ring_assembly"))
     assert s.n_python_evals == 1, s.text
+    assert s.n_exchanges <= 1, s.text
 
 
 def test_embed_neardup_plan(spark):
@@ -88,6 +96,7 @@ def test_minhash_two_shuffles(spark):
 # queries whose plans legitimately contain Python nodes (the pandas kernels)
 _PYTHON_OK = {
     "osm_ring_assembly",      # applyInPandas ring chaining (G6)
+    "osm_route_linestring",   # G6 kernel twice: area + line branches union
     "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion
