@@ -109,10 +109,11 @@ class Query:
         for k, v in DEFAULT_QUERIES[name].items():
             if k == "tags":
                 self.append_tags(v)
-            elif k == "keep" and v is not None:
-                self.append_keep(v)
-            elif k == "exclude" and v is not None:
-                self.append_exclude(v)
+            elif k in ("keep", "exclude"):
+                # merge, never clobber: a default with keep/exclude=None
+                # must not erase filters the caller already composed
+                if v is not None:
+                    (self.append_keep if k == "keep" else self.append_exclude)(v)
             elif k == "must_tags":
                 self.must_tags = sorted(set((self.must_tags or []) + v))
             else:

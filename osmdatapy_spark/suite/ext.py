@@ -290,7 +290,8 @@ def osm_relation_expand_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 1 AS osmtype, osmid,
              (highway IS NOT NULL)::INT + (building IS NOT NULL)::INT
              + (area IS NOT NULL)::INT + ("natural" IS NOT NULL)::INT
-             + (barrier IS NOT NULL)::INT + (name IS NOT NULL)::INT AS n_tags
+             + (barrier IS NOT NULL)::INT + (service IS NOT NULL)::INT
+             + (rel_type IS NOT NULL)::INT + (name IS NOT NULL)::INT AS n_tags
       FROM way_tags
     )
     SELECT CAST(osmtype AS TINYINT) AS osmtype, COUNT(*) AS n_elements,
@@ -662,12 +663,13 @@ def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "osm_default_query_buildings",
     oracle=f"""
     WITH {WAY_TAGS_CTE}
-    SELECT osmid, building, name FROM way_tags
-    WHERE building IS NOT NULL AND NOT COALESCE(building = 'no', FALSE)
+    SELECT osmid, building FROM way_tags
+    WHERE building IS NOT NULL
     """,
-    doc="Default 'buildings' query (ref defaults.py:109-141): "
-    "must_tags=[building], keep_first=False excluding building=no, "
-    "projected to the default tag list.",
+    doc="Default 'buildings' query — the reference's BUILDINGS dict verbatim "
+    "(ref defaults.py:109-132): must_tags=[building], keep_first=False, NO "
+    "exclusions (building=no rows pass, as upstream), projected to the "
+    "reference tag list.",
 )
 def osm_default_query_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.query import Query
@@ -679,7 +681,6 @@ def osm_default_query_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "osmid",
         col("tags").getItem("building").alias("building"),
-        col("tags").getItem("name").alias("name"),
     )
 
 
@@ -688,17 +689,16 @@ def osm_default_query_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH node_tags AS (
       SELECT p_partkey AS osmid,
-        CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity,
-        CASE WHEN p_partkey % 7 = 0 THEN 'bakery' END AS shop,
-        CASE WHEN p_partkey % 9 = 0 THEN 'hotel' END AS tourism,
-        CASE WHEN p_partkey % 3 = 0 THEN 'node-' || CAST(p_partkey AS VARCHAR) END AS name
+        CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity
       FROM part
     )
-    SELECT osmid, amenity, shop, tourism, name FROM node_tags
-    WHERE amenity IS NOT NULL OR shop IS NOT NULL OR tourism IS NOT NULL
+    SELECT osmid, amenity FROM node_tags
+    WHERE amenity IS NOT NULL
     """,
-    doc="Default 'pois' query (ref defaults.py:144-206): keep-any over "
-    "amenity/shop/tourism/leisure with keep_first=True, node kind.",
+    doc="Default 'pois' query — the reference's POIS dict verbatim (ref "
+    "defaults.py:135-206): must_tags=[amenity], keep_first=False, "
+    "nodes+ways, projected to the reference tag list (whose only key "
+    "present in the fixture is amenity).",
 )
 def osm_default_query_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.query import Query
@@ -710,9 +710,6 @@ def osm_default_query_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "osmid",
         col("tags").getItem("amenity").alias("amenity"),
-        col("tags").getItem("shop").alias("shop"),
-        col("tags").getItem("tourism").alias("tourism"),
-        col("tags").getItem("name").alias("name"),
     )
 
 

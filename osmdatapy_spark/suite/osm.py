@@ -75,21 +75,29 @@ def _opt_map(*pairs) -> F.Column:
 
 
 def derived_way_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Way elements with OSM-ish tags derived from orders via modulo rules."""
+    """Way elements with OSM-ish tags derived from orders via modulo rules.
+
+    The vocabulary deliberately includes values the reference's default
+    queries exclude (highway=abandoned/bus_stop, service=spur, area=yes,
+    type=multipolygon) so Query(defaults=...) has real discrimination."""
     o = T(spark, sf_dir, "orders")
     k = col("o_orderkey")
     tags = _opt_map(
         (
             "highway",
-            F.when(k % 5 == 0, "residential")
-            .when(k % 5 == 1, "primary")
-            .when(k % 5 == 2, "service")
-            .when(k % 5 == 3, "footway"),
+            F.when(k % 7 == 0, "residential")
+            .when(k % 7 == 1, "primary")
+            .when(k % 7 == 2, "service")
+            .when(k % 7 == 3, "footway")
+            .when(k % 7 == 5, "abandoned")
+            .when(k % 7 == 6, "bus_stop"),
         ),
         ("building", F.when(k % 4 == 0, "yes").when(k % 4 == 1, "no").when(k % 4 == 2, "house")),
-        ("area", F.when(k % 7 == 0, "no")),
+        ("area", F.when(k % 9 == 0, "no").when(k % 9 == 1, "yes")),
         ("natural", F.when(k % 11 == 0, "coastline")),
         ("barrier", F.when(k % 13 == 0, "wall")),
+        ("service", F.when(k % 17 == 0, "spur").when(k % 17 == 1, "driveway")),
+        ("type", F.when(k % 19 == 0, "multipolygon")),
         ("name", F.when(k % 3 == 0, F.concat(lit("way-"), k.cast("string")))),
     )
     return o.select(k.alias("osmid"), lit(1).cast("tinyint").alias("osmtype"), tags.alias("tags"))
@@ -130,12 +138,15 @@ nodes AS (
 WAY_TAGS_CTE = """
 way_tags AS (
   SELECT o_orderkey AS osmid,
-    CASE o_orderkey % 5 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
-                        WHEN 2 THEN 'service' WHEN 3 THEN 'footway' END AS highway,
+    CASE o_orderkey % 7 WHEN 0 THEN 'residential' WHEN 1 THEN 'primary'
+                        WHEN 2 THEN 'service' WHEN 3 THEN 'footway'
+                        WHEN 5 THEN 'abandoned' WHEN 6 THEN 'bus_stop' END AS highway,
     CASE o_orderkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' WHEN 2 THEN 'house' END AS building,
-    CASE WHEN o_orderkey % 7 = 0 THEN 'no' END AS area,
+    CASE o_orderkey % 9 WHEN 0 THEN 'no' WHEN 1 THEN 'yes' END AS area,
     CASE WHEN o_orderkey % 11 = 0 THEN 'coastline' END AS "natural",
     CASE WHEN o_orderkey % 13 = 0 THEN 'wall' END AS barrier,
+    CASE o_orderkey % 17 WHEN 0 THEN 'spur' WHEN 1 THEN 'driveway' END AS service,
+    CASE WHEN o_orderkey % 19 = 0 THEN 'multipolygon' END AS rel_type,
     CASE WHEN o_orderkey % 3 = 0 THEN 'way-' || CAST(o_orderkey AS VARCHAR) END AS name
   FROM orders
 )
@@ -308,15 +319,19 @@ def osm_must_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "osm_default_query_highways",
     oracle=f"""
     WITH {WAY_TAGS_CTE}
-    SELECT osmid, highway, name FROM way_tags
+    SELECT osmid, highway, area, service FROM way_tags
     WHERE highway IS NOT NULL
-      AND NOT (COALESCE(highway IN ('corridor','proposed','construction','elevator',
-                                    'abandoned','platform','raceway'), FALSE)
-               OR COALESCE(area = 'yes', FALSE))
+      AND NOT (COALESCE(highway IN ('abandoned','disused','virtual','no','corridor',
+                                    'elevator','escalator','bus_stop','platform'), FALSE)
+               OR COALESCE(service IN ('crossover','yard','spur','siding',
+                                       'irrigation','slipway'), FALSE)
+               OR COALESCE(area = 'yes', FALSE)
+               OR COALESCE(rel_type = 'multipolygon', FALSE))
     """,
-    doc="Default 'highways' query (ref defaults.py:67-206, merge semantics "
-    "osmquery.py:78-101): must_tags=[highway], keep_first=False with the standard "
-    "exclusions, projected to its default tag list.",
+    doc="Default 'highways' query — the reference's HIGHWAYS dict verbatim "
+    "(ref defaults.py:67-107, merge semantics osmquery.py:78-101): "
+    "must_tags=[highway], keep_first=False with the reference's "
+    "highway/service/area/type exclusions, projected to its tag list.",
 )
 def osm_default_query_highways(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements = derived_way_elements(spark, sf_dir)
@@ -325,7 +340,8 @@ def osm_default_query_highways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "osmid",
         col("tags").getItem("highway").alias("highway"),
-        col("tags").getItem("name").alias("name"),
+        col("tags").getItem("area").alias("area"),
+        col("tags").getItem("service").alias("service"),
     )
 
 

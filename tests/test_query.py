@@ -101,12 +101,20 @@ def test_defaults_highways(elements, spark):
     q = Query("highways")
     assert q.ways and not q.nodes
     assert ids(q.apply(elements)) == [10, 11]
-    # excluded values and area=yes ways are dropped
+    # excluded values (reference HIGHWAYS vocabulary: highway=abandoned /
+    # bus_stop, service=spur, area=yes, type=multipolygon) are dropped
     extra = spark.createDataFrame(
-        [(13, 1, {"highway": "proposed"}), (14, 1, {"highway": "primary", "area": "yes"})],
+        [
+            (13, 1, {"highway": "abandoned"}),
+            (14, 1, {"highway": "primary", "area": "yes"}),
+            (15, 1, {"highway": "bus_stop"}),
+            (16, 1, {"highway": "primary", "service": "spur"}),
+            (17, 1, {"highway": "primary", "type": "multipolygon"}),
+            (18, 1, {"highway": "primary", "service": "driveway"}),  # kept
+        ],
         "osmid long, osmtype int, tags map<string,string>",
     )
-    assert ids(q.apply(elements.unionByName(extra))) == [10, 11]
+    assert ids(q.apply(elements.unionByName(extra))) == [10, 11, 18]
 
 
 def test_append_and_copy():
