@@ -50,13 +50,38 @@ def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_pe
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
-    """Expand a bounded id-array per bucket into ordered (id_a < id_b)
+def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0) -> DataFrame:
+    """Expand a sorted id-array per bucket into ordered (id_a < id_b)
     pairs with array combinatorics — no self-join, no second pass over the
-    upstream pipeline.  Callers must cap bucket size first."""
+    upstream pipeline.
+
+    ``max_bucket`` > 1 bounds the expansion of oversized buckets WITHOUT
+    dropping them (dropping would silently collapse recall exactly on the
+    hottest buckets — massive duplicate clusters): the sorted array is
+    chunked into windows of ``max_bucket`` ids overlapping by one element
+    (element at 0-based index i pairs forward only within the window
+    ``[⌊i/(m-1)⌋·(m-1), ⌊i/(m-1)⌋·(m-1)+m-1]``), so
+
+    - a bucket of n ids emits O(n·max_bucket) pairs, linear in n, all
+      executor-local array math — never the O(n²) quadratic blowup;
+    - consecutive windows share one id, so every bucket stays ONE
+      connected component — transitive clustering (connected_components)
+      still merges the full duplicate group;
+    - windows share exactly one element, so no pair is emitted twice
+      within a bucket and per-shingle pair counts stay exact;
+    - buckets of size <= max_bucket expand completely (single window) —
+      semantics below the cap are unchanged.
+
+    With ``max_bucket=0`` the expansion is exhaustive (callers must bound
+    size upstream)."""
+    if max_bucket > 1:
+        s, m = max_bucket - 1, max_bucket
+        window = f"((i div {s}) * {s}) + {m} - i - 1"
+    else:
+        window = f"size({ids_col}) - i - 1"
     combos = (
         f"flatten(transform({ids_col}, (x, i) -> "
-        f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+        f"transform(slice({ids_col}, i + 2, {window}), "
         f"y -> struct(x as id_a, y as id_b))))"
     )
     return buckets.select(F.explode(F.expr(combos)).alias("p")).select("p.id_a", "p.id_b")
@@ -70,15 +95,16 @@ def lsh_band_pairs(
     max_bucket: int = 50,
 ) -> DataFrame:
     """Banding: concat `band_size` adjacent minhashes → candidate pairs from
-    bucket collisions.  `max_bucket` caps degenerate hot buckets (a
-    constant-text corpus would otherwise produce a quadratic bucket).
+    bucket collisions.  `max_bucket` bounds degenerate hot buckets by
+    chunked expansion (see ``_bucket_pairs``) — a constant-text corpus
+    still connects into one duplicate component instead of being silently
+    dropped, at O(n·max_bucket) pairs rather than O(n²).
 
     Shape: groupBy(band,val) + in-array pair expansion — ONE shuffle of
     (#docs × #bands) short rows, versus the naive window + self-join which
     shuffles three times and re-runs the signature pipeline per join side
     (Spark does not reuse the exchange across self-join branches here —
-    measured).  Bucket arrays are bounded by max_bucket so the expansion
-    is O(max_bucket²) worst-case per bucket, executor-local."""
+    measured).  Pair expansion is executor-local array math."""
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -95,9 +121,9 @@ def lsh_band_pairs(
     buckets = (
         exploded.groupBy("band", "val")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") >= 2)
     )
-    return _bucket_pairs(buckets).distinct()
+    return _bucket_pairs(buckets, max_bucket=max_bucket).distinct()
 
 
 def simhash(tokenized: DataFrame, id_col: str, token_col: str, bits: int = 16) -> DataFrame:
@@ -132,15 +158,20 @@ def jaccard_candidate_pairs(
     max_doc_freq: int = 20,
     min_shared: int = 3,
 ) -> DataFrame:
-    """Candidate pairs sharing >= min_shared shingles that each occur in
-    <= max_doc_freq docs (inverted-index candidate generation — the
-    scale-safe alternative to a cross join).
+    """Candidate pairs sharing >= min_shared shingles (inverted-index
+    candidate generation — the scale-safe alternative to a cross join).
 
-    Both knobs bound the work: max_doc_freq drops stop-shingles whose
-    postings would explode quadratically; min_shared prunes the candidate
-    set before the (comparatively expensive) exact set intersection — a
-    pair at Jaccard >= 0.5 over ~50-shingle docs shares >= 17 shingles, so
-    min_shared=3 loses nothing while cutting candidates ~100×.
+    Both knobs bound the work: max_doc_freq chunk-splits stop-shingle
+    postings (see ``_bucket_pairs``) so their pair expansion stays linear
+    instead of quadratic — without dropping them, which would zero out
+    recall on exact-duplicate mega-clusters where EVERY shingle is a
+    stop-shingle; min_shared prunes the candidate set before the
+    (comparatively expensive) exact set intersection — a pair at
+    Jaccard >= 0.5 over ~50-shingle docs shares >= 17 shingles, so
+    min_shared=3 loses nothing while cutting candidates ~100×.  Identical
+    documents produce identical sorted postings, hence identical chunk
+    windows per shingle, so chunked pairs still accumulate full
+    n_shared counts.
 
     Shape: groupBy(shingle) postings list + in-array pair expansion +
     groupBy(pair) count — two shuffles, single pass over the shingle
@@ -153,10 +184,10 @@ def jaccard_candidate_pairs(
     postings = (
         shingled.groupBy(F.xxhash64(col(shingle_col)).alias("__sh"))
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_doc_freq))
+        .filter(F.size("ids") >= 2)
     )
     return (
-        _bucket_pairs(postings)
+        _bucket_pairs(postings, max_bucket=max_doc_freq)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(col("n_shared") >= min_shared)

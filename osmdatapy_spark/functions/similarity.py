@@ -170,11 +170,14 @@ def embed_neardup_pairs(
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH blocking
     (bands of sign bits) generates candidates, exact cosine verifies them.
     The corpus is never self-joined at large: candidates come from
-    groupBy(band, bucket) + in-bucket array combinatorics (bounded by
-    ``max_bucket``), then exactly two lookups of the vectors for the
-    surviving pairs.  Recall is the standard LSH trade-off — a pair is a
-    candidate iff it agrees on ALL sign bits of at least one band; more
-    bands / fewer planes per band raise recall.
+    groupBy(band, bucket) + in-bucket array combinatorics — oversized
+    buckets are chunk-split (overlapping windows of ``max_bucket``, see
+    dedup._bucket_pairs) so a mega-cluster of near-identical vectors
+    expands in O(n·max_bucket) pairs and still chains into one connected
+    component instead of being silently dropped — then exactly two lookups
+    of the vectors for the surviving pairs.  Recall is the standard LSH
+    trade-off — a pair is a candidate iff it agrees on ALL sign bits of at
+    least one band; more bands / fewer planes per band raise recall.
 
     Reference has no similarity ops (SURVEY.md §2.11) — north-star scope."""
     from osmdatapy_spark.functions.dedup import _bucket_pairs
@@ -184,9 +187,9 @@ def embed_neardup_pairs(
     buckets = (
         bucketed.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") >= 2)
     )
-    cand = _bucket_pairs(buckets).distinct()
+    cand = _bucket_pairs(buckets, max_bucket=max_bucket).distinct()
     vecs = corpus.select(col(id_col), as_double(col(vec_col)).alias("v"))
     return (
         cand.join(vecs.select(col(id_col).alias("id_a"), col("v").alias("va")), "id_a")

@@ -57,6 +57,40 @@ sh AS (
 """
 
 
+# DuckDB mirror of dedup.jaccard_candidate_pairs + exact Jaccard scoring
+# (max_doc_freq=20, min_shared=3).  Postings are sorted per shingle; the
+# element at 1-based position p pairs forward only within its overlapping
+# 20-id chunk window (positions <= ((p-1)//19)*19 + 20) — the SAME windows
+# the Spark side expands (dedup._bucket_pairs), so the candidate set is
+# identical above and below the cap: oversized stop-shingle postings are
+# chunk-split, never dropped.
+JACCARD_SCORED_CTES = """
+    pex AS (
+      SELECT g, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT g, list_sort(list(doc_id)) AS ids
+        FROM (SELECT doc_id, UNNEST(s) AS g FROM sh)
+        GROUP BY g
+      )
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.g = b.g AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 19) * 19 + 20
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+    )
+"""
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
@@ -273,31 +307,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_jaccard_pairs",
     oracle=f"""
-    WITH {TOKS_CTE}, {SHINGLES_CTE},
-    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    rare AS (
-      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20
-    ),
-    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3
-    ),
-    scored AS (
-      SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b
-    )
+    WITH {TOKS_CTE}, {SHINGLES_CTE}, {JACCARD_SCORED_CTES}
     SELECT id_a, id_b, jac FROM scored WHERE jac >= 0.5
     """,
     bench=True,
     doc="Exact n-gram Jaccard near-dup detection with inverted-index "
-    "candidate generation (>=3 shared shingles of doc-freq <= 20) — never "
-    "O(n²) over the corpus; exact set intersection only on pruned candidates.",
+    "candidate generation (>=3 shared shingles; oversized postings "
+    "chunk-split, never dropped) — never O(n²) over the corpus; exact set "
+    "intersection only on pruned candidates.",
 )
 def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
@@ -320,25 +337,7 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_keep_best",
     oracle=f"""
-    WITH {TOKS_CTE}, {SHINGLES_CTE},
-    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    rare AS (
-      SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20
-    ),
-    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3
-    ),
-    scored AS (
-      SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b
-    )
+    WITH {TOKS_CTE}, {SHINGLES_CTE}, {JACCARD_SCORED_CTES}
     SELECT doc_id AS keeper FROM documents
     WHERE doc_id NOT IN (SELECT id_b FROM scored WHERE jac >= 0.5)
     """,
@@ -358,23 +357,7 @@ def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE},
-    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
-    rare AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 20),
-    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
-    cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM rex a JOIN rex b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 3
-    ),
-    scored AS (
-      SELECT c.id_a, c.id_b,
-             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b
-    ),
+    WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE}, {JACCARD_SCORED_CTES},
     pairs AS (SELECT id_a, id_b FROM scored WHERE jac >= 0.5),
     sym AS (
       SELECT id_a AS a, id_b AS b FROM pairs
@@ -425,12 +408,16 @@ def _minhash_oracle() -> str:
     bands AS (
       {bands}
     ),
-    sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY band, val) AS n FROM bands
-    ),
-    keep AS (SELECT * FROM sized WHERE n <= 50)
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM keep a JOIN keep b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    pex AS (
+      SELECT band, val, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT band, val, list_sort(list(doc_id)) AS ids FROM bands GROUP BY band, val
+      )
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM pex a JOIN pex b
+      ON a.band = b.band AND a.val = b.val AND b.pos > a.pos
+     AND b.pos <= ((a.pos - 1) // 49) * 49 + 50
     """
 
 
@@ -440,7 +427,8 @@ def _minhash_oracle() -> str:
     bench=True,
     doc="MinHash(8 perms) + LSH(4 bands × 2) near-dup candidate pairs. "
     "Shuffle profile: one partial-aggregated groupBy(doc) for signatures, one "
-    "band self-join with a hot-bucket cap — scales linearly in corpus size.",
+    "band groupBy with chunk-split hot buckets (never dropped) — scales "
+    "linearly in corpus size.",
 )
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = _shingled(spark, sf_dir)
@@ -556,15 +544,17 @@ def _embed_neardup_oracle(
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ),
     bkt AS ({bkt_union}),
-    ok AS (
-      SELECT band, bucket FROM bkt GROUP BY band, bucket
-      HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+    pex AS (
+      SELECT band, bucket, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT band, bucket, list_sort(list(vec_id)) AS ids FROM bkt GROUP BY band, bucket
+      )
     ),
     cand AS (
-      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bkt a
-      JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-      JOIN ok o ON o.band = a.band AND o.bucket = a.bucket
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.band = b.band AND a.bucket = b.bucket AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // {max_bucket - 1}) * {max_bucket - 1} + {max_bucket}
     )
     SELECT id_a, id_b,
            round(
@@ -583,8 +573,9 @@ def _embed_neardup_oracle(
     doc="Embedding-cosine near-duplicate pairs (north-star dedup family): "
     "random-hyperplane LSH blocking (4 bands x 2 sign bits, deterministic "
     "md5-derived planes) generates candidates via groupBy(band,bucket) + "
-    "in-bucket combinatorics, then exact cosine >= 0.4 verifies. The corpus "
-    "never cross-joins; only (band,bucket,id) triples shuffle.",
+    "in-bucket combinatorics (oversized buckets chunk-split, never dropped), "
+    "then exact cosine >= 0.4 verifies. The corpus never cross-joins; only "
+    "(band,bucket,id) triples shuffle.",
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")

@@ -119,6 +119,78 @@ def test_jaccard_candidates(docs):
     assert not any(5 in p for p in pairs)
 
 
+def _one_component(pairs, expected_ids):
+    comp = connected_components(pairs)
+    rows = comp.collect()
+    assert {r["id"] for r in rows} == expected_ids
+    assert {r["cluster"] for r in rows} == {min(expected_ids)}
+
+
+def test_oversized_lsh_buckets_chunk_split_not_dropped(spark):
+    # Degenerate all-duplicates corpus: every band bucket holds all 120 ids,
+    # far above max_bucket=10.  Dropping the bucket (the pre-fix behavior)
+    # yields ZERO candidates exactly where recall matters most; chunk-split
+    # keeps the whole cluster one connected component with linear work.
+    n = 120
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again") for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    shingled = docs.select("doc_id", F.explode(word_shingles(tokens(col("text")), 3)).alias("s"))
+    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
+    pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=10)
+    n_pairs = pairs.count()
+    # linear bound: ~n·max_bucket/2 pairs, nowhere near C(120,2)=7140
+    assert 0 < n_pairs < 1000
+    _one_component(pairs, set(range(1, n + 1)))
+
+
+def test_oversized_jaccard_postings_chunk_split(spark):
+    # Identical docs → every shingle is a "stop shingle" above max_doc_freq.
+    # Chunk windows are identical across shingles (same sorted posting), so
+    # pair counts still reach min_shared and the cluster stays connected.
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    shingled = docs.select("doc_id", F.explode(word_shingles(tokens(col("text")), 3)).alias("s"))
+    pairs = jaccard_candidate_pairs(shingled, "doc_id", "s", max_doc_freq=8, min_shared=3)
+    n_pairs = pairs.count()
+    assert 0 < n_pairs < 400  # linear, not C(60,2)=1770
+    _one_component(pairs, set(range(1, n + 1)))
+
+
+def test_oversized_embed_buckets_chunk_split(spark):
+    # 80 identical vectors land in one (band, bucket) for every band.
+    vec = [1.0, -0.5, 0.25, 2.0, -1.0, 0.5, 1.5, -0.25]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(1, 81)], "vec_id long, embedding array<float>"
+    )
+    pairs = embed_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.9, planes_per_band=2, dim=8, max_bucket=10
+    )
+    rows = pairs.collect()
+    assert 0 < len(rows) < 600
+    assert all(r["cos"] == 1.0 for r in rows)
+    _one_component(pairs.select("id_a", "id_b"), set(range(1, 81)))
+
+
+def test_small_buckets_expand_completely(spark):
+    # Below the cap the chunked expansion must equal the exhaustive one.
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    shingled = docs.select("doc_id", F.explode(word_shingles(tokens(col("text")), 3)).alias("s"))
+    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50).collect()
+    }
+    assert pairs == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+
+
 def test_simhash_near_vs_far(docs):
     tokenized = docs.select("doc_id", F.explode(tokens(col("text"))).alias("t"))
     out = {r["doc_id"]: r["simhash"] for r in simhash(tokenized, "doc_id", "t", bits=16).collect()}
