@@ -144,14 +144,17 @@ class OSM:
 
     # -- the main query path (reference osmdata.py:183-206) ----------------
 
-    def query(self, q: Query) -> DataFrame:
+    def query(self, q: Query, wkb: bool = False) -> DataFrame:
         """Execute a composable Query → element DataFrame.
 
         Pipeline parity with reference ``osm.query``/``to_dataframe``
         (osmdata.py:183-206, _frame.py:8-57): filter+project elements; for
         ways attach refs; for relations attach members; geometry mode adds
         WKT for points and linestrings (area assembly via
-        ``relation_areas``)."""
+        ``relation_areas``).  With ``wkb=True`` a ``geometry_wkb``
+        BinaryType column (ISO little-endian WKB, EPSG:4326 column
+        metadata) is appended next to the WKT — the binary surface the
+        reference serves as shapely objects (``_frame.py:54-56``)."""
         out = q.apply(self.elements)
 
         if q.geometry:
@@ -172,6 +175,11 @@ class OSM:
                 out = out.withColumn(
                     "geometry", F.coalesce(col("geometry"), col("_awkt"))
                 ).drop("_awkt")
+            out = out.withMetadata("geometry", {"crs": "EPSG:4326"})
+            if wkb:
+                from osmdatapy_spark.operators.wkb import attach_wkb
+
+                out = attach_wkb(out)
         if q.topology:
             segs = self.topology(q)
             out = (

@@ -906,3 +906,57 @@ def osm_route_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
     osm = OSM.from_tables(elements, nodes, way_refs, rel_members)
     out = osm.query(Query(relations=True, geometry=True, tags=False))
     return out.select(col("osmid").alias("rel_id"), col("geometry").alias("wkt"))
+
+
+@register(
+    "osm_wkb_roundtrip",
+    oracle=f"""
+    WITH {WAYS_CTE}, {NODES_CTE},
+    w AS (
+      SELECT s.way_id, s.pos, n.lon, n.lat
+      FROM ways s JOIN nodes n ON n.osmid = s.node_id
+      WHERE s.way_id % 40 = 0
+    ),
+    wa AS (
+      SELECT way_id AS osmid, 2 AS gtype, COUNT(*) AS n_points,
+             arg_min(lon, pos) AS x1, arg_min(lat, pos) AS y1
+      FROM w GROUP BY way_id
+    ),
+    pa AS (
+      SELECT osmid, 1 AS gtype, 1 AS n_points, lon AS x1, lat AS y1
+      FROM nodes WHERE osmid % 50 = 0
+    )
+    SELECT osmid, CAST(gtype AS INTEGER) AS gtype,
+           CAST(n_points AS INTEGER) AS n_points, x1, y1
+    FROM (SELECT * FROM wa UNION ALL SELECT * FROM pa)
+    """,
+    doc="WKB binary output surface (G1/G2 *_wkb variants, operators/wkb.py; "
+    "reference serves shapely objects with CRS EPSG:4326, _frame.py:54-56): "
+    "points and way linestrings encode to ISO little-endian WKB and decode "
+    "back (wkb_info) to (gtype, n_points, first coordinate) — the oracle "
+    "computes the same facts straight from the fixture, so the driver's "
+    "hard signal pins the full encode∘decode byte layout.",
+)
+def osm_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.wkb import linestring_wkb, point_wkb, wkb_info
+
+    ways = derived_way_refs(spark, sf_dir).filter(col("way_id") % 40 == 0)
+    nodes = derived_nodes(spark, sf_dir)
+    nn = nodes.select(col("osmid").alias("node_id"), "lon", "lat")
+    coords = (
+        ways.join(nn, "node_id")
+        .groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
+                lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
+            ).alias("coords")
+        )
+    )
+    lw = coords.select(
+        col("way_id").alias("osmid"), wkb_info(linestring_wkb(col("coords"))).alias("i")
+    )
+    pw = nodes.filter(col("osmid") % 50 == 0).select(
+        "osmid", wkb_info(point_wkb(col("lon"), col("lat"))).alias("i")
+    )
+    return lw.unionByName(pw).select("osmid", "i.gtype", "i.n_points", "i.x1", "i.y1")

@@ -101,6 +101,7 @@ _PYTHON_OK = {
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion
     "llm_feature_extract",    # mapInPandas feature stub
+    "osm_wkb_roundtrip",      # WKB encode/decode pandas UDFs (binary surface)
 }
 
 # iterative queries that execute driver-side loops at build time — their
