@@ -24,6 +24,75 @@ from osmdatapy_spark.session import get_spark  # noqa: E402
 from osmdatapy_spark.suite import QUERY_REGISTRY  # noqa: E402
 
 
+def _synthetic_pbf(sf: float) -> str:
+    """Deterministic .osm.pbf sized by sf (~3.2M elements/sf unit), cached
+    in /tmp so generation cost is paid once per machine, not per bench run.
+    Block shape mirrors tool-produced files: ~8k elements per blob, so the
+    scan parallelizes across blobs exactly like a real planet extract."""
+    import tempfile
+
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    n_nodes = int(3_000_000 * sf)
+    n_ways = int(190_000 * sf)
+    n_rels = int(10_000 * sf)
+    path = Path(tempfile.gettempdir()) / f"osmdatapy_bench_v2_sf{sf}.osm.pbf"
+    if path.exists():
+        return str(path)
+
+    w = PbfWriter(codec="zlib")
+    for base in range(0, n_nodes, 8000):
+        w.add_dense_nodes(
+            [
+                (
+                    i + 1,
+                    -180.0 + (i % 3600) * 0.1,
+                    -85.0 + ((i // 3600) % 1700) * 0.1,
+                    {"amenity": "cafe"} if i % 50 == 0 else {},
+                )
+                for i in range(base, min(base + 8000, n_nodes))
+            ]
+        )
+    for base in range(0, n_ways, 8000):
+        w.add_ways(
+            [
+                (
+                    i + 1,
+                    [(i * 7 + j) % n_nodes + 1 for j in range(12)],
+                    {"highway": "residential"} if i % 3 == 0 else {"building": "yes"},
+                )
+                for i in range(base, min(base + 8000, n_ways))
+            ]
+        )
+    for base in range(0, n_rels, 8000):
+        w.add_relations(
+            [
+                (
+                    i + 1,
+                    [((i * 5 + j) % n_ways + 1, 1, "outer") for j in range(4)],
+                    {"type": "multipolygon"},
+                )
+                for i in range(base, min(base + 8000, n_rels))
+            ]
+        )
+    tmp = str(path) + ".tmp"
+    w.write(tmp, groups_per_block=1)
+    os.replace(tmp, path)
+    return str(path)
+
+
+def run_pbf_scan(spark, sf: float) -> float:
+    """S1-S11 end-to-end: .pbf framing scan → blob decompress → decode all
+    element kinds → noop sink.  Tracks the codec's el/s claim (SCALE.md)
+    per round; element count is deterministic (= 3.2M * sf)."""
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    path = _synthetic_pbf(sf)
+    t0 = time.time()
+    read_pbf(spark, path).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -51,6 +120,7 @@ def main() -> None:
     for _pass in range(2):
         for name in headline:
             timings[name] = round(run_query(QUERY_REGISTRY[name].fn, spark, sf_dir), 3)
+        timings["pbf_scan"] = round(run_pbf_scan(spark, sf), 3)
 
     out = {
         "metric": "headline query wall-clock (noop sink, warm JVM)",

@@ -659,12 +659,11 @@ class PbfWriter:
             b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in ways)
         )
 
-    def add_relation(
+    def _enc_relation(
         self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
-    ) -> None:
-        """members: [(ref, type, role)]"""
+    ) -> bytes:
         keys, vals = self._kv(tags)
-        rel = (
+        return (
             enc_varint_field(1, osmid)
             + enc_packed_field(2, keys)
             + enc_packed_field(3, vals)
@@ -672,7 +671,21 @@ class PbfWriter:
             + enc_packed_deltas(9, [m[0] for m in members])
             + enc_packed_field(10, [m[1] for m in members])
         )
-        self.groups.append(enc_bytes_field(4, rel))
+
+    def add_relation(
+        self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
+    ) -> None:
+        """members: [(ref, type, role)]"""
+        self.groups.append(enc_bytes_field(4, self._enc_relation(osmid, members, tags)))
+
+    def add_relations(
+        self, rels: list[tuple[int, list[tuple[int, int, str]], dict[str, str]]]
+    ) -> None:
+        """Batch: one PrimitiveGroup holding many relations (realistic block
+        shape, same rationale as ``add_ways``)."""
+        self.groups.append(
+            b"".join(enc_bytes_field(4, self._enc_relation(*r)) for r in rels)
+        )
 
     def _blob(self, block: bytes) -> bytes:
         if self.codec == "raw":
