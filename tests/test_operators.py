@@ -148,3 +148,49 @@ def test_ring_chains_matches_split_formulation(spark):
     assert split == fused
     assert fused[(11, 0)][0] == [1, 2, 3, 4, 1]
     assert fused[(11, 0)][1] == "outer" and fused[(11, 1)][1] == "inner"
+
+
+# --- J2 fixpoint: arbitrary-depth relation recursion ------------------------
+
+
+def _member_osm(spark, edges):
+    from osmdatapy_spark.engine import OSM
+
+    empty = spark.createDataFrame([], "osmid long, osmtype tinyint, tags map<string,string>")
+    nodes = spark.createDataFrame([], "osmid long, lon double, lat double")
+    mem = spark.createDataFrame(
+        edges, "rel_id long, pos int, member_id long, member_type int, role string"
+    )
+    return OSM(empty, nodes, rel_members=mem)
+
+
+def test_expand_members_depth3(spark):
+    # 100 ⊃ {200(rel), w1} ; 200 ⊃ {300(rel)} ; 300 ⊃ {w2, n3}
+    osm = _member_osm(
+        spark,
+        [
+            (100, 0, 200, 2, "sub"),
+            (100, 1, 1, 1, "outer"),
+            (200, 0, 300, 2, "sub"),
+            (300, 0, 2, 1, "outer"),
+            (300, 1, 3, 0, "admin_centre"),
+        ],
+    )
+    got = {
+        (r["root_rel"], r["member_id"], r["member_type"], r["depth"])
+        for r in osm.expand_members().collect()
+    }
+    assert got == {
+        (100, 200, 2, 1), (100, 1, 1, 1),
+        (200, 300, 2, 1), (300, 2, 1, 1), (300, 3, 0, 1),
+        (100, 300, 2, 2), (200, 2, 1, 2), (200, 3, 0, 2),
+        (100, 2, 1, 3), (100, 3, 0, 3),
+    }
+
+
+def test_expand_members_cycle_terminates_at_cap(spark):
+    # A ⊃ B, B ⊃ A — legal-if-broken OSM data; the depth cap must terminate
+    osm = _member_osm(spark, [(1, 0, 2, 2, ""), (2, 0, 1, 2, "")])
+    rows = osm.expand_members(max_depth=4).collect()
+    assert max(r["depth"] for r in rows) == 4
+    assert len(rows) == 8  # 2 edges per depth, 4 depths
