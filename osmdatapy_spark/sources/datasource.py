@@ -59,9 +59,34 @@ class Datasource:
             try:
                 urllib.request.urlretrieve(url, dest)  # noqa: S310
                 return dest
-            except Exception as e:  # pragma: no cover - network path
+            except Exception as e:
                 last = e
         raise RuntimeError(f"all URLs failed for {place!r}") from last
+
+    def download_all(
+        self, path: str, places: list[str], max_workers: int = 8
+    ) -> dict[str, Path]:
+        """Fetch MANY places concurrently (reference fetches extracts with
+        asyncio + fallback URLs, datasource/datasource.py:8-71; stdlib
+        threads here — downloads are I/O-bound, so threads parallelize them
+        identically with no event-loop plumbing).
+
+        Per-place fallback semantics are exactly ``download``'s; failures
+        don't abort the batch — the result maps each place to its local
+        Path or the exception, and the caller decides (mirrors the
+        reference's gather-with-return-exceptions shape)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futures = {p: ex.submit(self.download, path, p) for p in places}
+            return {p: self._result_or_exc(f) for p, f in futures.items()}
+
+    @staticmethod
+    def _result_or_exc(future):
+        try:
+            return future.result()
+        except Exception as e:
+            return e
 
 
 class OSM_datasource(Datasource):

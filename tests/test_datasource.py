@@ -6,7 +6,7 @@ import json
 
 import pytest
 
-from osmdatapy_spark.sources.datasource import OSM_datasource, comparable_name
+from osmdatapy_spark.sources.datasource import Datasource, OSM_datasource, comparable_name
 
 GEO_FIXTURE = json.dumps(
     {
@@ -43,3 +43,27 @@ def test_catalog_resolution():
     # entries without a pbf URL are skipped
     with pytest.raises(KeyError):
         ds.resolve("NoUrl")
+
+
+def test_download_all_concurrent_with_fallback(tmp_path):
+    """Concurrent multi-place fetch (reference asyncio gather semantics):
+    every place downloads in parallel via file:// URLs, a dead first URL
+    falls back, and a fully-dead place surfaces its error without
+    aborting the batch."""
+    src_a = tmp_path / "a.bin"
+    src_b = tmp_path / "b.bin"
+    src_a.write_bytes(b"payload-a")
+    src_b.write_bytes(b"payload-b")
+
+    ds = Datasource()
+    ds.add("Alpha", src_a.as_uri())
+    ds.add("Beta", (tmp_path / "missing.bin").as_uri(), src_b.as_uri())  # fallback
+    ds.add("Gamma", (tmp_path / "nope1.bin").as_uri(), (tmp_path / "nope2.bin").as_uri())
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    got = ds.download_all(str(out_dir), ["Alpha", "Beta", "Gamma"], max_workers=3)
+
+    assert got["Alpha"].read_bytes() == b"payload-a"
+    assert got["Beta"].read_bytes() == b"payload-b"  # second URL won
+    assert isinstance(got["Gamma"], RuntimeError)
