@@ -380,11 +380,10 @@ class OSM:
 
         Scale shape: ONE refs aggregation + ONE way_id join feed the fused
         chain kernel (``ring_chains`` — refs ride the rel_id exchange
-        through Arrow); after the kernel everything stays keyed by rel_id
-        except the per-branch node-coordinate join (each branch joins only
-        its own rings, so the combined join volume equals the
-        single-pipeline cost); ring node arrays never explode between
-        steps."""
+        through Arrow); ONE shared node-coordinate gather serves both
+        branches (the node join is the expensive step — per-branch gathers
+        would scan and shuffle the nodes table twice); everything after it
+        stays keyed by rel_id."""
         members = (
             self.rel_members.join(kinds, "rel_id")
             .filter(col("member_type") == OSMTYPE_WAY)
@@ -400,15 +399,21 @@ class OSM:
         # role + kind travel through the fused chaining kernel's schema
         # (rings.CHAIN_SCHEMA) — no re-join to recover them
         chains = ring_chains(members)
-        # G7 ring closing applies to the area branch only
+        # G7 ring closing applies to the area branch only (node-id level,
+        # matching the reference's append-first-ref closure)
         from osmdatapy_spark.operators.geometry import close_rings
 
         chains = chains.withColumn(
             "nodes",
             F.when(col("kind") == "area", close_rings(col("nodes"))).otherwise(col("nodes")),
         )
-        areas = self._assemble_areas(chains.filter(col("kind") == "area"))
-        lines = self._assemble_lines(chains.filter(col("kind") == "line"))
+        # ONE coordinate gather serves BOTH branches: the node join is the
+        # expensive step of this pipeline (it shuffles ring points by node
+        # id), so the branches split only after it — per-branch gathers
+        # would scan+shuffle the nodes table twice
+        coords = self._ring_coords(chains, ["ring_role", "kind"])
+        areas = self._assemble_areas(coords.filter(col("kind") == "area"))
+        lines = self._assemble_lines(coords.filter(col("kind") == "line"))
         return areas.unionByName(lines)
 
     def _ring_coords(self, rings: DataFrame, extra_keys: list[str]) -> DataFrame:
@@ -426,11 +431,10 @@ class OSM:
             ).alias("coords")
         )
 
-    def _assemble_lines(self, chains: DataFrame) -> DataFrame:
-        """Chains → LINESTRING per chain; MULTILINESTRING when a route has
+    def _assemble_lines(self, chain_coords: DataFrame) -> DataFrame:
+        """Per-chain coords → LINESTRING; MULTILINESTRING when a route has
         more than one chain (gaps) — reference ``make_lines``
         (_geometry.py:25-41)."""
-        chain_coords = self._ring_coords(chains, [])
         lines = chain_coords.select(
             "rel_id", "ring", linestring_wkt(col("coords")).alias("line")
         )
@@ -458,18 +462,20 @@ class OSM:
             .alias("wkt"),
         )
 
-    def _assemble_areas(self, rings: DataFrame) -> DataFrame:
-        """Closed rings → POLYGON/MULTIPOLYGON WKT: classify rings by the
-        first member's role, drop inner rings of unsupported complex
+    def _assemble_areas(self, ring_coords: DataFrame) -> DataFrame:
+        """Closed-ring coords → POLYGON/MULTIPOLYGON WKT: classify rings by
+        the first member's role, drop inner rings of unsupported complex
         relations (G8, _frame.py:234-244), group rings into polygons (G9,
-        _frame.py:251-256), attach coordinates (J4), assemble WKT (G3)."""
+        _frame.py:251-256), assemble WKT (G3).  The role windows and
+        polygon grouping are all keyed by rel_id, so everything after the
+        shared coordinate gather rides a single rel_id exchange."""
         from osmdatapy_spark.operators.geometry import polygon_wkt
         from pyspark.sql import Window as W
 
-        rings = rings.select(
+        rings = ring_coords.select(
             "rel_id",
             "ring",
-            "nodes",
+            "coords",
             F.coalesce(col("ring_role"), F.lit("outer")).alias("role"),
         )
 
@@ -493,16 +499,14 @@ class OSM:
             "rel_id",
             "ring",
             "role",
-            "nodes",
+            "coords",
             (F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_run) - 1).alias(
                 "poly"
             ),
         )
 
-        ring_coords = self._ring_coords(indexed, ["role", "poly"])
-
         # G3: rings → polygons (outer first, then holes), polygons → WKT
-        polys = ring_coords.groupBy("rel_id", "poly").agg(
+        polys = indexed.groupBy("rel_id", "poly").agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(
