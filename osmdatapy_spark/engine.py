@@ -163,8 +163,19 @@ class OSM:
                 # relation geometry (G5 dispatch): areas for
                 # type ∈ {multipolygon, boundary}, linestrings for
                 # type=route — ONE shared chaining pipeline, one left join
-                # (reference _frame.py:87-105)
-                rel_geoms = self._relation_geometries(self._relation_kinds()).select(
+                # (reference _frame.py:87-105).  Assembly is scoped to the
+                # relations the query SELECTS (semi-join on the filtered
+                # element ids): a planet-scale query for bus routes must
+                # not chain every multipolygon's member ways — the probe
+                # side is the post-filter relation set, which AQE
+                # broadcasts when small
+                kept = (
+                    q.apply(self.elements)
+                    .filter(col("osmtype") == OSMTYPE_RELATION)
+                    .select(col("osmid").alias("rel_id"))
+                )
+                kinds = self._relation_kinds().join(kept, "rel_id", "left_semi")
+                rel_geoms = self._relation_geometries(kinds).select(
                     col("rel_id").alias("_arid"), col("wkt").alias("_awkt")
                 )
                 out = out.join(
