@@ -56,8 +56,9 @@ def langid(toks: Column) -> Column:
     return expr
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles (the MinHash/Jaccard unit).
+def word_ngrams(toks: Column, n: int) -> Column:
+    """ALL n-token shingles in document order, duplicates kept (the
+    repetition-scoring unit; ``word_shingles`` dedups these).
 
     Formulated as slice+arrays_zip+transform rather than
     transform-over-indices with element_at: an element_at(toks, i) inside
@@ -67,9 +68,12 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     the lambda touches only the zipped struct."""
     ln = F.greatest(F.size(toks) - (n - 1), lit(0))
     z = F.arrays_zip(*[F.slice(toks, i + 1, ln) for i in range(n)])
-    return F.array_distinct(
-        F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
-    )
+    return F.transform(z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles (the MinHash/Jaccard unit)."""
+    return F.array_distinct(word_ngrams(toks, n))
 
 
 def shingle_sets(df, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
@@ -86,6 +90,42 @@ def fingerprint(text: Column) -> Column:
     Rabin-style hash is the streaming variant; md5 is collision-safe enough
     for dedup keys and portable across engines."""
     return F.md5(text.cast("binary"))
+
+
+def portable_hash32(s: Column) -> Column:
+    """Engine-portable 32-bit hash as BIGINT: first 8 md5 hex digits —
+    the ``hash_bucket`` recipe.  DuckDB spells the same value
+    ``CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)``.  (Spark's xxhash64
+    is the faster production swap, same trade as functions/dedup.py.)"""
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def char_kgrams(text: Column, k: int = 8) -> Column:
+    """All character k-grams of ``text`` in order.  Guarded: Spark's
+    ``sequence(1, n)`` DESCENDS when n < 1, so short texts short-circuit
+    to an empty array instead of producing phantom grams."""
+    n = F.length(text) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(lit(1), n), lambda i: F.substring(text, i, k)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash fingerprinting scheme): hash every char
+    k-gram, slide a w-hash window, keep each window's minimum hash, dedup
+    and sort.  Guarantee: any substring match of length >= k + w - 1
+    between two documents yields at least one SHARED fingerprint, so
+    overlap detection needs only a fingerprint-set join, never full-text
+    comparison.  Pure Column algebra — zero shuffle, pipelines inside the
+    scan stage; the fingerprint set is the compact unit later stages
+    (dedup joins, contamination checks) shuffle instead of raw text."""
+    hashes = F.transform(char_kgrams(text, k), portable_hash32)
+    ln = F.greatest(F.size(hashes) - (w - 1), lit(0))
+    z = F.arrays_zip(*[F.slice(hashes, i + 1, ln) for i in range(w)])
+    mins = F.transform(z, lambda x: F.least(*[x[str(i)] for i in range(w)]))
+    return F.array_sort(F.array_distinct(mins))
 
 
 def comparable_string(text: Column) -> Column:

@@ -680,3 +680,150 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.streaming.windows import tumbling_counts
 
     return tumbling_counts(T(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / repetition / contamination (training-data curation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_winnow_fingerprint",
+    oracle=r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(strlen(text) - 7, 0)),
+                            i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS h
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, h,
+             list_distinct(list_transform(generate_series(1, greatest(len(h) - 3, 0)),
+                            i -> least(h[i], h[i+1], h[i+2], h[i+3]))) AS f
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(len(h) AS BIGINT) AS n_grams,
+           CAST(len(f) AS BIGINT) AS n_fp,
+           CAST(coalesce(list_sum(f), 0) AS BIGINT) AS fp_sum,
+           CAST(coalesce(list_min(f), -1) AS BIGINT) AS fp_min
+    FROM m
+    """,
+    bench=True,
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken "
+    "SIGMOD'03, the rolling-hash fingerprinting scheme): char 8-gram "
+    "hashes, 4-hash window minima, dedup — any substring match >= 11 "
+    "chars shares a fingerprint.  Pure Column algebra, zero shuffle; "
+    "verified against DuckDB by set size / checksum / minimum so the "
+    "whole fingerprint SET must match, not a summary.",
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import winnow_fingerprints
+
+    docs = T(spark, sf_dir, "documents")
+    d = docs.withColumn("__fp", winnow_fingerprints(col("text"), k=8, w=4))
+    return d.select(
+        "doc_id",
+        F.greatest(F.length(col("text")) - lit(7), lit(0)).cast("long").alias("n_grams"),
+        F.size(col("__fp")).cast("long").alias("n_fp"),
+        F.aggregate(col("__fp"), lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+        F.coalesce(F.element_at(col("__fp"), 1), lit(-1)).cast("long").alias("fp_min"),
+    )
+
+
+@register(
+    "llm_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i+1]) AS g2,
+             list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CASE WHEN len(g2) = 0 THEN 0.0
+                ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           END AS dup_2gram_frac,
+           CASE WHEN len(g3) = 0 THEN 0.0
+                ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+           END AS dup_3gram_frac
+    FROM g
+    """,
+    doc="Repeated-n-gram fraction (the Gopher/MassiveText repetition "
+    "quality signal): share of 2-/3-token shingles that are duplicates "
+    "within the document — high values mark boilerplate/spam for the "
+    "quality gate.  Narrow projection, zero shuffle.",
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
+
+    def dup_frac(n: int):
+        g = word_ngrams(col("__toks"), n)
+        total = F.size(g)
+        dup = (total - F.size(F.array_distinct(g))).cast("double")
+        return F.when(total == 0, lit(0.0)).otherwise(dup / total)
+
+    return docs.select(
+        "doc_id",
+        F.size(word_ngrams(col("__toks"), 2)).cast("long").alias("n_2grams"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
+@register(
+    "llm_contamination",
+    oracle=f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    bg AS (
+      SELECT DISTINCT UNNEST(s) AS g FROM sh WHERE doc_id % 37 = 0
+    ),
+    hits AS (
+      SELECT d.doc_id, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE doc_id % 37 <> 0) d
+      JOIN bg USING (g)
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) t
+    LEFT JOIN hits USING (doc_id)
+    """,
+    doc="Benchmark-contamination detection (eval-set decontamination): "
+    "count each training document's distinct 3-token shingles that also "
+    "appear in the held-out benchmark set (docs with doc_id % 37 = 0 "
+    "stand in for the eval suite).  Scale shape: the benchmark n-gram "
+    "set is tiny (MBs even for a full eval suite), so it BROADCASTS and "
+    "the corpus never shuffles for the probe — one map-side join + one "
+    "partial-aggregated count per doc.",
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = shingle_sets(T(spark, sf_dir, "documents"))
+    bench_grams = (
+        sets.filter(col("doc_id") % 37 == 0).select(F.explode("s").alias("g")).distinct()
+    )
+    corpus = sets.filter(col("doc_id") % 37 != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("s").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("n"), lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(col("n"), lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -438,3 +438,76 @@ def test_pil_gated_pixel_decode_and_resize(spark):
     df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
     got = resize_binary(df, 10, 5, resizer=real_resize).first()["resized"]
     assert real_decode_meta(bytes(got))[1:] == (10, 5)
+
+
+def _py_winnow(text: str, k: int = 8, w: int = 4) -> list[int]:
+    import hashlib
+
+    if len(text) < k:
+        return []
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    if len(hs) < w:
+        return []
+    return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+
+def test_winnow_fingerprints_match_python(spark):
+    from osmdatapy_spark.functions.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "short"),  # < k chars → empty
+        (3, "abcdefgh"),  # exactly k chars → 1 gram, < w windows → empty
+        (4, "aaaaaaaaaaaaaaaaaaaa"),  # degenerate: all grams identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select("doc_id", winnow_fingerprints(col("text")).alias("f")).collect()
+    }
+    for i, text in rows:
+        assert out[i] == _py_winnow(text), f"doc {i}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any substring match of length >= k + w - 1 (= 11) must yield at
+    least one shared fingerprint — the winnowing paper's core guarantee."""
+    from osmdatapy_spark.functions.text import winnow_fingerprints
+
+    shared = "COMMONSUBSTRING"  # 15 chars >= 11
+    rows = [
+        (1, "xxxxxxxx " + shared + " yyyyyyyyyy"),
+        (2, "qqqqqqqqqq " + shared + " zzzzzz"),
+        (3, "0123456789 totally disjoint alphabet 9876543210"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select("doc_id", winnow_fingerprints(col("text")).alias("f")).collect()
+    }
+    assert fp[1] & fp[2], "docs sharing an 15-char substring must share a fingerprint"
+    assert not (fp[1] & fp[3])
+
+
+def test_word_ngrams_keeps_duplicates(spark):
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([("a b a b a",)], "text string")
+    out = df.select(word_ngrams(tokens(col("text")), 2).alias("g")).first()["g"]
+    assert out == ["a b", "b a", "a b", "b a"]  # duplicates preserved, in order
+
+
+def test_repetition_fraction_hand_check(spark):
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([("spam spam spam spam ham",)], "text string")
+    g = word_ngrams(tokens(col("text")), 2)
+    row = df.select(
+        F.size(g).alias("n"),
+        (F.size(g) - F.size(F.array_distinct(g))).alias("dups"),
+    ).first()
+    # 2-grams: [spam spam, spam spam, spam spam, spam ham] → 4 total, 2 dups
+    assert row["n"] == 4 and row["dups"] == 2
