@@ -51,12 +51,25 @@ def enriched_nation_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def _read_event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet with an event-time-safe ``ts``.
+
+    Parquet written with TIMESTAMP_NTZ (no zone) is rejected by
+    ``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); watermarks need
+    an instant.  Cast NTZ → TIMESTAMP (session-zone interpretation) so the
+    same pipeline accepts either physical encoding."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", col("ts").cast("timestamp"))
+    return stream
+
+
 def streaming_enriched_nation_counts(
     spark: SparkSession, events_path: str, customer: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:
     """enriched_nation_counts as an actual stream-static join."""
-    schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _read_event_stream(spark, events_path)
     return enriched_nation_counts(stream.withWatermark("ts", watermark), customer)
 
 
@@ -65,6 +78,5 @@ def streaming_tumbling_counts(
 ) -> DataFrame:
     """The same aggregation as an actual stream (parquet file source,
     availableNow-style processing in tests)."""
-    schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = _read_event_stream(spark, events_path)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
