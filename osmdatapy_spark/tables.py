@@ -39,3 +39,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+    """Give a CPU-bound per-row kernel cluster-wide parallelism.
+
+    Parquet scans split only at row-group boundaries, so a small file
+    yields a handful of tasks no matter how many cores exist — a
+    hash-per-k-gram kernel then serializes on 2 of 32 cores (measured 8x
+    wall-clock loss on the sf0.1 documents table).  When the scan's
+    partition count is below ``min_factor * defaultParallelism``,
+    round-robin repartition to the default parallelism; otherwise return
+    the input unchanged.  At 100 TB every table has thousands of row
+    groups, the guard never fires, and no shuffle is added — this is a
+    small-extract affordance, not a plan fixture.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df
