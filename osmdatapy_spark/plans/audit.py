@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 @dataclass
 class PlanSummary:
     n_exchanges: int = 0  # shuffle boundaries
+    n_roundrobin: int = 0  # round-robin repartitions (tables.spread — local-only)
     n_broadcasts: int = 0  # broadcast exchanges (not counted as shuffles)
     n_scans: int = 0
     n_codegen_stages: int = 0
@@ -63,6 +64,12 @@ def plan_summary(df: DataFrame) -> PlanSummary:
         rm = re.search(r"ReadSchema: (.*)", line)
         if rm:
             s.read_schemas.append(rm.group(1).strip())
+    # round-robin exchanges come only from deliberate repartition() calls
+    # (tables.spread — a small-file parallelism affordance that never fires
+    # at real scale, see its docstring); shape pins count DATA shuffles, so
+    # these are tracked separately and excluded by assert_plan
+    s.n_roundrobin = len(re.findall(r"roundrobinpartitioning", text, re.IGNORECASE))
+    s.n_exchanges -= min(s.n_roundrobin, s.n_exchanges)
     # whole-stage codegen spans show as "*(n)" in simple mode only
     simple = explain_text(df, "simple")
     s.n_codegen_stages = len(set(re.findall(r"\*\((\d+)\)", simple)))

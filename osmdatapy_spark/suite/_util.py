@@ -14,6 +14,15 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def TS(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table load for CPU-bound per-row kernels (hashing, shingling,
+    vector math): `spread` re-distributes a coarse small-file scan across
+    all cores; a no-op at real scale (see tables.spread)."""
+    from osmdatapy_spark.tables import spread
+
+    return spread(T(spark, sf_dir, name))
+
+
 def dec(c: str | Column, prec: int = 18, scale: int = 4) -> Column:
     """Exact-decimal view of a float column.
 

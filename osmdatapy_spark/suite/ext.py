@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.functions.similarity import grid_topk
-from osmdatapy_spark.suite._util import T, dsum
+from osmdatapy_spark.suite._util import T, TS, dsum
 from osmdatapy_spark.suite.osm import (
     NODES_CTE,
     WAY_TAGS_CTE,
@@ -584,7 +584,7 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cells; the join/partition shape is identical.",
 )
 def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
+    emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") % 50 == 0)
     out = grid_topk(emb, probes, "vec_id", "embedding", k=3, n_dims=4, decimals=4)
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
@@ -677,7 +677,7 @@ def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.similarity import ivf_topk
 
-    emb = T(spark, sf_dir, "embeddings")
+    emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") % 50 == 0)
     out = ivf_topk(emb, probes, "vec_id", "embedding", k=3, n_cells=8, n_probe=2, iters=1)
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))

@@ -36,7 +36,7 @@ from osmdatapy_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from osmdatapy_spark.suite._util import T
+from osmdatapy_spark.suite._util import T, TS
 from osmdatapy_spark.suite.registry import register
 
 # shared DuckDB CTEs ---------------------------------------------------------
@@ -92,7 +92,7 @@ JACCARD_SCORED_CTES = """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = TS(spark, sf_dir, "documents")
     return shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
 
 
@@ -317,7 +317,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intersection only on pruned candidates.",
 )
 def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = TS(spark, sf_dir, "documents")
     # one row per doc with its shingle set; persisted because three
     # downstream branches (explode for candidates, both sides of the pair
     # join) would otherwise each re-tokenize the corpus
@@ -464,7 +464,7 @@ def _simhash_oracle(bits: int = 16) -> str:
     "cheapest broadcastable similarity key.",
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents")
+    docs = TS(spark, sf_dir, "documents")
     tokenized = docs.select("doc_id", F.explode(tokens(col("text"))).alias("tok"))
     return simhash(tokenized, "doc_id", "tok", bits=16)
 
@@ -504,7 +504,7 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hyperplane_lsh_buckets.",
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
+    emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") < 10)
     out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, decimals=4)
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
@@ -578,7 +578,7 @@ def _embed_neardup_oracle(
     "(band,bucket,id) triples shuffle.",
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
+    emb = TS(spark, sf_dir, "embeddings")
     return embed_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, planes_per_band=2, dim=64
     )
@@ -719,9 +719,8 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.text import with_winnow_fingerprints
-    from osmdatapy_spark.tables import spread
 
-    docs = spread(T(spark, sf_dir, "documents"))
+    docs = TS(spark, sf_dir, "documents")
     d = with_winnow_fingerprints(docs, "text", "__fp", k=8, w=4)
     return d.select(
         "doc_id",
@@ -764,7 +763,7 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.text import word_ngrams
 
-    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
+    docs = TS(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
 
     def dup_frac(n: int):
         g = word_ngrams(col("__toks"), n)
@@ -808,7 +807,7 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-aggregated count per doc.",
 )
 def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sets = shingle_sets(T(spark, sf_dir, "documents"))
+    sets = shingle_sets(TS(spark, sf_dir, "documents"))
     bench_grams = (
         sets.filter(col("doc_id") % 37 == 0).select(F.explode("s").alias("g")).distinct()
     )
