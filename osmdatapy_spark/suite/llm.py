@@ -827,3 +827,168 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(col("n"), lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch construction + corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_sequence_pack",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM n
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, start_offset,
+           CAST(shard * 1000000 + start_offset // 256 AS BIGINT) AS seq_id,
+           CAST(start_offset % 256 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+    doc="Sequence packing for training-batch construction: concatenate "
+    "documents into fixed 256-token context windows (the pack-then-split "
+    "discipline — a document is assigned to the window its first token "
+    "lands in; the loader splits stragglers at window boundaries). "
+    "Scale shape: packing is a running token sum, which is inherently "
+    "sequential — so the corpus is sharded (doc_id % 16; one shard per "
+    "writer task at scale) and the cumsum window runs PER SHARD: one "
+    "hash exchange on the shard key, each shard's prefix sum independent. "
+    "A global single-partition window would serialize 100 TB through one "
+    "task; per-shard packing is how distributed tokenizer-writers "
+    "(Megatron/GPT-NeoX data preprocessing) actually lay out bins.",
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        (col("doc_id") % 16).alias("shard"),
+        F.size(tokens(col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = n.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), lit(0)).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        col("shard").cast("long").alias("shard"),
+        "n_tokens",
+        "start_offset",
+        (col("shard") * 1000000 + F.floor(col("start_offset") / 256)).cast("long").alias("seq_id"),
+        (col("start_offset") % 256).cast("long").alias("seq_offset"),
+    )
+
+
+@register(
+    "llm_char_diversity",
+    oracle=r"""
+    WITH ex AS (
+      SELECT doc_id, UNNEST(list_transform(generate_series(1, strlen(text)),
+                                           i -> substr(text, i, 1))) AS c
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, c, COUNT(*) AS k FROM ex GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(k * (k - 1)) AS DOUBLE) / (SUM(k) * (SUM(k) - 1)) AS collision_prob
+    FROM counts GROUP BY doc_id
+    """,
+    doc="Character-diversity quality score: the collision probability "
+    "(Simpson index) of the document's character distribution — a "
+    "degenerate/repetitive document (one char repeated, boilerplate runs) "
+    "scores near 1, natural text near the language's baseline.  Chosen "
+    "over Shannon entropy deliberately: the statistic is a ratio of "
+    "exact int64 sums, so one double division is bit-identical across "
+    "engines — no log() portability risk in the value hash.  Shape: "
+    "explode chars -> two partial-aggregated exchanges ((doc,char) then "
+    "doc) — the classic scalable frequency-histogram pipeline.",
+)
+def llm_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(F.split(col("text"), "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("k"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars_total"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        (
+            F.sum(col("k") * (col("k") - 1)).cast("double")
+            / (F.sum("k") * (F.sum("k") - lit(1)))
+        ).alias("collision_prob"),
+    )
+
+
+@register(
+    "llm_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {TOKS_CTE}, {SHINGLES_CTE}, {JACCARD_SCORED_CTES},
+    pairs AS (SELECT id_a, id_b FROM scored WHERE jac >= 0.5),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    cc(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT cc.a, s.b FROM cc JOIN sym s ON cc.b = s.a
+    ),
+    lbl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM cc GROUP BY a),
+    m AS (
+      SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+             len(regexp_split_to_array(trim(d.text), '\\s+')) AS nt
+      FROM documents d LEFT JOIN lbl l USING (doc_id)
+    ),
+    mx AS (SELECT cluster, MAX(nt) AS mxt FROM m GROUP BY cluster)
+    SELECT m.cluster,
+           CAST(MIN(CASE WHEN m.nt = mx.mxt THEN m.doc_id END) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM m JOIN mx USING (cluster)
+    GROUP BY m.cluster
+    """,
+    doc="End-to-end fuzzy-dedup pipeline — the composition a training-data "
+    "curator actually runs: n-gram Jaccard near-dup pairs (inverted-index "
+    "candidates, exact verify) -> transitive clustering (min-label "
+    "propagation) -> keep-best reduction per cluster (longest document, "
+    "min doc_id tiebreak).  One row per surviving cluster with its keeper "
+    "and member count.  Each stage is the already-pinned scale shape; the "
+    "composition adds one groupBy(cluster) exchange on top.",
+)
+def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_impl(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    m = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id",
+        F.coalesce(col("cluster"), col("doc_id")).alias("cluster"),
+        F.size(tokens(col("text"))).cast("long").alias("nt"),
+    )
+    # keeper = min doc_id among the cluster's longest members: a single
+    # min(struct) agg — negated length orders longest-first, then smallest id
+    best = m.groupBy("cluster").agg(
+        F.min(F.struct((-col("nt")).alias("neg"), col("doc_id").alias("d")))["d"].alias("keeper"),
+        F.count("*").alias("n_members"),
+    )
+    return best.select("cluster", col("keeper").cast("long"), col("n_members").cast("long"))

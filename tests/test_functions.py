@@ -511,3 +511,65 @@ def test_repetition_fraction_hand_check(spark):
     ).first()
     # 2-grams: [spam spam, spam spam, spam spam, spam ham] → 4 total, 2 dups
     assert row["n"] == 4 and row["dups"] == 2
+
+
+# --- round-2 additions: packing / diversity / dedup pipeline ---------------
+
+SF1 = "/root/testdata/sf0.001"
+
+
+def test_sequence_pack_invariants(spark):
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["llm_sequence_pack"].fn(spark, SF1).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        # prefix-sum discipline: offsets are the running token total per shard
+        run = 0
+        for r in members:
+            assert r["start_offset"] == run
+            assert r["seq_id"] == shard * 1_000_000 + r["start_offset"] // 256
+            assert 0 <= r["seq_offset"] < 256
+            run += r["n_tokens"]
+
+
+def test_char_diversity_matches_python(spark):
+    from collections import Counter
+
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+    from osmdatapy_spark.tables import load_table
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERY_REGISTRY["llm_char_diversity"].fn(spark, SF1).collect()
+    }
+    for row in load_table(spark, SF1, "documents").limit(20).collect():
+        c = Counter(row["text"])
+        n = sum(c.values())
+        want = sum(k * (k - 1) for k in c.values()) / (n * (n - 1))
+        r = got[row["doc_id"]]
+        assert r["n_chars_total"] == n
+        assert r["n_distinct_chars"] == len(c)
+        assert r["collision_prob"] == pytest.approx(want, abs=0)
+
+
+def test_dedup_pipeline_consistent_with_clusters(spark):
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+    from osmdatapy_spark.tables import load_table
+
+    clusters = QUERY_REGISTRY["llm_dedup_clusters"].fn(spark, SF1).collect()
+    pipeline = QUERY_REGISTRY["llm_dedup_pipeline"].fn(spark, SF1).collect()
+    sizes = {}
+    members = {}
+    for r in clusters:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+        members.setdefault(r["cluster"], set()).add(r["doc_id"])
+    assert {r["cluster"]: r["n_members"] for r in pipeline} == sizes
+    n_docs = load_table(spark, SF1, "documents").count()
+    assert sum(r["n_members"] for r in pipeline) == n_docs
+    for r in pipeline:
+        assert r["keeper"] in members[r["cluster"]]

@@ -106,7 +106,12 @@ _PYTHON_OK = {
 
 # iterative queries that execute driver-side loops at build time — their
 # final-plan audit is covered by their own operator tests
-_SKIP_BUILD = {"llm_dedup_clusters", "osm_relation_expand_depth3", "llm_ann_ivf_topk"}
+_SKIP_BUILD = {
+    "llm_dedup_clusters",
+    "llm_dedup_pipeline",
+    "osm_relation_expand_depth3",
+    "llm_ann_ivf_topk",
+}
 
 
 def test_all_query_plans_python_containment(spark):
