@@ -80,3 +80,29 @@ def streaming_tumbling_counts(
     availableNow-style processing in tests)."""
     stream = _read_event_stream(spark, events_path)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] | None = None,
+    watermark: str = "45 days",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first event seen per key, with the
+    dedup state EXPIRING at the watermark — the ingest-time dedup an LLM
+    data pipeline runs in front of its corpus store.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    key's event time falls behind the watermark, so state is bounded by
+    (key arrival rate × watermark horizon) instead of growing with the
+    whole history — the difference between a feasible and an impossible
+    100 TB/day dedup.  A duplicate arriving after its key expired is
+    re-emitted (the at-least-once trade); the downstream batch dedup
+    (llm_exact_dedup) remains the exactness backstop.
+
+    The batch equivalent is ``dropDuplicates(keys)`` / SELECT DISTINCT —
+    the parity test runs this stream with a watermark wider than the
+    fixture's 30-day span so both produce identical key sets."""
+    keys = keys or ["user_id", "event_type"]
+    stream = _read_event_stream(spark, events_path)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -980,6 +980,24 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_exact_dedup",
+    oracle="""
+    SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    """,
+    doc="Ingest-time streaming dedup (beyond-reference streaming face): "
+    "one surviving event per (user_id, event_type) key.  Batch face is "
+    "the distinct key set; under readStream the same keys go through "
+    "dropDuplicatesWithinWatermark, whose per-key state EXPIRES at the "
+    "watermark — bounded state at 100 TB/day versus dropDuplicates' "
+    "unbounded history. Streaming parity pinned by "
+    "tests/test_streaming.py::test_stream_dedup_matches_batch.",
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    return events.select("user_id", "event_type").distinct()
+
+
 # ---------------------------------------------------------------------------
 # G2/G5 relation route linestrings (reference _frame.py:87-105 line branch)
 # ---------------------------------------------------------------------------

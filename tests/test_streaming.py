@@ -103,3 +103,32 @@ def test_stateful_running_totals(spark, tmp_path):
     ).collect()
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 4)) for r in rows}
     assert got == batch
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark with a watermark wider than the
+    fixture's time span must emit exactly one row per key — the batch
+    DISTINCT key set."""
+    from osmdatapy_spark.streaming.windows import streaming_exact_dedup
+
+    events = load_table(spark, SF_DIR, "events")
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in events.select("user_id", "event_type").distinct().collect()
+    }
+
+    staged = str(tmp_path / "events_dedup")
+    events.write.parquet(staged)
+    q = (
+        streaming_exact_dedup(spark, staged)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select user_id, event_type from t_dedup").collect()
+    got = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate keys emitted"
+    assert set(got) == batch_keys
