@@ -1152,3 +1152,44 @@ def osm_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "osmid", wkb_info(point_wkb(col("lon"), col("lat"))).alias("i")
     )
     return lw.unionByName(pw).select("osmid", "i.gtype", "i.n_points", "i.x1", "i.y1")
+
+
+# ---------------------------------------------------------------------------
+# Pure-SQL entry path: ONE ANSI SQL text runs verbatim on both engines
+# ---------------------------------------------------------------------------
+
+TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           o_orderdate,
+           o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "rel_sql_tpch_q3",
+    oracle=TPCH_Q3_SQL,
+    doc="TPC-H Q3 (shipping priority) through the engine's SQL entry "
+    "point: the IDENTICAL ANSI SQL text is executed by spark.sql() over "
+    "registered views AND by the DuckDB oracle — pinning that the SQL "
+    "surface, not just the DataFrame API, is engine-portable.  Exact "
+    "DECIMAL revenue (order-independent), total ORDER BY with id "
+    "tiebreak so the LIMIT rows are deterministic.  Catalyst plans the "
+    "same shape as the DataFrame form: both dims broadcast, one "
+    "partial-aggregated exchange.",
+)
+def rel_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q3_SQL)

@@ -41,6 +41,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so the engine's second entry
+    point — plain ``spark.sql(...)`` — works against the same data the
+    DataFrame API sees.  Views go through ``load_table``, so physical
+    quirks (nano-timestamp events) are normalized identically."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def spread(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """Give a CPU-bound per-row kernel cluster-wide parallelism.
 

@@ -128,3 +128,11 @@ def test_all_query_plans_python_containment(spark):
         elif s.n_python_evals:
             offenders[name] = s.n_python_evals
     assert not offenders, f"unexpected Python nodes: {offenders}"
+
+
+def test_sql_entry_path_plan(spark):
+    # the SQL text entry point must plan exactly like the DataFrame form:
+    # both dimension joins broadcast, ONE partial-aggregated exchange for
+    # the groupBy (the top-k sort rides the AQE-planned result stage)
+    s = assert_plan(q(spark, "rel_sql_tpch_q3"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts == 2, s.text
