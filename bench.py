@@ -93,6 +93,23 @@ def run_pbf_scan(spark, sf: float) -> float:
     return time.time() - t0
 
 
+def run_pbf_query(spark, sf: float) -> float:
+    """The reference's whole reason to exist, end to end: open a .pbf,
+    run a default-style tag query with geometry (scan → Query compile →
+    coordinate join → linestring WKT) → noop sink.  Exercises S1-S11 +
+    P1-P9 + J4 + G2/G4 in one number — the 'highways of a regional
+    extract' workload a reference user actually runs."""
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+
+    path = _synthetic_pbf(sf)
+    t0 = time.time()
+    osm = OSM.from_pbf(spark, path)
+    q = Query(ways=True, nodes=False, relations=False, keep={"highway": []}, geometry=True)
+    osm.query(q).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -121,6 +138,7 @@ def main() -> None:
         for name in headline:
             timings[name] = round(run_query(QUERY_REGISTRY[name].fn, spark, sf_dir), 3)
         timings["pbf_scan"] = round(run_pbf_scan(spark, sf), 3)
+        timings["pbf_query"] = round(run_pbf_query(spark, sf), 3)
 
     out = {
         "metric": "headline query wall-clock (noop sink, warm JVM)",
