@@ -155,6 +155,11 @@ class OSM:
         BinaryType column (ISO little-endian WKB, EPSG:4326 column
         metadata) is appended next to the WKT — the binary surface the
         reference serves as shapely objects (``_frame.py:54-56``)."""
+        if wkb and not q.geometry:
+            raise ValueError(
+                "wkb=True requires a geometry query (Query(geometry=True)) — "
+                "there is no geometry column to encode"
+            )
         out = q.apply(self.elements)
 
         if q.geometry:
@@ -213,12 +218,7 @@ class OSM:
         # elements may carry refs inline (PBF scan) or only via the exploded
         # way_refs table (bronze-tier fixtures) — attach arrays on demand
         if q.ways and "refs" not in out.columns and self.way_refs is not None:
-            refs = self.way_refs.groupBy("way_id").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "node_id"))),
-                    lambda s: s["node_id"],
-                ).alias("refs")
-            )
+            refs = self._way_ref_arrays()
             out = out.join(
                 refs,
                 (out.osmid == refs.way_id) & (col("osmtype") == OSMTYPE_WAY),
@@ -319,6 +319,11 @@ class OSM:
         it holds only relation-type members, which are <1% of planet
         membership — so rounds after the first are near-free; real OSM
         nesting rarely exceeds depth ~6."""
+        if self.rel_members is None:
+            raise ValueError(
+                "expand_members requires relation membership: this OSM was "
+                "built without a rel_members table"
+            )
         base = self.rel_members.select(
             col("rel_id").alias("root_rel"),
             "member_id",
@@ -420,9 +425,13 @@ class OSM:
         )
         # ONE coordinate gather serves BOTH branches: the node join is the
         # expensive step of this pipeline (it shuffles ring points by node
-        # id), so the branches split only after it — per-branch gathers
-        # would scan+shuffle the nodes table twice
-        coords = self._ring_coords(chains, ["ring_role", "kind"])
+        # id), so the branches split only after it.  The split must be
+        # PHYSICAL, not just logical: Spark does not share subtrees across
+        # union branches, so without persist each branch would re-run the
+        # whole upstream (chain kernel + node join).  The persisted unit is
+        # per-ring coordinate arrays — relation rings only, a sliver of the
+        # corpus even at planet scale
+        coords = self._ring_coords(chains, ["ring_role", "kind"]).persist()
         areas = self._assemble_areas(coords.filter(col("kind") == "area"))
         lines = self._assemble_lines(coords.filter(col("kind") == "line"))
         return areas.unionByName(lines)

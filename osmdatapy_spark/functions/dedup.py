@@ -74,6 +74,11 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0)
 
     With ``max_bucket=0`` the expansion is exhaustive (callers must bound
     size upstream)."""
+    if max_bucket == 1:
+        # a 1-id window cannot pair anything and the chunk stride (m-1)
+        # would be zero — reject rather than silently falling through to
+        # the EXHAUSTIVE expansion (the opposite of what a tight cap asks)
+        raise ValueError("max_bucket must be 0 (unbounded) or >= 2")
     if max_bucket > 1:
         s, m = max_bucket - 1, max_bucket
         window = f"((i div {s}) * {s}) + {m} - i - 1"

@@ -33,7 +33,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL for zero-norm vectors (empty/degenerate embeddings) instead of
+    an ANSI DIVIDE_BY_ZERO that would kill the whole job — NULL cosines
+    rank last / fail thresholds, which is the semantics a curator wants."""
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), lit(0.0))
 
 
 def brute_force_topk(
@@ -175,6 +178,12 @@ def kmeans_centroids(
     v = corpus.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
     seed_rows = v.orderBy("_id").limit(k).collect()
     centroids = [list(r["v"]) for r in seed_rows]
+    # a corpus smaller than k seeds fewer cells — shrink k to what exists
+    # (a degraded-but-working quantizer) instead of indexing past the
+    # seed list in the update below
+    k = len(centroids)
+    if k == 0:
+        return []
     for _ in range(iters):
         comps = (
             v.withColumn("cell", nearest_cell(col("v"), centroids))

@@ -65,7 +65,7 @@ class Datasource:
 
     def download_all(
         self, path: str, places: list[str], max_workers: int = 8
-    ) -> dict[str, Path]:
+    ) -> dict[str, "Path | Exception"]:
         """Fetch MANY places concurrently (reference fetches extracts with
         asyncio + fallback URLs, datasource/datasource.py:8-71; stdlib
         threads here — downloads are I/O-bound, so threads parallelize them

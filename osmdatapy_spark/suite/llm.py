@@ -110,7 +110,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
            CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
              / len(t) AS stop_ratio,
-           CAST(list_sum(list_transform(t, x -> CAST(strlen(x) AS BIGINT))) AS DOUBLE)
+           CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
              / len(t) AS avg_token_len
     FROM toks
     """,
@@ -692,7 +692,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH g AS (
       SELECT doc_id,
-             list_transform(generate_series(1, greatest(strlen(text) - 7, 0)),
+             list_transform(generate_series(1, greatest(length(text) - 7, 0)),
                             i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS h
       FROM documents
     ),
@@ -898,7 +898,7 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_char_diversity",
     oracle=r"""
     WITH ex AS (
-      SELECT doc_id, UNNEST(list_transform(generate_series(1, strlen(text)),
+      SELECT doc_id, UNNEST(list_transform(generate_series(1, length(text)),
                                            i -> substr(text, i, 1))) AS c
       FROM documents
     ),

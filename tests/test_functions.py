@@ -573,3 +573,50 @@ def test_dedup_pipeline_consistent_with_clusters(spark):
     assert sum(r["n_members"] for r in pipeline) == n_docs
     for r in pipeline:
         assert r["keeper"] in members[r["cluster"]]
+
+
+def test_bucket_cap_of_one_rejected():
+    from osmdatapy_spark.functions.dedup import _bucket_pairs
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        _bucket_pairs(None, max_bucket=1)
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    """Fewer vectors than cells must degrade to a working quantizer, not
+    crash the centroid update."""
+    from osmdatapy_spark.functions.similarity import ivf_topk, kmeans_centroids
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i), float(-i)]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(tiny, "vec_id", "embedding", k=8, iters=1)
+    assert len(cents) == 3
+    out = ivf_topk(tiny, tiny, "vec_id", "embedding", k=2, n_cells=8, n_probe=2)
+    assert out.count() > 0
+
+
+def test_wkb_without_geometry_rejected(spark):
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+
+    elements = spark.createDataFrame(
+        [(1, 1, {"highway": "residential"})],
+        "osmid long, osmtype tinyint, tags map<string,string>",
+    )
+    nodes = spark.createDataFrame([(1, 0.0, 0.0)], "osmid long, lon double, lat double")
+    osm = OSM.from_tables(elements, nodes)
+    with pytest.raises(ValueError, match="geometry"):
+        osm.query(Query(ways=True), wkb=True)
+
+
+def test_expand_members_without_rel_members_rejected(spark):
+    from osmdatapy_spark.engine import OSM
+
+    elements = spark.createDataFrame(
+        [(1, 0, {})], "osmid long, osmtype tinyint, tags map<string,string>"
+    )
+    nodes = spark.createDataFrame([(1, 0.0, 0.0)], "osmid long, lon double, lat double")
+    with pytest.raises(ValueError, match="rel_members"):
+        OSM.from_tables(elements, nodes).expand_members()
