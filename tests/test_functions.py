@@ -620,3 +620,46 @@ def test_expand_members_without_rel_members_rejected(spark):
     nodes = spark.createDataFrame([(1, 0.0, 0.0)], "osmid long, lon double, lat double")
     with pytest.raises(ValueError, match="rel_members"):
         OSM.from_tables(elements, nodes).expand_members()
+
+
+def test_char_semantics_match_duckdb_on_non_ascii(spark):
+    """Oracles must use CHAR semantics (length), not BYTE semantics
+    (strlen): pin Spark-vs-DuckDB equality of the winnowing gram count and
+    the char histogram on accented/CJK/emoji text."""
+    import duckdb
+
+    texts = ["café au lait", "naïve résumé", "日本語のテキストです", "emoji 🚀 test", "plain ascii"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    from osmdatapy_spark.functions.text import with_winnow_fingerprints
+
+    got = {
+        r["doc_id"]: (r["n_grams"], sorted(r["fp"]))
+        for r in with_winnow_fingerprints(df, "text", "fp")
+        .select(
+            "doc_id",
+            F.greatest(F.length(col("text")) - F.lit(7), F.lit(0)).cast("long").alias("n_grams"),
+            "fp",
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    rows = con.execute(
+        """
+        WITH g AS (
+          SELECT doc_id,
+                 list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                                i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS h
+          FROM d
+        )
+        SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+               list_sort(list_distinct(list_transform(generate_series(1, greatest(len(h) - 3, 0)),
+                              i -> least(h[i], h[i+1], h[i+2], h[i+3])))) AS f
+        FROM g
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], sorted(r[2])) for r in rows}
+    assert got == want
