@@ -663,3 +663,30 @@ def test_char_semantics_match_duckdb_on_non_ascii(spark):
     ).fetchall()
     want = {r[0]: (r[1], sorted(r[2])) for r in rows}
     assert got == want
+
+
+def test_write_corpus_partitioned_layout(spark, tmp_path):
+    """Partitioned sink: directory-level lang partitions exist, rows round-trip,
+    and a lang filter prunes at the listing level (partition filter, no
+    pushed data filter needed)."""
+    import os
+
+    from osmdatapy_spark.sinks import read_corpus, write_corpus
+    from osmdatapy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "corpus")
+    write_corpus(docs, out, partition_by=["lang"], max_records_per_file=50)
+
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+
+    back = read_corpus(spark, out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+    # partition pruning: the lang predicate must vanish into the listing
+    one = back.filter(F.col("lang") == sorted(langs)[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert one.count() == docs.filter(F.col("lang") == sorted(langs)[0]).count()
