@@ -1037,3 +1037,79 @@ def llm_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nt").cast("long").alias("max_tokens"),
         (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
     )
+
+
+@register(
+    "llm_label_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT label, UNNEST(generate_series(1, len(v))) AS idx, UNNEST(v) AS val FROM v
+    ),
+    m AS (
+      SELECT label, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY label, idx
+    ),
+    c AS (SELECT label, list(cval ORDER BY idx) AS cvec FROM m GROUP BY label),
+    d AS (
+      SELECT vec_id, v.label,
+             round(list_sum(list_transform(generate_series(1, len(v.v)),
+                            i -> (v.v[i] - c.cvec[i]) * (v.v[i] - c.cvec[i]))), 6) AS dist
+      FROM v JOIN c USING (label)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+      FROM d
+    )
+    SELECT vec_id, label, dist, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+    """,
+    doc="Label-noise detection (training-data QA): per-label embedding "
+    "centroid (exact DECIMAL component means — order-independent, so the "
+    "oracle replays them bit-for-bit), then each vector's rounded squared "
+    "L2 distance to its OWN label's centroid; the top-5 farthest per "
+    "label are the mislabeled-sample candidates a curator reviews.  "
+    "Shape: one partial-aggregated (label, idx) exchange for centroids, "
+    "centroids BROADCAST back (labels are few), distances are a "
+    "zero-shuffle projection, one per-label window for the ranking.",
+)
+def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import as_double
+
+    emb = TS(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", as_double(col("embedding")).alias("v"))
+    comps = (
+        v.select("label", F.posexplode("v").alias("idx", "val"))
+        .groupBy("label", "idx")
+        .agg(
+            (F.sum(col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "cval"
+            )
+        )
+    )
+    cents = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cval"))), lambda s: s["cval"]
+        ).alias("cvec")
+    )
+    d = v.join(F.broadcast(cents), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(col("v"), col("cvec"), lambda x, c: (x - c) * (x - c)),
+                lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("label").orderBy(col("dist").desc(), col("vec_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("vec_id", "label", "dist", col("rank").cast("long").alias("rank"))
+    )
