@@ -1193,3 +1193,24 @@ def rel_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q3_SQL)
+
+
+@register(
+    "osm_bbox_filter",
+    oracle=f"""
+    WITH {NODES_CTE}
+    SELECT osmid, lon, lat FROM nodes
+    WHERE lon BETWEEN -10.0 AND 40.0 AND lat BETWEEN 30.0 AND 60.0
+    """,
+    doc="Spatial bbox filter over the node table (beyond-reference: the "
+    "reference has no spatial predicate — extracts ARE its bbox). A pure "
+    "range predicate: on bronze parquet sorted/z-ordered by (lon, lat) "
+    "the min/max row-group statistics prune the scan to the bbox's "
+    "stripes — the standard poor-man's spatial index; no geo extension "
+    "needed for rectangle queries.",
+)
+def osm_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = derived_nodes(spark, sf_dir)
+    return nodes.filter(
+        col("lon").between(-10.0, 40.0) & col("lat").between(30.0, 60.0)
+    )

@@ -1113,3 +1113,108 @@ def llm_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rank") <= 5)
         .select("vec_id", "label", "dist", col("rank").cast("long").alias("rank"))
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    mins = ",\n        ".join(
+        f"min(substr(md5('{p // 4}|' || g), {(p % 4) * 8 + 1}, 8)) AS m{p}" for p in range(8)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS val FROM sig" for b in range(4)
+    )
+    return f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    store_fp AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 10 = 0
+    ),
+    store_bands AS (
+      SELECT DISTINCT band, val FROM bands WHERE doc_id % 10 = 0
+    ),
+    new_docs AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+    ),
+    near AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN store_bands s ON b.band = s.band AND b.val = s.val
+      WHERE b.doc_id % 10 <> 0
+    )
+    SELECT n.doc_id,
+           n.fp IN (SELECT fp FROM store_fp) AS exact_dup,
+           n.doc_id IN (SELECT doc_id FROM near) AS near_dup
+    FROM new_docs n
+    """
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    doc="Incremental ingest dedup against an existing corpus store (docs "
+    "with doc_id % 10 = 0 stand in for the already-ingested corpus): each "
+    "NEW document is flagged exact_dup if its md5 fingerprint exists in "
+    "the store, near_dup if ANY of its MinHash band signatures collides "
+    "with a stored band signature — the standard two-tier gate an ingest "
+    "pipeline runs per batch, without ever re-clustering the store.  "
+    "Scale shape: the store ships only fingerprints and band signatures "
+    "(bytes per doc, not text); both probes are left-semi joins keyed by "
+    "fingerprint/band value, so the new batch shuffles once per tier and "
+    "the store side is amortized across batches (persisted fingerprint "
+    "tables in production).",
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import fingerprint
+
+    docs = TS(spark, sf_dir, "documents")
+    sets = shingle_sets(docs)
+    shingled = sets.select("doc_id", F.explode(col("s")).alias("s"))
+    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        lit(b).alias("band"),
+                        F.concat(col(f"mh{2*b}"), col(f"mh{2*b+1}")).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", col("bv.band").alias("band"), col("bv.val").alias("val"))
+
+    is_store = col("doc_id") % 10 == 0
+    store_fp = docs.filter(is_store).select(fingerprint(col("text")).alias("fp")).distinct()
+    store_bands = bands.filter(is_store).select("band", "val").distinct()
+
+    new_docs = docs.filter(~is_store).select("doc_id", fingerprint(col("text")).alias("fp"))
+    exact = (
+        new_docs.join(store_fp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", lit(True))
+    )
+    near = (
+        bands.filter(~is_store)
+        .join(store_bands, ["band", "val"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", lit(True))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("exact_dup"), lit(False)).alias("exact_dup"),
+            F.coalesce(col("near_dup"), lit(False)).alias("near_dup"),
+        )
+    )
