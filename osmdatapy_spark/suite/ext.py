@@ -1200,7 +1200,7 @@ def rel_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {NODES_CTE}
     SELECT osmid, lon, lat FROM nodes
-    WHERE lon BETWEEN -10.0 AND 40.0 AND lat BETWEEN 30.0 AND 60.0
+    WHERE lon BETWEEN -10.0 AND 40.0 AND lat BETWEEN -85.0 AND -50.0
     """,
     doc="Spatial bbox filter over the node table (beyond-reference: the "
     "reference has no spatial predicate — extracts ARE its bbox). A pure "
@@ -1212,5 +1212,5 @@ def rel_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def osm_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = derived_nodes(spark, sf_dir)
     return nodes.filter(
-        col("lon").between(-10.0, 40.0) & col("lat").between(30.0, 60.0)
+        col("lon").between(-10.0, 40.0) & col("lat").between(-85.0, -50.0)
     )
