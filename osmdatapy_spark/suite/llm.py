@@ -1218,3 +1218,57 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(col("near_dup"), lit(False)).alias("near_dup"),
         )
     )
+
+
+@register(
+    "llm_ngram_counts",
+    oracle=f"""
+    WITH {TOKS_CTE},
+    grams AS (
+      SELECT 1 AS n, UNNEST(t) AS g FROM toks
+      UNION ALL
+      SELECT 2 AS n, UNNEST(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                     i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+      UNION ALL
+      SELECT 3 AS n, UNNEST(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks
+    ),
+    counted AS (SELECT n, g, COUNT(*) AS cnt FROM grams GROUP BY n, g),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, n, g) AS rnk FROM counted
+    )
+    SELECT CAST(n AS BIGINT) AS n, g AS gram, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 100
+    """,
+    doc="Corpus-wide n-gram count table (1-3 grams), top-100 — the "
+    "canonical wordcount-at-scale workload, used for LM smoothing "
+    "tables, boilerplate detection, and stopword induction.  Shape: "
+    "token arrays expand to grams IN-ROW (no explode until the count), "
+    "then ONE partial-aggregated exchange keyed by (n, gram) and a "
+    "driver-bounded top-k (TakeOrdered, no global sort).  Total order "
+    "(count desc, n, gram) makes the top-100 deterministic.",
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    docs = TS(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
+    grams = None
+    for n in (1, 2, 3):
+        g = docs.select(
+            lit(n).alias("n"),
+            F.explode(word_ngrams(col("__toks"), n) if n > 1 else col("__toks")).alias("g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counted = grams.groupBy("n", "g").agg(F.count("*").alias("cnt"))
+    # top-k FIRST via orderBy+limit (planned as TakeOrdered — per-partition
+    # heaps, no global sort), THEN rank the surviving 100 rows; a
+    # row_number window over the full count table would funnel every gram
+    # through one partition
+    top = counted.orderBy(col("cnt").desc(), col("n"), col("g")).limit(100)
+    w = Window.orderBy(col("cnt").desc(), col("n"), col("g"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(col("n").cast("long"), col("g").alias("gram"), "cnt", col("rnk").cast("long"))
+    )
