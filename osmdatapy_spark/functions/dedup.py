@@ -92,6 +92,27 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0)
     return buckets.select(F.explode(F.expr(combos)).alias("p")).select("p.id_a", "p.id_b")
 
 
+def band_rows(
+    signatures: DataFrame, id_col: str, num_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(id, band, val) rows from mh0..mh{k-1} signature columns — the ONE
+    definition of the band layout, shared by ``lsh_band_pairs`` and the
+    incremental-ingest probe so they can never silently diverge."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                lit(b).alias("band"),
+                F.concat(*[col(f"mh{b * band_size + i}") for i in range(band_size)]).alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(col(id_col), F.explode(bands).alias("bv")).select(
+        col(id_col), col("bv.band").alias("band"), col("bv.val").alias("val")
+    )
+
+
 def lsh_band_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -110,19 +131,7 @@ def lsh_band_pairs(
     shuffles three times and re-runs the signature pipeline per join side
     (Spark does not reuse the exchange across self-join branches here —
     measured).  Pair expansion is executor-local array math."""
-    n_bands = num_perm // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                lit(b).alias("band"),
-                F.concat(*[col(f"mh{b * band_size + i}") for i in range(band_size)]).alias("val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = signatures.select(col(id_col), F.explode(bands).alias("bv")).select(
-        col(id_col), col("bv.band").alias("band"), col("bv.val").alias("val")
-    )
+    exploded = band_rows(signatures, id_col, num_perm=num_perm, band_size=band_size)
     buckets = (
         exploded.groupBy("band", "val")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

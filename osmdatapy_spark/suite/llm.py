@@ -1170,26 +1170,16 @@ def _incremental_dedup_oracle() -> str:
     "tables in production).",
 )
 def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.dedup import band_rows
     from osmdatapy_spark.functions.text import fingerprint
 
     docs = TS(spark, sf_dir, "documents")
-    sets = shingle_sets(docs)
-    shingled = sets.select("doc_id", F.explode(col("s")).alias("s"))
-    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        lit(b).alias("band"),
-                        F.concat(col(f"mh{2*b}"), col(f"mh{2*b+1}")).alias("val"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", col("bv.band").alias("band"), col("bv.val").alias("val"))
+    sig = minhash_signature(_shingled(spark, sf_dir), "doc_id", "s", num_perm=8)
+    # both sides of the band probe read this lineage; persist so the
+    # whole-corpus shingle+hash pipeline runs once, not once per branch
+    # (production keeps the store's signatures as a materialized table —
+    # this persist is the single-batch stand-in for it)
+    bands = band_rows(sig, "doc_id", num_perm=8, band_size=2).persist()
 
     is_store = col("doc_id") % 10 == 0
     store_fp = docs.filter(is_store).select(fingerprint(col("text")).alias("fp")).distinct()
@@ -1253,14 +1243,18 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.text import word_ngrams
 
+    # ONE scan + ONE tokenization: all three gram sizes become (n, gram)
+    # structs in-row, exploded once — a per-n union would re-scan and
+    # re-tokenize the corpus three times (union branches don't share
+    # subtrees)
     docs = TS(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
-    grams = None
-    for n in (1, 2, 3):
-        g = docs.select(
-            lit(n).alias("n"),
-            F.explode(word_ngrams(col("__toks"), n) if n > 1 else col("__toks")).alias("g"),
-        )
-        grams = g if grams is None else grams.unionByName(g)
+    tagged = lambda n: F.transform(  # noqa: E731
+        word_ngrams(col("__toks"), n) if n > 1 else col("__toks"),
+        lambda g: F.struct(lit(n).alias("n"), g.alias("g")),
+    )
+    grams = docs.select(
+        F.explode(F.concat(tagged(1), tagged(2), tagged(3))).alias("t")
+    ).select(col("t.n").alias("n"), col("t.g").alias("g"))
     counted = grams.groupBy("n", "g").agg(F.count("*").alias("cnt"))
     # top-k FIRST via orderBy+limit (planned as TakeOrdered — per-partition
     # heaps, no global sort), THEN rank the surviving 100 rows; a

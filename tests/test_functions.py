@@ -674,7 +674,7 @@ def test_write_corpus_partitioned_layout(spark, tmp_path):
     from osmdatapy_spark.sinks import read_corpus, write_corpus
     from osmdatapy_spark.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF1, "documents")
     out = str(tmp_path / "corpus")
     write_corpus(docs, out, partition_by=["lang"], max_records_per_file=50)
 
@@ -685,8 +685,9 @@ def test_write_corpus_partitioned_layout(spark, tmp_path):
     assert back.count() == docs.count()
     assert set(back.columns) == set(docs.columns)
 
-    # partition pruning: the lang predicate must vanish into the listing
+    # partition pruning: the lang predicate must become a PARTITION filter
+    # (listing-level pruning), not a post-scan data filter
     one = back.filter(F.col("lang") == sorted(langs)[0])
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
     assert one.count() == docs.filter(F.col("lang") == sorted(langs)[0]).count()
