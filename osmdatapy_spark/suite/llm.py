@@ -908,7 +908,7 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(k) AS BIGINT) AS n_chars_total,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
-           CAST(SUM(k * (k - 1)) AS DOUBLE) / (SUM(k) * (SUM(k) - 1)) AS collision_prob
+           CAST(SUM(k * (k - 1)) AS DOUBLE) / NULLIF(SUM(k) * (SUM(k) - 1), 0) AS collision_prob
     FROM counts GROUP BY doc_id
     """,
     doc="Character-diversity quality score: the collision probability "
@@ -932,8 +932,9 @@ def llm_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("n_chars_total"),
         F.count("*").cast("long").alias("n_distinct_chars"),
         (
+            # NULL (not an ANSI divide-by-zero job abort) for 1-char docs
             F.sum(col("k") * (col("k") - 1)).cast("double")
-            / (F.sum("k") * (F.sum("k") - lit(1)))
+            / F.nullif(F.sum("k") * (F.sum("k") - lit(1)), lit(0))
         ).alias("collision_prob"),
     )
 
