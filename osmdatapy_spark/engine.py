@@ -39,11 +39,29 @@ class OSM:
 
     def __init__(
         self,
-        elements: DataFrame,
-        nodes: DataFrame,
+        elements: "DataFrame | str",
+        nodes: Optional[DataFrame] = None,
         way_refs: Optional[DataFrame] = None,
         rel_members: Optional[DataFrame] = None,
+        spark: Optional[SparkSession] = None,
     ):
+        # drop-in parity with the reference's entry point OSM(filepath)
+        # (osmdata.py:29): a string path opens through the PBF data source
+        # on the active (or a fresh tuned) session
+        if isinstance(elements, str):
+            from osmdatapy_spark.sources.pbf import read_pbf_tables
+
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            if spark is None:
+                from osmdatapy_spark.session import get_spark
+
+                spark = get_spark()
+            tables = read_pbf_tables(spark, elements)
+            elements, nodes = tables["elements"], tables["nodes"]
+            way_refs, rel_members = tables["way_refs"], tables["rel_members"]
+        if nodes is None:
+            raise ValueError("OSM needs a nodes table (or a .pbf path)")
         self.elements = elements
         self.nodes = nodes
         self.way_refs = way_refs

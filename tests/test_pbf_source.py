@@ -240,3 +240,21 @@ def test_bucketed_bronze_join_has_no_exchange(spark, fixture_pbf, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bronze_nodes")
         spark.sql("DROP TABLE IF EXISTS bronze_way_refs")
+
+
+def test_osm_filepath_constructor_parity(spark, tmp_path):
+    """Reference drop-in: OSM('file.pbf') on the active session must equal
+    OSM.from_pbf(spark, path) (osmdata.py:29 entry point)."""
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter(codec="zlib")
+    w.add_dense_nodes([(1, 1.0, 2.0, {"amenity": "cafe"}), (2, 3.0, 4.0, {})])
+    w.add_ways([(10, [1, 2], {"highway": "path"})])
+    path = str(tmp_path / "tiny.osm.pbf")
+    w.write(path)
+
+    via_str = OSM(path)
+    via_cls = OSM.from_pbf(spark, path)
+    assert via_str.elements.count() == via_cls.elements.count() == 3
+    assert via_str.nodes.count() == 2
