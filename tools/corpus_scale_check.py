@@ -1,0 +1,106 @@
+"""Corpus-scale smoke: the dedup/fingerprint family at 20x the sf0.1
+document count, on a GENERATED corpus (spark.range + Column algebra — no
+driver-side data, no testdata dependency).
+
+Not a correctness oracle (check_oracle.py is); this verifies the
+pipelines' SHAPES survive a corpus with real duplicate structure at a
+scale where a quadratic or per-branch-recompute mistake becomes minutes,
+and reports wall times per family.
+
+Run: python tools/corpus_scale_check.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+from osmdatapy_spark.session import get_spark
+
+
+P = 10_000_019  # prime >> n_docs * 43: token ids never collide by accident
+
+
+def _doc_text(doc: F.Column) -> F.Column:
+    """40 deterministic tokens, unique to the doc id (modulo the planted
+    structure in synth_corpus)."""
+    return F.concat_ws(
+        " ",
+        *[
+            F.concat(lit(f"w{j}_"), ((doc * (j + 3) + j) % P).cast("string"))
+            for j in range(40)
+        ],
+    )
+
+
+def synth_corpus(spark, n: int):
+    """n docs, 40 tokens each; every doc with id % 50 == 1 is an EXACT
+    duplicate of its block head (id - 1 mod structure), everything else
+    unique.  Deterministic, generated executor-side — no driver data."""
+    base = spark.range(n).select(col("id").alias("doc_id"))
+    block_head = (col("doc_id") - (col("doc_id") % 50)).cast("long")
+    return base.select(
+        "doc_id",
+        F.when(col("doc_id") % 50 == 1, _doc_text(block_head))
+        .otherwise(_doc_text(col("doc_id").cast("long")))
+        .alias("text"),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("corpus-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_corpus(spark, n).repartition(64).persist()
+    print(f"corpus: {docs.count()} docs")
+
+    from osmdatapy_spark.functions.dedup import (
+        exact_dedup,
+        lsh_band_pairs,
+        minhash_signature,
+        simhash,
+    )
+    from osmdatapy_spark.functions.text import (
+        fingerprint,
+        shingle_sets,
+        tokens,
+        with_winnow_fingerprints,
+    )
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        print(f"{name:<28}{time.time() - t0:6.1f}s  {out}")
+
+    planted = n // 50  # one exact duplicate per 50-doc block
+
+    def check_exact():
+        got = exact_dedup(docs, "doc_id", fingerprint(col("text"))).filter(col("n_dups") > 1).count()
+        assert got == planted, f"expected {planted} dup groups, got {got}"
+        return f"{got} dup groups (== planted)"
+
+    timed("exact dedup", check_exact)
+    sh = shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
+    sig = minhash_signature(sh, "doc_id", "s", num_perm=8).persist()
+    timed("minhash signatures", lambda: f"{sig.count()} signatures")
+
+    def check_lsh():
+        got = lsh_band_pairs(sig, "doc_id", max_bucket=50).count()
+        # identical docs agree on every band: exact dups are ALWAYS candidates
+        assert got >= planted, f"LSH recall broken: {got} < {planted} planted pairs"
+        return f"{got} candidate pairs (recall on {planted} planted: full)"
+
+    timed("lsh band pairs", check_lsh)
+    timed("simhash", lambda: f"{simhash(docs.select('doc_id', F.explode(tokens(col('text'))).alias('tok')), 'doc_id', 'tok').count()} signatures")
+    timed("winnow fingerprints", lambda: f"{with_winnow_fingerprints(docs, 'text', 'fp').select(F.sum(F.size('fp'))).first()[0]} fingerprints")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
