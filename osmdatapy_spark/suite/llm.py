@@ -1267,3 +1267,71 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(w))
         .select(col("n").cast("long"), col("g").alias("gram"), "cnt", col("rnk").cast("long"))
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    mins = ",\n        ".join(
+        f"min(substr(md5('{p // 4}|' || g), {(p % 4) * 8 + 1}, 8)) AS m{p}" for p in range(8)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, m{2*b} || m{2*b+1} AS val FROM sig" for b in range(4)
+    )
+    agree = " + ".join(f"CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END" for p in range(8))
+    return f"""
+    WITH {TOKS_CTE}, {SHINGLES_CTE},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    pex AS (
+      SELECT band, val, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT band, val, list_sort(list(doc_id)) AS ids FROM bands GROUP BY band, val
+      )
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.band = b.band AND a.val = b.val AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 49) * 49 + 50
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(({agree}) AS DOUBLE) / 8 AS est_jaccard
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.id_a
+    JOIN sig b ON b.doc_id = p.id_b
+    """
+
+
+@register(
+    "llm_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    doc="MinHash similarity ESTIMATION: for each LSH candidate pair, the "
+    "fraction of agreeing signature components estimates the Jaccard "
+    "similarity — E[agree/k] = J(a,b), the textbook MinHash property.  "
+    "This is the no-second-pass scale path: the estimate needs only the "
+    "8-component signatures (already computed for banding), never a "
+    "re-read of the shingle sets — at 100 TB the raw text is touched "
+    "once, and pair scoring joins a table of 8 short strings per doc.  "
+    "Exact verification (llm_jaccard_pairs) remains the precision tier.",
+)
+def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.dedup import lsh_band_pairs
+
+    sig = minhash_signature(_shingled(spark, sf_dir), "doc_id", "s", num_perm=8).persist()
+    pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
+    sa = sig.select(col("doc_id").alias("id_a"), *[col(f"mh{p}").alias(f"a{p}") for p in range(8)])
+    sb = sig.select(col("doc_id").alias("id_b"), *[col(f"mh{p}").alias(f"b{p}") for p in range(8)])
+    agree = sum(
+        F.when(col(f"a{p}") == col(f"b{p}"), 1).otherwise(0) for p in range(8)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (agree.cast("double") / 8).alias("est_jaccard"))
+    )

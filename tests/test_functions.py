@@ -691,3 +691,23 @@ def test_write_corpus_partitioned_layout(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     assert one.count() == docs.filter(F.col("lang") == sorted(langs)[0]).count()
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """E[agree/k] = J: with k=8 the per-pair sd is ~0.17, so on the
+    near-dup pairs (J >= 0.5) the mean absolute estimation error must stay
+    well under one sd."""
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jac"]
+        for r in QUERY_REGISTRY["llm_jaccard_pairs"].fn(spark, SF1).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in QUERY_REGISTRY["llm_minhash_estimate"].fn(spark, SF1).collect()
+    }
+    common = set(exact) & set(est)
+    assert common, "no overlapping pairs between exact and estimated"
+    mae = sum(abs(exact[p] - est[p]) for p in common) / len(common)
+    assert mae < 0.17, f"mean |est - exact| = {mae:.3f} over {len(common)} pairs"

@@ -14,6 +14,19 @@ from osmdatapy_spark.tables import load_table
 SF_DIR = "/root/testdata/sf0.001"
 
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _cold_plans(spark):
+    """Plan-shape assertions are about the COLD plan: queries that persist
+    shared lineage (minhash signatures, ring coords) register cache
+    entries that would otherwise substitute InMemoryTableScans into later
+    tests' plans and shift exchange counts."""
+    spark.catalog.clearCache()
+    yield
+
+
 def q(spark, name):
     return QUERY_REGISTRY[name].fn(spark, SF_DIR)
 
