@@ -227,6 +227,31 @@ class OSM:
             )
         return out
 
+    @staticmethod
+    def to_geodataframe(result: DataFrame, geometry_col: str = "geometry"):
+        """Materialize a geometry query result as a geopandas GeoDataFrame
+        with CRS EPSG:4326 — the reference's native output surface
+        (``_frame.py:54-56``).  Import-gated: shapely/geopandas are not
+        engine dependencies (WKT/WKB columns are the cluster-side
+        contract); this is the driver-side convenience for users whose
+        environment has the geo stack.  Collects — small results only."""
+        try:
+            import geopandas as gpd
+            from shapely import wkt as shapely_wkt
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "to_geodataframe needs shapely + geopandas; the engine "
+                "itself serves WKT ('geometry') and WKB ('geometry_wkb', "
+                "query(wkb=True)) columns without them"
+            ) from e
+        pdf = result.toPandas()
+        geoms = pdf[geometry_col].map(
+            lambda w: shapely_wkt.loads(w) if w is not None else None
+        )
+        return gpd.GeoDataFrame(
+            pdf.drop(columns=[geometry_col]), geometry=geoms, crs="EPSG:4326"
+        )
+
     def _with_geometry(self, out: DataFrame, q: Query) -> DataFrame:
         """Node/way geometry attachment, gated on the query's element kinds:
         a relation-only query joins neither the nodes table nor way refs —

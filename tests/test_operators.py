@@ -194,3 +194,23 @@ def test_expand_members_cycle_terminates_at_cap(spark):
     rows = osm.expand_members(max_depth=4).collect()
     assert max(r["depth"] for r in rows) == 4
     assert len(rows) == 8  # 2 edges per depth, 4 depths
+
+
+def test_to_geodataframe_import_gated(spark):
+    """Without shapely/geopandas installed the conversion must fail with a
+    clear ImportError naming the WKT/WKB fallback; with them it returns a
+    GeoDataFrame (env-dependent branch)."""
+    import pytest
+
+    from osmdatapy_spark.engine import OSM
+
+    df = spark.createDataFrame([(1, "POINT (1 2)")], "osmid long, geometry string")
+    try:
+        import geopandas  # noqa: F401
+        import shapely  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="geometry_wkb"):
+            OSM.to_geodataframe(df)
+    else:
+        gdf = OSM.to_geodataframe(df)
+        assert gdf.crs is not None and gdf.geometry.iloc[0].x == 1.0
