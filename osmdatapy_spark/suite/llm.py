@@ -1335,3 +1335,50 @@ def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", (agree.cast("double") / 8).alias("est_jaccard"))
     )
+
+
+@register(
+    "llm_chunk_windows",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, t,
+             UNNEST(generate_series(0,
+               CAST(greatest(ceil((len(t) - 16) / 12.0), 0) AS BIGINT))) AS w_ix
+      FROM toks
+    )
+    SELECT doc_id, CAST(w_ix AS BIGINT) AS chunk_ix,
+           CAST(w_ix * 12 AS BIGINT) AS tok_start,
+           CAST(len(list_slice(t, w_ix * 12 + 1, w_ix * 12 + 16)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t, w_ix * 12 + 1, w_ix * 12 + 16), ' ') AS chunk
+    FROM w
+    """,
+    doc="Overlapping token-window chunking (16-token windows, stride 12 — "
+    "the RAG / long-context preprocessing split, distinct from "
+    "llm_sequence_pack which CONCATENATES short docs): each document "
+    "expands in-row to its window structs, one explode, no shuffle at "
+    "all — chunking pipelines inside the scan stage at any scale.  "
+    "Window count = ceil((n-16)/12)+1 so the tail tokens always land in "
+    "a final (possibly short) chunk.",
+)
+def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents").withColumn("__toks", tokens(col("text")))
+    size, stride = 16, 12
+    n_win = F.greatest(
+        F.ceil((F.size("__toks") - size) / float(stride)), lit(0)
+    ).cast("int") + lit(1)
+    wins = F.transform(
+        F.sequence(lit(0), n_win - 1),
+        lambda w: F.struct(
+            w.alias("w_ix"), F.slice(col("__toks"), w * stride + 1, size).alias("c")
+        ),
+    )
+    return docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id",
+        col("w.w_ix").cast("long").alias("chunk_ix"),
+        (col("w.w_ix") * stride).cast("long").alias("tok_start"),
+        F.size("w.c").cast("long").alias("n_tokens"),
+        F.array_join(col("w.c"), " ").alias("chunk"),
+    )
