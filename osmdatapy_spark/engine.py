@@ -46,9 +46,12 @@ class OSM:
         spark: Optional[SparkSession] = None,
     ):
         # drop-in parity with the reference's entry point OSM(filepath)
-        # (osmdata.py:29): a string path opens through the PBF data source
-        # on the active (or a fresh tuned) session
-        if isinstance(elements, str):
+        # (osmdata.py:29): a path opens through the PBF data source on the
+        # active (or a fresh tuned) session
+        import os
+
+        if isinstance(elements, (str, os.PathLike)):
+            elements = str(elements)
             from osmdatapy_spark.sources.pbf import read_pbf_tables
 
             if spark is None:
@@ -244,6 +247,12 @@ class OSM:
                 "itself serves WKT ('geometry') and WKB ('geometry_wkb', "
                 "query(wkb=True)) columns without them"
             ) from e
+        if geometry_col not in result.columns:
+            raise ValueError(
+                f"no {geometry_col!r} column — run the query with "
+                "geometry=True (available: "
+                f"{result.columns})"
+            )
         pdf = result.toPandas()
         geoms = pdf[geometry_col].map(
             lambda w: shapely_wkt.loads(w) if w is not None else None

@@ -78,7 +78,9 @@ def main() -> None:
         out = fn()
         print(f"{name:<28}{time.time() - t0:6.1f}s  {out}")
 
-    planted = n // 50  # one exact duplicate per 50-doc block
+    # ids congruent to 1 mod 50 that exist in [0, n) — each duplicates its
+    # block head (id - 1), which always exists
+    planted = len(range(1, n, 50))
 
     def check_exact():
         got = exact_dedup(docs, "doc_id", fingerprint(col("text"))).filter(col("n_dups") > 1).count()
@@ -91,10 +93,17 @@ def main() -> None:
     timed("minhash signatures", lambda: f"{sig.count()} signatures")
 
     def check_lsh():
-        got = lsh_band_pairs(sig, "doc_id", max_bucket=50).count()
-        # identical docs agree on every band: exact dups are ALWAYS candidates
-        assert got >= planted, f"LSH recall broken: {got} < {planted} planted pairs"
-        return f"{got} candidate pairs (recall on {planted} planted: full)"
+        pairs = lsh_band_pairs(sig, "doc_id", max_bucket=50).persist()
+        got = pairs.count()
+        # identical docs agree on every band, so every planted (head,
+        # head+1) pair MUST be a candidate — check the pairs themselves,
+        # not just the total (collisions could pad a broken count)
+        expected = spark.range(0, n, 50).select(
+            col("id").alias("id_a"), (col("id") + 1).alias("id_b")
+        ).filter(col("id_b") < n)
+        missing = expected.join(pairs, ["id_a", "id_b"], "left_anti").count()
+        assert missing == 0, f"LSH recall broken: {missing} planted pairs missing"
+        return f"{got} candidate pairs (all {planted} planted present)"
 
     timed("lsh band pairs", check_lsh)
     timed("simhash", lambda: f"{simhash(docs.select('doc_id', F.explode(tokens(col('text'))).alias('tok')), 'doc_id', 'tok').count()} signatures")
