@@ -149,3 +149,22 @@ def test_sql_entry_path_plan(spark):
     # the groupBy (the top-k sort rides the AQE-planned result stage)
     s = assert_plan(q(spark, "rel_sql_tpch_q3"), max_exchanges=1, forbid_python=True)
     assert s.n_broadcasts == 2, s.text
+
+
+def test_round2_operator_plan_shapes(spark):
+    """Shape pins for the round-2 operators, per their registered claims."""
+    # chunking: in-row expansion only — pipelines inside the scan stage
+    assert_plan(q(spark, "llm_chunk_windows"), max_exchanges=0, forbid_python=True)
+    # packing: ONE hash exchange on the shard key feeds the prefix-sum window
+    assert_plan(q(spark, "llm_sequence_pack"), max_exchanges=1, forbid_python=True)
+    # summary rollup: one partial-aggregated exchange on (lang, source)
+    assert_plan(q(spark, "llm_corpus_summary"), max_exchanges=1, forbid_python=True)
+    # char histogram: (doc,char) counts + doc rollup — two exchanges
+    assert_plan(q(spark, "llm_char_diversity"), max_exchanges=2, forbid_python=True)
+    # ngram counts: one (n,gram) exchange, top-k via TakeOrdered heaps
+    s = assert_plan(q(spark, "llm_ngram_counts"), forbid_python=True)
+    assert "TakeOrdered" in s.text, s.text
+    # label outliers: centroids broadcast back — the corpus never shuffles
+    # for the distance projection
+    s = plan_summary(q(spark, "llm_label_outliers"))
+    assert s.n_broadcasts >= 1 and s.n_python_evals == 0, s.text
