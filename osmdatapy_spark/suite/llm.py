@@ -1382,3 +1382,44 @@ def llm_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w.c").cast("long").alias("n_tokens"),
         F.array_join(col("w.c"), " ").alias("chunk"),
     )
+
+
+@register(
+    "llm_percentile_filter",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    thr AS (
+      SELECT quantile_cont(nt, 0.05) AS lo, quantile_cont(nt, 0.95) AS hi FROM n
+    )
+    SELECT doc_id, nt AS n_tokens, lo AS p05, hi AS p95,
+           (nt >= lo AND nt <= hi) AS keep
+    FROM n, thr
+    """,
+    doc="Corpus-derived percentile gate (the two-pass quality filter real "
+    "pipelines run: thresholds come FROM the corpus, not a config): exact "
+    "P5/P95 of the token-count distribution, then each doc flagged "
+    "in/out of band.  Both engines use the standard linear-interpolated "
+    "quantile over exact int64 counts, so the thresholds are "
+    "bit-identical.  Shape: one partial-aggregated percentile pass, the "
+    "one-row threshold table broadcast back — two corpus scans total, "
+    "which is the honest minimum for data-dependent thresholds (persist "
+    "the length projection to make the second scan cheap).",
+)
+def llm_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    n = docs.select("doc_id", F.size(tokens(col("text"))).cast("long").alias("nt"))
+    thr = n.agg(
+        F.percentile("nt", lit(0.05)).alias("lo"),
+        F.percentile("nt", lit(0.95)).alias("hi"),
+    )
+    return n.join(F.broadcast(thr)).select(
+        "doc_id",
+        col("nt").alias("n_tokens"),
+        col("lo").alias("p05"),
+        col("hi").alias("p95"),
+        ((col("nt") >= col("lo")) & (col("nt") <= col("hi"))).alias("keep"),
+    )
