@@ -1,0 +1,375 @@
+"""Corpus-curation operators (north-star scope, beyond the dedup family in
+``functions/dedup.py``): fuzzy edit-distance dedup, exact-substring
+containment dedup, cross-document boilerplate removal, TF-IDF lexical
+similarity, and mixture-targeted sampling.
+
+These are the passes a pretraining-data pipeline runs between raw crawl
+and tokenization (cf. Lee et al. 2021 "Deduplicating Training Data Makes
+Language Models Better" for substring dedup; CCNet for cross-document
+line/boilerplate removal).  Scale shapes:
+
+- fuzzy edit dedup: prefix-block → in-bucket pair expansion (bounded, see
+  ``dedup._bucket_pairs``) → ``levenshtein`` on truncated text.  The text
+  rides inside the bucket array, so the WHOLE op is one shuffle — no
+  join back to the corpus.  Never O(n²): candidate count is linear in
+  corpus size for a bounded bucket cap.
+- containment dedup: candidate pairs from shared rare shingles (the
+  ``jaccard_candidate_pairs`` inverted index), then a plain ``instr``
+  check on the candidate set only.
+- boilerplate strip: chunk-explode → chunk-frequency agg keyed by
+  ``xxhash64`` (8-byte shuffle keys) → frequency join back → per-doc
+  reassembly.  Three partial-aggregated shuffles, no UDFs.
+- TF-IDF pairs: rare-token postings for candidates; scoring sums
+  FIXED-POINT integer contributions (``tf_a·tf_b·10^12 // df²``) so the
+  aggregation is order-independent and bit-identical across engines —
+  the same determinism trade as ``suite/_util.dsum``.
+- mixture sampling: per-domain counts (tiny agg, broadcast back) +
+  md5-bucket accept thresholds — the same reproducible-sampling recipe
+  as ``text.hash_bucket``, with data-dependent per-domain rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from osmdatapy_spark.functions.dedup import _bucket_pairs, jaccard_candidate_pairs
+from osmdatapy_spark.functions.text import hash_bucket, tokens
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) dedup
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 24,
+    trunc: int = 200,
+    max_dist: int = 40,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein distance with prefix blocking.
+
+    Blocking: docs sharing the same ``prefix_len``-char normalized prefix
+    are candidates (near-identical docs — the fuzzy-dup case worth an
+    O(len²) edit distance — almost always share a long prefix; docs that
+    diverge early are cheaper to catch with MinHash/Jaccard).  Oversized
+    blocks expand through the bounded overlapping-window scheme of
+    ``_bucket_pairs`` — linear pairs, nothing dropped.
+
+    The (id, truncated-text) struct rides inside the bucket array, so
+    scoring needs NO join back to the corpus: one groupBy(prefix) shuffle
+    carrying ≤ ``trunc`` chars per doc, then executor-local pair
+    expansion + ``levenshtein`` (JVM builtin, whole-stage codegen).
+
+    Returns (id_a, id_b, edit_dist, rel_dist) with id_a < id_b, filtered
+    to ``edit_dist <= max_dist``; ``rel_dist`` = dist / max truncated
+    length (an int/int double division — cross-engine exact).
+    """
+    norm = F.lower(F.trim(col(text_col)))
+    base = docs.select(
+        F.struct(col(id_col).alias("id"), F.substring(norm, 1, trunc).alias("t")).alias("e"),
+        F.substring(norm, 1, prefix_len).alias("blk"),
+    )
+    blocks = (
+        base.groupBy("blk")
+        .agg(F.array_sort(F.collect_list("e")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = _bucket_pairs(blocks, max_bucket=max_bucket)
+    d = F.levenshtein(col("id_a.t"), col("id_b.t"))
+    return (
+        pairs.select(
+            col("id_a.id").alias("id_a"),
+            col("id_b.id").alias("id_b"),
+            d.cast("long").alias("edit_dist"),
+            (
+                d.cast("double")
+                / F.greatest(F.length("id_a.t"), F.length("id_b.t"))
+            ).alias("rel_dist"),
+        )
+        .filter(col("edit_dist") <= max_dist)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring containment dedup
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(contained_id, container_id) pairs where one document's full
+    normalized text appears verbatim inside another's — the
+    exact-substring dedup pass (Lee et al. 2021 run it with a suffix
+    array; at cluster scale the candidate-then-verify shape below is the
+    distributed equivalent).
+
+    Candidates come from the shared-rare-shingle inverted index (a
+    contained doc shares ALL its shingles with its container, so any
+    true containment with >= ``min_shared`` sub-stop-frequency shingles
+    is found).  Verification is a plain ``instr`` on the candidate pairs
+    only — never corpus × corpus.
+
+    The shorter side (ties: smaller id) is tested for containment in the
+    longer.  Returns (contained_id, container_id, len_contained,
+    len_container).
+    """
+    cand = jaccard_candidate_pairs(
+        shingled, id_col, "s", max_doc_freq=max_doc_freq, min_shared=min_shared
+    )
+    t = texts.select(col(id_col), F.trim(col(text_col)).alias("t"))
+    j = (
+        cand.join(t.select(col(id_col).alias("id_a"), col("t").alias("ta")), "id_a")
+        .join(t.select(col(id_col).alias("id_b"), col("t").alias("tb")), "id_b")
+    )
+    a_inner = (F.length("ta") < F.length("tb")) | (
+        (F.length("ta") == F.length("tb")) & (col("id_a") < col("id_b"))
+    )
+    inner_id = F.when(a_inner, col("id_a")).otherwise(col("id_b"))
+    outer_id = F.when(a_inner, col("id_b")).otherwise(col("id_a"))
+    inner_t = F.when(a_inner, col("ta")).otherwise(col("tb"))
+    outer_t = F.when(a_inner, col("tb")).otherwise(col("ta"))
+    return (
+        j.select(
+            inner_id.alias("contained_id"),
+            outer_id.alias("container_id"),
+            inner_t.alias("it"),
+            outer_t.alias("ot"),
+        )
+        .filter(F.instr(col("ot"), col("it")) >= 1)
+        .select(
+            "contained_id",
+            "container_id",
+            F.length("it").cast("long").alias("len_contained"),
+            F.length("ot").cast("long").alias("len_container"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate (duplicate-chunk) removal
+# ---------------------------------------------------------------------------
+
+
+def doc_chunks(toks: Column, size: int = 10) -> Column:
+    """Non-overlapping ``size``-token chunks in document order (the final
+    chunk may be short).  The dedup unit for CCNet-style boilerplate
+    removal — the synthetic corpus has no newlines, so fixed token
+    windows stand in for lines."""
+    n = (F.size(toks) + (size - 1)) / lit(size)
+    idx = F.sequence(lit(0), n.cast("int") - 1)
+    return F.when(F.size(toks) < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * size + 1, size)))
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove chunks that repeat across >= ``min_docs`` DISTINCT documents
+    (headers, navigation, license blurbs — corpus-frequency boilerplate),
+    keeping per-document chunk order for the surviving text.
+
+    Shape: chunk-explode → groupBy(xxhash64(chunk)) distinct-doc count
+    (partial-aggregated; 8-byte keys) → frequency join back (AQE picks
+    broadcast when the boilerplate set is small, which it is by
+    construction — it's the head of the chunk-frequency distribution) →
+    groupBy(doc) reassembly.  No UDFs, no collect.
+
+    Returns (doc_id, n_chunks, n_dropped, clean_hash) where clean_hash =
+    md5 of the space-rejoined surviving chunks ('' if everything was
+    boilerplate) — the compact downstream-verifiable form of the cleaned
+    text."""
+    c = docs.select(
+        col(id_col),
+        F.posexplode(doc_chunks(tokens(col(text_col)), chunk)).alias("pos", "chunk"),
+    ).withColumn("h", F.xxhash64("chunk"))
+    boiler = (
+        c.groupBy("h")
+        .agg(F.count_distinct(col(id_col)).alias("nd"))
+        .filter(col("nd") >= min_docs)
+        .select("h", lit(True).alias("is_boiler"))
+    )
+    marked = c.join(boiler, "h", "left")
+    kept_struct = F.when(
+        col("is_boiler").isNull(), F.struct(col("pos"), col("chunk"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(col("is_boiler").isNotNull(), 1).otherwise(0)).alias("n_dropped"),
+            F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+        )
+        .select(
+            col(id_col),
+            col("n_chunks").cast("long").alias("n_chunks"),
+            col("n_dropped").cast("long").alias("n_dropped"),
+            F.md5(
+                F.concat_ws(" ", F.transform(col("kept"), lambda s: s["chunk"])).cast("binary")
+            ).alias("clean_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF lexical similarity
+# ---------------------------------------------------------------------------
+
+FP_SCALE = 10**12  # fixed-point scale for order-independent integer sums
+
+
+def tfidf_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 20,
+    min_sim: float = 0.5,
+) -> DataFrame:
+    """Document pairs by TF-IDF cosine similarity over 3-token shingle
+    terms (duplicates kept for tf).  Shingle terms rather than unigrams:
+    the synthetic corpus has a ~40-word vocabulary, so every unigram is a
+    stop word (df ≈ corpus size) — shingles restore a discriminative
+    document-frequency distribution, which is also why hashed n-gram
+    TF-IDF is the production norm for near-dup scoring.
+
+    idf is the RATIONAL form 1/df (not log(N/df)): weights become
+    tf/df, so every per-token pair contribution ``tf_a·tf_b/df²`` and
+    norm term ``tf²/df²`` is an integer ratio — representable exactly in
+    fixed point (``· 10^12``, integer division) and summed as BIGINT:
+    order-independent, bit-identical across engines and cluster sizes.
+    (log-idf changes scores, not the pipeline shape; it's a one-line
+    swap once cross-engine verification isn't the constraint.)
+
+    Candidates: docs sharing >= 1 token with df <= ``max_doc_freq`` (the
+    inverted-index recipe of ``jaccard_candidate_pairs``; common tokens
+    carry ~zero idf weight, so skipping their postings loses ~nothing
+    and bounds the index).  Scoring then covers ALL shared tokens of
+    each candidate pair.
+
+    Shape: token tf agg → token postings agg (rare only) → bounded pair
+    expansion → two tf joins + one df join → groupBy(pair) integer sum.
+    Every aggregation partial-aggregates; no O(n²) stage exists.
+    """
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    tf = (
+        docs.select(
+            col(id_col).alias("id"),
+            F.explode(word_ngrams(tokens(col(text_col)), 3)).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count("*").alias("df"), F.array_sort(F.collect_list("id")).alias("ids")
+    )
+    # norm²·FP per doc over ALL its tokens: Σ tf²·FP // df²
+    tf_df = tf.join(dfreq.select("tok", "df"), "tok")
+    norms = (
+        tf_df.select(
+            "id",
+            F.expr(f"(tf * tf * CAST({FP_SCALE} AS BIGINT)) div (df * df)").alias("c"),
+        )
+        .groupBy("id")
+        .agg(F.sum("c").alias("norm_fp"))
+    )
+
+    cand = (
+        _bucket_pairs(
+            dfreq.filter((col("df") <= max_doc_freq) & (col("df") >= 2)).select("ids"),
+            max_bucket=max_doc_freq,
+        )
+        .distinct()
+    )
+    num = (
+        cand.join(
+            tf.select(col("id").alias("id_a"), "tok", col("tf").alias("tf_a")), "id_a"
+        )
+        .join(
+            tf.select(col("id").alias("id_b"), "tok", col("tf").alias("tf_b")),
+            ["id_b", "tok"],
+        )
+        .join(dfreq.select("tok", "df"), "tok")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"(tf_a * tf_b * CAST({FP_SCALE} AS BIGINT)) div (df * df)").alias("c"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("c").alias("num_fp"))
+    )
+    sim = col("num_fp").cast("double") / (
+        F.sqrt(col("na.norm_fp").cast("double")) * F.sqrt(col("nb.norm_fp").cast("double"))
+    )
+    return (
+        num.join(norms.alias("na"), col("id_a") == col("na.id"))
+        .join(norms.alias("nb"), col("id_b") == col("nb.id"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(col("sim") >= min_sim)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-targeted deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, int],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample the corpus toward a target domain mixture: ``targets`` maps
+    a domain value to its desired document count; each domain keeps an
+    md5-hash-deterministic ~``target/available`` fraction (capped at
+    taking everything).
+
+    Same reproducibility contract as ``text.hash_bucket``: a doc's
+    keep/drop is a pure function of its id — stable across engines,
+    reruns, and cluster sizes, and the sample only shrinks monotonically
+    as targets shrink.  Thresholds are integer arithmetic
+    (``target·10^6 // available``) so there is no float boundary.
+
+    Shape: per-domain counts (tiny partial agg) broadcast back onto the
+    scan; the accept filter streams.  Returns the accepted rows as
+    (doc_id, domain).
+    """
+    tmap = F.create_map(*[x for k, v in targets.items() for x in (lit(k), lit(int(v)))])
+    counts = (
+        docs.groupBy(col(key_col).alias("k"))
+        .agg(F.count("*").alias("avail"))
+        .select(
+            "k",
+            F.least(
+                lit(1_000_000),
+                F.expr(f"element_at({_map_sql(targets)}, k) * 1000000 div avail"),
+            ).alias("thr"),
+        )
+    )
+    return (
+        docs.join(broadcast(counts), docs[key_col] == counts["k"])
+        .filter(hash_bucket(col(id_col), 1_000_000) < col("thr"))
+        .select(col(id_col), col(key_col))
+    )
+
+
+def _map_sql(targets: dict[str, int]) -> str:
+    """SQL literal for the targets map (used inside F.expr)."""
+    items = ", ".join(f"'{k}', CAST({int(v)} AS BIGINT)" for k, v in targets.items())
+    return f"map({items})"

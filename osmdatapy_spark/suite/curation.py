@@ -1,0 +1,284 @@
+"""Corpus-curation query suite: fuzzy edit-distance dedup, exact-substring
+containment, cross-document boilerplate removal, TF-IDF similarity,
+mixture-targeted sampling (``functions/curation.py``).
+
+Every oracle independently re-derives the pipeline in DuckDB SQL,
+including the bounded overlapping-window pair expansion (the same
+``((pos-1)//(m-1))*(m-1)+m`` window arithmetic as ``dedup._bucket_pairs``)
+so candidate sets match exactly above and below the bucket caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.functions.curation import (
+    containment_pairs,
+    edit_distance_pairs,
+    mixture_sample,
+    strip_boilerplate,
+    tfidf_pairs,
+)
+from osmdatapy_spark.functions.text import shingle_sets
+from osmdatapy_spark.suite._util import T, TS
+from osmdatapy_spark.suite.registry import register
+
+# ---------------------------------------------------------------------------
+# Fuzzy edit-distance dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_fuzzy_edit_pairs",
+    oracle=r"""
+    WITH n AS (
+      SELECT doc_id,
+             substr(lower(trim(text)), 1, 200) AS t,
+             substr(lower(trim(text)), 1, 24) AS blk
+      FROM documents
+    ),
+    pex AS (
+      SELECT blk, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (SELECT blk, list_sort(list(doc_id)) AS ids FROM n GROUP BY blk)
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.blk = b.blk AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 19) * 19 + 20
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
+           CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+             / greatest(length(na.t), length(nb.t)) AS rel_dist
+    FROM cand c
+    JOIN n na ON na.doc_id = c.id_a
+    JOIN n nb ON nb.doc_id = c.id_b
+    WHERE levenshtein(na.t, nb.t) <= 40
+    """,
+    doc="Fuzzy near-dup pairs by Levenshtein distance with 24-char prefix "
+    "blocking and bounded in-bucket expansion. One shuffle total: the "
+    "truncated text rides inside the bucket array, so scoring never joins "
+    "back to the corpus. levenshtein is a JVM builtin (codegen); the "
+    "corpus is ASCII so char-based Spark and DuckDB distances agree.",
+)
+def llm_fuzzy_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring containment dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_containment_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    pex AS (
+      SELECT g, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT g, list_sort(list(doc_id)) AS ids
+        FROM (SELECT doc_id, UNNEST(s) AS g FROM sh)
+        GROUP BY g
+      )
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.g = b.g AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 19) * 19 + 20
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tx AS (SELECT doc_id, trim(text) AS t FROM documents),
+    sides AS (
+      SELECT
+        CASE WHEN length(ta.t) < length(tb.t)
+               OR (length(ta.t) = length(tb.t) AND c.id_a < c.id_b)
+             THEN c.id_a ELSE c.id_b END AS contained_id,
+        CASE WHEN length(ta.t) < length(tb.t)
+               OR (length(ta.t) = length(tb.t) AND c.id_a < c.id_b)
+             THEN c.id_b ELSE c.id_a END AS container_id,
+        CASE WHEN length(ta.t) < length(tb.t)
+               OR (length(ta.t) = length(tb.t) AND c.id_a < c.id_b)
+             THEN ta.t ELSE tb.t END AS it,
+        CASE WHEN length(ta.t) < length(tb.t)
+               OR (length(ta.t) = length(tb.t) AND c.id_a < c.id_b)
+             THEN tb.t ELSE ta.t END AS ot
+      FROM cand c
+      JOIN tx ta ON ta.doc_id = c.id_a
+      JOIN tx tb ON tb.doc_id = c.id_b
+    )
+    SELECT contained_id, container_id,
+           CAST(length(it) AS BIGINT) AS len_contained,
+           CAST(length(ot) AS BIGINT) AS len_container
+    FROM sides
+    WHERE contains(ot, it)
+    """,
+    doc="Exact-substring containment dedup (Lee et al. 2021 as the "
+    "single-node suffix-array analog): candidates from shared rare "
+    "shingles (inverted index, bounded expansion), then a plain instr "
+    "verify on candidates only — never corpus × corpus.",
+)
+def llm_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    shingled = shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
+    return containment_pairs(shingled, docs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1)) AS pos,
+             UNNEST(list_transform(generate_series(0, CAST(ceil(len(t) / 10.0) AS INT) - 1),
+                    i -> array_to_string(t[i*10+1 : i*10+10], ' '))) AS chunk
+      FROM toks
+    ),
+    boiler AS (
+      SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT ch.doc_id, ch.pos, ch.chunk, (b.chunk IS NOT NULL) AS is_b
+      FROM ch LEFT JOIN boiler b USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(coalesce(string_agg(CASE WHEN NOT is_b THEN chunk END, ' ' ORDER BY pos), ''))
+             AS clean_hash
+    FROM marked GROUP BY doc_id
+    """,
+    doc="CCNet-style cross-document boilerplate removal at 10-token-chunk "
+    "granularity (the corpus has no newlines, so fixed token windows stand "
+    "in for lines): chunks repeating across >= 3 distinct docs are "
+    "dropped; surviving text is re-joined in order and fingerprinted. "
+    "Three partial-aggregated shuffles (chunk-freq keyed by xxhash64, "
+    "freq join back, per-doc reassembly), no UDFs.",
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    return strip_boilerplate(docs)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF lexical similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_tfidf_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    tfc AS (
+      SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   UNNEST(list_transform(generate_series(1, len(t) - 2),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+            FROM toks)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df, list_sort(list(id)) AS ids
+      FROM tfc GROUP BY tok
+    ),
+    norms AS (
+      SELECT id, CAST(sum((tf * tf * 1000000000000) // (df * df)) AS BIGINT) AS norm_fp
+      FROM tfc JOIN dfreq USING (tok) GROUP BY id
+    ),
+    pex AS (
+      SELECT tok, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM dfreq WHERE df BETWEEN 2 AND 20
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.tok = b.tok AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 19) * 19 + 20
+    ),
+    num AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum((ta.tf * tb.tf * 1000000000000) // (d.df * d.df)) AS BIGINT) AS num_fp
+      FROM cand c
+      JOIN tfc ta ON ta.id = c.id_a
+      JOIN tfc tb ON tb.id = c.id_b AND tb.tok = ta.tok
+      JOIN dfreq d ON d.tok = ta.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT n.id_a, n.id_b,
+             CAST(n.num_fp AS DOUBLE)
+               / (sqrt(CAST(na.norm_fp AS DOUBLE)) * sqrt(CAST(nb.norm_fp AS DOUBLE))) AS sim
+      FROM num n
+      JOIN norms na ON na.id = n.id_a
+      JOIN norms nb ON nb.id = n.id_b
+    )
+    SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.5
+    """,
+    doc="TF-IDF cosine pairs over 3-gram shingle terms with rational idf "
+    "(1/df): contributions are fixed-point BIGINTs (tf_a*tf_b*1e12 // "
+    "df^2) so groupBy sums are order-independent and bit-identical across "
+    "engines. Candidates from rare-term postings (df<=20, bounded window "
+    "expansion); scoring then covers ALL shared terms of each candidate "
+    "pair.",
+)
+def llm_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    return tfidf_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Mixture-targeted sampling
+# ---------------------------------------------------------------------------
+
+MIXTURE_TARGETS = {"en": 100, "de": 40, "es": 200, "fr": 30, "zh": 50}
+
+
+@register(
+    "llm_domain_mixture",
+    oracle=r"""
+    WITH counts AS (SELECT lang AS k, CAST(count(*) AS BIGINT) AS avail FROM documents GROUP BY 1),
+    thr AS (
+      SELECT k,
+             least(1000000,
+                   CAST(CASE k WHEN 'en' THEN 100 WHEN 'de' THEN 40 WHEN 'es' THEN 200
+                               WHEN 'fr' THEN 30 WHEN 'zh' THEN 50 END AS BIGINT)
+                     * 1000000 // avail) AS thr
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON thr.k = d.lang
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS INT)
+          < thr.thr
+    """,
+    doc="Mixture-targeted sampling: per-language md5-deterministic accept "
+    "thresholds solve toward a target document mixture (targets above "
+    "availability cap at keep-everything — exercised by 'es'). Integer "
+    "threshold arithmetic, so no float boundary; per-domain counts are a "
+    "tiny agg broadcast back onto the scan, accept filter streams.",
+)
+def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return mixture_sample(docs, MIXTURE_TARGETS)

@@ -1,0 +1,142 @@
+"""Curation-operator kernels (functions/curation.py) against
+hand-computable expectations: edit-distance blocking, substring
+containment, boilerplate stripping, fixed-point TF-IDF, mixture
+sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.functions.curation import (
+    containment_pairs,
+    doc_chunks,
+    edit_distance_pairs,
+    mixture_sample,
+    strip_boilerplate,
+    tfidf_pairs,
+)
+from osmdatapy_spark.functions.text import shingle_sets, tokens
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_edit_distance_pairs_finds_prefix_blocked_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base + " iota"),          # near-dup of 1, shared prefix
+        (3, "totally different text here with other words entirely"),
+        (4, "ALPHA beta gamma delta epsilon zeta eta theta"),  # case-folds to 1
+    ]
+    out = edit_distance_pairs(_docs(spark, rows), max_dist=10).collect()
+    pairs = {(r.id_a, r.id_b): r.edit_dist for r in out}
+    assert pairs[(1, 2)] == 5  # " iota"
+    assert pairs[(1, 4)] == 0  # identical after lower()
+    assert pairs[(2, 4)] == 5
+    assert all(a < b for a, b in pairs)
+    assert not any(3 in p for p in pairs)
+
+
+def test_edit_distance_rel_dist_is_ratio(spark):
+    rows = [(1, "aaaa bbbb cccc dddd"), (2, "aaaa bbbb cccc eeee")]
+    out = edit_distance_pairs(_docs(spark, rows), prefix_len=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.edit_dist == 4
+    assert r.rel_dist == pytest.approx(4 / 19)
+
+
+def test_containment_pairs_detects_substring(spark):
+    inner = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "prefix words here " + inner + " suffix words here"),
+        (2, inner),
+        (3, "unrelated content that shares no shingles at all okay"),
+    ]
+    docs = _docs(spark, rows)
+    shingled = shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
+    out = containment_pairs(shingled, docs).collect()
+    assert [(r.contained_id, r.container_id) for r in out] == [(2, 1)]
+    assert out[0].len_contained == len(inner)
+
+
+def test_containment_equal_texts_tie_breaks_to_smaller_id(spark):
+    t = "same exact text in both documents all ten tokens yes"
+    docs = _docs(spark, [(7, t), (3, t)])
+    shingled = shingle_sets(docs).select("doc_id", F.explode(col("s")).alias("s"))
+    out = containment_pairs(shingled, docs).collect()
+    assert [(r.contained_id, r.container_id) for r in out] == [(3, 7)]
+
+
+def test_doc_chunks_partial_tail(spark):
+    df = spark.range(1).select(
+        doc_chunks(tokens(F.lit("a b c d e f g h i j k l")), 5).alias("c")
+    )
+    assert df.collect()[0].c == ["a b c d e", "f g h i j", "k l"]
+
+
+def test_strip_boilerplate_drops_cross_doc_chunks(spark):
+    # exactly 10 tokens so chunk 0 is identical across docs
+    boiler10 = "shared header line tokens repeated across documents here now ok"
+    rows = [(i, boiler10 + f" unique {w} content") for i, w in ((1, "one"), (2, "two"), (3, "three"))]
+    out = {r.doc_id: r for r in strip_boilerplate(_docs(spark, rows), min_docs=3).collect()}
+    assert all(out[i].n_chunks == 2 for i in (1, 2, 3))
+    assert all(out[i].n_dropped == 1 for i in (1, 2, 3))
+    exp = hashlib.md5(b"unique one content").hexdigest()
+    assert out[1].clean_hash == exp
+
+
+def test_strip_boilerplate_all_dropped_yields_empty_hash(spark):
+    t = "ten token boilerplate chunk which is shared by everyone"
+    rows = [(i, t) for i in range(1, 4)]
+    out = strip_boilerplate(_docs(spark, rows), min_docs=3).collect()
+    empty = hashlib.md5(b"").hexdigest()
+    assert all(r.clean_hash == empty and r.n_dropped == 1 for r in out)
+
+
+def test_tfidf_identical_docs_score_one(spark):
+    # two identical docs + one unrelated: identical pair scores exactly 1.0
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(1, t), (2, t), (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")]
+    out = tfidf_pairs(_docs(spark, rows), min_sim=0.0).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_tfidf_partial_overlap_scores_below_one(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e zz yy xx"),
+        (3, "q r s t u v w x"),
+    ]
+    out = tfidf_pairs(_docs(spark, rows), min_sim=0.0).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert 0.0 < out[0].sim < 1.0
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    rows = [(i, "lang_a" if i % 2 == 0 else "lang_b") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {"lang_a": 1000, "lang_b": 10}  # a: take all; b: ~10 of 100
+    out1 = mixture_sample(docs, targets).collect()
+    out2 = mixture_sample(docs, targets).collect()
+    assert sorted(out1) == sorted(out2)  # deterministic
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["lang_a"]) == 100  # capped at take-everything
+    assert 0 < len(by_lang["lang_b"]) < 30  # ~10 expected, hash-thresholded
+
+
+def test_mixture_sample_monotone_in_target(spark):
+    rows = [(i, "x") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = {r.doc_id for r in mixture_sample(docs, {"x": 30}).collect()}
+    large = {r.doc_id for r in mixture_sample(docs, {"x": 90}).collect()}
+    assert small <= large  # threshold sampling is monotone in the target
