@@ -1,0 +1,110 @@
+"""Geometric-measure kernels (operators/measures.py) against hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.operators.measures import (
+    centroid,
+    grid_cell,
+    haversine_length_km,
+    nearest_in_grid,
+    planar_length_deg,
+    shoelace_area_deg2,
+)
+
+
+def _coords_df(spark, pts):
+    arr = F.array(
+        *[F.struct(F.lit(float(x)).alias("lon"), F.lit(float(y)).alias("lat")) for x, y in pts]
+    )
+    return spark.range(1).select(arr.alias("c"))
+
+
+def test_planar_length_right_triangle(spark):
+    out = _coords_df(spark, [(0, 0), (3, 0), (3, 4)]).select(
+        planar_length_deg(col("c")).alias("l")
+    ).collect()
+    assert out[0].l == pytest.approx(7.0)
+
+
+def test_planar_length_single_point_is_zero(spark):
+    out = _coords_df(spark, [(5, 5)]).select(planar_length_deg(col("c")).alias("l")).collect()
+    assert out[0].l == 0.0
+
+
+def test_haversine_equator_degree(spark):
+    # 1 degree of longitude at the equator ≈ 111.1949 km
+    out = _coords_df(spark, [(0, 0), (1, 0)]).select(
+        haversine_length_km(col("c")).alias("l")
+    ).collect()
+    assert out[0].l == pytest.approx(2 * math.pi * 6371.0 / 360, abs=1e-3)
+
+
+def test_shoelace_unit_square(spark):
+    out = _coords_df(spark, [(0, 0), (1, 0), (1, 1), (0, 1)]).select(
+        shoelace_area_deg2(col("c")).alias("a")
+    ).collect()
+    assert out[0].a == 1.0
+
+
+def test_shoelace_orientation_invariant(spark):
+    cw = _coords_df(spark, [(0, 0), (0, 1), (1, 1), (1, 0)]).select(
+        shoelace_area_deg2(col("c")).alias("a")
+    ).collect()
+    assert cw[0].a == 1.0
+
+
+def test_shoelace_degenerate_is_zero(spark):
+    for pts in ([(2, 3)], [(2, 3), (4, 5)]):
+        out = _coords_df(spark, pts).select(shoelace_area_deg2(col("c")).alias("a")).collect()
+        assert out[0].a == 0.0
+
+
+def test_centroid_mean(spark):
+    cx, cy = centroid(col("c"))
+    out = _coords_df(spark, [(0, 0), (2, 0), (2, 2), (0, 2)]).select(
+        cx.alias("x"), cy.alias("y")
+    ).collect()
+    assert (out[0].x, out[0].y) == (1.0, 1.0)
+
+
+def test_grid_cell_negative_coords_floor(spark):
+    out = spark.range(1).select(
+        grid_cell(F.lit(-0.5), F.lit(-30.5), 30.0).alias("g")
+    ).collect()[0].g
+    assert (out.cx, out.cy) == (-1, -2)
+
+
+def test_nearest_in_grid_picks_closest_with_tiebreak(spark):
+    probes = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, lon double, lat double")
+    cands = spark.createDataFrame(
+        [(10, 3.0, 0.0), (11, 1.0, 1.0), (12, -1.0, -1.0)],
+        "cid long, lon double, lat double",
+    )
+    out = nearest_in_grid(probes, cands, 30.0, probe_id="pid", cand_id="cid").collect()
+    # 11 and 12 are equidistant (d2=2) — tie breaks to the smaller id
+    assert [(r.pid, r.cid, r.dist_sq) for r in out] == [(1, 11, 2.0)]
+
+
+def test_nearest_in_grid_out_of_neighborhood_drops(spark):
+    probes = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, lon double, lat double")
+    cands = spark.createDataFrame([(10, 100.0, 0.0)], "cid long, lon double, lat double")
+    # candidate is 3 cells away at cell_deg=30 → outside the 3×3 neighborhood
+    out = nearest_in_grid(probes, cands, 30.0, probe_id="pid", cand_id="cid").collect()
+    assert out == []
+
+
+def test_nearest_in_grid_crosses_cell_boundary(spark):
+    # probe at the right edge of its cell; nearest candidate just across
+    probes = spark.createDataFrame([(1, 29.9, 0.0)], "pid long, lon double, lat double")
+    cands = spark.createDataFrame(
+        [(10, 30.1, 0.0), (11, 5.0, 0.0)], "cid long, lon double, lat double"
+    )
+    out = nearest_in_grid(probes, cands, 30.0, probe_id="pid", cand_id="cid").collect()
+    assert [(r.pid, r.cid) for r in out] == [(1, 10)]
