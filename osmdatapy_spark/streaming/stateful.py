@@ -50,3 +50,67 @@ def running_user_totals(events_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# First-seen dedup with event-time TTL
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT_SCHEMA = "user_id long, event_type string, first_event_id long, first_ts timestamp"
+DEDUP_STATE_SCHEMA = "seen long"
+
+_TTL_MS = 3_600_000  # 1 hour past the key's watermark
+
+
+def _first_seen(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.hasTimedOut:
+        # TTL expired: drop the key's state.  A duplicate arriving later
+        # re-emits (the bounded-state / at-least-once trade, same contract
+        # as dropDuplicatesWithinWatermark).
+        state.remove()
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if not state.exists and len(rows):
+        first = rows.sort_values(["ts", "event_id"]).iloc[0]
+        state.update((1,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TTL_MS)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_event_id": [int(first["event_id"])],
+                "first_ts": [first["ts"]],
+            }
+        )
+    else:
+        # already seen inside the TTL: swallow duplicates, refresh nothing
+        # (TTL anchors to first sight — a hot duplicate key still expires)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TTL_MS)
+        return
+
+
+def first_seen_dedup(events_stream):
+    """Custom stateful streaming dedup with an EVENT-TIME TTL: emit the
+    first event per (user_id, event_type); keep the key's state only
+    until the watermark passes first-sight + 1 h, then expire it via
+    ``GroupStateTimeout.EventTimeTimeout``.
+
+    This is the applyInPandasWithState formulation of what
+    ``dropDuplicatesWithinWatermark`` does natively — written out because
+    it is the template for ANY custom TTL'd per-key streaming state
+    (rate limiting, sessionization variants, novelty detection): state
+    bounded by key-arrival rate × TTL, horizontally partitioned by the
+    groupBy key.  Requires a watermark upstream (EventTimeTimeout
+    contract); batch oracle = min-by-(ts,event_id) per key, the pytest
+    parity check."""
+    return events_stream.groupBy("user_id", "event_type").applyInPandasWithState(
+        _first_seen,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -82,6 +82,61 @@ def streaming_tumbling_counts(
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 
 
+def interval_join(views: DataFrame, purchases: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """View→purchase attribution: for each view, the purchases by the SAME
+    user within ``horizon`` after the view — the canonical stream-stream
+    interval join.
+
+    Written against generic DataFrames so the same function serves batch
+    (driver oracle) and streaming (both sides under ``readStream`` with
+    watermarks — see ``streaming_interval_join``).  In streaming mode
+    Spark buffers each side only ``horizon`` + watermark deep: state is
+    bounded by rate × horizon, not history.
+
+    Shape: equi-join on user_id with a time-range residual — shuffles
+    both sides by user_id once; the range condition filters inside the
+    join, no extra pass.  Delay is ``unix_micros`` arithmetic (exact
+    BIGINT, engine-portable — no float epoch).
+    """
+    v = views.select(
+        col("user_id"),
+        col("event_id").alias("view_id"),
+        col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        col("user_id").alias("p_user_id"),
+        col("event_id").alias("purchase_id"),
+        col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        [
+            col("user_id") == col("p_user_id"),
+            col("p_ts") >= col("v_ts"),
+            col("p_ts") <= col("v_ts") + F.expr(f"INTERVAL {horizon}"),
+        ],
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("delay_us"),
+    )
+
+
+def streaming_interval_join(
+    spark: SparkSession, events_path: str, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """interval_join as an actual watermarked stream-stream join: both
+    sides are readStream over the same source, filtered to their event
+    type, each with its own watermark (required — Spark must know how
+    late EITHER side can be to expire join state)."""
+    stream = _read_event_stream(spark, events_path)
+    views = stream.filter(col("event_type") == "view").withWatermark("ts", watermark)
+    purchases = stream.filter(col("event_type") == "purchase").withWatermark("ts", watermark)
+    return interval_join(views, purchases, horizon)
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     events_path: str,

@@ -998,6 +998,32 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("user_id", "event_type").distinct()
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS delay_us
+    FROM events v JOIN events p ON v.user_id = p.user_id
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join (view→purchase attribution within 1h "
+    "per user): equi-join on user_id with a time-range residual — ONE "
+    "shuffle per side, range filters inside the join. Under readStream "
+    "both sides carry watermarks and Spark buffers only horizon+watermark "
+    "deep — state bounded by rate × horizon, not history. Streaming "
+    "parity pinned by tests/test_streaming.py::"
+    "test_stream_interval_join_matches_batch.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.streaming.windows import interval_join
+
+    events = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    views = events.filter(col("event_type") == "view")
+    purchases = events.filter(col("event_type") == "purchase")
+    return interval_join(views, purchases)
+
+
 # ---------------------------------------------------------------------------
 # G2/G5 relation route linestrings (reference _frame.py:87-105 line branch)
 # ---------------------------------------------------------------------------

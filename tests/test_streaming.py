@@ -105,6 +105,78 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got == batch
 
 
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join under availableNow must
+    emit exactly the batch join's pairs."""
+    from osmdatapy_spark.streaming.windows import interval_join, streaming_interval_join
+
+    events = load_table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = {
+        (r["user_id"], r["view_id"], r["purchase_id"], r["delay_us"])
+        for r in interval_join(
+            events.filter(F.col("event_type") == "view"),
+            events.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert batch, "fixture produced no view→purchase pairs"
+
+    staged = str(tmp_path / "events_ij")
+    events.write.parquet(staged)
+    q = (
+        streaming_interval_join(spark, staged)
+        .writeStream.format("memory")
+        .queryName("t_ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["user_id"], r["view_id"], r["purchase_id"], r["delay_us"])
+        for r in spark.sql("select * from t_ij").collect()
+    }
+    assert got == batch
+
+
+def test_first_seen_dedup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup (event-time TTL) under
+    availableNow: one emission per key, matching the batch
+    min-by-(ts,event_id) oracle."""
+    from osmdatapy_spark.streaming.stateful import first_seen_dedup
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    batch = {
+        (r["user_id"], r["event_type"]): r["first_event_id"]
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "event_type", F.col("m.event_id").alias("first_event_id"))
+        .collect()
+    }
+
+    staged = str(tmp_path / "events_fsd")
+    events.write.parquet(staged)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .parquet(staged)
+        .withWatermark("ts", "30 days")
+    )
+    q = (
+        first_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_fsd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select user_id, event_type, first_event_id from t_fsd").collect()
+    keys = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "key emitted twice"
+    assert {(r["user_id"], r["event_type"]): r["first_event_id"] for r in rows} == batch
+
+
 def test_stream_dedup_matches_batch(spark, tmp_path):
     """dropDuplicatesWithinWatermark with a watermark wider than the
     fixture's time span must emit exactly one row per key — the batch
