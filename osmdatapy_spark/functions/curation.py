@@ -275,9 +275,18 @@ def tfidf_pairs(
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
     )
+    # The tf/dfreq/norms frames each feed multiple join branches below, and
+    # Catalyst does NOT dedupe identical subtrees across branches (no
+    # ReusedExchange for re-derived lineage: measured 7 re-executions of
+    # the shingle-explode+agg pipeline, 16 exchanges).  Lazy
+    # localCheckpoint materializes each ONCE (MEMORY_AND_DISK) and every
+    # branch reads the checkpoint — at 100 TB this is the difference
+    # between one and seven passes over the doc×term table.
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("tok").agg(
         F.count("*").alias("df"), F.array_sort(F.collect_list("id")).alias("ids")
     )
+    dfreq = dfreq.localCheckpoint(eager=False)
     # norm²·FP per doc over ALL its tokens: Σ tf²·FP // df²
     tf_df = tf.join(dfreq.select("tok", "df"), "tok")
     norms = (
@@ -287,7 +296,7 @@ def tfidf_pairs(
         )
         .groupBy("id")
         .agg(F.sum("c").alias("norm_fp"))
-    )
+    ).localCheckpoint(eager=False)
 
     cand = (
         _bucket_pairs(

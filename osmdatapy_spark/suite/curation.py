@@ -58,6 +58,7 @@ from osmdatapy_spark.suite.registry import register
     JOIN n nb ON nb.doc_id = c.id_b
     WHERE levenshtein(na.t, nb.t) <= 40
     """,
+    bench=True,
     doc="Fuzzy near-dup pairs by Levenshtein distance with 24-char prefix "
     "blocking and bounded in-bucket expansion. One shuffle total: the "
     "truncated text rides inside the bucket array, so scoring never joins "

@@ -1007,6 +1007,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v.event_type = 'view' AND p.event_type = 'purchase'
       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
     """,
+    bench=True,
     doc="Stream-stream interval join (view→purchase attribution within 1h "
     "per user): equi-join on user_id with a time-range residual — ONE "
     "shuffle per side, range filters inside the join. Under readStream "

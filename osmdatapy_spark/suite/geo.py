@@ -70,6 +70,7 @@ def _way_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
              )))), 0.0), 4) AS len_km
     FROM coords
     """,
+    bench=True,
     doc="Per-way polyline length: planar degree-space (exactly-rounded ops, "
     "bit-identical cross-engine) next to great-circle haversine km "
     "(round-4 guard). Ordered left-fold over the gathered coordinate "

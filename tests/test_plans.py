@@ -168,3 +168,31 @@ def test_round2_operator_plan_shapes(spark):
     # for the distance projection
     s = plan_summary(q(spark, "llm_label_outliers"))
     assert s.n_broadcasts >= 1 and s.n_python_evals == 0, s.text
+
+
+def test_round3_operator_plan_shapes(spark):
+    """Shape pins for the round-3 operators, per their registered claims."""
+    # fuzzy dedup: truncated text rides the bucket array — ONE hash
+    # exchange total, no join back to the corpus, no Python
+    assert_plan(q(spark, "llm_fuzzy_edit_pairs"), max_exchanges=1, forbid_python=True)
+    # boilerplate strip: chunk-freq agg + freq join back + per-doc
+    # reassembly — three hash exchanges, no more
+    assert_plan(q(spark, "llm_boilerplate_strip"), max_exchanges=3, forbid_python=True)
+    # mixture sampling: ONE tiny count agg; thresholds broadcast back so
+    # the accept filter streams over the scan
+    s = assert_plan(q(spark, "llm_domain_mixture"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
+    # geometric measures: the coordinate gather's single groupBy exchange,
+    # nodes dim broadcast, measures fold inside the same stage
+    for name in ("osm_way_length", "osm_way_area", "osm_way_centroid"):
+        s = assert_plan(q(spark, name), max_exchanges=1, forbid_python=True)
+        assert s.n_broadcasts == 1, s.text
+    # grid nearest-neighbor: equi-join on the cell key + one min agg —
+    # never probe × corpus (no cartesian/BNL join nodes)
+    s = assert_plan(q(spark, "osm_nearest_node"), max_exchanges=1, forbid_python=True)
+    assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
+    # stream-stream interval join (batch face): user_id equi-join with the
+    # range residual INSIDE the join — no cartesian
+    s = plan_summary(q(spark, "stream_interval_join"))
+    assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
+    assert s.n_python_evals == 0, s.text
