@@ -382,3 +382,148 @@ def _map_sql(targets: dict[str, int]) -> str:
     """SQL literal for the targets map (used inside F.expr)."""
     items = ", ".join(f"'{k}', CAST({int(v)} AS BIGINT)" for k, v in targets.items())
     return f"map({items})"
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def paragraph_blocks(text: Column, block: int = 20) -> Column:
+    """Deterministic paragraph segmentation: consecutive ``block``-token
+    windows (final partial window included).  Real crawls split on blank
+    lines; the synthetic corpus has no layout, so fixed-width windows are
+    the deterministic stand-in — the dedup machinery downstream is
+    segmentation-agnostic (any ``array<string>`` per doc works).
+    """
+    toks = tokens(text)
+    n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    return F.transform(
+        F.sequence(lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice(toks, i * block + 1, block), " "),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 20,
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb/Dolma-style): a paragraph
+    survives only at its FIRST corpus-wide occurrence — first by
+    ``(doc id, paragraph position)`` total order — and every later copy
+    is cut out of its document; documents are then reassembled from the
+    surviving paragraphs in original order.
+
+    Scale shape (the reference has no cross-document operator like this;
+    pipeline scope per SURVEY §6):
+
+    - paragraph explode is narrow (fan-out ~ tokens/``block``);
+    - first-occurrence election is ``groupBy(fingerprint).agg(min(struct))``
+      — a PARTIAL-aggregated shuffle, so a boilerplate paragraph repeated
+      10^9 times collapses map-side instead of hot-keying one reducer
+      (the window/row_number formulation would);
+    - survivors re-join the paragraph stream on
+      ``(fingerprint, id, pos)`` and reassemble per doc: one more shuffle.
+
+    Three exchanges total, no UDFs.  Returns
+    ``(id, n_paras, n_kept, dedup_text)`` — ``n_kept = 0`` and empty text
+    for a document made entirely of already-seen paragraphs.
+    """
+    base = docs.select(col(id_col), paragraph_blocks(col(text_col), block).alias("blocks"))
+    n_paras = base.select(id_col, F.size("blocks").alias("n_paras"))
+    paras = base.select(id_col, F.posexplode("blocks").alias("ppos", "para")).withColumn(
+        "fp", F.md5(col("para"))
+    )
+    first = paras.groupBy("fp").agg(F.min(F.struct(id_col, "ppos")).alias("k"))
+    kept = paras.join(
+        first.select("fp", col(f"k.{id_col}").alias(id_col), col("k.ppos").alias("ppos")),
+        ["fp", id_col, "ppos"],
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ppos", "para"))), lambda s: s["para"]
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        n_paras.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce("n_kept", lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("dedup_text", lit("")).alias("dedup_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style statistical quality signal: train an add-one-smoothed
+    bigram LM on the corpus itself, then score each document by its mean
+    token log-probability ``avg ln((C(w1,w2)+1) / (C(w1·)+V))`` — low
+    scores flag gibberish / outlier documents, high scores flag repetitive
+    boilerplate (CCNet buckets the corpus by this signal; cf. Wenzek et
+    al. 2020, which uses a pretrained KenLM — self-training on the corpus
+    keeps this hermetic).
+
+    Shape: bigram explode → count table ``C(w1,w2)`` (partial-agg
+    shuffle); context totals ``C(w1·)`` derived FROM that table (tiny
+    second agg, no second pass over the corpus); vocabulary size is a
+    one-row broadcast.  Scoring joins the bigram stream to both count
+    tables on their natural keys — shuffle joins, deliberately NOT
+    broadcast (at 100 TB the count tables are corpus-sized) — then one
+    per-doc agg.  Determinism: each ln() is rounded to 6 places (1-ulp
+    library guard) and summed in DECIMAL, so the parallel sum is
+    order-independent and bit-identical to the oracle.
+
+    Returns ``(id, n_bigrams, avg_logp)`` for documents with >= 1 bigram.
+    """
+    toks = tokens(col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    stream = docs.select(col(id_col), F.explode(bigrams).alias("bg")).select(
+        id_col, col("bg.w1").alias("w1"), col("bg.w2").alias("w2")
+    )
+    c12 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(tokens(col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    logp = F.round(F.log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
+    return (
+        stream.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            # sum exactly in DECIMAL (order-independent), then ONE exactly-
+            # rounded double division — no final round() needed, both
+            # engines produce the identical bit pattern
+            (F.sum(logp.cast("decimal(27,6)")).cast("double") / F.count("*")).alias(
+                "avg_logp"
+            ),
+        )
+    )

@@ -283,3 +283,132 @@ MIXTURE_TARGETS = {"en": 100, "de": 40, "es": 200, "fr": 30, "zh": 50}
 def llm_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return mixture_sample(docs, MIXTURE_TARGETS)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_paragraph_dedup",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 20.0) AS INT) - 1),
+               i -> array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' ')) AS blocks
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    ),
+    paras AS (
+      SELECT doc_id, s.ppos, s.para, md5(s.para) AS fp
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(blocks)),
+                     i -> struct_pack(ppos := i - 1, para := blocks[i]))) AS s
+            FROM base)
+    ),
+    kept AS (
+      SELECT doc_id, ppos, para FROM (
+        SELECT doc_id, ppos, para,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id, ppos) AS rn
+        FROM paras) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             array_to_string(list(para ORDER BY ppos), ' ') AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(len(b.blocks) AS BIGINT) AS n_paras,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.dedup_text, '') AS dedup_text
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    bench=True,
+    doc="Paragraph-level exact dedup (RefinedWeb/Dolma line dedup): each "
+    "20-token paragraph survives only at its first corpus-wide occurrence "
+    "(total order by doc_id, position); docs are reassembled from the "
+    "survivors. First-occurrence election is a PARTIAL-aggregated "
+    "min(struct) groupBy — a 10^9-copy boilerplate paragraph collapses "
+    "map-side instead of hot-keying one reducer.",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import paragraph_dedup
+
+    return paragraph_dedup(TS(spark, sf_dir, "documents"), block=20)
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_lm_score",
+    oracle=r"""
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    stream AS (
+      SELECT doc_id, s.w1, s.w2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                     i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS s
+            FROM tok)
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM stream GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(toks) AS w FROM tok))
+    SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(round(ln((c12.c12 + 1) / CAST(c1.c1 + vocab.v AS DOUBLE)), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) / count(*) AS avg_logp
+    FROM stream s JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY s.doc_id
+    """,
+    bench=True,
+    doc="Self-trained add-one-smoothed bigram LM, mean token log-prob per "
+    "doc (CCNet's quality signal, hermetic — no external model). Count "
+    "tables are corpus-sized so the scoring joins are deliberately "
+    "shuffle joins, NOT broadcast; context totals derive from the bigram "
+    "count table (no second corpus pass); vocabulary is a one-row "
+    "broadcast. ln() round-6 guard + DECIMAL sum + one exactly-rounded "
+    "double division = bit-identical cross-engine.",
+)
+def llm_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import bigram_lm_scores
+
+    return bigram_lm_scores(TS(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document cap
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_domain_cap",
+    oracle=r"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 15
+    """,
+    doc="Per-domain hard cap (Gopher/FineWeb curation rule): keep at most "
+    "N docs per source domain, chosen by deterministic md5-hash rank (a "
+    "reproducible uniform sample of each domain, not a prefix of crawl "
+    "order). rank<=k right after row_number lets Spark's WindowGroupLimit "
+    "rewrite keep a per-map-partition top-k BEFORE the shuffle — a giant "
+    "domain ships k rows per task, not its whole row set.",
+)
+def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(col("rk") <= 15)
+        .select("doc_id", "source", col("rk").cast("bigint").alias("rk"))
+    )

@@ -140,3 +140,85 @@ def test_mixture_sample_monotone_in_target(spark):
     small = {r.doc_id for r in mixture_sample(docs, {"x": 30}).collect()}
     large = {r.doc_id for r in mixture_sample(docs, {"x": 90}).collect()}
     assert small <= large  # threshold sampling is monotone in the target
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_drops_later_copies_and_reassembles(spark):
+    from osmdatapy_spark.functions.curation import paragraph_dedup
+
+    # block=2: doc1 = [ab, cd], doc2 = [cd(dup), ef], doc3 = [ab(dup), cd(dup)]
+    rows = [
+        (1, "a b c d"),
+        (2, "c d e f"),
+        (3, "a b c d"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"), block=2
+        ).collect()
+    }
+    assert (out[1].n_paras, out[1].n_kept, out[1].dedup_text) == (2, 2, "a b c d")
+    assert (out[2].n_paras, out[2].n_kept, out[2].dedup_text) == (2, 1, "e f")
+    assert (out[3].n_paras, out[3].n_kept, out[3].dedup_text) == (2, 0, "")
+
+
+def test_paragraph_dedup_partial_final_block(spark):
+    from osmdatapy_spark.functions.curation import paragraph_dedup
+
+    rows = [(1, "a b c")]  # block=2 -> ["a b", "c"]
+    (r,) = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), block=2
+    ).collect()
+    assert (r.n_paras, r.n_kept, r.dedup_text) == (2, 2, "a b c")
+
+
+def test_paragraph_dedup_first_occurrence_is_total_order(spark):
+    from osmdatapy_spark.functions.curation import paragraph_dedup
+
+    # same paragraph twice INSIDE one doc: position breaks the tie
+    rows = [(5, "x y x y")]
+    (r,) = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), block=2
+    ).collect()
+    assert (r.n_paras, r.n_kept, r.dedup_text) == (2, 1, "x y")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    from osmdatapy_spark.functions.curation import bigram_lm_scores
+
+    # corpus: "a b a b" and "a b"; V = {a, b} = 2
+    # C(a,b)=3, C(b,a)=1; C(a·)=3, C(b·)=1
+    rows = [(1, "a b a b"), (2, "a b")]
+    out = {r.doc_id: r for r in bigram_lm_scores(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    p_ab = round(math.log((3 + 1) / (3 + 2)), 6)   # ln(4/5)
+    p_ba = round(math.log((1 + 1) / (1 + 2)), 6)   # ln(2/3)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logp == pytest.approx((2 * p_ab + p_ba) / 3, abs=1e-9)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logp == pytest.approx(p_ab, abs=1e-9)
+    # repetitive text scores HIGHER than rare transitions — the signal CCNet
+    # buckets on
+    assert out[1].avg_logp < out[2].avg_logp
+
+
+def test_bigram_lm_single_token_doc_has_no_row(spark):
+    from osmdatapy_spark.functions.curation import bigram_lm_scores
+
+    rows = [(1, "only"), (2, "two words")]
+    out = bigram_lm_scores(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    assert {r.doc_id for r in out} == {2}
