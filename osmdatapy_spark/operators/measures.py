@@ -172,3 +172,117 @@ def nearest_in_grid(
             col("best.d2").alias("dist_sq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (even-odd ray cast)
+# ---------------------------------------------------------------------------
+
+
+def ray_cast_crossings(coords: Column, px: Column, py: Column) -> Column:
+    """Number of times a horizontal ray from (px, py) toward +lon crosses
+    the ring's edges (ring closed implicitly, even-odd rule — well-defined
+    for self-intersecting rings too, matching shapely's point-in-polygon
+    on simple rings).
+
+    The crossing test is the division-free form
+    ``(px-ax)·(by-ay) <> (bx-ax)·(py-ay)`` with the comparison direction
+    following ``sign(by-ay)`` — only exactly-rounded IEEE ops (no 1-ulp
+    libraries, no divide-by-zero edge on horizontal edges), so the count
+    is bit-identical across engines.
+    """
+    closed = F.concat(coords, F.slice(coords, 1, 1))
+    def _crosses(s: Column) -> Column:
+        ax, ay = s["a"]["lon"], s["a"]["lat"]
+        bx, by = s["b"]["lon"], s["b"]["lat"]
+        straddles = (ay > py) != (by > py)
+        lhs = (px - ax) * (by - ay)
+        rhs = (bx - ax) * (py - ay)
+        hit = F.when(by > ay, lhs < rhs).otherwise(lhs > rhs)
+        return (straddles & hit).cast("int")
+    return F.aggregate(
+        F.transform(_segments(closed), _crosses), lit(0), lambda acc, x: acc + x
+    )
+
+
+def point_in_ring(coords: Column, px: Column, py: Column) -> Column:
+    """Even-odd containment: odd crossing count ⇒ inside."""
+    return ray_cast_crossings(coords, px, py) % 2 == 1
+
+
+# ---------------------------------------------------------------------------
+# Radial-distance polyline simplification
+# ---------------------------------------------------------------------------
+
+
+def simplify_radial(coords: Column, eps: float) -> Column:
+    """Vertex-decimation simplification: walk the polyline keeping a vertex
+    only when its planar distance from the LAST KEPT vertex is >= ``eps``
+    (the first vertex is always kept).  The cheap O(n) cousin of
+    Douglas-Peucker, and the standard pre-pass before it at render scale.
+
+    Inherently sequential state (the "last kept" vertex is
+    data-dependent), yet shuffle-free in Spark: an ordered ``F.aggregate``
+    fold with a (kept-array, last) struct accumulator, pipelining inside
+    whatever stage gathered the coordinates.  dist² and eps² comparisons
+    are exactly-rounded ops — deterministic cross-engine.
+    """
+    eps2 = lit(float(eps) * float(eps))
+    first = F.slice(coords, 1, 1)
+    rest = F.slice(coords, 2, F.greatest(F.size(coords) - 1, lit(0)))
+    acc0 = F.struct(first.alias("kept"), F.element_at(coords, 1).alias("last"))
+
+    def step(acc: Column, x: Column) -> Column:
+        d2 = (x["lon"] - acc["last"]["lon"]) * (x["lon"] - acc["last"]["lon"]) + (
+            x["lat"] - acc["last"]["lat"]
+        ) * (x["lat"] - acc["last"]["lat"])
+        keep = d2 >= eps2
+        return F.struct(
+            F.when(keep, F.concat(acc["kept"], F.array(x))).otherwise(acc["kept"]).alias("kept"),
+            F.when(keep, x).otherwise(acc["last"]).alias("last"),
+        )
+
+    return F.aggregate(rest, acc0, step, lambda acc: acc["kept"])
+
+
+# ---------------------------------------------------------------------------
+# Web-mercator slippy tiles
+# ---------------------------------------------------------------------------
+
+_PI = 3.141592653589793
+
+
+def slippy_tile(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """(xtile, ytile) of the z/x/y web-mercator tile containing the point —
+    the partition key planet-scale pipelines bucket geodata by (a tile is
+    a self-contained unit of work; neighboring features share tiles).
+
+    ``tan``/``ln`` are 1-ulp libraries, so the mercator fraction gets a
+    round-9 guard BEFORE the floor: engines agree unless a value sits
+    within 5e-10 of a 9-decimal boundary — decorrelated from tile
+    boundaries, the same drift-absorption trick as the haversine round-4.
+    """
+    n = lit(float(1 << zoom))
+    xfrac = F.round((lon + 180.0) / 360.0, 9)
+    lat_rad = F.radians(lat)
+    yfrac = F.round(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / lit(_PI)) / 2.0, 9
+    )
+    return (
+        F.floor(xfrac * n).cast("long"),
+        F.floor(yfrac * n).cast("long"),
+    )
+
+
+def quadkey(xtile: Column, ytile: Column, zoom: int) -> Column:
+    """Bing-style quadkey string of a z/x/y tile: digit i interleaves bit
+    (zoom-1-i) of x and y — the prefix-closed key that makes tile
+    hierarchies range-scannable (a zoom-z prefix selects the subtree)."""
+    digits = [
+        (
+            F.shiftright(xtile, b).bitwiseAND(lit(1))
+            + F.shiftright(ytile, b).bitwiseAND(lit(1)) * 2
+        ).cast("string")
+        for b in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)

@@ -170,3 +170,255 @@ def osm_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("osmid").alias("nearest_id"), "lon", "lat"
     )
     return nearest_in_grid(pois, cands, 30.0, probe_id="poi_id", cand_id="nearest_id")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon containment join
+# ---------------------------------------------------------------------------
+
+# way-derived polygon centers: pure integer arithmetic + 0.5, so every ring
+# sits strictly inside one 1° grid cell (vertex jitter <= 0.35°, point
+# jitter <= 0.3° — nothing ever lands on a cell boundary)
+_CENTERS_CTE = """
+centers AS (
+  SELECT DISTINCT way_id,
+         CAST((way_id % 360) - 180 + 0.5 AS DOUBLE) AS cx,
+         CAST(((way_id // 360) % 170) - 85 + 0.5 AS DOUBLE) AS cy
+  FROM ways
+)
+"""
+
+
+@register(
+    "osm_point_in_polygon",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()}, {_CENTERS_CTE.strip()},
+    verts AS (
+      SELECT w.way_id, w.pos,
+             c.cx + n.lon * 0.35 / 180 AS vx,
+             c.cy + n.lat * 0.35 / 85 AS vy
+      FROM ways w JOIN nodes n ON w.node_id = n.osmid JOIN centers c USING (way_id)
+    ),
+    rings AS (
+      SELECT way_id, list(struct_pack(lon := vx, lat := vy) ORDER BY pos) AS c
+      FROM verts GROUP BY way_id HAVING count(*) >= 3
+    ),
+    ringcells AS (
+      SELECT r.way_id, r.c,
+             CAST(floor(ct.cx) AS BIGINT) AS cellx, CAST(floor(ct.cy) AS BIGINT) AS celly
+      FROM rings r JOIN centers ct USING (way_id)
+    ),
+    pts AS (
+      SELECT o_orderkey AS point_id,
+             CAST((o_orderkey % 360) - 180 + 0.5 AS DOUBLE)
+               + ((o_custkey % 100) * CAST(0.006 AS DOUBLE) - CAST(0.3 AS DOUBLE)) AS px,
+             CAST(((o_orderkey // 360) % 170) - 85 + 0.5 AS DOUBLE)
+               + ((o_custkey % 80) * CAST(0.007 AS DOUBLE) - CAST(0.28 AS DOUBLE)) AS py
+      FROM orders
+    ),
+    pairs AS (
+      SELECT p.point_id, r.way_id, p.px, p.py, list_append(r.c, r.c[1]) AS cc
+      FROM (SELECT *, CAST(floor(px) AS BIGINT) AS cellx, CAST(floor(py) AS BIGINT) AS celly
+            FROM pts) p
+      JOIN ringcells r USING (cellx, celly)
+    ),
+    crossed AS (
+      SELECT point_id, way_id,
+             CAST(coalesce(list_sum(list_transform(generate_series(1, len(cc) - 1),
+               i -> CASE WHEN ((cc[i].lat > py) != (cc[i+1].lat > py))
+                          AND (CASE WHEN cc[i+1].lat > cc[i].lat
+                                    THEN (px - cc[i].lon) * (cc[i+1].lat - cc[i].lat)
+                                       < (cc[i+1].lon - cc[i].lon) * (py - cc[i].lat)
+                                    ELSE (px - cc[i].lon) * (cc[i+1].lat - cc[i].lat)
+                                       > (cc[i+1].lon - cc[i].lon) * (py - cc[i].lat) END)
+                    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS crossings
+      FROM pairs
+    )
+    SELECT point_id, way_id, crossings, crossings % 2 = 1 AS inside FROM crossed
+    """,
+    bench=True,
+    doc="Point-in-polygon containment join (even-odd ray cast): order-derived "
+    "probe points against way-derived rings, candidates blocked by 1° grid "
+    "cell — the join shuffles by cell key, never point × polygon; the exact "
+    "test is a division-free crossing fold over the ring edges (only "
+    "exactly-rounded IEEE ops — bit-identical cross-engine, no horizontal-"
+    "edge divide-by-zero). The shape GeoSpark/Sedona use for planet-scale "
+    "containment, expressed in pure Column algebra.",
+)
+def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit
+
+    from osmdatapy_spark.operators.measures import ray_cast_crossings
+    from osmdatapy_spark.suite.osm import derived_nodes, derived_way_refs
+    from osmdatapy_spark.suite._util import T
+
+    ways = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
+    cx = ((col("way_id") % 360) - 180 + 0.5).cast("double")
+    cy = ((F.expr("way_id div 360") % 170) - 85 + 0.5).cast("double")
+    verts = ways.join(broadcast(nodes), "node_id").select(
+        "way_id",
+        "pos",
+        (cx + col("lon") * 0.35 / 180).alias("vx"),
+        (cy + col("lat") * 0.35 / 85).alias("vy"),
+    )
+    rings = (
+        verts.groupBy("way_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "vx", "vy"))),
+                lambda s: F.struct(s["vx"].alias("lon"), s["vy"].alias("lat")),
+            ).alias("c")
+        )
+        .filter(F.size("c") >= 3)
+        .select(
+            "way_id",
+            "c",
+            F.floor(cx).cast("long").alias("cellx"),
+            F.floor(cy).cast("long").alias("celly"),
+        )
+    )
+    o = T(spark, sf_dir, "orders")
+    px = ((col("o_orderkey") % 360) - 180 + 0.5).cast("double") + (
+        (col("o_custkey") % 100) * lit(0.006) - lit(0.3)
+    )
+    py = ((F.expr("o_orderkey div 360") % 170) - 85 + 0.5).cast("double") + (
+        (col("o_custkey") % 80) * lit(0.007) - lit(0.28)
+    )
+    pts = o.select(
+        col("o_orderkey").alias("point_id"),
+        px.alias("px"),
+        py.alias("py"),
+    ).select(
+        "point_id",
+        "px",
+        "py",
+        F.floor(col("px")).cast("long").alias("cellx"),
+        F.floor(col("py")).cast("long").alias("celly"),
+    )
+    pairs = pts.join(rings, ["cellx", "celly"])
+    crossings = ray_cast_crossings(col("c"), col("px"), col("py")).cast("bigint")
+    return pairs.select(
+        "point_id",
+        "way_id",
+        crossings.alias("crossings"),
+        (crossings % 2 == 1).alias("inside"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slippy-tile binning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_tile_binning",
+    oracle=f"""
+    WITH {NODES_CTE.strip()},
+    t AS (
+      SELECT osmid,
+             CAST(floor(round((lon + 180.0) / 360.0, 9) * 64.0) AS BIGINT) AS xtile,
+             CAST(floor(round((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                              / 2.0, 9) * 64.0) AS BIGINT) AS ytile
+      FROM nodes
+    )
+    SELECT xtile, ytile,
+           CAST(((xtile >> 5) & 1) + 2 * ((ytile >> 5) & 1) AS VARCHAR)
+        || CAST(((xtile >> 4) & 1) + 2 * ((ytile >> 4) & 1) AS VARCHAR)
+        || CAST(((xtile >> 3) & 1) + 2 * ((ytile >> 3) & 1) AS VARCHAR)
+        || CAST(((xtile >> 2) & 1) + 2 * ((ytile >> 2) & 1) AS VARCHAR)
+        || CAST(((xtile >> 1) & 1) + 2 * ((ytile >> 1) & 1) AS VARCHAR)
+        || CAST((xtile & 1) + 2 * (ytile & 1) AS VARCHAR) AS quadkey,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(osmid) AS min_osmid
+    FROM t GROUP BY xtile, ytile
+    """,
+    doc="Web-mercator z6 tile binning + per-tile rollup with Bing quadkeys "
+    "— THE partition key for planet-scale geodata (a tile is a "
+    "self-contained work unit; quadkey prefixes are range-scannable "
+    "subtrees, i.e. partition pruning at any zoom). One partial-aggregated "
+    "shuffle; the mercator fraction carries a round-9 guard before floor "
+    "so 1-ulp tan/ln drift cannot flip a tile.",
+)
+def osm_tile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import quadkey, slippy_tile
+    from osmdatapy_spark.suite.osm import derived_nodes
+
+    nodes = derived_nodes(spark, sf_dir)
+    xt, yt = slippy_tile(col("lon"), col("lat"), 6)
+    return (
+        nodes.select("osmid", xt.alias("xtile"), yt.alias("ytile"))
+        .groupBy("xtile", "ytile")
+        .agg(F.count("*").alias("n_nodes"), F.min("osmid").alias("min_osmid"))
+        .select(
+            "xtile",
+            "ytile",
+            quadkey(col("xtile"), col("ytile"), 6).alias("quadkey"),
+            "n_nodes",
+            "min_osmid",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Radial polyline simplification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_simplify_radial",
+    oracle=f"""
+    WITH RECURSIVE {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    verts AS (
+      SELECT w.way_id, w.pos, n.lon, n.lat
+      FROM ways w JOIN nodes n ON w.node_id = n.osmid
+    ),
+    walk AS (
+      SELECT way_id, pos, lon AS last_lon, lat AS last_lat,
+             [struct_pack(lon := lon, lat := lat)] AS kept
+      FROM verts WHERE pos = 1
+      UNION ALL
+      SELECT v.way_id, v.pos,
+             CASE WHEN (v.lon - s.last_lon) * (v.lon - s.last_lon)
+                     + (v.lat - s.last_lat) * (v.lat - s.last_lat) >= 900.0
+                  THEN v.lon ELSE s.last_lon END,
+             CASE WHEN (v.lon - s.last_lon) * (v.lon - s.last_lon)
+                     + (v.lat - s.last_lat) * (v.lat - s.last_lat) >= 900.0
+                  THEN v.lat ELSE s.last_lat END,
+             CASE WHEN (v.lon - s.last_lon) * (v.lon - s.last_lon)
+                     + (v.lat - s.last_lat) * (v.lat - s.last_lat) >= 900.0
+                  THEN list_append(s.kept, struct_pack(lon := v.lon, lat := v.lat))
+                  ELSE s.kept END
+      FROM walk s JOIN verts v ON v.way_id = s.way_id AND v.pos = s.pos + 1
+    ),
+    final AS (
+      SELECT w.way_id, w.pos AS n_in, w.kept
+      FROM walk w JOIN (SELECT way_id, max(pos) AS mp FROM walk GROUP BY 1) l
+        ON w.way_id = l.way_id AND w.pos = l.mp
+    )
+    SELECT way_id, CAST(n_in AS BIGINT) AS n_in, CAST(len(kept) AS BIGINT) AS n_kept,
+           'LINESTRING (' || array_to_string(
+             list_transform(kept, p -> printf('%.7f %.7f', p.lon, p.lat)), ', ') || ')' AS wkt
+    FROM final
+    """,
+    doc="Radial-distance polyline simplification (eps = 30°, the O(n) "
+    "vertex-decimation pre-pass render pipelines run before "
+    "Douglas-Peucker). Inherently sequential per-way state, yet "
+    "shuffle-free in Spark: an ordered F.aggregate fold with a "
+    "(kept, last) struct accumulator riding the coordinate-gather stage. "
+    "The oracle re-derives it as a DuckDB recursive CTE — an independent "
+    "formulation of the same walk. All lattice arithmetic is "
+    "exactly-rounded: bit-identical cross-engine.",
+)
+def osm_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.geometry import linestring_wkt
+    from osmdatapy_spark.operators.measures import simplify_radial
+
+    coords = _way_coords(spark, sf_dir)
+    simplified = simplify_radial(col("c"), 30.0)
+    return coords.select(
+        "way_id",
+        F.size("c").cast("bigint").alias("n_in"),
+        F.size(simplified).cast("bigint").alias("n_kept"),
+        linestring_wkt(simplified).alias("wkt"),
+    )

@@ -108,3 +108,100 @@ def test_nearest_in_grid_crosses_cell_boundary(spark):
     )
     out = nearest_in_grid(probes, cands, 30.0, probe_id="pid", cand_id="cid").collect()
     assert [(r.pid, r.cid) for r in out] == [(1, 10)]
+
+
+# ---------------------------------------------------------------------------
+# Ray-cast point-in-ring
+# ---------------------------------------------------------------------------
+
+
+def _pip(spark, ring, px, py):
+    from osmdatapy_spark.operators.measures import point_in_ring, ray_cast_crossings
+
+    out = _coords_df(spark, ring).select(
+        ray_cast_crossings(col("c"), F.lit(float(px)), F.lit(float(py))).alias("x"),
+        point_in_ring(col("c"), F.lit(float(px)), F.lit(float(py))).alias("inside"),
+    ).collect()[0]
+    return out.x, out.inside
+
+
+def test_ray_cast_unit_square(spark):
+    sq = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    assert _pip(spark, sq, 0.5, 0.5) == (1, True)       # center
+    assert _pip(spark, sq, 2.0, 0.5) == (0, False)      # right of the square
+    assert _pip(spark, sq, -1.0, 0.5) == (2, False)     # ray crosses both sides
+    assert _pip(spark, sq, 0.5, 2.0) == (0, False)      # above
+
+
+def test_ray_cast_concave_ring(spark):
+    # U-shape: pocket at (1.5, 0.75) is OUTSIDE the ring
+    u = [(0, 0), (3, 0), (3, 2), (2, 2), (2, 0.5), (1, 0.5), (1, 2), (0, 2)]
+    assert _pip(spark, u, 0.5, 1.0)[1] is True          # left arm
+    assert _pip(spark, u, 2.5, 1.0)[1] is True          # right arm
+    assert _pip(spark, u, 1.5, 1.0)[1] is False         # pocket
+    assert _pip(spark, u, 1.5, 0.25)[1] is True         # base under the pocket
+
+
+def test_ray_cast_horizontal_edges_no_division_blowup(spark):
+    # degenerate ring with a horizontal edge at the ray height
+    ring = [(0, 0), (2, 0), (2, 1), (1, 1), (0, 1)]
+    x, inside = _pip(spark, ring, 1.0, 0.5)
+    assert inside is True
+
+
+# ---------------------------------------------------------------------------
+# Radial simplification
+# ---------------------------------------------------------------------------
+
+
+def test_simplify_radial_decimates_close_vertices(spark):
+    from osmdatapy_spark.operators.measures import simplify_radial
+
+    line = [(0, 0), (0.1, 0), (1, 0), (1.05, 0), (2, 0)]
+    out = _coords_df(spark, line).select(simplify_radial(col("c"), 0.5).alias("s")).collect()[0].s
+    assert [(p["lon"], p["lat"]) for p in out] == [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]
+
+
+def test_simplify_radial_keeps_everything_at_zero_eps(spark):
+    from osmdatapy_spark.operators.measures import simplify_radial
+
+    line = [(0, 0), (0.1, 0), (1, 0)]
+    out = _coords_df(spark, line).select(simplify_radial(col("c"), 0.0).alias("s")).collect()[0].s
+    assert len(out) == 3
+
+
+def test_simplify_radial_single_vertex(spark):
+    from osmdatapy_spark.operators.measures import simplify_radial
+
+    out = _coords_df(spark, [(3, 4)]).select(simplify_radial(col("c"), 1.0).alias("s")).collect()[0].s
+    assert [(p["lon"], p["lat"]) for p in out] == [(3.0, 4.0)]
+
+
+# ---------------------------------------------------------------------------
+# Slippy tiles
+# ---------------------------------------------------------------------------
+
+
+def test_slippy_tile_known_points(spark):
+    from osmdatapy_spark.operators.measures import quadkey, slippy_tile
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (-180.0, 0.0), (0.0, 85.0), (0.0, -85.0)], "lon double, lat double"
+    )
+    xt, yt = slippy_tile(col("lon"), col("lat"), 1)
+    rows = df.select("lon", "lat", xt.alias("x"), yt.alias("y")).collect()
+    got = {(r.lon, r.lat): (r.x, r.y) for r in rows}
+    assert got[(0.0, 0.0)] == (1, 1)
+    assert got[(-180.0, 0.0)] == (0, 1)
+    assert got[(0.0, 85.0)] == (1, 0)
+    assert got[(0.0, -85.0)] == (1, 1)
+
+
+def test_quadkey_bing_doc_example(spark):
+    from osmdatapy_spark.operators.measures import quadkey
+
+    # Bing maps tile-system doc: tile (x=3, y=5, z=3) -> "213"
+    out = spark.range(1).select(
+        quadkey(F.lit(3).cast("long"), F.lit(5).cast("long"), 3).alias("q")
+    ).collect()
+    assert out[0].q == "213"
