@@ -384,3 +384,181 @@ def hyperplane_lsh_buckets(
         )
         bucket = bucket + F.when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     return vectors.select(col(id_col), bucket.cast("int").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    k_cells: int = 4,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: the vector is split into ``m_sub``
+    contiguous subspaces and each learns its own ``k_cells``-centroid
+    k-means quantizer (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search").  Same determinism contract as
+    ``kmeans_centroids`` — seed = k lowest ids' subvectors, rounded-L2
+    assignment with cell tiebreak, exact DECIMAL component means — so an
+    oracle can replay the whole codebook.  Driver footprint:
+    ``m_sub × k_cells × dim/m_sub`` doubles == ``k_cells × dim`` — tiny.
+    ``dim`` is explicit (never inferred with a driver-side ``.first()``).
+
+    All ``m_sub`` subspaces train in the SAME jobs (one seed collect, one
+    (m, cell, idx)-grouped mean aggregation per Lloyd iteration) — not
+    ``m_sub`` sequential k-means runs; the per-iteration exchange carries
+    ``m_sub × k_cells × dim/m_sub == k_cells × dim`` groups."""
+    sub = dim // m_sub
+    v = as_double(col(vec_col))
+    vdf = corpus.select(col(id_col).alias("_id"), v.alias("v"))
+    seed_rows = vdf.orderBy("_id").limit(k_cells).collect()
+    books = [
+        [list(r["v"])[m * sub : (m + 1) * sub] for r in seed_rows] for m in range(m_sub)
+    ]
+    if not seed_rows:
+        return [[] for _ in range(m_sub)]
+    for _ in range(iters):
+        # one row per (m): the subvector + its current nearest cell
+        per_sub = vdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            lit(m).alias("m"),
+                            F.slice(col("v"), m * sub + 1, sub).alias("sv"),
+                            nearest_cell(F.slice(col("v"), m * sub + 1, sub), books[m]).alias(
+                                "cell"
+                            ),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.m", "s.cell", F.posexplode("s.sv").alias("idx", "val"))
+        comps = per_sub.groupBy("m", "cell", "idx").agg(
+            (F.sum(col("val").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+                "cval"
+            )
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in comps.collect():
+            means.setdefault((r["m"], r["cell"]), {})[r["idx"]] = r["cval"]
+        books = [
+            [
+                [means[(m, c)][j] for j in range(sub)]
+                if (m, c) in means
+                else books[m][c]
+                for c in range(len(books[m]))
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def pq_codes(vec: Column, codebooks: list[list[list[float]]], dim: int) -> Column:
+    """ARRAY<INT> of per-subspace centroid codes — the compressed
+    representation that replaces the vector at scan time (``m_sub`` small
+    ints instead of ``dim`` floats: a 64-float embedding compresses 64×
+    at m=4/k=4).  Pure projection against literal codebooks: encoding
+    never shuffles."""
+    m_sub = len(codebooks)
+    sub = dim // m_sub
+    return F.array(
+        *[
+            nearest_cell(F.slice(vec, m * sub + 1, sub), codebooks[m])
+            for m in range(m_sub)
+        ]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    m_sub: int = 4,
+    k_cells: int = 4,
+    rerank: int = 10,
+    iters: int = 1,
+    decimals: int = 4,
+) -> DataFrame:
+    """Two-stage PQ retrieval: (1) scan the COMPRESSED codes with
+    asymmetric distance — each probe precomputes its ``m_sub × k_cells``
+    subspace-distance table, and a candidate's approximate distance is a
+    table lookup per code, summed exactly in DECIMAL (order-independent,
+    engine-portable) — keep the best ``rerank``; (2) join ONLY those
+    candidates back to the full vector table and re-rank the survivors by
+    exact cosine.
+
+    This is the memory story of ANN at 100 TB: stage 1 touches codes only
+    (m small ints per vector — RAM-resident at billions of vectors), the
+    full vectors stay in cold storage and are fetched for
+    ``rerank × probes`` rows, not the corpus.  Probes (and their distance
+    tables) broadcast; the corpus never shuffles in stage 1; stage 2 is a
+    semi-join-sized shuffle on candidate ids.
+    """
+    codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
+    v = as_double(col(vec_col))
+    c = corpus.select(
+        col(id_col).alias("nbr_id"), pq_codes(v, codebooks, dim).alias("codes")
+    )
+    sub = dim // m_sub
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _l2_sq(F.slice(v, m * sub + 1, sub), codebooks[m][cell])
+                    for cell in range(len(codebooks[m]))
+                ]
+            )
+            for m in range(m_sub)
+        ]
+    )
+    p = probes.select(col(id_col).alias("probe_id"), dtab.alias("dtab"))
+    # ADC: Σ_m dtab[m][code_m], summed in DECIMAL(18,6) — every term is a
+    # round-6 double, so the decimal sum is exact and order-independent
+    adist = F.aggregate(
+        F.sequence(lit(0), lit(m_sub - 1)),
+        lit(0).cast("decimal(18,6)"),
+        lambda acc, m: (
+            acc
+            + F.element_at(
+                F.element_at(col("dtab"), m + 1), F.element_at(col("codes"), m + 1) + 1
+            ).cast("decimal(18,6)")
+        ).cast("decimal(18,6)"),
+        lambda acc: acc.cast("double"),
+    )
+    stage1 = (
+        c.join(broadcast(p), col("probe_id") != col("nbr_id"))
+        .select("probe_id", "nbr_id", adist.alias("adist"))
+    )
+    w1 = Window.partitionBy("probe_id").orderBy("adist", "nbr_id")
+    cand = stage1.withColumn("rank_pq", F.row_number().over(w1)).filter(
+        col("rank_pq") <= rerank
+    )
+    cvecs = corpus.select(col(id_col).alias("nbr_id"), v.alias("cvec"))
+    pvecs = probes.select(col(id_col).alias("probe_id"), v.alias("pvec"))
+    exact = (
+        cand.join(cvecs, "nbr_id")
+        .join(broadcast(pvecs), "probe_id")
+        .select(
+            "probe_id",
+            "nbr_id",
+            "adist",
+            F.round(cosine(col("pvec"), col("cvec")), decimals).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(col("cos").desc(), col("nbr_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("probe_id", "nbr_id", "adist", "cos", "rank")
+    )

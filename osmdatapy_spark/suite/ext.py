@@ -1241,3 +1241,108 @@ def osm_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.filter(
         col("lon").between(-10.0, 40.0) & col("lat").between(-85.0, -50.0)
     )
+
+
+@register(
+    "llm_ann_pq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+    sv AS (
+      SELECT x.vec_id, s.m, list_slice(x.v, s.m * 16 + 1, s.m * 16 + 16) AS sv
+      FROM v x CROSS JOIN subs s
+    ),
+    seeds AS (
+      SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cell, sv AS v
+      FROM sv QUALIFY ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) <= 4
+    ),
+    a1 AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT x.vec_id, x.m, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.sv)),
+                          i -> (x.sv[i] - s.v[i]) * (x.sv[i] - s.v[i]))), 6), s.cell) AS rn
+        FROM sv x JOIN seeds s USING (m)
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a1.m, a1.cell,
+             UNNEST(generate_series(1, len(x.sv))) AS idx, UNNEST(x.sv) AS val
+      FROM sv x JOIN a1 USING (vec_id, m)
+    ),
+    mm AS (
+      SELECT m, cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY 1, 2, 3
+    ),
+    cents AS (
+      SELECT s.m, s.cell,
+             CASE WHEN COUNT(mm.cval) > 0 THEN list(mm.cval ORDER BY mm.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM seeds s LEFT JOIN mm ON mm.m = s.m AND mm.cell = s.cell
+      GROUP BY s.m, s.cell
+    ),
+    codes AS (
+      SELECT vec_id, m, cell AS code FROM (
+        SELECT x.vec_id, x.m, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.sv)),
+                          i -> (x.sv[i] - c.v[i]) * (x.sv[i] - c.v[i]))), 6), c.cell) AS rn
+        FROM sv x JOIN cents c USING (m)
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT p.vec_id AS probe_id, c.m, c.cell,
+             round(list_sum(list_transform(generate_series(1, len(p.sv)),
+                   i -> (p.sv[i] - c.v[i]) * (p.sv[i] - c.v[i]))), 6) AS d
+      FROM sv p JOIN cents c USING (m)
+      WHERE p.vec_id % 50 = 0
+    ),
+    adist AS (
+      SELECT d.probe_id, k2.vec_id AS nbr_id,
+             CAST(SUM(CAST(d.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      FROM codes k2 JOIN dtab d ON d.m = k2.m AND d.cell = k2.code
+      WHERE k2.vec_id <> d.probe_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT probe_id, nbr_id, adist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, nbr_id) AS rpq
+        FROM adist) WHERE rpq <= 10
+    ),
+    exact AS (
+      SELECT c.probe_id, c.nbr_id, c.adist,
+             round(list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * cv.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * pv.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv.v)), i -> cv.v[i] * cv.v[i])))),
+               4) AS cos
+      FROM cand c
+      JOIN v pv ON pv.vec_id = c.probe_id
+      JOIN v cv ON cv.vec_id = c.nbr_id
+    )
+    SELECT probe_id, nbr_id, adist, cos, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM exact) WHERE rank <= 3
+    """,
+    doc="Product-quantization ANN with asymmetric distance + exact re-rank "
+    "(Jégou et al. 2011) — the MEMORY leg of the ANN story: stage 1 scans "
+    "only per-subspace centroid codes (4 small ints per 64-float vector, "
+    "64× compression) against each probe's broadcast distance table; only "
+    "the top-10 survivors fetch their full vectors for exact-cosine "
+    "re-ranking. The DuckDB oracle replays all 4 per-subspace k-means "
+    "codebooks, the code assignment, the DECIMAL-exact ADC sum, and both "
+    "ranking stages bit-for-bit — the hard signal pins the entire "
+    "quantize→scan→re-rank pipeline, not just the final ids.",
+)
+def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import pq_topk
+
+    emb = TS(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") % 50 == 0)
+    out = pq_topk(emb, probes, dim=64, k=3, m_sub=4, k_cells=4, rerank=10, iters=1)
+    return out.select(
+        "probe_id", "nbr_id", "adist", "cos", col("rank").cast("long").alias("rank")
+    )

@@ -711,3 +711,65 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     assert common, "no overlapping pairs between exact and estimated"
     mae = sum(abs(exact[p] - est[p]) for p in common) / len(common)
     assert mae < 0.17, f"mean |est - exact| = {mae:.3f} over {len(common)} pairs"
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """PQ asymmetric-distance search with exact re-rank recovers most of
+    the exact top-3, and the code representation is m_sub small ints."""
+    from osmdatapy_spark.functions.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_codes,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    # 4 direction clusters in 8-dim, subspace-aligned structure
+    base = [
+        [1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0],
+    ]
+    vecs = []
+    for ci, b in enumerate(base):
+        for j in range(8):
+            e = 0.01 * (j + 1)
+            vecs.append((ci * 100 + j, [x + e * (i % 3) for i, x in enumerate(b)]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(col("vec_id") % 100 == 3)
+
+    books = pq_codebooks(corpus, dim=8, m_sub=2, k_cells=4, iters=2)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+    codes = corpus.select(
+        pq_codes(F.transform(col("embedding"), lambda x: x.cast("double")), books, 8).alias("c")
+    ).collect()
+    assert all(len(r["c"]) == 2 for r in codes)
+    assert all(0 <= v <= 3 for r in codes for v in r["c"])
+
+    exact = brute_force_topk(corpus, probes, k=3)
+    approx = pq_topk(corpus, probes, dim=8, k=3, m_sub=2, k_cells=4, rerank=8, iters=2)
+    exact_set = {(r["probe_id"], r["nbr_id"]) for r in exact.collect()}
+    approx_set = {(r["probe_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.75, f"PQ recall {recall:.2f} too low"
+
+
+def test_pq_adist_orders_like_true_distance(spark):
+    """ADC approximate distances must rank a same-cluster neighbor ahead of
+    a far cluster (the property that makes stage-1 pruning safe)."""
+    from osmdatapy_spark.functions.similarity import pq_topk
+
+    vecs = [
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [1.1, 0.9, 0.0, 0.0]),   # near 1
+        (3, [0.0, 0.0, 1.0, 1.0]),   # far from 1
+        (4, [0.0, 0.1, 1.1, 0.9]),   # near 3
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(col("vec_id") == 1)
+    out = pq_topk(corpus, probes, dim=4, k=3, m_sub=2, k_cells=2, rerank=3, iters=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["nbr_id"] == 2
