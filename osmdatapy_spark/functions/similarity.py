@@ -562,3 +562,57 @@ def pq_topk(
         .filter(col("rank") <= k)
         .select("probe_id", "nbr_id", "adist", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cluster) dedup — SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 1,
+    min_cos: float = 0.4,
+    max_bucket: int = 64,
+    decimals: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus with k-means, then
+    look for near-duplicate pairs ONLY within each cluster — the cluster
+    assignment is the candidate blocker, so the pair space is
+    Σ|cell|·max_bucket instead of n².
+
+    Shape: assignment is a zero-shuffle projection against literal
+    centroids; each cell collects its sorted id list (one partial-agg
+    exchange) and expands pairs with the same capped overlapping-window
+    combinatorics as ``dedup._bucket_pairs`` (oversized cells are chunked,
+    never dropped); candidates fetch their two vectors by id join and
+    verify exact cosine.  Emits ``(cell, id_a, id_b, cos)`` for pairs at
+    or above ``min_cos`` — the caller's dedup policy (keep lowest id,
+    keep best quality) runs downstream.
+    """
+    from osmdatapy_spark.functions.dedup import _bucket_pairs
+
+    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    v = as_double(col(vec_col))
+    assigned = corpus.select(
+        col(id_col).alias("_id"), v.alias("v"), nearest_cell(v, centroids).alias("cell")
+    )
+    buckets = assigned.groupBy("cell").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+    pairs = _bucket_pairs(buckets, max_bucket=max_bucket)
+    # recover the cell for the output: pairs within a bucket share id_a's cell
+    va = assigned.select(col("_id").alias("id_a"), col("v").alias("va"), "cell")
+    vb = assigned.select(col("_id").alias("id_b"), col("v").alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            F.round(cosine(col("va"), col("vb")), decimals).alias("cos"),
+        )
+        .filter(col("cos") >= lit(float(min_cos)))
+    )

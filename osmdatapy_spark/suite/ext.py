@@ -1346,3 +1346,94 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "probe_id", "nbr_id", "adist", "cos", col("rank").cast("long").alias("rank")
     )
+
+
+@register(
+    "llm_semantic_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - s.v[i]) * (x.v[i] - s.v[i]))), 6), s.cell
+               ) AS rn
+        FROM v x CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a1.cell,
+             UNNEST(generate_series(1, len(x.v))) AS idx,
+             UNNEST(x.v) AS val
+      FROM v x JOIN a1 USING (vec_id)
+    ),
+    m AS (
+      SELECT cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY cell, idx
+    ),
+    cents AS (
+      SELECT s.cell,
+             CASE WHEN COUNT(m.cval) > 0 THEN list(m.cval ORDER BY m.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM seeds s LEFT JOIN m ON m.cell = s.cell
+      GROUP BY s.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))), 6), c.cell
+               ) AS rn
+        FROM v x CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    pex AS (
+      SELECT cell, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (SELECT cell, list_sort(list(vec_id)) AS ids FROM a2 GROUP BY cell)
+    ),
+    cand AS (
+      SELECT a.cell, a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.cell = b.cell AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 63) * 63 + 64
+    )
+    SELECT c.cell, c.id_a, c.id_b,
+           round(list_sum(list_transform(generate_series(1, len(va.v)), i -> va.v[i] * vb.v[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(va.v)), i -> va.v[i] * va.v[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(vb.v)), i -> vb.v[i] * vb.v[i])))),
+             4) AS cos
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE round(list_sum(list_transform(generate_series(1, len(va.v)), i -> va.v[i] * vb.v[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(va.v)), i -> va.v[i] * va.v[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(vb.v)), i -> vb.v[i] * vb.v[i])))),
+             4) >= 0.4
+    """,
+    doc="SemDeDup (Abbas et al. 2023): embedding-cluster blocking for "
+    "semantic near-dup pairs — k-means cells are the candidate blocker "
+    "(assignment is a zero-shuffle literal-centroid projection), each "
+    "cell expands capped overlapping-window pairs from its sorted id "
+    "array (oversized cells chunk, never drop), exact cosine verifies. "
+    "The oracle replays the quantizer AND the window combinatorics, so "
+    "the hard signal pins blocking + verification end to end.",
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import semantic_dedup_pairs
+
+    emb = TS(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", n_cells=8, iters=1, min_cos=0.4, max_bucket=64
+    )

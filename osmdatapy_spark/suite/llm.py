@@ -1423,3 +1423,60 @@ def llm_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("hi").alias("p95"),
         ((col("nt") >= col("lo")) & (col("nt") <= col("hi"))).alias("keep"),
     )
+
+
+@register(
+    "llm_bpe_merge_candidates",
+    oracle=r"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(t.i AS INT), 1) AS left_ch,
+             substr(w, CAST(t.i AS INT) + 1, 1) AS right_ch, f
+      FROM words, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT left_ch, right_ch, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM pairs GROUP BY 1, 2
+    ORDER BY cnt DESC, left_ch, right_ch LIMIT 30
+    """,
+    doc="BPE vocabulary induction, first iteration: corpus-weighted "
+    "adjacent-character pair counts over the DISTINCT-word table (the "
+    "classic Sennrich et al. 2016 training step — the top pair is the "
+    "first merge). Counting on distinct words × frequency instead of raw "
+    "text makes the explode proportional to vocabulary, not corpus: at "
+    "100 TB the word table is the small side. Global top-30 runs as "
+    "TakeOrderedAndProject (per-partition heads, no single-partition "
+    "window), totally ordered by (cnt, left, right).",
+)
+def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import tokens
+
+    docs = TS(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.substring(col("w"), i, lit(1)).alias("left_ch"),
+                    F.substring(col("w"), i + 1, lit(1)).alias("right_ch"),
+                ),
+            )
+        ).alias("p"),
+        "f",
+    ).select("p.left_ch", "p.right_ch", "f")
+    return (
+        pairs.groupBy("left_ch", "right_ch")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(col("cnt").desc(), "left_ch", "right_ch")
+        .limit(30)
+    )
