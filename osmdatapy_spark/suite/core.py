@@ -661,3 +661,138 @@ def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order multi-dimensional clustering layout
+# ---------------------------------------------------------------------------
+
+
+def _z_interleave(a, b, bits: int = 8):
+    """16-bit Morton code: bit i of ``a`` lands at 2i+1, of ``b`` at 2i —
+    pure integer Column algebra, bit-identical everywhere."""
+    z = lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(lit(1)), 2 * i)
+        )
+    return z
+
+
+@register(
+    "rel_zorder_layout",
+    oracle="""
+    WITH z AS (
+      SELECT (o_custkey % 256) AS a, (o_orderkey % 256) AS b,
+             (((o_custkey % 256) >> 0) & 1) * 2 + (((o_orderkey % 256) >> 0) & 1)
+           + ((((o_custkey % 256) >> 1) & 1) * 2 + (((o_orderkey % 256) >> 1) & 1)) * 4
+           + ((((o_custkey % 256) >> 2) & 1) * 2 + (((o_orderkey % 256) >> 2) & 1)) * 16
+           + ((((o_custkey % 256) >> 3) & 1) * 2 + (((o_orderkey % 256) >> 3) & 1)) * 64
+           + ((((o_custkey % 256) >> 4) & 1) * 2 + (((o_orderkey % 256) >> 4) & 1)) * 256
+           + ((((o_custkey % 256) >> 5) & 1) * 2 + (((o_orderkey % 256) >> 5) & 1)) * 1024
+           + ((((o_custkey % 256) >> 6) & 1) * 2 + (((o_orderkey % 256) >> 6) & 1)) * 4096
+           + ((((o_custkey % 256) >> 7) & 1) * 2 + (((o_orderkey % 256) >> 7) & 1)) * 16384
+             AS zval
+      FROM orders
+    )
+    SELECT CAST(zval >> 12 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+           CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering layout — the Delta/Iceberg OPTIMIZE "
+    "ZORDER primitive as pure Column algebra: interleave the bits of two "
+    "key columns, range-bucket by the code, and report per-bucket min/max "
+    "of BOTH dimensions. The payoff is in the output itself: every "
+    "z-bucket bounds a AND b to a 64-wide range simultaneously, which is "
+    "why file-level min/max stats over z-sorted data can skip on either "
+    "predicate. At scale: repartitionByRange(zval) before the write, "
+    "stats come free from parquet footers.",
+)
+def rel_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    a = (col("o_custkey") % 256).cast("long")
+    b = (col("o_orderkey") % 256).cast("long")
+    z = o.select(a.alias("a"), b.alias("b"), _z_interleave(a, b).alias("zval"))
+    return z.groupBy(F.shiftright("zval", 12).cast("long").alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("a").cast("long").alias("a_min"),
+        F.max("a").cast("long").alias("a_max"),
+        F.min("b").cast("long").alias("b_min"),
+        F.max("b").cast("long").alias("b_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (oracled sketch — HLL/t-digest are rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_cms_heavy_hitters",
+    oracle="""
+    WITH buck AS (
+      SELECT o_custkey,
+             CAST(r.s AS INT) AS seed,
+             CAST(('0x' || substr(md5(CAST(r.s AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS bucket
+      FROM orders, (SELECT UNNEST([0, 1, 2, 3]) AS s) r
+    ),
+    cms AS (
+      SELECT seed, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM buck GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_n
+      FROM orders GROUP BY 1
+      ORDER BY exact_n DESC, o_custkey LIMIT 10
+    )
+    SELECT e.o_custkey, e.exact_n,
+           min(c.c) AS cms_est,
+           min(c.c) >= e.exact_n AS never_undercounts
+    FROM exact e
+    JOIN buck b ON b.o_custkey = e.o_custkey
+    JOIN cms c ON c.seed = b.seed AND c.bucket = b.bucket
+    GROUP BY e.o_custkey, e.exact_n
+    """,
+    doc="Count-min sketch heavy hitters with the one-sided error bound IN "
+    "the result: 4 md5-hash rows × 64 buckets aggregate to a 256-cell "
+    "sketch (one partial-agg exchange, constant memory at any cardinality); "
+    "the top-10 exact keys then read their estimate = min over rows, and "
+    "the never_undercounts column certifies CMS's ε-δ guarantee on every "
+    "row. The oracled counterpart to the rows-only HLL++/t-digest entry — "
+    "deterministic hash family, so both engines build the identical sketch.",
+)
+def rel_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    seeds = F.array(*[lit(s) for s in range(4)])
+    buck = o.select(
+        "o_custkey", F.explode(seeds).alias("seed")
+    ).withColumn("bucket", _cms_bucket_col())
+    cms = buck.groupBy("seed", "bucket").agg(F.count("*").alias("c"))
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(col("exact_n").desc(), "o_custkey")
+        .limit(10)
+    )
+    est = (
+        exact.join(buck, "o_custkey")
+        .join(cms, ["seed", "bucket"])
+        .groupBy("o_custkey", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "o_custkey",
+        "exact_n",
+        "cms_est",
+        (col("cms_est") >= col("exact_n")).alias("never_undercounts"),
+    )
+
+
+def _cms_bucket_col():
+    h = F.md5(F.concat(col("seed").cast("string"), lit("-"), col("o_custkey").cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).cast("long")
