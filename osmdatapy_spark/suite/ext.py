@@ -1437,3 +1437,125 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, "vec_id", "embedding", n_cells=8, iters=1, min_cos=0.4, max_bucket=64
     )
+
+
+@register(
+    "osm_apply_changes",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS osmid, o_orderstatus AS val FROM orders
+    ),
+    changes AS (
+      SELECT CASE WHEN l_linenumber % 7 = 0 THEN -l_orderkey ELSE l_orderkey END AS osmid,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) + 1
+               AS version,
+             CASE WHEN l_linenumber % 7 = 0 THEN 'create'
+                  WHEN l_returnflag = 'R' THEN 'delete'
+                  ELSE 'modify' END AS op,
+             l_linestatus AS val
+      FROM lineitem
+    ),
+    last AS (
+      SELECT osmid,
+             max(struct_pack(version := version, op := op, val := val)) AS m
+      FROM changes GROUP BY osmid
+    ),
+    applied AS (
+      SELECT b.osmid,
+             coalesce((l.m).val, b.val) AS val,
+             CAST(coalesce((l.m).version, 1) AS BIGINT) AS version
+      FROM base b LEFT JOIN last l ON l.osmid = b.osmid
+      WHERE (l.m).op IS NULL OR (l.m).op <> 'delete'
+    ),
+    created AS (
+      SELECT osmid, (m).val AS val, CAST((m).version AS BIGINT) AS version
+      FROM last WHERE osmid < 0 AND (m).op <> 'delete'
+    )
+    SELECT osmid, val, version FROM applied
+    UNION ALL
+    SELECT osmid, val, version FROM created
+    """,
+    doc="OSC-style changefile application — the planet minutely-update "
+    "workflow the reference lacks entirely: a versioned create/modify/"
+    "delete stream folds onto the base element table, latest version per "
+    "element wins. The last-change election is max(struct(version,...)) — "
+    "a PARTIAL-aggregated shuffle (an element edited 10^6 times collapses "
+    "map-side, no hot reducer, unlike the row_number formulation) — then "
+    "one osmid-keyed outer join applies modify/delete and a union appends "
+    "creates. Version is a total order so the fold is deterministic.",
+)
+def osm_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("osmid"), col("o_orderstatus").alias("val")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = li.select(
+        F.when(col("l_linenumber") % 7 == 0, -col("l_orderkey"))
+        .otherwise(col("l_orderkey"))
+        .alias("osmid"),
+        (F.row_number().over(w) + 1).alias("version"),
+        F.when(col("l_linenumber") % 7 == 0, lit("create"))
+        .when(col("l_returnflag") == "R", lit("delete"))
+        .otherwise(lit("modify"))
+        .alias("op"),
+        col("l_linestatus").alias("cval"),
+    )
+    last = changes.groupBy("osmid").agg(
+        F.max(F.struct("version", "op", "cval")).alias("m")
+    )
+    applied = (
+        o.join(last, "osmid", "left")
+        .filter(col("m.op").isNull() | (col("m.op") != "delete"))
+        .select(
+            "osmid",
+            F.coalesce(col("m.cval"), col("val")).alias("val"),
+            F.coalesce(col("m.version"), lit(1)).cast("bigint").alias("version"),
+        )
+    )
+    created = (
+        last.filter((col("osmid") < 0) & (col("m.op") != "delete"))
+        .select(
+            "osmid",
+            col("m.cval").alias("val"),
+            col("m.version").cast("bigint").alias("version"),
+        )
+    )
+    return applied.unionByName(created)
+
+
+@register(
+    "llm_training_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+                AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+    doc="Deterministic global training order: every doc gets a "
+    "reproducible (shard, position) from its id's md5 — the 'global "
+    "shuffle' step before tokenizer sharding, WITHOUT rand() (any engine, "
+    "any cluster size, any rerun produces the identical epoch order; "
+    "change the salt to reshuffle between epochs). Shards are written "
+    "independently (one exchange, 8-way parallel positions); no global "
+    "single-partition sort anywhere.",
+)
+def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osmdatapy_spark.functions.text import hash_bucket
+
+    docs = T(spark, sf_dir, "documents")
+    h = F.md5(col("doc_id").cast("string"))
+    shard = hash_bucket(col("doc_id"), 8).cast("bigint")
+    w = Window.partitionBy(shard).orderBy(h, "doc_id")
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
