@@ -108,6 +108,63 @@ def main() -> None:
     timed("lsh band pairs", check_lsh)
     timed("simhash", lambda: f"{simhash(docs.select('doc_id', F.explode(tokens(col('text'))).alias('tok')), 'doc_id', 'tok').count()} signatures")
     timed("winnow fingerprints", lambda: f"{with_winnow_fingerprints(docs, 'text', 'fp').select(F.sum(F.size('fp'))).first()[0]} fingerprints")
+
+    from osmdatapy_spark.functions.curation import bigram_lm_scores, paragraph_dedup
+
+    def check_paragraph():
+        # 40-token docs, block=20 -> 2 paragraphs; a planted duplicate's
+        # paragraphs were both seen at its block head, so it keeps 0 —
+        # and ONLY duplicates lose anything (all other docs are unique)
+        out = paragraph_dedup(docs, block=20).persist()
+        fully_gone = out.filter(col("n_kept") == 0).count()
+        partial = out.filter((col("n_kept") > 0) & (col("n_kept") < col("n_paras"))).count()
+        assert fully_gone == planted, f"expected {planted} fully-deduped docs, got {fully_gone}"
+        assert partial == 0, f"{partial} docs lost paragraphs spuriously"
+        return f"{fully_gone} docs fully deduped (== planted), 0 spurious"
+
+    timed("paragraph dedup", check_paragraph)
+
+    def check_lm():
+        # a duplicate's bigrams occur twice corpus-wide -> its mean
+        # log-prob must beat the unique-doc average (the repetition
+        # signal CCNet buckets on)
+        scores = bigram_lm_scores(docs).persist()
+        dup_avg, uniq_avg = (
+            scores.select(
+                F.avg(F.when(col("doc_id") % 50 == 1, col("avg_logp"))).alias("d"),
+                F.avg(F.when(col("doc_id") % 50 != 1, col("avg_logp"))).alias("u"),
+            ).first()
+        )
+        assert dup_avg > uniq_avg, f"dup {dup_avg} !> unique {uniq_avg}"
+        return f"dup avg_logp {dup_avg:.3f} > unique {uniq_avg:.3f}"
+
+    timed("bigram LM scores", check_lm)
+
+    from osmdatapy_spark.functions.similarity import semantic_dedup_pairs
+
+    def check_semdedup():
+        # 8-dim embeddings from the same planted structure: id%50==1
+        # copies its block head's vector exactly -> same k-means cell,
+        # adjacent in the sorted id array (consecutive ids), cos = 1.0.
+        # Overlapping pair windows always pair adjacent elements, so
+        # EVERY planted pair must appear at any max_bucket >= 2.
+        src = F.when(col("doc_id") % 50 == 1, col("doc_id") - 1).otherwise(col("doc_id"))
+        vecs = docs.select(
+            "doc_id",
+            F.array(*[((src * (j + 3) + j) % 997 / 997.0) for j in range(8)]).alias("embedding"),
+        )
+        pairs = semantic_dedup_pairs(
+            vecs, "doc_id", "embedding", n_cells=8, iters=1, min_cos=0.999, max_bucket=8
+        ).persist()
+        got = pairs.count()
+        expected = spark.range(0, n, 50).select(
+            col("id").alias("id_a"), (col("id") + 1).alias("id_b")
+        ).filter(col("id_b") < n)
+        missing = expected.join(pairs, ["id_a", "id_b"], "left_anti").count()
+        assert missing == 0, f"SemDeDup recall broken: {missing} planted pairs missing"
+        return f"{got} pairs at cos>=0.999 (all {planted} planted present)"
+
+    timed("semantic dedup", check_semdedup)
     spark.stop()
 
 
