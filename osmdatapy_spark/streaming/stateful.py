@@ -114,3 +114,57 @@ def first_seen_dedup(events_stream):
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-version element upsert (streaming OSC changefile application)
+# ---------------------------------------------------------------------------
+
+UPSERT_OUTPUT_SCHEMA = "osmid long, version long, op string, val string"
+UPSERT_STATE_SCHEMA = "version long, op string, val string"
+
+
+def _upsert_element(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    cur = state.get if state.exists else None
+    best = cur  # (version, op, val)
+    for pdf in pdfs:
+        for r in pdf.sort_values("version").itertuples():
+            if best is None or r.version > best[0]:
+                best = (int(r.version), str(r.op), str(r.val))
+    if best is not None and best != cur:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "osmid": [key[0]],
+                "version": [best[0]],
+                "op": [best[1]],
+                "val": [best[2]],
+            }
+        )
+
+
+def latest_version_upsert(changes_stream):
+    """Streaming OSC changefile application — the readStream counterpart
+    of the batch ``osm_apply_changes`` query: a create/modify/delete
+    stream keyed by osmid keeps only each element's LATEST version in
+    state and emits a row whenever it advances (update mode — exactly the
+    CDC upsert feed a downstream materialized view consumes; 'delete'
+    rows are tombstones).
+
+    State is one (version, op, val) triple per live element — bounded by
+    the element population, not the change volume, and partitioned
+    horizontally by the groupBy key like every stateful operator here.
+    Batch oracle: ``groupBy(osmid).agg(max(struct(version, op, val)))`` —
+    the same partial-agg election the batch query uses; the pytest parity
+    check proves stream and batch converge to identical final states."""
+    return changes_stream.groupBy("osmid").applyInPandasWithState(
+        _upsert_element,
+        outputStructType=UPSERT_OUTPUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -204,3 +204,53 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     got = [(r["user_id"], r["event_type"]) for r in rows]
     assert len(got) == len(set(got)), "duplicate keys emitted"
     assert set(got) == batch_keys
+
+
+def test_latest_version_upsert_matches_batch(spark, tmp_path):
+    """Streaming changefile upsert under availableNow must converge to the
+    batch max-version election, including out-of-order versions split
+    across micro-batch files."""
+    from osmdatapy_spark.streaming.stateful import latest_version_upsert
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, SF_DIR, "lineitem").limit(2000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = li.select(
+        F.col("l_orderkey").alias("osmid"),
+        (F.row_number().over(w) + 1).cast("long").alias("version"),
+        F.when(F.col("l_returnflag") == "R", "delete").otherwise("modify").alias("op"),
+        F.col("l_linestatus").alias("val"),
+    )
+    batch = {
+        r["osmid"]: (r["m"]["version"], r["m"]["op"], r["m"]["val"])
+        for r in changes.groupBy("osmid")
+        .agg(F.max(F.struct("version", "op", "val")).alias("m"))
+        .collect()
+    }
+
+    staged = str(tmp_path / "changes")
+    # two files -> at least two micro-batch splits possible; high versions
+    # deliberately land in the FIRST file so later batches must be ignored
+    changes.filter(F.col("version") >= 4).coalesce(1).write.parquet(staged)
+    changes.filter(F.col("version") < 4).coalesce(1).write.mode("append").parquet(staged)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    q = (
+        latest_version_upsert(stream)
+        .writeStream.format("memory")
+        .queryName("t_upsert")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql(
+        "select * from (select *, row_number() over (partition by osmid order by version desc) rn"
+        " from t_upsert) where rn = 1"
+    ).collect()
+    got = {r["osmid"]: (r["version"], r["op"], r["val"]) for r in rows}
+    assert got == batch
