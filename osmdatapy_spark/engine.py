@@ -136,6 +136,106 @@ class OSM:
 
         return cls(read(f"{path}/elements"), read(f"{path}/nodes"), opt(refs_path), opt(mem_path))
 
+    def to_pbf(self, path: str, elements_per_group: int = 8000, codec: str = "zlib") -> int:
+        """Sharded ``.osm.pbf`` sink — the write side of the PBF source
+        (the reference is read-only; SURVEY §2.1 S14 names terminal
+        DataFrames as the sink surface, this adds the native format).
+
+        Each Spark partition encodes ONE standalone, spec-valid
+        ``part-NNNNN.osm.pbf`` under ``path`` — its own OSMHeader frame,
+        dense-node/way/relation groups of ``elements_per_group``, kinds in
+        canonical node→way→relation order (``repartitionByRange`` +
+        ``sortWithinPartitions`` on (osmtype, osmid) gives global range
+        layout across shards).  Sharded output is what a planet-scale
+        pipeline wants anyway (parallel encode, parallel re-read: every
+        shard is independently scannable by this source or osmium);
+        ``cat`` of re-framed shards or a driver-side merge makes a single
+        file when a tool insists.  Encoding runs executor-side via
+        ``foreachPartition`` (the codec is pure Python stdlib — no driver
+        funnel, no collect); returns the shard count written.
+
+        Tags, coordinates, refs, and members round-trip; Info metadata is
+        not emitted (the read side's schema-gated Info decode is exercised
+        by the codec fixtures).
+        """
+        import os
+
+        from pyspark.sql import functions as F
+
+        os.makedirs(path, exist_ok=True)
+        nodes = (
+            self.elements.filter(col("osmtype") == 0)
+            .select("osmid", "tags")
+            .join(self.nodes, "osmid")
+            .select("osmid", lit(0).alias("osmtype"), "tags", "lon", "lat",
+                    lit(None).cast("array<long>").alias("refs"),
+                    lit(None).cast(
+                        "array<struct<member_id:long,member_type:int,role:string>>"
+                    ).alias("members"))
+        )
+        ways = self.elements.filter(col("osmtype") == 1).select(
+            "osmid", "osmtype", "tags",
+            lit(None).cast("double").alias("lon"), lit(None).cast("double").alias("lat"),
+            col("refs").cast("array<long>").alias("refs"),
+            lit(None).cast(
+                "array<struct<member_id:long,member_type:int,role:string>>"
+            ).alias("members"),
+        )
+        rels = self.elements.filter(col("osmtype") == 2).select(
+            "osmid", "osmtype", "tags",
+            lit(None).cast("double").alias("lon"), lit(None).cast("double").alias("lat"),
+            lit(None).cast("array<long>").alias("refs"),
+            F.expr(
+                "cast(members as array<struct<member_id:long,member_type:int,role:string>>)"
+            ).alias("members"),
+        )
+        all_rows = (
+            nodes.unionByName(ways).unionByName(rels)
+            .repartitionByRange("osmtype", "osmid")
+            .sortWithinPartitions("osmtype", "osmid")
+        )
+        target, group, czx = path, elements_per_group, codec
+
+        def write_partition(rows) -> None:
+            from pyspark import TaskContext
+
+            from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+            buf_n: list = []
+            buf_w: list = []
+            buf_r: list = []
+            w = PbfWriter(codec=czx)
+            seen = False
+            for r in rows:
+                seen = True
+                if r.osmtype == 0:
+                    buf_n.append((r.osmid, r.lon, r.lat, dict(r.tags or {})))
+                    if len(buf_n) >= group:
+                        w.add_dense_nodes(buf_n); buf_n = []
+                elif r.osmtype == 1:
+                    buf_w.append((r.osmid, list(r.refs or []), dict(r.tags or {})))
+                    if len(buf_w) >= group:
+                        w.add_ways(buf_w); buf_w = []
+                else:
+                    mem = [(m.member_id, m.member_type, m.role or "") for m in (r.members or [])]
+                    buf_r.append((r.osmid, mem, dict(r.tags or {})))
+                    if len(buf_r) >= group:
+                        w.add_relations(buf_r); buf_r = []
+            if buf_n:
+                w.add_dense_nodes(buf_n)
+            if buf_w:
+                w.add_ways(buf_w)
+            if buf_r:
+                w.add_relations(buf_r)
+            if seen:
+                pid = TaskContext.get().partitionId()
+                tmp = os.path.join(target, f".part-{pid:05d}.tmp")
+                w.write(tmp)
+                os.replace(tmp, os.path.join(target, f"part-{pid:05d}.osm.pbf"))
+
+        all_rows.foreachPartition(write_partition)
+        return len([f for f in os.listdir(path) if f.endswith(".osm.pbf")])
+
     # -- introspection (reference osmdata.py:41-84) ------------------------
 
     def info(self) -> DataFrame:

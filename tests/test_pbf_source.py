@@ -258,3 +258,50 @@ def test_osm_filepath_constructor_parity(spark, tmp_path):
     via_cls = OSM.from_pbf(spark, path)
     assert via_str.elements.count() == via_cls.elements.count() == 3
     assert via_str.nodes.count() == 2
+
+
+def test_to_pbf_roundtrip(spark, fixture_pbf, tmp_path):
+    """Sink → source round-trip: to_pbf shards decode back to the same
+    elements, coordinates, tags, way refs, and relation members."""
+    src = OSM.from_pbf(spark, fixture_pbf)
+    out_dir = str(tmp_path / "sharded")
+    n_shards = src.to_pbf(out_dir, elements_per_group=4)
+    assert n_shards >= 1
+
+    import glob
+
+    parts = sorted(glob.glob(f"{out_dir}/part-*.osm.pbf"))
+    assert len(parts) == n_shards
+    backs = [OSM.from_pbf(spark, p) for p in parts]
+    elements = backs[0].elements
+    nodes = backs[0].nodes
+    refs = backs[0].way_refs
+    mems = backs[0].rel_members
+    for b in backs[1:]:
+        elements = elements.unionByName(b.elements, allowMissingColumns=True)
+        nodes = nodes.unionByName(b.nodes)
+        refs = refs.unionByName(b.way_refs)
+        mems = mems.unionByName(b.rel_members)
+
+    # element population by kind
+    want = {(r["osmtype"], r["osmid"]) for r in src.elements.select("osmtype", "osmid").collect()}
+    got = {(r["osmtype"], r["osmid"]) for r in elements.select("osmtype", "osmid").collect()}
+    assert got == want
+
+    # coordinates survive (granularity 100 => 1e-7 exact)
+    want_xy = {r["osmid"]: (r["lon"], r["lat"]) for r in src.nodes.collect()}
+    got_xy = {r["osmid"]: (r["lon"], r["lat"]) for r in nodes.collect()}
+    assert got_xy == want_xy
+
+    # tags survive
+    want_tags = {r["osmid"]: dict(r["tags"]) for r in src.elements.filter(F.size("tags") > 0).select("osmid", "tags").collect()}
+    got_tags = {r["osmid"]: dict(r["tags"]) for r in elements.filter(F.size("tags") > 0).select("osmid", "tags").collect()}
+    assert got_tags == want_tags
+
+    # way refs and relation members, order included
+    want_refs = sorted((r["way_id"], r["pos"], r["node_id"]) for r in src.way_refs.collect())
+    got_refs = sorted((r["way_id"], r["pos"], r["node_id"]) for r in refs.collect())
+    assert got_refs == want_refs
+    want_m = sorted(tuple(r) for r in src.rel_members.collect())
+    got_m = sorted(tuple(r) for r in mems.collect())
+    assert got_m == want_m
