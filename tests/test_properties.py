@@ -129,3 +129,91 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["cluster"] for r in connected_components(df).collect()}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=9).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_paragraph_dedup_invariants_random(spark, texts):
+    """Random corpora: (1) token multiset of every dedup_text is a subset
+    of the original in order; (2) Σ n_kept == number of DISTINCT
+    paragraphs corpus-wide; (3) dedup is idempotent (running it on its own
+    output keeps everything)."""
+    from osmdatapy_spark.functions.curation import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(docs, block=2).collect()
+    by_id = {r.doc_id: r for r in out}
+
+    # distinct paragraph count invariant
+    import math
+
+    def blocks(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    distinct = len({p for t in texts for p in blocks(t)})
+    assert sum(r.n_kept for r in out) == distinct
+
+    # survivors are an ordered subsequence of the original blocks
+    for i, t in enumerate(texts):
+        kept = by_id[i].dedup_text.split(" ") if by_id[i].dedup_text else []
+        orig = t.split(" ")
+        it = iter(orig)
+        assert all(tok in it for tok in kept), (kept, orig)
+
+    # idempotence: every surviving paragraph is globally unique now
+    redo = paragraph_dedup(
+        spark.createDataFrame(
+            [(r.doc_id, r.dedup_text) for r in out if r.dedup_text], "doc_id long, text string"
+        ),
+        block=2,
+    ).collect()
+    assert all(r.n_kept == r.n_paras for r in redo)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50), st.integers(min_value=-50, max_value=50)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    eps=st.sampled_from([1.0, 5.0, 25.0]),
+)
+def test_simplify_radial_invariants_random(spark, pts, eps):
+    """(1) first vertex always kept; (2) consecutive kept vertices are
+    >= eps apart (except possibly none when input has one point);
+    (3) output is a subsequence of the input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from osmdatapy_spark.operators.measures import simplify_radial
+
+    arr = F.array(
+        *[
+            F.struct(F.lit(float(x)).alias("lon"), F.lit(float(y)).alias("lat"))
+            for x, y in pts
+        ]
+    )
+    out = (
+        spark.range(1)
+        .select(simplify_radial(arr, eps).alias("s"))
+        .collect()[0]
+        .s
+    )
+    kept = [(p["lon"], p["lat"]) for p in out]
+    assert kept[0] == (float(pts[0][0]), float(pts[0][1]))
+    for a, b in zip(kept, kept[1:]):
+        d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+        assert d2 >= eps * eps
+    it = iter([(float(x), float(y)) for x, y in pts])
+    assert all(p in it for p in kept)
