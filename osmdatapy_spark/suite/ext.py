@@ -1456,20 +1456,25 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     ),
     last AS (
+      -- version is UNIQUE per osmid (a row_number), so arg_max per column
+      -- equals the struct-max election (struct max is quadratic-slow in
+      -- DuckDB at sf0.1; arg_max by a BIGINT key is linear)
       SELECT osmid,
-             max(struct_pack(version := version, op := op, val := val)) AS m
+             max(version) AS lversion,
+             arg_max(op, version) AS lop,
+             arg_max(val, version) AS lval
       FROM changes GROUP BY osmid
     ),
     applied AS (
       SELECT b.osmid,
-             coalesce((l.m).val, b.val) AS val,
-             CAST(coalesce((l.m).version, 1) AS BIGINT) AS version
+             coalesce(l.lval, b.val) AS val,
+             CAST(coalesce(l.lversion, 1) AS BIGINT) AS version
       FROM base b LEFT JOIN last l ON l.osmid = b.osmid
-      WHERE (l.m).op IS NULL OR (l.m).op <> 'delete'
+      WHERE l.lop IS NULL OR l.lop <> 'delete'
     ),
     created AS (
-      SELECT osmid, (m).val AS val, CAST((m).version AS BIGINT) AS version
-      FROM last WHERE osmid < 0 AND (m).op <> 'delete'
+      SELECT osmid, lval AS val, CAST(lversion AS BIGINT) AS version
+      FROM last WHERE osmid < 0 AND lop <> 'delete'
     )
     SELECT osmid, val, version FROM applied
     UNION ALL
