@@ -1480,3 +1480,65 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("cnt").desc(), "left_ch", "right_ch")
         .limit(30)
     )
+
+
+@register(
+    "llm_dedup_audit",
+    oracle=_minhash_oracle().replace(
+        """    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM pex a JOIN pex b
+      ON a.band = b.band AND a.val = b.val AND b.pos > a.pos
+     AND b.pos <= ((a.pos - 1) // 49) * 49 + 50
+    """,
+        """,
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.band = b.band AND a.val = b.val AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 49) * 49 + 50
+    ),
+    sets AS (SELECT doc_id, list_distinct(s) AS gs FROM sh),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE)
+               / (len(sa.gs) + len(sb.gs) - len(list_intersect(sa.gs, sb.gs))) AS j
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.id_a
+      JOIN sets sb ON sb.doc_id = c.id_b
+    )
+    SELECT CAST(least(floor(j * 10), 9) AS BIGINT) AS jbucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(round(j, 4)) AS DOUBLE) AS j_min,
+           CAST(max(round(j, 4)) AS DOUBLE) AS j_max
+    FROM scored GROUP BY 1
+    """,
+    ),
+    doc="Dedup-quality audit: every LSH candidate pair gets its EXACT "
+    "Jaccard, histogrammed into deciles — the measure-don't-guess report "
+    "a curator reads before trusting a candidate generator (low-decile "
+    "mass = wasted verification; missing high-decile mass vs a sample "
+    "would mean recall loss). Composition: the llm_minhash_lsh pipeline "
+    "verbatim + two shingle-set lookups per candidate + one tiny "
+    "histogram agg — candidates only, never all pairs.",
+)
+def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.dedup import jaccard_similarity
+
+    shingled = _shingled(spark, sf_dir)
+    sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
+    pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
+    sets = shingled.groupBy("doc_id").agg(F.collect_set("s").alias("gs"))
+    sa = sets.select(col("doc_id").alias("id_a"), col("gs").alias("ga"))
+    sb = sets.select(col("doc_id").alias("id_b"), col("gs").alias("gb"))
+    j = jaccard_similarity(col("ga"), col("gb"))
+    scored = pairs.join(sa, "id_a").join(sb, "id_b").select(j.alias("j"))
+    return (
+        scored.groupBy(
+            F.least(F.floor(col("j") * 10), lit(9)).cast("bigint").alias("jbucket")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(F.round(col("j"), 4)).alias("j_min"),
+            F.max(F.round(col("j"), 4)).alias("j_max"),
+        )
+    )
