@@ -1,0 +1,61 @@
+"""Graph traversal over the way-adjacency network (routing-adjacent
+analytics the reference's downstream users run in osmnx/networkx after
+materializing a GeoDataFrame — here distributed, over the same
+``way_refs`` table that feeds topology segmentation).
+
+``bfs_hops`` is multi-source breadth-first hop distance: the driver loop
+iterates one frontier expansion per level — one join + one
+partial-aggregated ``min`` per iteration, ``localCheckpoint`` truncating
+lineage — exactly the iteration discipline of ``connected_components``
+(and of GraphX/GraphFrames under the hood).  Per-level shuffle volume is
+bounded by |frontier| × avg-degree, and only NEWLY-reached nodes expand
+(a node's min-hops is final the level it first appears: textbook BFS,
+not Bellman-Ford re-relaxation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node_id",
+) -> DataFrame:
+    """Hop distance from the seed set along (symmetrized) edges, capped at
+    ``max_hops``.  Returns (id_col, hops) for every reached node — the
+    k-hop neighborhood query behind "all roads within 3 blocks",
+    contamination blast-radius, and dedup-cluster expansion.
+
+    ``edges`` is treated as undirected.  Early-exits when a frontier goes
+    empty; the per-level count() that detects it is the same driver-side
+    convergence probe ``connected_components`` uses.
+    """
+    sym = (
+        edges.select(col(src).alias("s"), col(dst).alias("d"))
+        .union(edges.select(col(dst).alias("s"), col(src).alias("d")))
+        .localCheckpoint()
+    )
+    dist = seeds.select(col(id_col), lit(0).alias("hops")).localCheckpoint()
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier[id_col] == sym["s"])
+            .select(col("d").alias(id_col), lit(k).alias("hops"))
+        )
+        dist = (
+            dist.union(nxt)
+            .groupBy(id_col)
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        frontier = dist.filter(col("hops") == k)
+        if frontier.limit(1).count() == 0:
+            break
+    return dist

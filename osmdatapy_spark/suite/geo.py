@@ -422,3 +422,56 @@ def osm_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(simplified).cast("bigint").alias("n_kept"),
         linestring_wkt(simplified).alias("wkt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance over the way-adjacency graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+    ),
+    edges AS (
+      SELECT src, dst FROM hop UNION ALL SELECT dst, src FROM hop
+    ),
+    walk(node_id, hops) AS (
+      SELECT osmid, 0 FROM nodes WHERE osmid % 997 = 0
+      UNION
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN edges e ON e.src = w.node_id
+      WHERE w.hops < 3
+    )
+    SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY node_id
+    """,
+    doc="Multi-source BFS hop distance (<= 3 hops) over way adjacency — "
+    "the k-hop neighborhood query (osmnx territory) distributed: edges "
+    "from one lead() window over way_refs, then one join + one "
+    "partial-agg min per level with lineage checkpoints; only "
+    "newly-reached nodes expand, so per-level shuffle is frontier x "
+    "degree, bounded by the node population. The oracle is an "
+    "independent DuckDB recursive-CTE BFS (UNION-deduped levels).",
+)
+def osm_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from osmdatapy_spark.operators.graph import bfs_hops
+    from osmdatapy_spark.suite.osm import derived_way_refs
+
+    refs = derived_way_refs(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    edges = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull())
+    )
+    seeds = derived_nodes(spark, sf_dir).filter(col("osmid") % 997 == 0).select(
+        col("osmid").alias("node_id")
+    )
+    out = bfs_hops(edges, seeds, max_hops=3)
+    return out.select("node_id", col("hops").cast("bigint").alias("hops"))

@@ -214,3 +214,40 @@ def test_to_geodataframe_import_gated(spark):
     else:
         gdf = OSM.to_geodataframe(df)
         assert gdf.crs is not None and gdf.geometry.iloc[0].x == 1.0
+
+
+def test_bfs_hops_path_graph(spark):
+    """Hand-checkable BFS: a path 1-2-3-4-5 plus isolated edge 8-9; seed
+    {1}: hops follow the path, cap stops at max_hops, 8/9 unreached."""
+    from osmdatapy_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    out = {r.node_id: r.hops for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min(spark):
+    """Two seeds: every node gets the MIN distance over sources; symmetric
+    traversal reaches backwards along edges."""
+    from osmdatapy_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node_id long")
+    out = {r.node_id: r.hops for r in bfs_hops(edges, seeds, max_hops=4).collect()}
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_early_exit_on_empty_frontier(spark):
+    """A 2-node graph converges in 1 level even with max_hops=10 (the
+    early-exit probe), and an isolated seed stays at hops 0."""
+    from osmdatapy_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (7,)], "node_id long")
+    out = {r.node_id: r.hops for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 7: 0}
