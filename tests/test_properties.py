@@ -217,3 +217,50 @@ def test_simplify_radial_invariants_random(spark, pts, eps):
         assert d2 >= eps * eps
     it = iter([(float(x), float(y)) for x, y in pts])
     assert all(p in it for p in kept)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    nodes=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.floats(min_value=-179.9999999, max_value=179.9999999, allow_nan=False, width=64),
+            st.floats(min_value=-89.9999999, max_value=89.9999999, allow_nan=False, width=64),
+            st.dictionaries(
+                st.text(min_size=1, max_size=6), st.text(max_size=8), max_size=3
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda n: n[0],
+    ),
+    codec=st.sampled_from(["raw", "zlib", "lzma", "bz2"]),
+)
+def test_codec_dense_node_roundtrip_fuzz(nodes, codec):
+    """Encoder→decoder round-trip over adversarial ids (negative,
+    2^40-scale deltas), coordinates, unicode tags, and every stdlib codec:
+    ids/tags exact, coords within the 1e-7 granularity quantum."""
+    import tempfile
+
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block,
+        read_blob,
+        scan_blob_spans,
+    )
+
+    w = PbfWriter(codec=codec)
+    w.add_dense_nodes(nodes)
+    with tempfile.NamedTemporaryFile(suffix=".osm.pbf") as f:
+        w.write(f.name)
+        spans = [s for s in scan_blob_spans(f.name) if s.blob_type == "OSMData"]
+        decoded = []
+        for s in spans:
+            block = read_blob(f.name, s)
+            decoded += [e for e in decode_primitive_block(block) if e.osmtype == 0]
+    got = {e.osmid: e for e in decoded}
+    assert set(got) == {n[0] for n in nodes}
+    for nid, lon, lat, tags in nodes:
+        e = got[nid]
+        assert abs(e.lon - lon) < 2e-7 and abs(e.lat - lat) < 2e-7
+        assert dict(e.tags) == tags
