@@ -146,11 +146,21 @@ def main() -> None:
         t = round(run_pbf_query(spark, sf), 3)
         timings["pbf_query"] = min(timings.get("pbf_query", t), t)
 
+    # the round-1 headline set, reported as its own subtotal so cross-round
+    # totals stay comparable as the bench GROWS (a bigger suite must not
+    # read as a slowdown)
+    R1_SET = [
+        "rel_pricing_summary", "rel_join_revenue_by_nation", "osm_topology_segments",
+        "osm_linestring_wkt", "llm_token_stats", "llm_jaccard_pairs",
+        "llm_minhash_lsh", "llm_cosine_topk", "llm_ann_grid_topk",
+    ]
     out = {
         "metric": "headline query wall-clock (noop sink, warm JVM, best of 2 passes)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "r1_comparable_sec": round(sum(timings[n] for n in R1_SET if n in timings), 3),
+        "n_queries": len(timings),
         "sf": sf,
     }
     print(json.dumps(out))
