@@ -196,3 +196,35 @@ def test_round3_operator_plan_shapes(spark):
     s = plan_summary(q(spark, "stream_interval_join"))
     assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
     assert s.n_python_evals == 0, s.text
+
+
+def test_session2_operator_plan_shapes(spark):
+    """Shape pins for this session's operators, per their registered claims."""
+    # paragraph dedup: explode → min(struct) partial-agg election → survivor
+    # join → per-doc reassembly; tiny sides may broadcast under AQE but the
+    # data-shuffle count stays bounded and no Python appears
+    assert_plan(q(spark, "llm_paragraph_dedup"), max_exchanges=3, forbid_python=True)
+    # per-domain cap: rank<=k rewrites to a map-side WindowGroupLimit
+    s = assert_plan(q(spark, "llm_domain_cap"), max_exchanges=1, forbid_python=True)
+    assert "WindowGroupLimit" in s.text, s.text
+    # bigram LM: count tables + scoring joins + per-doc agg
+    assert_plan(q(spark, "llm_lm_score"), max_exchanges=6, forbid_python=True)
+    # point-in-polygon: cell-key join + ray-cast fold — ONE data shuffle
+    assert_plan(q(spark, "osm_point_in_polygon"), max_exchanges=1, forbid_python=True)
+    # tile binning: one partial-aggregated exchange on the tile key
+    assert_plan(q(spark, "osm_tile_binning"), max_exchanges=1, forbid_python=True)
+    # radial simplification: shuffle-free fold over the coordinate gather
+    assert_plan(q(spark, "osm_simplify_radial"), max_exchanges=1, forbid_python=True)
+    # z-order layout: one agg exchange over the Morton bucket
+    assert_plan(q(spark, "rel_zorder_layout"), max_exchanges=2, forbid_python=True)
+    # BPE merges: word table + pair agg, global top-k via TakeOrdered heaps
+    s = assert_plan(q(spark, "llm_bpe_merge_candidates"), max_exchanges=2, forbid_python=True)
+    assert "TakeOrdered" in s.text, s.text
+    # PQ ANN: codes scan + broadcast probes; ONE data shuffle (stage-2 rank)
+    assert_plan(q(spark, "llm_ann_pq_topk"), max_exchanges=2, forbid_python=True)
+    # SemDeDup: zero-shuffle cell assignment; bucket agg is the one exchange
+    assert_plan(q(spark, "llm_semantic_dedup"), max_exchanges=2, forbid_python=True)
+    # changefile apply: window + partial-agg election + one osmid join
+    assert_plan(q(spark, "osm_apply_changes"), max_exchanges=4, forbid_python=True)
+    # training order: one shard exchange feeds the per-shard position window
+    assert_plan(q(spark, "llm_training_order"), max_exchanges=1, forbid_python=True)
