@@ -1542,3 +1542,40 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.round(col("j"), 4)).alias("j_max"),
         )
     )
+
+
+@register(
+    "llm_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       + 0.5) / 4294967296.0)
+                   / n_chars, 9) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 25
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis 2006, "
+    "the A-ES one-pass reservoir): each doc draws key ln(u)/w from a "
+    "DETERMINISTIC md5 uniform (u = (hash32 + 0.5)/2^32, exactly "
+    "representable) and the top-k keys are the sample — inclusion odds "
+    "proportional to weight (n_chars here: longer docs count more), yet "
+    "reproducible across engines/cluster sizes/reruns like every sampler "
+    "in this suite. ln() carries the round-9 drift guard; top-k runs as "
+    "TakeOrderedAndProject per-partition heaps — the ONE-PASS distributed "
+    "reservoir, no global sort.",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(col("n_chars") > 0)
+    h32 = F.conv(F.substring(F.md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    u = (h32 + 0.5) / F.lit(4294967296.0)
+    k = F.round(F.log(u) / col("n_chars"), 9)
+    return (
+        docs.select("doc_id", col("n_chars").cast("bigint").alias("weight"), k.alias("k"))
+        .orderBy(col("k").desc(), "doc_id")
+        .limit(25)
+    )
