@@ -412,3 +412,67 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rk") <= 15)
         .select("doc_id", "source", col("rk").cast("bigint").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang AS k, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    alpha AS (
+      SELECT k, n, round(pow(CAST(n AS DOUBLE), 0.3), 9) AS na FROM counts
+    ),
+    thr AS (
+      SELECT k, n,
+             CAST(least(1000000.0,
+                  floor(round(200.0 * na / (SELECT sum(na) FROM alpha) / n, 9)
+                        * 1000000)) AS BIGINT) AS thr
+      FROM alpha
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON thr.k = d.lang
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000000 AS INT) < thr.thr
+    """,
+    doc="Temperature-scaled mixture (mT5/XLM-R alpha-sampling, alpha=0.3): "
+    "per-language keep rates derive from n^alpha instead of hand-set "
+    "targets, UP-weighting tail languages automatically (the standard "
+    "multilingual balance). Same reproducible-sampling machinery as "
+    "mixture_sample — tiny per-lang agg broadcast back, md5-bucket "
+    "accept, integer thresholds after a round-9 guard on the 1-ulp "
+    "pow() — so the subset is identical on any engine or cluster size.",
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast, lit
+
+    from osmdatapy_spark.functions.text import hash_bucket
+
+    docs = T(spark, sf_dir, "documents")
+    counts = docs.groupBy(col("lang").alias("k")).agg(F.count("*").alias("n"))
+    alpha = counts.select(
+        "k", "n", F.round(F.pow(col("n").cast("double"), lit(0.3)), 9).alias("na")
+    )
+    total = alpha.agg(F.sum("na").alias("tot"))
+    thr = (
+        alpha.crossJoin(broadcast(total))
+        .select(
+            "k",
+            F.least(
+                lit(1000000.0),
+                F.floor(F.round(lit(200.0) * col("na") / col("tot") / col("n"), 9) * 1000000),
+            )
+            .cast("bigint")
+            .alias("thr"),
+        )
+    )
+    return (
+        docs.join(broadcast(thr), docs["lang"] == thr["k"])
+        .filter(hash_bucket(col("doc_id"), 1_000_000) < col("thr"))
+        .select("doc_id", "lang")
+    )
