@@ -175,3 +175,105 @@ def test_reference_keyvals_value_misalignment(ref_pbf_modules):
     ids, keys, vals, _ = ref_protobuf.keyvals(memoryview(buf), 0, len(buf))
     assert list(keys) == [1, 3]
     assert list(vals) == [0, 2]  # off by one: true values are [2, 4]
+
+
+def test_reference_wire_decoder_reads_our_ways_and_relations(ref_pbf_modules, tmp_path):
+    """Way refs (packed sint64 deltas, field 8) and relation members
+    (roles_sid field 8, memids deltas field 9, types field 10) written by
+    our encoder, parsed with the reference's packed/scalar wire readers
+    (primitives.py:47-148 field map)."""
+    ref_protobuf, ref_headers = ref_pbf_modules
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    ways = [(11, [5, 3, 900000007, 2], {"highway": "primary"}),
+            (12, [1, 2], {})]
+    rels = [(201, [(11, 1, "outer"), (12, 1, "inner"), (7, 0, "stop")], {"type": "route"})]
+    w = PbfWriter(codec="zlib")
+    w.add_ways(ways)
+    w.add_relations(rels)
+    path = str(tmp_path / "wr.osm.pbf")
+    w.write(path)
+
+    import struct
+    import zlib
+
+    raw = Path(path).read_bytes()
+    off, blocks = 0, []
+    while off < len(raw):
+        (hlen,) = struct.unpack(">I", raw[off : off + 4])
+        off += 4
+        datasize, btype = ref_headers.parse_header(raw[off : off + hlen])
+        off += hlen
+        _, _, compression, payload = ref_headers.parse_blob(raw[off : off + datasize])
+        off += datasize
+        if btype == "OSMData":
+            blocks.append(zlib.decompress(bytes(payload)))
+
+    got_ways, got_rels = {}, {}
+    for block in blocks:
+        mv, offset, strings, groups = memoryview(block), 0, [], []
+        while offset < len(mv):
+            key, offset, ln = ref_protobuf.pbf_key(mv, offset)
+            if key == 1:
+                strings, offset = ref_headers.stringtable(mv, offset, ln)
+            elif key == 2:
+                groups.append(bytes(mv[offset : offset + ln]))
+                offset += ln
+            else:
+                offset += ln
+        for group in groups:
+            g, offset = memoryview(group), 0
+            while offset < len(g):
+                key, offset, ln = ref_protobuf.pbf_key(g, offset)
+                body, end = g[offset : offset + ln], offset + ln
+                if key == 3:  # way
+                    b, o, wid, tags_k, tags_v, refs = memoryview(body), 0, None, [], [], []
+                    while o < len(b):
+                        k2, o, l2 = ref_protobuf.pbf_key(b, o)
+                        if k2 == 1:
+                            wid, o = ref_protobuf.scalar(b, o, "int64")
+                        elif k2 == 2:
+                            tags_k, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        elif k2 == 3:
+                            tags_v, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        elif k2 == 8:
+                            refs, o = ref_protobuf.large_packed(b, o, l2, "sint64", delta=True)
+                        else:
+                            o += l2
+                    got_ways[wid] = (
+                        [int(r) for r in refs],
+                        {strings[int(a)]: strings[int(c)] for a, c in zip(tags_k, tags_v)},
+                    )
+                elif key == 4:  # relation
+                    b, o, rid, tags_k, tags_v, roles, memids, types = (
+                        memoryview(body), 0, None, [], [], [], [], []
+                    )
+                    while o < len(b):
+                        k2, o, l2 = ref_protobuf.pbf_key(b, o)
+                        if k2 == 1:
+                            rid, o = ref_protobuf.scalar(b, o, "int64")
+                        elif k2 == 2:
+                            tags_k, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        elif k2 == 3:
+                            tags_v, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        elif k2 == 8:
+                            roles, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        elif k2 == 9:
+                            memids, o = ref_protobuf.large_packed(b, o, l2, "sint64", delta=True)
+                        elif k2 == 10:
+                            types, o = ref_protobuf.large_packed(b, o, l2, "int32", delta=False)
+                        else:
+                            o += l2
+                    got_rels[rid] = (
+                        [
+                            (int(m), int(t), strings[int(r)])
+                            for m, t, r in zip(memids, types, roles)
+                        ],
+                        {strings[int(a)]: strings[int(c)] for a, c in zip(tags_k, tags_v)},
+                    )
+                offset = end
+
+    for wid, refs, tags in ways:
+        assert got_ways[wid] == (refs, tags), got_ways[wid]
+    for rid, members, tags in rels:
+        assert got_rels[rid] == (members, tags), got_rels[rid]
