@@ -286,3 +286,33 @@ def quadkey(xtile: Column, ytile: Column, zoom: int) -> Column:
         for b in range(zoom - 1, -1, -1)
     ]
     return F.concat(*digits)
+
+
+# ---------------------------------------------------------------------------
+# Hexagonal binning (axial coordinates, cube rounding)
+# ---------------------------------------------------------------------------
+
+_SQRT3_3 = "sqrt(3.0) / 3.0"
+
+
+def hex_cell(lon: Column, lat: Column, size: float) -> tuple[Column, Column]:
+    """(q, r) axial cell of the pointy-top hexagon containing the point
+    (side length ``size``, planar degrees) — the H3-style alternative to
+    square tiles: every neighbor is equidistant, so density estimates and
+    neighborhood joins lose the corner bias of squares.
+
+    Fractional axial coords use only EXACTLY-ROUNDED IEEE ops (sqrt
+    included — unlike tan/ln there is no 1-ulp library in the path), so
+    cube rounding is bit-identical across engines with no round-guard:
+    round the three cube coordinates, then re-derive the axis with the
+    largest rounding error from the other two (hex cube coords satisfy
+    x + y + z = 0).
+    """
+    fq = (F.sqrt(lit(3.0)) / 3 * lon - lat / 3) / lit(float(size))
+    fr = (2.0 * lat / 3) / lit(float(size))
+    fs = -fq - fr
+    rq, rr, rs = F.round(fq, 0), F.round(fr, 0), F.round(fs, 0)
+    dq, dr, ds = F.abs(rq - fq), F.abs(rr - fr), F.abs(rs - fs)
+    q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
+    r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
+    return q.cast("long"), r.cast("long")

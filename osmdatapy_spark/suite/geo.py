@@ -475,3 +475,50 @@ def osm_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = bfs_hops(edges, seeds, max_hops=3)
     return out.select("node_id", col("hops").cast("bigint").alias("hops"))
+
+
+@register(
+    "osm_hex_binning",
+    oracle=f"""
+    WITH {NODES_CTE.strip()},
+    frac AS (
+      SELECT osmid,
+             (sqrt(3.0) / 3 * lon - lat / 3) / 3.0 AS fq,
+             (2.0 * lat / 3) / 3.0 AS fr
+      FROM nodes
+    ),
+    rounded AS (
+      SELECT osmid, fq, fr, -fq - fr AS fs,
+             round(fq, 0) AS rq, round(fr, 0) AS rr, round(-fq - fr, 0) AS rs
+      FROM frac
+    ),
+    fixed AS (
+      SELECT osmid,
+             CAST(CASE WHEN abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs)
+                       THEN -rr - rs ELSE rq END AS BIGINT) AS hq,
+             CAST(CASE WHEN NOT (abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs))
+                        AND abs(rr - fr) > abs(rs - fs)
+                       THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+      FROM rounded
+    )
+    SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_nodes, min(osmid) AS min_osmid
+    FROM fixed GROUP BY 1, 2
+    """,
+    doc="Hexagonal spatial binning (H3-style, side 3°): axial-coordinate "
+    "cells via cube rounding — squares' corner-neighbor bias gone, every "
+    "neighbor equidistant. The fractional coords use only exactly-rounded "
+    "IEEE ops (sqrt included), so unlike the mercator tiles NO round-guard "
+    "is needed: both engines compute bit-identical cells. One "
+    "partial-aggregated shuffle on the (hq, hr) key.",
+)
+def osm_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import hex_cell
+    from osmdatapy_spark.suite.osm import derived_nodes
+
+    nodes = derived_nodes(spark, sf_dir)
+    hq, hr = hex_cell(col("lon"), col("lat"), 3.0)
+    return (
+        nodes.select("osmid", hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n_nodes"), F.min("osmid").alias("min_osmid"))
+    )

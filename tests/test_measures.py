@@ -205,3 +205,43 @@ def test_quadkey_bing_doc_example(spark):
         quadkey(F.lit(3).cast("long"), F.lit(5).cast("long"), 3).alias("q")
     ).collect()
     assert out[0].q == "213"
+
+
+def test_hex_cell_centers_and_neighbors(spark):
+    from osmdatapy_spark.operators.measures import hex_cell
+
+    # axial-center of cell (q,r) with size s: x = s*sqrt(3)*(q + r/2), y = s*3/2*r
+    import math
+
+    s = 2.0
+    pts = []
+    for q, r in [(0, 0), (1, 0), (0, 1), (-2, 3), (5, -1)]:
+        x = s * math.sqrt(3) * (q + r / 2)
+        y = s * 1.5 * r
+        pts.append((float(x), float(y), q, r))
+    df = spark.createDataFrame(pts, "lon double, lat double, q long, r long")
+    hq, hr = hex_cell(F.col("lon"), F.col("lat"), s)
+    rows = df.select("q", "r", hq.alias("hq"), hr.alias("hr")).collect()
+    for row in rows:
+        assert (row.hq, row.hr) == (row.q, row.r), row
+
+
+def test_hex_cell_partitions_the_plane(spark):
+    """Every point lands in exactly one cell and jittered points near a
+    center stay in that center's cell (jitter < inradius)."""
+    from osmdatapy_spark.operators.measures import hex_cell
+
+    import math
+
+    s = 2.0
+    inradius = s * math.sqrt(3) / 2  # distance center -> edge midpoint
+    base_x, base_y = s * math.sqrt(3) * 3, s * 1.5 * 2  # cell (3, 2)... x uses q + r/2
+    base_x = s * math.sqrt(3) * (3 + 2 / 2)
+    rows = []
+    for dx in (-0.4, 0, 0.4):
+        for dy in (-0.4, 0, 0.4):
+            rows.append((base_x + dx * inradius, base_y + dy * inradius))
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    hq, hr = hex_cell(F.col("lon"), F.col("lat"), s)
+    got = {(r.hq, r.hr) for r in df.select(hq.alias("hq"), hr.alias("hr")).collect()}
+    assert got == {(3, 2)}, got
