@@ -522,3 +522,87 @@ def osm_hex_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hq", "hr")
         .agg(F.count("*").alias("n_nodes"), F.min("osmid").alias("min_osmid"))
     )
+
+
+@register(
+    "osm_hex_density_smooth",
+    oracle=f"""
+    WITH {NODES_CTE.strip()},
+    frac AS (
+      SELECT osmid,
+             (sqrt(3.0) / 3 * lon - lat / 3) / 3.0 AS fq,
+             (2.0 * lat / 3) / 3.0 AS fr
+      FROM nodes
+    ),
+    rounded AS (
+      SELECT osmid, fq, fr, -fq - fr AS fs,
+             round(fq, 0) AS rq, round(fr, 0) AS rr, round(-fq - fr, 0) AS rs
+      FROM frac
+    ),
+    cells AS (
+      SELECT CAST(CASE WHEN abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs)
+                       THEN -rr - rs ELSE rq END AS BIGINT) AS hq,
+             CAST(CASE WHEN NOT (abs(rq - fq) > abs(rr - fr) AND abs(rq - fq) > abs(rs - fs))
+                        AND abs(rr - fr) > abs(rs - fs)
+                       THEN -rq - rs ELSE rr END AS BIGINT) AS hr
+      FROM rounded
+    ),
+    counts AS (SELECT hq, hr, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+    offsets AS (SELECT * FROM (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+                AS t(dq, dr)),
+    smeared AS (
+      SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr, c.n
+      FROM counts c CROSS JOIN offsets o
+    )
+    SELECT s.hq, s.hr,
+           coalesce(c.n, 0) AS n_self,
+           CAST(sum(s.n) AS BIGINT) AS n_hood,
+           CAST(CAST(coalesce(c.n, 0) AS DOUBLE) / sum(s.n) AS DOUBLE) AS self_share
+    FROM smeared s LEFT JOIN counts c ON c.hq = s.hq AND c.hr = s.hr
+    GROUP BY s.hq, s.hr, c.n
+    """,
+    doc="Hex-lattice density smoothing (hotspot analysis): per-cell counts "
+    "smeared over the 7-cell neighborhood (self + 6 equidistant "
+    "neighbors — the property square grids lack) by exploding each count "
+    "to its neighbors and re-aggregating. The smear is a constant 7-row "
+    "broadcast-free fan-out of the COUNTS table (already tiny), never the "
+    "point table; self_share = own/(neighborhood) flags isolated spikes "
+    "vs broad plateaus. Two partial-agg exchanges total.",
+)
+def osm_hex_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import hex_cell
+    from osmdatapy_spark.suite.osm import derived_nodes
+
+    nodes = derived_nodes(spark, sf_dir)
+    hq, hr = hex_cell(col("lon"), col("lat"), 3.0)
+    counts = (
+        nodes.select(hq.alias("hq"), hr.alias("hr"))
+        .groupBy("hq", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
+        ]
+    )
+    smeared = counts.select(
+        F.explode(offsets).alias("o"), "hq", "hr", "n"
+    ).select(
+        (col("hq") + col("o.dq")).alias("hq"),
+        (col("hr") + col("o.dr")).alias("hr"),
+        "n",
+    )
+    hood = smeared.groupBy("hq", "hr").agg(F.sum("n").alias("n_hood"))
+    return (
+        hood.join(counts, ["hq", "hr"], "left")
+        .select(
+            "hq",
+            "hr",
+            F.coalesce(col("n"), F.lit(0)).cast("bigint").alias("n_self"),
+            col("n_hood").cast("bigint").alias("n_hood"),
+            (F.coalesce(col("n"), F.lit(0)).cast("double") / col("n_hood")).alias(
+                "self_share"
+            ),
+        )
+    )
