@@ -796,3 +796,86 @@ def rel_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cms_bucket_col():
     h = F.md5(F.concat(col("seed").cast("string"), lit("-"), col("o_custkey").cast("string")))
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audit (dbt-style tests as one report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_data_contract_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT coalesce(sum(c - 1), 0) FROM
+                 (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'orderstatus_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'quantity_positive',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    """,
+    doc="Data-contract audit (the dbt-test suite as ONE distributed "
+    "report): primary-key uniqueness, two referential-integrity checks "
+    "(anti-join shape, dimension side broadcast), not-null and range "
+    "constraints — each row is (check, violations, population). The gate "
+    "a 100 TB ingest runs BEFORE publishing a partition; every check is "
+    "a partial-aggregated scan or a broadcast anti-join, so the whole "
+    "report is one pass over each fact table.",
+)
+def rel_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cust = T(spark, sf_dir, "customer")
+
+    def report(name, viol_df, checked_df):
+        return viol_df.agg(F.count("*").alias("n_violations")).crossJoin(
+            checked_df.agg(F.count("*").alias("n_checked"))
+        ).select(
+            lit(name).alias("check_name"),
+            col("n_violations").cast("bigint"),
+            col("n_checked").cast("bigint"),
+        )
+
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(col("c") > 1)
+        .agg(F.coalesce(F.sum(col("c") - 1), lit(0)).alias("n_violations"))
+        .crossJoin(orders.agg(F.count("*").alias("n_checked")))
+        .select(
+            lit("orders_pk_unique").alias("check_name"),
+            col("n_violations").cast("bigint"),
+            col("n_checked").cast("bigint"),
+        )
+    )
+    orphan_li = report(
+        "lineitem_fk_orders",
+        li.join(broadcast(orders.select("o_orderkey")), li["l_orderkey"] == col("o_orderkey"), "left_anti"),
+        li,
+    )
+    orphan_o = report(
+        "orders_fk_customer",
+        orders.join(broadcast(cust.select("c_custkey")), orders["o_custkey"] == col("c_custkey"), "left_anti"),
+        orders,
+    )
+    null_status = report("orderstatus_not_null", orders.filter(col("o_orderstatus").isNull()), orders)
+    qty = report("quantity_positive", li.filter(col("l_quantity") <= 0), li)
+    return dup_pk.unionByName(orphan_li).unionByName(orphan_o).unionByName(null_status).unionByName(qty)

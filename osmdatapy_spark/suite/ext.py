@@ -1564,3 +1564,61 @@ def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@register(
+    "osm_element_history_scd2",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS osmid, CAST(1 AS BIGINT) AS version,
+             o_orderstatus AS val
+      FROM orders
+    ),
+    changes AS (
+      SELECT l_orderkey AS osmid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) + 1 AS BIGINT)
+               AS version,
+             l_linestatus AS val
+      FROM lineitem
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    SELECT osmid, version, val,
+           lead(version) OVER w - 1 AS valid_to,
+           lead(version) OVER w IS NULL AS is_current
+    FROM hist
+    WINDOW w AS (PARTITION BY osmid ORDER BY version)
+    """,
+    doc="Slowly-changing-dimension type-2 history from the element change "
+    "stream: every version becomes a validity interval "
+    "[version, next_version), the open interval flagged current — the "
+    "versioned-dimension table a warehouse keeps NEXT TO the "
+    "latest-state view (osm_apply_changes); an as-of query is then a "
+    "range predicate on (valid_from, valid_to], prunable by partition. "
+    "One union + one window over (osmid, version): a single exchange "
+    "carrying the history, no joins.",
+)
+def osm_element_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = T(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("osmid"),
+        lit(1).cast("bigint").alias("version"),
+        col("o_orderstatus").alias("val"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("osmid"),
+        (F.row_number().over(w) + 1).cast("bigint").alias("version"),
+        col("l_linestatus").alias("val"),
+    )
+    hist = base.unionByName(changes)
+    w2 = Window.partitionBy("osmid").orderBy("version")
+    nxt = F.lead("version").over(w2)
+    return hist.select(
+        "osmid",
+        "version",
+        "val",
+        (nxt - 1).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
