@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col
+from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.operators.measures import (
     centroid,
@@ -605,4 +605,111 @@ def osm_hex_density_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "self_share"
             ),
         )
+    )
+
+
+@register(
+    "osm_way_compactness",
+    oracle=f"""
+    WITH {COORDS_CTE.strip()},
+    m AS (
+      SELECT way_id,
+             abs(coalesce(list_sum(list_transform(generate_series(1, len(list_append(c, c[1])) - 1),
+               i -> list_append(c, c[1])[i].lon * list_append(c, c[1])[i+1].lat
+                  - list_append(c, c[1])[i+1].lon * list_append(c, c[1])[i].lat)), 0.0)) / 2
+               AS area,
+             coalesce(list_sum(list_transform(generate_series(1, len(list_append(c, c[1])) - 1),
+               i -> sqrt((list_append(c, c[1])[i+1].lon - list_append(c, c[1])[i].lon)
+                       * (list_append(c, c[1])[i+1].lon - list_append(c, c[1])[i].lon)
+                       + (list_append(c, c[1])[i+1].lat - list_append(c, c[1])[i].lat)
+                       * (list_append(c, c[1])[i+1].lat - list_append(c, c[1])[i].lat)))), 0.0)
+               AS perim
+      FROM coords WHERE len(c) >= 3
+    )
+    SELECT way_id, area, perim,
+           CASE WHEN perim > 0
+                THEN 4 * pi() * area / (perim * perim) ELSE 0.0 END AS compactness
+    FROM m
+    """,
+    doc="Isoperimetric compactness 4*pi*A/P^2 per implicit ring (1.0 = "
+    "circle, approaching 0 = degenerate sliver) — the standard shape "
+    "index for building/parcel QA, here a pure composition of the "
+    "shoelace-area and closed-perimeter folds inside the SAME coordinate "
+    "gather: zero passes beyond the shared shuffle. Exactly-rounded ops "
+    "plus one pi() constant — bit-identical cross-engine.",
+)
+def osm_way_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import planar_length_deg, shoelace_area_deg2
+
+    coords = _way_coords(spark, sf_dir).filter(F.size("c") >= 3)
+    closed = F.concat(col("c"), F.slice(col("c"), 1, 1))
+    area = shoelace_area_deg2(col("c"))
+    perim = planar_length_deg(closed)
+    return coords.select(
+        "way_id",
+        area.alias("area"),
+        perim.alias("perim"),
+        F.when(perim > 0, 4 * lit(3.141592653589793) * area / (perim * perim))
+        .otherwise(lit(0.0))
+        .alias("compactness"),
+    )
+
+
+@register(
+    "osm_bearing_histogram",
+    oracle=f"""
+    WITH {COORDS_CTE.strip()},
+    segs AS (
+      SELECT way_id, c[i].lon AS x1, c[i].lat AS y1, c[i+1].lon AS x2, c[i+1].lat AS y2
+      FROM coords, UNNEST(generate_series(1, len(c) - 1)) AS t(i)
+    ),
+    scored AS (
+      SELECT CAST(floor(round(fmod(degrees(atan2(x2 - x1, y2 - y1)) + 360.0, 360.0), 6)
+                        / 10.0) AS BIGINT) AS bin,
+             CAST(round(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM segs WHERE NOT (x1 = x2 AND y1 = y2)
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(w) AS DOUBLE) AS total_len
+    FROM scored GROUP BY bin
+    """,
+    doc="Street-bearing histogram (the osmnx city-orientation rose): "
+    "per-segment compass bearings binned at 10 degrees, weighted by "
+    "segment length — 36 rows summarizing the whole network's grid "
+    "orientation. atan2 is a 1-ulp library, so the bearing carries a "
+    "round-6 guard BEFORE the bin floor (the haversine discipline); "
+    "lengths are exactly-rounded sqrt, summed in DECIMAL. Segment "
+    "explode is narrow; ONE partial-agg exchange on 36 keys.",
+)
+def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coords = _way_coords(spark, sf_dir)
+    seg = coords.select(
+        F.explode(
+            F.zip_with(
+                F.slice(col("c"), 1, F.size("c") - 1),
+                F.slice(col("c"), 2, F.size("c") - 1),
+                lambda a, b: F.struct(
+                    a["lon"].alias("x1"), a["lat"].alias("y1"),
+                    b["lon"].alias("x2"), b["lat"].alias("y2"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.x1", "s.y1", "s.x2", "s.y2")
+    seg = seg.filter(~((col("x1") == col("x2")) & (col("y1") == col("y2"))))
+    bearing = F.round(
+        F.pmod(F.degrees(F.atan2(col("x2") - col("x1"), col("y2") - col("y1"))) + 360.0, 360.0),
+        6,
+    )
+    w = F.round(
+        F.sqrt(
+            (col("x2") - col("x1")) * (col("x2") - col("x1"))
+            + (col("y2") - col("y1")) * (col("y2") - col("y1"))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        seg.select(F.floor(bearing / 10.0).cast("bigint").alias("bin"), w.alias("w"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_segments"), F.sum("w").cast("double").alias("total_len"))
     )
