@@ -1622,3 +1622,57 @@ def osm_element_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nxt - 1).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "rel_sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(event_id) AS first_event,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    doc="Gap-based batch sessionization (30-min inactivity cut): the "
+    "lag-compare -> running-sum session-id assignment, then per-session "
+    "rollup — the batch twin of the streaming session windows "
+    "(stream_session_counts), sharing their semantics so backfills and "
+    "live paths agree. ONE exchange on user_id serves the lag window, "
+    "the prefix sum, AND the final rollup (sort/partitioning reuse); "
+    "total order (ts, event_id) makes session numbering engine-portable.",
+)
+def rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", col("session_no").cast("bigint").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
