@@ -527,3 +527,84 @@ def bigram_lm_scores(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-pipeline URL-keyed dedup)
+# ---------------------------------------------------------------------------
+
+# query params that never identify content (analytics/click tracking)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for crawl dedup (the CommonCrawl-pipeline first pass:
+    duplicate *fetches* of one resource collapse before any content pass).
+
+    Normalization, all pure Column algebra (JVM-side, zero shuffle):
+    lowercase; strip scheme and leading ``www.``; strip the ``#fragment``;
+    drop tracking query params (``utm_*``/``fbclid``/``gclid``/``ref``);
+    SORT the surviving params (param order never identifies content);
+    strip a trailing slash on the path.  Mirrored verbatim by the DuckDB
+    oracle of ``llm_url_dedup`` (suite/curation.py).
+    """
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    path = F.regexp_replace(F.substring_index(u, "?", 1), r"/$", "")
+    # after the FIRST '?' (substring_index(-1) would take after the last)
+    qpos = F.instr(u, "?")
+    query = F.when(qpos > 0, F.substr(u, qpos + lit(1))).otherwise(lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        path,
+        F.when(F.size(kept) > 0, F.concat(lit("?"), F.array_join(kept, "&"))).otherwise(
+            lit("")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, appendix A heuristics)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(toks: Column) -> dict[str, Column]:
+    """The published Gopher quality-rule battery as named boolean Columns
+    over a token array: word-count band [50, 100000], mean word length in
+    [3, 10], >=80% of words contain an alphabetic character, and >=2 hits
+    from a fixed stopword list (the "real prose" signal).  ``keep`` is the
+    conjunction.
+
+    Everything stays in exactly-rounded integer/rational space (integer
+    length sums, integer comparisons against n-scaled thresholds) so the
+    flags are bit-identical on any engine — no float thresholds.
+    """
+    n = F.size(toks)
+    len_sum = F.aggregate(toks, lit(0).cast("long"), lambda a, w: a + F.length(w))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    flags = {
+        "f_word_count": (n >= 50) & (n <= 100_000),
+        # mean in [3,10]  <=>  3n <= sum < = 10n  (integer, exact)
+        "f_mean_word_len": (len_sum >= 3 * n.cast("long"))
+        & (len_sum <= 10 * n.cast("long")),
+        # >= 80% alpha  <=>  5*alpha >= 4*n  (integer, exact)
+        "f_alpha_ratio": (5 * alpha.cast("long")) >= (4 * n.cast("long")),
+        "f_stopwords": stop_hits >= 2,
+    }
+    flags["keep"] = (
+        flags["f_word_count"]
+        & flags["f_mean_word_len"]
+        & flags["f_alpha_ratio"]
+        & flags["f_stopwords"]
+    )
+    return flags

@@ -476,3 +476,140 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(col("doc_id"), 1_000_000) < col("thr"))
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-keyed crawl dedup + Gopher quality rules
+# ---------------------------------------------------------------------------
+
+# deterministic per-doc fetch URL (both engines derive it identically):
+# uppercase scheme/host exercise lowercasing; even doc_ids carry tracking
+# params + a content param + a trailing slash; odd doc_ids carry out-of-
+# order params + a fragment.  Collisions happen whenever two docs share
+# (source, lang, doc_id%211, parity[, doc_id%7]) — real dedup work.
+_URL_SQL = """
+  'HTTPS://WWW.example.com/page-' || CAST(doc_id % 37 AS VARCHAR)
+   || CASE WHEN doc_id % 2 = 0
+        THEN '/?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+              || '&ref=' || CAST(doc_id AS VARCHAR)
+        ELSE '?b=2&a=1#frag-' || CAST(doc_id AS VARCHAR) END
+"""
+
+
+def _synth_url() -> F.Column:
+    d = col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW.example.com/page-"), (d % 37).cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&id="), (d % 3).cast("string"),
+                F.lit("&ref="), d.cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("?b=2&a=1#frag-"), d.cast("string"))),
+    )
+
+
+@register(
+    "llm_url_dedup",
+    oracle=rf"""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(regexp_replace(regexp_replace(
+               lower({_URL_SQL}),
+               '^https?://', ''), '^www\.', ''), '#.*$', '') AS u
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(split_part(u, '?', 1), '/$', '') AS path,
+             CASE WHEN contains(u, '?') THEN substr(u, strpos(u, '?') + 1)
+                  ELSE '' END AS q
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id, n_chars,
+             path || CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS canon_url
+      FROM (
+        SELECT doc_id, n_chars, path,
+               list_sort(list_filter(string_split(q, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                        '^(utm_[a-z]+|fbclid|gclid|ref)='))) AS kept
+        FROM parts
+      )
+    )
+    SELECT canon_url,
+           arg_max(doc_id, n_chars * 1000000000000 - doc_id) AS doc_id,
+           COUNT(*) AS n_dups
+    FROM canon GROUP BY canon_url
+    """,
+    doc="URL-keyed crawl dedup — the CommonCrawl-pipeline FIRST pass, before "
+    "any content dedup: canonicalize the fetch URL (lowercase, strip "
+    "scheme/www/fragment/trailing-slash, drop tracking params, sort the "
+    "rest) and keep the best fetch per canonical URL (longest text, "
+    "doc_id tiebreak). Canonicalization is pure JVM Column algebra; the "
+    "keep-best election is ONE partial-aggregated shuffle on the "
+    "canonical-url key via max(struct) — no window, no second pass. At "
+    "100 TB the canonical key is far lower-cardinality than doc_id, and "
+    "partial aggregation collapses duplicate fetches map-side.",
+)
+def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import canonical_url
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            canonical_url(_synth_url()).alias("canon_url"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.max(
+                F.struct(col("n_chars").alias("a"), (-col("doc_id")).alias("b"))
+            ).alias("m"),
+            F.count("*").alias("n_dups"),
+        )
+        .select("canon_url", (-col("m.b")).cast("bigint").alias("doc_id"), "n_dups")
+    )
+
+
+@register(
+    "llm_gopher_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+      (len(t) BETWEEN 50 AND 100000) AS f_word_count,
+      (list_sum(list_transform(t, w -> length(w)))
+         BETWEEN 3 * len(t) AND 10 * len(t)) AS f_mean_word_len,
+      (5 * len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         >= 4 * len(t)) AS f_alpha_ratio,
+      (len(list_filter(t, w -> w IN
+         ('the','be','to','of','and','that','have','with'))) >= 2) AS f_stopwords,
+      (len(t) BETWEEN 50 AND 100000)
+        AND (list_sum(list_transform(t, w -> length(w)))
+               BETWEEN 3 * len(t) AND 10 * len(t))
+        AND (5 * len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+               >= 4 * len(t))
+        AND (len(list_filter(t, w -> w IN
+               ('the','be','to','of','and','that','have','with'))) >= 2) AS keep
+    FROM toks
+    """,
+    doc="Gopher quality-rule battery (Rae et al. 2021 appendix A): "
+    "word-count band, mean-word-length band, alpha-word ratio, stopword "
+    "floor — each surfaced as its own flag plus the conjunction, the way "
+    "a curation pipeline audits WHY a document was dropped. All rules are "
+    "integer comparisons (length sums vs n-scaled thresholds) — zero "
+    "float thresholds, bit-identical on any engine, zero shuffles.",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import gopher_flags
+    from osmdatapy_spark.functions.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    fl = gopher_flags(tokens(col("text")))
+    return docs.select("doc_id", *[v.alias(k) for k, v in fl.items()])

@@ -222,3 +222,43 @@ def test_bigram_lm_single_token_doc_has_no_row(spark):
         spark.createDataFrame(rows, "doc_id long, text string")
     ).collect()
     assert {r.doc_id for r in out} == {2}
+
+
+# --- canonical_url / gopher_flags ------------------------------------------
+
+
+def test_canonical_url_normalization(spark):
+    from osmdatapy_spark.functions.curation import canonical_url
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/A/B/?utm_source=x&id=3&ref=9#frag"),
+        (2, "http://example.com/a/b?id=3"),          # same resource as 1
+        (3, "example.com/a/b?b=2&a=1"),              # params out of order
+        (4, "example.com/a/b?a=1&b=2&fbclid=zzz"),   # same as 3 + tracking
+        (5, "https://other.org/"),                   # bare host, trailing slash
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.c for r in df.select("id", canonical_url(col("url")).alias("c")).collect()}
+    assert got[1] == "example.com/a/b?id=3"
+    assert got[2] == got[1]
+    assert got[3] == "example.com/a/b?a=1&b=2"
+    assert got[4] == got[3]
+    assert got[5] == "other.org"
+
+
+def test_gopher_flags_rules(spark):
+    from osmdatapy_spark.functions.curation import gopher_flags
+    from osmdatapy_spark.functions.text import tokens
+
+    long_good = " ".join(["the", "and", "word"] * 20)           # 60 toks, 2+ stops
+    short = "the and tiny"                                       # < 50 words
+    no_stop = " ".join(["alpha", "beta"] * 30)                   # no stopwords
+    longwords = " ".join(["x" * 12] * 60) + " the and"           # mean len > 10
+    rows = [(1, long_good), (2, short), (3, no_stop), (4, longwords)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fl = gopher_flags(tokens(col("text")))
+    out = {r.doc_id: r for r in df.select("doc_id", *[v.alias(k) for k, v in fl.items()]).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].f_word_count
+    assert not out[3].keep and not out[3].f_stopwords and out[3].f_word_count
+    assert not out[4].keep and not out[4].f_mean_word_len
