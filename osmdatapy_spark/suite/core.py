@@ -879,3 +879,77 @@ def rel_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_status = report("orderstatus_not_null", orders.filter(col("o_orderstatus").isNull()), orders)
     qty = report("quantity_positive", li.filter(col("l_quantity") <= 0), li)
     return dup_pk.unionByName(orphan_li).unionByName(orphan_o).unionByName(null_status).unionByName(qty)
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (completing the rollup/cube trio, SURVEY "
+    "§2.11 beyond-reference): a hand-picked lattice subset — (flag,status), "
+    "(flag), () — in ONE pass with grouping_id disambiguating NULL-as-data "
+    "from NULL-as-total. Spark expands the sets BEFORE partial aggregation, "
+    "so the single shuffle carries per-group partials only; at 100 TB this "
+    "is 3 rollup reports for the price of one scan.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w) AS avg_hour
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY tn
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame (vs the suite's ROWS frames): per-user "
+    "trailing-hour moving average — the frame is bounded by the ORDER-key "
+    "VALUE (microsecond epoch; tz-free on both engines, constant offsets "
+    "cancel inside range differences), not row offsets, so same-timestamp peers "
+    "enter together on any engine. One exchange on user_id; the decimal "
+    "window sum is order-free, and sum/count division happens on "
+    "bit-identical operands. The canonical sliding-metric shape for "
+    "event telemetry at scale.",
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tz-free micros key: NTZ-to-NTZ timestampdiff never consults the
+    # session timezone (a cast to TIMESTAMP would), so frame membership is
+    # identical under any driver session configuration
+    tn = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2000-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy(tn).rangeBetween(-3_600_000_000, 0)
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_hour"),
+        (F.sum(dec("value", 18, 6)).over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_hour"
+        ),
+    )

@@ -1676,3 +1676,55 @@ def rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+    WITH changes AS (
+      SELECT CASE WHEN l_linenumber % 7 = 0 THEN -l_orderkey ELSE l_orderkey END AS osmid,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) + 1
+               AS version,
+             CASE WHEN l_linenumber % 7 = 0 THEN 'create'
+                  WHEN l_returnflag = 'R' THEN 'delete'
+                  ELSE 'modify' END AS op,
+             l_linestatus AS val
+      FROM lineitem
+    )
+    SELECT osmid,
+           max(version) AS version,
+           arg_max(op, version) AS op,
+           arg_max(val, version) AS val
+    FROM changes GROUP BY osmid
+    """,
+    doc="CDC latest-version upsert feed — the batch face of "
+    "streaming/stateful.latest_version_upsert (applyInPandasWithState, "
+    "update mode, one (version,op,val) triple of state per live element; "
+    "parity pinned by tests/test_streaming.py::"
+    "test_latest_version_upsert_matches_batch). The batch election is ONE "
+    "partial-aggregated max(struct(version,...)) shuffle — an element "
+    "edited a million times collapses map-side; state in the streaming "
+    "twin is bounded by element population, not change volume.",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = li.select(
+        F.when(col("l_linenumber") % 7 == 0, -col("l_orderkey"))
+        .otherwise(col("l_orderkey"))
+        .alias("osmid"),
+        (F.row_number().over(w) + 1).cast("bigint").alias("version"),
+        F.when(col("l_linenumber") % 7 == 0, lit("create"))
+        .when(col("l_returnflag") == "R", lit("delete"))
+        .otherwise(lit("modify"))
+        .alias("op"),
+        col("l_linestatus").alias("val"),
+    )
+    m = F.max(F.struct("version", "op", "val")).alias("m")
+    return (
+        changes.groupBy("osmid")
+        .agg(m)
+        .select("osmid", col("m.version").alias("version"), col("m.op").alias("op"), col("m.val").alias("val"))
+    )

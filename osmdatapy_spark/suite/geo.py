@@ -26,7 +26,13 @@ from osmdatapy_spark.operators.measures import (
     planar_length_deg,
     shoelace_area_deg2,
 )
-from osmdatapy_spark.suite.osm import NODES_CTE, WAYS_CTE, derived_nodes, derived_way_refs
+from osmdatapy_spark.suite.osm import (
+    NODES_CTE,
+    WAY_TAGS_CTE,
+    WAYS_CTE,
+    derived_nodes,
+    derived_way_refs,
+)
 from osmdatapy_spark.suite.registry import register
 
 # shared coordinate gather: way_id -> array<struct<lon,lat>> in pos order
@@ -712,4 +718,57 @@ def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.select(F.floor(bearing / 10.0).cast("bigint").alias("bin"), w.alias("w"))
         .groupBy("bin")
         .agg(F.count("*").alias("n_segments"), F.sum("w").cast("double").alias("total_len"))
+    )
+
+
+@register(
+    "osm_length_by_class",
+    oracle=f"""
+    WITH {COORDS_CTE}, {WAY_TAGS_CTE}
+    , lens AS (
+      SELECT way_id,
+             round(coalesce(list_sum(list_transform(generate_series(1, len(c) - 1),
+               i -> 2 * 6371.0 * asin(sqrt(
+                      sin(radians(c[i+1].lat - c[i].lat) / 2) * sin(radians(c[i+1].lat - c[i].lat) / 2)
+                    + cos(radians(c[i].lat)) * cos(radians(c[i+1].lat))
+                      * sin(radians(c[i+1].lon - c[i].lon) / 2) * sin(radians(c[i+1].lon - c[i].lon) / 2)
+               )))), 0.0), 4) AS len_km
+      FROM coords
+    )
+    SELECT wt.highway AS highway_class,
+           COUNT(*) AS n_ways,
+           CAST(SUM(CAST(l.len_km AS DECIMAL(18,4))) AS DOUBLE) AS total_km
+    FROM lens l JOIN way_tags wt ON wt.osmid = l.way_id
+    WHERE wt.highway IS NOT NULL
+    GROUP BY wt.highway
+    """,
+    doc="Network-length rollup per highway class — THE headline OSM "
+    "analytics number (total km of road by class, the first table in any "
+    "regional extract report). Haversine lengths fold inside the "
+    "coordinate-gather shuffle, the tag join rides the way_id key, and "
+    "the final rollup is a tiny partial-agg exchange on ~10 distinct "
+    "classes. Per-way round-4 lengths sum in DECIMAL — order-free, "
+    "bit-identical cross-engine.",
+)
+def osm_length_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.suite.osm import derived_way_elements
+
+    lens = _way_coords(spark, sf_dir).select(
+        "way_id", haversine_length_km(col("c")).alias("len_km")
+    )
+    els = (
+        derived_way_elements(spark, sf_dir)
+        .select(
+            col("osmid").alias("way_id"),
+            F.element_at("tags", "highway").alias("highway_class"),
+        )
+        .filter(col("highway_class").isNotNull())
+    )
+    return (
+        lens.join(els, "way_id")
+        .groupBy("highway_class")
+        .agg(
+            F.count("*").alias("n_ways"),
+            F.sum(col("len_km").cast("decimal(18,4)")).cast("double").alias("total_km"),
+        )
     )
