@@ -228,3 +228,22 @@ def test_session2_operator_plan_shapes(spark):
     assert_plan(q(spark, "osm_apply_changes"), max_exchanges=4, forbid_python=True)
     # training order: one shard exchange feeds the per-shard position window
     assert_plan(q(spark, "llm_training_order"), max_exchanges=1, forbid_python=True)
+
+
+def test_session3_operator_plan_shapes(spark):
+    """Shape pins for this session's operators, per their registered claims."""
+    # URL dedup: canonicalization is scan-stage Column algebra; the
+    # keep-best election is ONE partial-aggregated exchange on canon_url
+    assert_plan(q(spark, "llm_url_dedup"), max_exchanges=1, forbid_python=True)
+    # Gopher rules: pure per-row flags — zero shuffles
+    assert_plan(q(spark, "llm_gopher_rules"), max_exchanges=0, forbid_python=True)
+    # grouping sets expand BEFORE the partial agg — still one exchange
+    assert_plan(q(spark, "rel_grouping_sets"), max_exchanges=1, forbid_python=True)
+    # RANGE frame: one user_id window exchange
+    assert_plan(q(spark, "rel_window_range_frame"), max_exchanges=1, forbid_python=True)
+    # length-by-class: coordinate gather + tiny class rollup; the tag join
+    # broadcasts (small sf) or reuses the way_id partitioning at scale
+    assert_plan(q(spark, "osm_length_by_class"), max_exchanges=2, forbid_python=True)
+    # CDC upsert: version window on l_orderkey + partial-agg election on
+    # the derived osmid key
+    assert_plan(q(spark, "stream_upsert_latest"), max_exchanges=2, forbid_python=True)
