@@ -50,8 +50,9 @@ class OSM:
         # active (or a fresh tuned) session
         import os
 
+        pbf_meta = None
         if isinstance(elements, (str, os.PathLike)):
-            elements = str(elements)
+            path = str(elements)
             from osmdatapy_spark.sources.pbf import read_pbf_tables
 
             if spark is None:
@@ -60,15 +61,20 @@ class OSM:
                 from osmdatapy_spark.session import get_spark
 
                 spark = get_spark()
-            tables = read_pbf_tables(spark, elements)
+            tables = read_pbf_tables(spark, path)
             elements, nodes = tables["elements"], tables["nodes"]
             way_refs, rel_members = tables["way_refs"], tables["rel_members"]
+            pbf_meta = (spark, path)
         if nodes is None:
             raise ValueError("OSM needs a nodes table (or a .pbf path)")
         self.elements = elements
         self.nodes = nodes
         self.way_refs = way_refs
         self.rel_members = rel_members
+        # set when constructed from a .pbf path: lets query() re-derive a
+        # KIND-PRUNED elements scan (P2 block pruning) instead of decoding
+        # every element kind and filtering post-decode
+        self._pbf_meta: "tuple[SparkSession, str] | None" = pbf_meta
 
     # -- constructors ------------------------------------------------------
 
@@ -89,9 +95,11 @@ class OSM:
         from osmdatapy_spark.sources.pbf import read_pbf_tables
 
         tables = read_pbf_tables(spark, path)
-        return cls(
+        osm = cls(
             tables["elements"], tables["nodes"], tables["way_refs"], tables["rel_members"]
         )
+        osm._pbf_meta = (spark, path)
+        return osm
 
     # -- bronze persistence (SCALE.md: "what would change first") ----------
 
@@ -265,6 +273,29 @@ class OSM:
 
     # -- the main query path (reference osmdata.py:183-206) ----------------
 
+    def _elements_for(self, q: Query, only: "set[int] | None" = None) -> DataFrame:
+        """Elements relation for a query, kind-pruned at the SOURCE when
+        this OSM was opened from a .pbf path (P2 block pruning, reference
+        osmdata.py:140-168 block-kind skip): a ways-only query never
+        decodes the dense-node wire data at all — each pruned scan is a
+        fresh reader instance so pushed osmtype sets can't clobber each
+        other (see read_pbf_tables).  Falls back to the shared elements
+        relation (post-decode Catalyst filter) for table-backed OSMs,
+        where parquet row-group stats do the same pruning."""
+        wanted = only if only is not None else {
+            t
+            for t, on in ((0, q.nodes), (1, q.ways), (2, q.relations))
+            if on
+        }
+        if self._pbf_meta is None or not wanted or len(wanted) == 3:
+            return self.elements
+        spark, path = self._pbf_meta
+        from osmdatapy_spark.sources.pbf import read_pbf
+
+        return read_pbf(spark, path, osmtypes=wanted).select(
+            "osmid", "osmtype", "tags", "refs", "members", "version", "timestamp", "changeset"
+        )
+
     def query(self, q: Query, wkb: bool = False) -> DataFrame:
         """Execute a composable Query → element DataFrame.
 
@@ -281,7 +312,7 @@ class OSM:
                 "wkb=True requires a geometry query (Query(geometry=True)) — "
                 "there is no geometry column to encode"
             )
-        out = q.apply(self.elements)
+        out = q.apply(self._elements_for(q))
 
         if q.geometry:
             out = self._with_geometry(out, q)
@@ -296,7 +327,7 @@ class OSM:
                 # side is the post-filter relation set, which AQE
                 # broadcasts when small
                 kept = (
-                    q.apply(self.elements)
+                    q.apply(self._elements_for(q, only={OSMTYPE_RELATION}))
                     .filter(col("osmtype") == OSMTYPE_RELATION)
                     .select(col("osmid").alias("rel_id"))
                 )
