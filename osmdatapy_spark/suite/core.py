@@ -953,3 +953,54 @@ def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_hour"
         ),
     )
+
+
+@register(
+    "rel_corr_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+             -- width 19 forces INT128 physical in DuckDB (a width-18
+             -- product overflows INT64); Spark side stays (18,4) where
+             -- the 37-digit product fits losslessly — both are exact
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS pearson_r
+    FROM m
+    """,
+    doc="Per-group Pearson correlation (quantity vs price) — the data-"
+    "profiling statistic a warehouse quality pass computes per segment. "
+    "All five moments accumulate as EXACT decimal sums in ONE partial-"
+    "aggregated shuffle (order-free, bit-identical cross-engine); the "
+    "closed-form r assembles driver-free from the moments with a "
+    "mirrored double expression tree + round-9 guard. The single-pass "
+    "moment-sketch shape is exactly how you'd profile 100 TB: no second "
+    "centering pass, no window.",
+)
+def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    x = dec("l_quantity", 18, 4)
+    y = dec("l_extendedprice", 18, 4)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = col("n")
+    sx, sy = col("sx").cast("double"), col("sy").cast("double")
+    sxx, syy, sxy = (col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return m.select("l_returnflag", "n", F.round(r, 9).alias("pearson_r"))

@@ -772,3 +772,55 @@ def osm_length_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(col("len_km").cast("decimal(18,4)")).cast("double").alias("total_km"),
         )
     )
+
+
+@register(
+    "osm_geojson_points",
+    oracle="""
+    WITH nodes AS (
+  SELECT p_partkey AS osmid,
+         CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+         CAST((p_partkey % 170) - 85 + 0.25 AS DOUBLE) AS lat
+  FROM part
+), node_tags AS (
+  SELECT p_partkey AS osmid,
+    CASE p_partkey % 10 WHEN 0 THEN 'restaurant' WHEN 1 THEN 'cafe' END AS amenity,
+    CASE WHEN p_partkey % 7 = 0 THEN 'bakery' END AS shop,
+    CASE WHEN p_partkey % 9 = 0 THEN 'hotel' END AS tourism,
+    CASE WHEN p_partkey % 3 = 0 THEN 'node-' || CAST(p_partkey AS VARCHAR) END AS name
+  FROM part
+)
+    SELECT n.osmid,
+           printf('{"type":"Feature","geometry":{"type":"Point","coordinates":[%.7f,%.7f]},"properties":{"osmid":%d,"amenity":"%s"}}',
+                  n.lon, n.lat, n.osmid, t.amenity) AS feature
+    FROM nodes n JOIN node_tags t USING (osmid)
+    WHERE t.amenity IS NOT NULL
+    """,
+    doc="GeoJSON Feature export for point POIs — the sink surface a geo "
+    "consumer ingests (RFC 7946; the reference serves a GeoDataFrame, "
+    "_frame.py:54-56 — line-delimited GeoJSON is its cluster-native "
+    "equivalent: each row a self-contained Feature string, any partition "
+    "writable independently). Assembled by printf-style formatting "
+    "(C-locale %.7f — deterministic cross-engine, ~1cm precision), zero "
+    "shuffles beyond the broadcast tag attach; at scale this streams "
+    "straight out of the scan into text files.",
+)
+def osm_geojson_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.suite.osm import derived_node_elements
+
+    nodes = derived_nodes(spark, sf_dir)
+    tags = (
+        derived_node_elements(spark, sf_dir)
+        .select("osmid", F.element_at("tags", "amenity").alias("amenity"))
+        .filter(col("amenity").isNotNull())
+    )
+    tmpl = (
+        '{"type":"Feature","geometry":{"type":"Point","coordinates":[%.7f,%.7f]},'
+        '"properties":{"osmid":%d,"amenity":"%s"}}'
+    )
+    return nodes.join(tags, "osmid").select(
+        "osmid",
+        F.format_string(tmpl, col("lon"), col("lat"), col("osmid"), col("amenity")).alias(
+            "feature"
+        ),
+    )

@@ -247,3 +247,12 @@ def test_session3_operator_plan_shapes(spark):
     # CDC upsert: version window on l_orderkey + partial-agg election on
     # the derived osmid key
     assert_plan(q(spark, "stream_upsert_latest"), max_exchanges=2, forbid_python=True)
+
+
+def test_session3b_operator_plan_shapes(spark):
+    # correlation moments: ONE partial-aggregated exchange, no second pass
+    assert_plan(q(spark, "rel_corr_stats"), max_exchanges=1, forbid_python=True)
+    # geojson export: formatting folds into the scan/join stage — the tag
+    # attach broadcasts, zero data shuffles
+    s = assert_plan(q(spark, "osm_geojson_points"), max_exchanges=0, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text

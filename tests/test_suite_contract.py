@@ -68,3 +68,26 @@ def test_approx_sketches_accuracy(spark):
         a = approx[k]
         assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.10
         assert abs(a["approx_median_price"] - e["median_price"]) / e["median_price"] < 0.01
+
+
+def test_geojson_features_parse_as_json(spark):
+    """Every exported Feature string must be valid RFC 7946 JSON with the
+    coordinates in [lon, lat] order."""
+    import json
+
+    from osmdatapy_spark.suite import QUERY_REGISTRY
+
+    rows = (
+        QUERY_REGISTRY["osm_geojson_points"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        f = json.loads(r["feature"])
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "Point"
+        lon, lat = f["geometry"]["coordinates"]
+        assert -180 <= lon <= 180 and -90 <= lat <= 90
+        assert f["properties"]["osmid"] == r["osmid"]
