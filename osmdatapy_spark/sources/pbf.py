@@ -184,8 +184,12 @@ class PbfDataSourceReader(DataSourceReader):
             for el in decode_primitive_block(
                 read_blob(partition.path, BlobSpan("OSMData", offset, size)),
                 with_metadata=want_meta,
+                # kind restriction applied INSIDE the block decoder: an
+                # unselected primitive group is skipped before any varint
+                # work (dense nodes dominate planet files, so a ways-only
+                # scan drops most decode CPU here)
+                wanted_types=wanted,
             )
-            if wanted is None or el.osmtype in wanted
         ]
 
         arrow_types = {

@@ -348,13 +348,26 @@ def _decode_info(data: bytes) -> tuple[Optional[int], Optional[int], Optional[in
     return version, timestamp, changeset
 
 
-def decode_primitive_block(block: bytes, with_metadata: bool = False) -> list[Element]:
+def decode_primitive_block(
+    block: bytes,
+    with_metadata: bool = False,
+    wanted_types: "set[int] | None" = None,
+) -> list[Element]:
     """Decode every element of one PrimitiveBlock.
 
     Predicate evaluation does NOT happen here (contrast reference
     primitives.py:26-27 early aborts): rows flow into Spark and Catalyst
     filters them — pushed filters instead prune whole *partitions* in
-    ``PbfDataSourceReader.partitions``/``read``."""
+    ``PbfDataSourceReader.partitions``/``read``.
+
+    The ONE exception is ``wanted_types`` (the ``osmtypes`` read option,
+    P2 block pruning, reference osmdata.py:140-168 block-kind skip): a
+    primitive GROUP of an unselected kind is skipped before any varint is
+    touched.  On planet-shaped files dense-node groups are ~90% of the
+    decode work, so a ways/relations query drops most of the CPU here —
+    far cheaper than decode-then-filter.  The skip is by wire field id
+    (1/2=nodes, 3=ways, 4=relations), so it cannot change the VALUES of
+    decoded rows — only avoid decoding rows Catalyst would discard."""
     strings: list[str] = []
     groups: list[bytes] = []
     granularity = 100
@@ -375,17 +388,25 @@ def decode_primitive_block(block: bytes, with_metadata: bool = False) -> list[El
             lon_off = val
 
     scale = 1e-9
+    w = wanted_types
+    nodes_on = w is None or 0 in w
+    ways_on = w is None or 1 in w
+    rels_on = w is None or 2 in w
     out: list[Element] = []
     for group in groups:
         for field, _, val in iter_fields(group, 0, len(group)):
             if field == 1:
-                out.append(_decode_node(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
+                if nodes_on:
+                    out.append(_decode_node(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
             elif field == 2:
-                out.extend(_decode_dense(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
+                if nodes_on:
+                    out.extend(_decode_dense(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
             elif field == 3:
-                out.append(_decode_way(val, strings, with_metadata, date_gran))
+                if ways_on:
+                    out.append(_decode_way(val, strings, with_metadata, date_gran))
             elif field == 4:
-                out.append(_decode_relation(val, strings, with_metadata, date_gran))
+                if rels_on:
+                    out.append(_decode_relation(val, strings, with_metadata, date_gran))
     return out
 
 
