@@ -1728,3 +1728,101 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(m)
         .select("osmid", col("m.version").alias("version"), col("m.op").alias("op"), col("m.val").alias("val"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Extract snapshot diff (the osmium-diff / epoch-compare workflow)
+# ---------------------------------------------------------------------------
+
+# coalesce: DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+# array_join is '' — the empty-tag fingerprint must agree
+_TAG_FP_SQL = """coalesce(array_to_string(list_filter([
+      CASE WHEN area IS NOT NULL THEN 'area=' || area END,
+      CASE WHEN barrier IS NOT NULL THEN 'barrier=' || barrier END,
+      CASE WHEN building IS NOT NULL THEN 'building=' || building END,
+      CASE WHEN highway IS NOT NULL THEN 'highway=' || highway END,
+      CASE WHEN name IS NOT NULL THEN 'name=' || name END,
+      CASE WHEN "natural" IS NOT NULL THEN 'natural=' || "natural" END,
+      CASE WHEN service IS NOT NULL THEN 'service=' || service END,
+      CASE WHEN rel_type IS NOT NULL THEN 'type=' || rel_type END
+    ], x -> x IS NOT NULL), ';'), '')"""
+
+
+@register(
+    "osm_extract_diff",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE},
+    bt AS (
+      SELECT osmid, area, barrier,
+             CASE WHEN osmid % 5 = 0 THEN 'renovated' ELSE building END AS building,
+             highway, name, "natural", service, rel_type
+      FROM way_tags WHERE osmid % 13 <> 0
+      UNION ALL
+      SELECT osmid + 1000000000, NULL, NULL, 'yes', NULL, NULL, NULL, NULL, NULL
+      FROM way_tags WHERE osmid % 17 = 0
+    ),
+    afp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM way_tags),
+    bfp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM bt)
+    SELECT coalesce(a.osmid, b.osmid) AS osmid,
+           CASE WHEN a.osmid IS NULL THEN 'added'
+                WHEN b.osmid IS NULL THEN 'deleted'
+                ELSE 'modified' END AS change,
+           a.f AS old_tags, b.f AS new_tags
+    FROM afp a FULL JOIN bfp b ON a.osmid = b.osmid
+    WHERE a.osmid IS NULL OR b.osmid IS NULL OR a.f <> b.f
+    """,
+    doc="Snapshot diff between two extract epochs (the osmium-diff "
+    "workflow; epoch B is a deterministic perturbation of epoch A — "
+    "deletions %13, tag edits %5, additions %17): full outer join on "
+    "osmid classifies added/deleted/modified, with tag change detection "
+    "on a canonical sorted 'k=v;...' fingerprint so map-vs-columns "
+    "representations agree byte-for-byte. ONE co-partitioned shuffle per "
+    "side — the planet-epoch compare at 100 TB is exactly this join, "
+    "AQE-skew-safe, no driver state.",
+)
+def osm_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fp(tags) -> F.Column:
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(tags),
+                    lambda e: F.concat(e["key"], lit("="), e["value"]),
+                )
+            ),
+            ";",
+        )
+
+    a = derived_way_elements(spark, sf_dir).select("osmid", "tags")
+    modified = F.when(
+        col("osmid") % 5 == 0,
+        F.map_concat(
+            F.map_filter(col("tags"), lambda k, v: k != lit("building")),
+            F.create_map(lit("building"), lit("renovated")),
+        ),
+    ).otherwise(col("tags"))
+    b = (
+        a.filter(col("osmid") % 13 != 0)
+        .select("osmid", modified.alias("tags"))
+        .unionByName(
+            a.filter(col("osmid") % 17 == 0).select(
+                (col("osmid") + 1_000_000_000).alias("osmid"),
+                F.create_map(lit("building"), lit("yes")).alias("tags"),
+            )
+        )
+    )
+    afp = a.select("osmid", fp("tags").alias("f"))
+    bfp = b.select("osmid", fp("tags").alias("f"))
+    j = afp.alias("a").join(
+        bfp.alias("b"), col("a.osmid") == col("b.osmid"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(col("a.osmid"), col("b.osmid")).alias("osmid"),
+        F.when(col("a.osmid").isNull(), lit("added"))
+        .when(col("b.osmid").isNull(), lit("deleted"))
+        .otherwise(lit("modified"))
+        .alias("change"),
+        col("a.f").alias("old_tags"),
+        col("b.f").alias("new_tags"),
+    ).filter(
+        col("a.osmid").isNull() | col("b.osmid").isNull() | (col("a.f") != col("b.f"))
+    )

@@ -256,3 +256,10 @@ def test_session3b_operator_plan_shapes(spark):
     # attach broadcasts, zero data shuffles
     s = assert_plan(q(spark, "osm_geojson_points"), max_exchanges=0, forbid_python=True)
     assert s.n_broadcasts >= 1, s.text
+
+
+def test_extract_diff_plan_shape(spark):
+    # epoch diff: one co-partitioned full-outer join on osmid; tiny sides
+    # may broadcast under AQE at test scale, but no cartesian and no Python
+    s = plan_summary(q(spark, "osm_extract_diff"))
+    assert "Cartesian" not in s.text and s.n_python_evals == 0, s.text

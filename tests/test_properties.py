@@ -264,3 +264,52 @@ def test_codec_dense_node_roundtrip_fuzz(nodes, codec):
         e = got[nid]
         assert abs(e.lon - lon) < 2e-7 and abs(e.lat - lat) < 2e-7
         assert dict(e.tags) == tags
+
+
+# --- canonical_url properties ----------------------------------------------
+
+url_strategy = st.builds(
+    lambda scheme, www, host, path, params, frag, slash: (
+        scheme + www + host + "/" + "/".join(path)
+        + ("/" if slash and path else "")
+        + ("?" + "&".join(params) if params else "")
+        + ("#" + frag if frag else "")
+    ),
+    scheme=st.sampled_from(["", "http://", "https://", "HTTPS://"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.sampled_from(["example.com", "Sub.Example.org", "a.io"]),
+    path=st.lists(st.sampled_from(["a", "B", "page-1", "x_y"]), max_size=3),
+    params=st.lists(
+        st.sampled_from(
+            ["id=3", "q=x", "utm_source=t", "utm_campaign=c", "fbclid=z", "ref=9", "b=2", "a=1"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "top", "frag-7"]),
+    slash=st.booleans(),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(urls=st.lists(url_strategy, min_size=1, max_size=40, unique=True))
+def test_canonical_url_idempotent_and_tracking_free(spark, urls):
+    """canonical_url is IDEMPOTENT (canon(canon(u)) == canon(u)) and its
+    output never contains a tracking param, scheme, www. prefix, fragment,
+    or trailing slash — for any URL shape, not just the suite's."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from osmdatapy_spark.functions.curation import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonical_url(col("url")).alias("c1"),
+        canonical_url(canonical_url(col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r.c1 == r.c2, (r.c1, r.c2)
+        assert "utm_" not in r.c1 and "fbclid" not in r.c1 and "ref=" not in r.c1
+        assert "://" not in r.c1 and not r.c1.startswith("www.")
+        assert "#" not in r.c1
+        assert not r.c1.endswith("/") or r.c1 == "/"
