@@ -581,3 +581,89 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("ring").cast("int").alias("ring"),
         F.array_join(F.transform("canon", lambda x: x.cast("string")), ",").alias("nodes_csv"),
     )
+
+
+@register(
+    "osm_integrity_report",
+    oracle=f"""
+    WITH {WAYS_CTE}, {NODES_CTE}, {WAY_TAGS_CTE},
+    sizes AS (SELECT way_id, count(*) AS n FROM ways GROUP BY way_id),
+    lagged AS (
+      SELECT way_id, node_id,
+             LAG(node_id) OVER (PARTITION BY way_id ORDER BY pos) AS prev
+      FROM ways
+    ),
+    ends AS (
+      SELECT DISTINCT way_id,
+             FIRST_VALUE(node_id) OVER w AS src,
+             LAST_VALUE(node_id) OVER w AS dst
+      FROM ways
+      WINDOW w AS (PARTITION BY way_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT 'way_refs_resolve' AS check_name,
+           (SELECT count(*) FROM ways w LEFT JOIN nodes n ON w.node_id = n.osmid
+            WHERE n.osmid IS NULL) AS n_violations,
+           (SELECT count(*) FROM ways) AS n_checked
+    UNION ALL
+    SELECT 'degenerate_ways',
+           (SELECT count(*) FROM sizes WHERE n < 2),
+           (SELECT count(*) FROM sizes)
+    UNION ALL
+    SELECT 'duplicate_consecutive_refs',
+           (SELECT count(*) FROM lagged WHERE node_id = prev),
+           (SELECT count(*) FROM ways)
+    UNION ALL
+    SELECT 'unclosed_area_ways',
+           (SELECT count(*) FROM ends e JOIN way_tags t ON t.osmid = e.way_id
+            WHERE t.building IS NOT NULL AND e.src <> e.dst),
+           (SELECT count(*) FROM ends e JOIN way_tags t ON t.osmid = e.way_id
+            WHERE t.building IS NOT NULL)
+    """,
+    doc="Geometry/topology integrity report (the osmium check-refs / QA "
+    "gate before publishing an extract): unresolvable node refs, "
+    "degenerate <2-node ways, duplicate consecutive refs, area-tagged "
+    "ways that don't close. Each check is a broadcast-dim anti-join or a "
+    "fold inside the ONE way_id exchange the checks share; the report is "
+    "a union of tiny aggregates — the same distributed-QA shape as "
+    "rel_data_contract_audit, applied to the OSM data model.",
+)
+def osm_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    tags = derived_way_elements(spark, sf_dir).select(
+        col("osmid").alias("way_id"), F.element_at("tags", "building").alias("building")
+    )
+
+    def report(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
+        return (
+            viol.agg(F.count("*").alias("n_violations"))
+            .crossJoin(total.agg(F.count("*").alias("n_checked")))
+            .select(
+                lit(name).alias("check_name"),
+                col("n_violations").cast("bigint"),
+                col("n_checked").cast("bigint"),
+            )
+        )
+
+    unresolved = refs.join(
+        broadcast(nodes.select(col("osmid").alias("node_id"))), "node_id", "left_anti"
+    )
+    c1 = report("way_refs_resolve", unresolved, refs)
+
+    sizes = refs.groupBy("way_id").agg(F.count("*").alias("n"))
+    c2 = report("degenerate_ways", sizes.filter(col("n") < 2), sizes)
+
+    w = Window.partitionBy("way_id").orderBy("pos")
+    lagged = refs.withColumn("prev", F.lag("node_id").over(w))
+    c3 = report("duplicate_consecutive_refs", lagged.filter(col("node_id") == col("prev")), refs)
+
+    ends = refs.groupBy("way_id").agg(
+        F.min_by("node_id", "pos").alias("src"), F.max_by("node_id", "pos").alias("dst")
+    )
+    area_ends = ends.join(tags.filter(col("building").isNotNull()), "way_id")
+    c4 = report("unclosed_area_ways", area_ends.filter(col("src") != col("dst")), area_ends)
+
+    return c1.unionByName(c2).unionByName(c3).unionByName(c4)
