@@ -176,6 +176,11 @@ def kmeans_centroids(
     with k-means++ samples instead of low ids; the join/partition shape
     is identical."""
     v = corpus.select(col(id_col).alias("_id"), as_double(col(vec_col)).alias("v"))
+    # the training projection is read once per Lloyd job (seed + every
+    # update); persist it for the loop so iterations re-scan memory, not
+    # the source (at planet scale you'd ALSO train on a deterministic
+    # hash-sample — the join shape downstream is unchanged)
+    v = v.persist()
     seed_rows = v.orderBy("_id").limit(k).collect()
     centroids = [list(r["v"]) for r in seed_rows]
     # a corpus smaller than k seeds fewer cells — shrink k to what exists
@@ -203,6 +208,7 @@ def kmeans_centroids(
             [means[i][j] for j in range(len(centroids[i]))] if i in means else centroids[i]
             for i in range(k)
         ]
+    v.unpersist()
     return centroids
 
 

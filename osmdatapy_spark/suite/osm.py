@@ -667,3 +667,59 @@ def osm_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c4 = report("unclosed_area_ways", area_ends.filter(col("src") != col("dst")), area_ends)
 
     return c1.unionByName(c2).unionByName(c3).unionByName(c4)
+
+
+@register(
+    "osm_tag_key_stats",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE},
+    u AS (
+      SELECT 'area' AS key, area AS v FROM way_tags
+      UNION ALL SELECT 'barrier', barrier FROM way_tags
+      UNION ALL SELECT 'building', building FROM way_tags
+      UNION ALL SELECT 'highway', highway FROM way_tags
+      UNION ALL SELECT 'name', name FROM way_tags
+      UNION ALL SELECT 'natural', "natural" FROM way_tags
+      UNION ALL SELECT 'service', service FROM way_tags
+      UNION ALL SELECT 'type', rel_type FROM way_tags
+    )
+    SELECT key, count(*) AS n_elements, count(DISTINCT v) AS n_values
+    FROM u WHERE v IS NOT NULL GROUP BY key
+    """,
+    doc="Tag-key usage statistics — the taginfo workflow (how many "
+    "elements carry each key, how many distinct values): explode the tags "
+    "map to (key, value) pairs and partial-aggregate per key. The map "
+    "explode happens scan-side, the distinct-count is the standard "
+    "two-phase agg, and key cardinality is tiny — at planet scale this is "
+    "the same one-pass profile taginfo.openstreetmap.org serves.",
+)
+def osm_tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    els = derived_way_elements(spark, sf_dir)
+    kv = els.select(F.explode("tags").alias("key", "v"))
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_elements"),
+        F.countDistinct("v").alias("n_values"),
+    )
+
+
+@register(
+    "osm_node_degree_histogram",
+    oracle=f"""
+    WITH {WAYS_CTE},
+    deg AS (
+      SELECT node_id, count(DISTINCT way_id) AS degree FROM ways GROUP BY node_id
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Node-degree distribution of the way-membership graph (the "
+    "junction-complexity profile of a road network; degree>=2 nodes are "
+    "exactly the G10 topology split points): two nested partial "
+    "aggregations — (node, distinct ways) then a tiny histogram rollup. "
+    "The degree agg shares the node_id shuffle topology_segments already "
+    "pays, and the histogram is ~10 groups — free at any scale.",
+)
+def osm_node_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = derived_way_refs(spark, sf_dir)
+    deg = refs.groupBy("node_id").agg(F.countDistinct("way_id").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
