@@ -637,34 +637,54 @@ def osm_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("osmid").alias("way_id"), F.element_at("tags", "building").alias("building")
     )
 
-    def report(name: str, viol: DataFrame, total: DataFrame) -> DataFrame:
-        return (
-            viol.agg(F.count("*").alias("n_violations"))
-            .crossJoin(total.agg(F.count("*").alias("n_checked")))
-            .select(
-                lit(name).alias("check_name"),
-                col("n_violations").cast("bigint"),
-                col("n_checked").cast("bigint"),
-            )
+    def report(name: str, viol, total) -> DataFrame:
+        return viol.crossJoin(total).select(
+            lit(name).alias("check_name"),
+            col("n_violations").cast("bigint"),
+            col("n_checked").cast("bigint"),
         )
 
     unresolved = refs.join(
         broadcast(nodes.select(col("osmid").alias("node_id"))), "node_id", "left_anti"
     )
-    c1 = report("way_refs_resolve", unresolved, refs)
-
-    sizes = refs.groupBy("way_id").agg(F.count("*").alias("n"))
-    c2 = report("degenerate_ways", sizes.filter(col("n") < 2), sizes)
-
+    # ONE way_id pass feeds every per-way check AND the row totals: the
+    # lag window and the per-way rollup share the same exchange (the
+    # window already partitions by way_id), and per_way is persisted —
+    # ~n_ways tiny rows — so the four report branches read the cache
+    # instead of re-running the scan+window lineage four times
     w = Window.partitionBy("way_id").orderBy("pos")
-    lagged = refs.withColumn("prev", F.lag("node_id").over(w))
-    c3 = report("duplicate_consecutive_refs", lagged.filter(col("node_id") == col("prev")), refs)
-
-    ends = refs.groupBy("way_id").agg(
-        F.min_by("node_id", "pos").alias("src"), F.max_by("node_id", "pos").alias("dst")
+    per_way = (
+        refs.withColumn("prev", F.lag("node_id").over(w))
+        .groupBy("way_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((col("node_id") == col("prev")).cast("int")).alias("dups"),
+            F.min_by("node_id", "pos").alias("src"),
+            F.max_by("node_id", "pos").alias("dst"),
+        )
+        .persist()
     )
-    area_ends = ends.join(tags.filter(col("building").isNotNull()), "way_id")
-    c4 = report("unclosed_area_ways", area_ends.filter(col("src") != col("dst")), area_ends)
+    c1 = report(
+        "way_refs_resolve",
+        unresolved.agg(F.count("*").alias("n_violations")),
+        per_way.agg(F.coalesce(F.sum("n"), lit(0)).alias("n_checked")),
+    )
+    c2 = report(
+        "degenerate_ways",
+        per_way.filter(col("n") < 2).agg(F.count("*").alias("n_violations")),
+        per_way.agg(F.count("*").alias("n_checked")),
+    )
+    c3 = report(
+        "duplicate_consecutive_refs",
+        per_way.agg(F.coalesce(F.sum("dups"), lit(0)).alias("n_violations")),
+        per_way.agg(F.coalesce(F.sum("n"), lit(0)).alias("n_checked")),
+    )
+    area_ends = per_way.join(tags.filter(col("building").isNotNull()), "way_id")
+    c4 = report(
+        "unclosed_area_ways",
+        area_ends.filter(col("src") != col("dst")).agg(F.count("*").alias("n_violations")),
+        area_ends.agg(F.count("*").alias("n_checked")),
+    )
 
     return c1.unionByName(c2).unionByName(c3).unionByName(c4)
 
