@@ -1004,3 +1004,90 @@ def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = (col(c).cast("double") for c in ("sxx", "syy", "sxy"))
     r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return m.select("l_returnflag", "n", F.round(r, 9).alias("pearson_r"))
+
+
+@register(
+    "rel_partial_agg_merge",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Incremental materialized-view maintenance: two epoch partitions "
+    "(shipdate <= / > the split) pre-aggregate INDEPENDENTLY to partial "
+    "states (decimal sum + count), and the merge is just re-aggregation "
+    "of the tiny partial tables — the oracle is the direct one-shot "
+    "aggregation, proving the state is exactly reaggregable (DECIMAL "
+    "sums reassociate; counts add). This is the lambda-architecture "
+    "contract: at 100 TB you never re-scan history to refresh a rollup, "
+    "you merge yesterday's state with today's partials.",
+)
+def rel_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    split = lit("2000-06-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(dec("l_quantity")).alias("psum"), F.count("*").alias("pn")
+        )
+
+    epoch1 = partial(li.filter(col("l_shipdate") <= split))
+    epoch2 = partial(li.filter(col("l_shipdate") > split))
+    return (
+        epoch1.unionByName(epoch2)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("psum").cast("double").alias("sum_qty"),
+            F.sum("pn").alias("n"),
+        )
+    )
+
+
+@register(
+    "rel_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT o_orderkey AS file_id,
+             -- x10000 makes the 4-dp price integral: the BIGINT cast is
+             -- exact on both engines (no round-vs-truncate ambiguity)
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS size_bytes
+      FROM orders
+    ),
+    binned AS (
+      SELECT file_id, size_bytes,
+             CAST(COALESCE(SUM(size_bytes) OVER (ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 10000000000 AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT bin,
+           COUNT(*) AS n_files,
+           SUM(size_bytes) AS bin_bytes
+    FROM binned GROUP BY bin
+    """,
+    doc="Small-file compaction planner (the lakehouse maintenance job "
+    "next to rel_zorder_layout): files bin-pack greedily by prefix-sum of "
+    "size over a total order — bin = floor(bytes-before / target) — then "
+    "a per-bin manifest rolls up. The prefix sum is one global-ordered "
+    "window (RangePartitioning exchange: fine — the input is file "
+    "METADATA, ~1 row per file, millions of rows for a 100 TB table, not "
+    "the data itself); every bin lands within one file size of the "
+    "configured target.",
+)
+def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = T(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("file_id"),
+        (dec("o_totalprice", 18, 4) * 10000).cast("bigint").alias("size_bytes"),
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("size_bytes").over(w), lit(0)) / lit(10_000_000_000)
+        ).cast("bigint"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_files"), F.sum("size_bytes").alias("bin_bytes")
+    )
