@@ -740,6 +740,10 @@ def osm_tag_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pays, and the histogram is ~10 groups — free at any scale.",
 )
 def osm_node_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    refs = derived_way_refs(spark, sf_dir)
-    deg = refs.groupBy("node_id").agg(F.countDistinct("way_id").alias("degree"))
+    # degree ignores member ORDER, so skip derived_way_refs' row_number
+    # window entirely — (way, node) pairs come straight off the scan
+    li = T(spark, sf_dir, "lineitem").select(
+        col("l_partkey").alias("node_id"), col("l_orderkey").alias("way_id")
+    )
+    deg = li.groupBy("node_id").agg(F.countDistinct("way_id").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -251,3 +251,46 @@ def test_bfs_hops_early_exit_on_empty_frontier(spark):
     seeds = spark.createDataFrame([(1,), (7,)], "node_id long")
     out = {r.node_id: r.hops for r in bfs_hops(edges, seeds, max_hops=10).collect()}
     assert out == {1: 0, 2: 1, 7: 0}
+
+
+def test_integrity_checks_on_hand_built_ways(spark):
+    """Pin the integrity-report semantics on a tiny hand-computable input:
+    way 1 clean-open, way 2 closed, way 3 degenerate single-node, way 4
+    has a duplicate consecutive ref and an unresolvable node."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    refs = spark.createDataFrame(
+        [
+            (1, 1, 10), (1, 2, 11), (1, 3, 12),
+            (2, 1, 20), (2, 2, 21), (2, 3, 20),
+            (3, 1, 30),
+            (4, 1, 40), (4, 2, 40), (4, 3, 999),
+        ],
+        "way_id long, pos int, node_id long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (10, 11, 12, 20, 21, 30, 40)], "osmid long"
+    )
+    unresolved = refs.join(
+        nodes.withColumnRenamed("osmid", "node_id"), "node_id", "left_anti"
+    )
+    assert unresolved.count() == 1  # node 999
+
+    w = Window.partitionBy("way_id").orderBy("pos")
+    per_way = (
+        refs.withColumn("prev", F.lag("node_id").over(w))
+        .groupBy("way_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((col("node_id") == col("prev")).cast("int")).alias("dups"),
+            F.min_by("node_id", "pos").alias("src"),
+            F.max_by("node_id", "pos").alias("dst"),
+        )
+    )
+    rows = {r.way_id: r for r in per_way.collect()}
+    assert rows[3].n == 1                      # degenerate
+    assert rows[4].dups == 1                   # duplicate consecutive
+    assert rows[2].src == rows[2].dst == 20    # closed ring
+    assert rows[1].src == 10 and rows[1].dst == 12

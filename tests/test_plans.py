@@ -263,3 +263,19 @@ def test_extract_diff_plan_shape(spark):
     # may broadcast under AQE at test scale, but no cartesian and no Python
     s = plan_summary(q(spark, "osm_extract_diff"))
     assert "Cartesian" not in s.text and s.n_python_evals == 0, s.text
+
+
+def test_session3c_operator_plan_shapes(spark):
+    # partial-state merge: two partial aggs union into one merge agg —
+    # two exchanges total, no re-scan of raw history at merge time
+    assert_plan(q(spark, "rel_partial_agg_merge"), max_exchanges=2, forbid_python=True)
+    # compaction planner: ONE global-ordered window over file metadata
+    assert_plan(q(spark, "rel_compaction_plan"), max_exchanges=1, forbid_python=True)
+    # taginfo stats: map explode scan-side + two-phase distinct agg
+    assert_plan(q(spark, "osm_tag_key_stats"), max_exchanges=2, forbid_python=True)
+    # degree histogram: pair-dedup + per-node count + tiny rollup — the
+    # inherent two-phase distinct plus the ~10-group histogram exchange
+    assert_plan(q(spark, "osm_node_degree_histogram"), max_exchanges=3, forbid_python=True)
+    # integrity report: the per-way checks share ONE persisted pass
+    s = plan_summary(q(spark, "osm_integrity_report"))
+    assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
