@@ -1826,3 +1826,28 @@ def osm_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         col("a.osmid").isNull() | col("b.osmid").isNull() | (col("a.f") != col("b.f"))
     )
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user running totals — the batch face of "
+    "streaming/stateful.running_user_totals (applyInPandasWithState, two "
+    "scalars of state per user; parity pinned by tests/test_streaming.py::"
+    "test_stateful_running_totals). Batch = ONE partial-agg "
+    "shuffle; the streaming twin's state is bounded by the user "
+    "population and keys partition horizontally like any groupBy.",
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    )

@@ -165,6 +165,36 @@ def main() -> None:
         return f"{got} pairs at cos>=0.999 (all {planted} planted present)"
 
     timed("semantic dedup", check_semdedup)
+
+    def check_url_dedup():
+        # synthetic fetch URLs over the SAME planted structure: id%50==1
+        # shares its block head's path but carries tracking params, a
+        # fragment, uppercase scheme — canonicalization must collapse the
+        # pair while distinct paths stay distinct
+        from osmdatapy_spark.functions.curation import canonical_url
+
+        src = F.when(col("doc_id") % 50 == 1, col("doc_id") - 1).otherwise(col("doc_id"))
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.when(col("doc_id") % 50 == 1, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+                lit("ex.com/p/"),
+                src.cast("string"),
+                F.when(col("doc_id") % 50 == 1, lit("/?utm_source=x&ref=9#f")).otherwise(lit("")),
+            ).alias("url"),
+        )
+        groups = (
+            urls.select(canonical_url(col("url")).alias("c"), "doc_id")
+            .groupBy("c")
+            .agg(F.count("*").alias("n"))
+        )
+        got = groups.filter(col("n") > 1).count()
+        total = groups.count()
+        assert got == planted, f"expected {planted} dup URL groups, got {got}"
+        assert total == n - planted, f"expected {n - planted} canonical urls, got {total}"
+        return f"{got} dup groups / {total} canonical urls (== planted)"
+
+    timed("url dedup", check_url_dedup)
     spark.stop()
 
 
