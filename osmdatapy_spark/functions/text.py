@@ -190,6 +190,74 @@ def hash_bucket(key: Column, buckets: int = 100) -> Column:
     return (h.cast("long") % buckets).cast("int")
 
 
+# default vocabulary for greedy longest-match tokenization: multi-char
+# subword tokens over the corpus lexicon, with shared prefixes (stream/st,
+# spark/spa, table/ta, data, val/value, win/window, or/order) so the
+# longest-match rule is actually exercised; single characters fall back
+# implicitly.  A trained BPE vocabulary drops in without changing any
+# plan shape — the kernel only sees a list of strings.
+TOKENIZER_VOCAB: list[str] = [
+    "stream", "st", "scan", "sort", "spark", "spa", "table", "ta", "the",
+    "data", "agg", "join", "window", "win", "value", "val", "order", "or",
+    "row",
+]
+
+
+def vocab_tokenize_counts(df, vocab: list[str], id_col: str = "doc_id", text_col: str = "text"):
+    """Greedy longest-match vocabulary tokenization → per-document token
+    counts (id, token, n) — applying a tokenizer vocabulary to a corpus,
+    the step between BPE training (``llm_bpe_merge_candidates``) and
+    token budgeting.
+
+    This is the one text operator that genuinely needs Python: greedy
+    longest-match is an inherently sequential per-position scan (each
+    step's position depends on the previous match length), which Column
+    algebra and higher-order functions cannot express without quadratic
+    re-evaluation.  So it runs as ONE Arrow-batched ``mapInPandas`` pass:
+
+    - the vocabulary ships in the task closure (KBs — the same
+      literal-shipping discipline as ``kmeans_centroids``/``md5_planes``);
+    - counts fold per document INSIDE the kernel, and a document never
+      spans Arrow batches, so the operator emits finished (id, token, n)
+      rows with ZERO shuffle — no downstream groupBy;
+    - matching is deterministic: at each position the longest vocab token
+      prefixing the remainder wins (equal-length candidates are identical
+      strings), no match falls back to the single character.
+
+    At 100 TB this pipelines inside the documents scan stage exactly like
+    the Column-algebra operators — Python cost is linear in characters,
+    amortized by Arrow batching."""
+    import pandas as pd
+
+    by_first: dict[str, list[str]] = {}
+    for t in sorted(set(vocab), key=lambda t: (-len(t), t)):
+        by_first.setdefault(t[0], []).append(t)
+    schema = f"{id_col} long, token string, n long"
+
+    def _batches(it):
+        for pdf in it:
+            ids: list = []
+            toks: list[str] = []
+            ns: list[int] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                counts: dict[str, int] = {}
+                i, ln = 0, len(text)
+                while i < ln:
+                    tok = text[i]
+                    for cand in by_first.get(tok, ()):
+                        if text.startswith(cand, i):
+                            tok = cand
+                            break
+                    counts[tok] = counts.get(tok, 0) + 1
+                    i += len(tok)
+                ids.extend([did] * len(counts))
+                toks.extend(counts.keys())
+                ns.extend(counts.values())
+            yield pd.DataFrame({id_col: ids, "token": toks, "n": ns})
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema=schema)
+
+
 BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 

@@ -1482,6 +1482,52 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokenizer_vocab_values() -> str:
+    from osmdatapy_spark.functions.text import TOKENIZER_VOCAB
+
+    return ", ".join(f"('{t}', {len(t)})" for t in TOKENIZER_VOCAB)
+
+
+@register(
+    "llm_vocab_tokenize",
+    oracle=f"""
+    WITH RECURSIVE vocab(tok, ln) AS (
+      SELECT * FROM (VALUES {_tokenizer_vocab_values()}) v(tok, ln)
+    ),
+    step(doc_id, text, pos, tok) AS (
+      SELECT doc_id, text, 1, CAST(NULL AS VARCHAR) FROM documents
+      UNION ALL
+      SELECT s.doc_id, s.text,
+             s.pos + coalesce((SELECT v.ln FROM vocab v
+                               WHERE substr(s.text, s.pos, v.ln) = v.tok
+                               ORDER BY v.ln DESC LIMIT 1), 1),
+             coalesce((SELECT v.tok FROM vocab v
+                       WHERE substr(s.text, s.pos, v.ln) = v.tok
+                       ORDER BY v.ln DESC LIMIT 1),
+                      substr(s.text, s.pos, 1))
+      FROM step s WHERE s.pos <= length(s.text)
+    )
+    SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM step WHERE tok IS NOT NULL GROUP BY 1, 2
+    """,
+    doc="Tokenizer APPLICATION: greedy longest-match vocabulary "
+    "tokenization (the deterministic core of WordPiece/BPE inference — "
+    "the step between vocabulary training, llm_bpe_merge_candidates, and "
+    "token budgeting).  The inherently sequential per-position scan is "
+    "the legitimate pandas-kernel case: ONE Arrow-batched mapInPandas "
+    "pass emitting finished per-doc token counts, ZERO shuffle (counts "
+    "fold inside the kernel; a doc never spans Arrow batches).  The "
+    "oracle replays the identical greedy scan as a DuckDB recursive CTE "
+    "— position-by-position, longest match first — so every emitted "
+    "token is cross-checked, not just counts.",
+)
+def llm_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import TOKENIZER_VOCAB, vocab_tokenize_counts
+
+    docs = TS(spark, sf_dir, "documents")
+    return vocab_tokenize_counts(docs, TOKENIZER_VOCAB)
+
+
 @register(
     "llm_dedup_audit",
     oracle=_minhash_oracle().replace(

@@ -773,3 +773,51 @@ def test_pq_adist_orders_like_true_distance(spark):
     out = pq_topk(corpus, probes, dim=4, k=3, m_sub=2, k_cells=2, rerank=3, iters=2)
     rows = sorted(out.collect(), key=lambda r: r["rank"])
     assert rows[0]["nbr_id"] == 2
+
+
+def test_vocab_tokenize_greedy_longest_match(spark):
+    """Greedy longest-match semantics, hand-checked: prefixes lose to
+    longer tokens, unmatched chars fall back to singles, counts fold
+    per document."""
+    from osmdatapy_spark.functions.text import vocab_tokenize_counts
+
+    docs = spark.createDataFrame(
+        [(1, "spark table sparta"), (2, "aggscanagg"), (3, "zz")],
+        "doc_id long, text string",
+    )
+    vocab = ["spark", "spa", "scan", "table", "ta", "agg"]
+    out = {
+        (r["doc_id"], r["token"]): r["n"]
+        for r in vocab_tokenize_counts(docs, vocab).collect()
+    }
+    # doc 1: "spark" (not spa+rk), " ", "table" (not ta+ble), " ", "spa", "r", "ta"
+    assert out[(1, "spark")] == 1
+    assert out[(1, "table")] == 1
+    assert out[(1, "spa")] == 1
+    assert out[(1, "ta")] == 1
+    assert out[(1, "r")] == 1
+    assert out[(1, " ")] == 2
+    assert sum(n for (d, _), n in out.items() if d == 1) == 7
+    # doc 2: agg, scan, agg — counts fold inside the kernel
+    assert out[(2, "agg")] == 2 and out[(2, "scan")] == 1
+    # doc 3: pure fallback
+    assert out[(3, "z")] == 2
+
+
+def test_vocab_tokenize_roundtrip_reconstruction(spark):
+    """Token multiset × lengths reconstructs exactly the original character
+    count for every doc — no char is dropped or double-consumed by the
+    sequential scan (the invariant that survives any vocab)."""
+    from osmdatapy_spark.functions.text import TOKENIZER_VOCAB, vocab_tokenize_counts
+    from osmdatapy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = vocab_tokenize_counts(docs, TOKENIZER_VOCAB)
+    got = (
+        toks.groupBy("doc_id")
+        .agg(F.sum(F.length("token") * col("n")).alias("chars"))
+    )
+    exp = docs.select("doc_id", F.length("text").alias("expected"))
+    bad = got.join(exp, "doc_id").filter(col("chars") != col("expected")).count()
+    assert bad == 0
+    assert got.count() == docs.count()

@@ -115,6 +115,7 @@ _PYTHON_OK = {
     "llm_frame_sample",       # mapInPandas flatMap expansion
     "llm_feature_extract",    # mapInPandas feature stub
     "osm_wkb_roundtrip",      # WKB encode/decode pandas UDFs (binary surface)
+    "llm_vocab_tokenize",     # mapInPandas greedy longest-match tokenizer
 }
 
 # iterative queries that execute driver-side loops at build time — their
@@ -155,6 +156,9 @@ def test_round2_operator_plan_shapes(spark):
     """Shape pins for the round-2 operators, per their registered claims."""
     # chunking: in-row expansion only — pipelines inside the scan stage
     assert_plan(q(spark, "llm_chunk_windows"), max_exchanges=0, forbid_python=True)
+    # tokenizer application: ONE Arrow kernel, finished counts, zero shuffle
+    s = assert_plan(q(spark, "llm_vocab_tokenize"), max_exchanges=0)
+    assert s.n_python_evals == 1, s.text
     # packing: ONE hash exchange on the shard key feeds the prefix-sum window
     assert_plan(q(spark, "llm_sequence_pack"), max_exchanges=1, forbid_python=True)
     # summary rollup: one partial-aggregated exchange on (lang, source)
