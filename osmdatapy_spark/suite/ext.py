@@ -1851,3 +1851,99 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Turn-restriction relation parsing (router ingest; beyond the reference's
+# generic member expansion — reference relations carry roles through
+# primitives.py:238-249 but never interpret them)
+# ---------------------------------------------------------------------------
+
+_RESTRICTION_KINDS = "['no_left_turn', 'no_right_turn', 'no_u_turn', 'only_straight_on']"
+
+
+@register(
+    "osm_turn_restrictions",
+    oracle=f"""
+    WITH rels AS (
+      SELECT o_orderkey AS rel_id,
+             {_RESTRICTION_KINDS}[CAST(o_orderkey % 4 AS INT) + 1] AS restriction
+      FROM orders WHERE o_orderkey % 5 < 4
+    ),
+    members AS (
+      SELECT rel_id, 'from' AS role, 1 AS member_type, rel_id * 10 + 1 AS member_id FROM rels
+      UNION ALL
+      SELECT rel_id, 'via', 0, rel_id * 10 + 2 FROM rels WHERE rel_id % 7 != 0
+      UNION ALL
+      SELECT rel_id, 'to', 1, rel_id * 10 + 3 FROM rels
+      UNION ALL
+      SELECT rel_id, 'from', 1, rel_id * 10 + 4 FROM rels WHERE rel_id % 11 = 0
+    ),
+    pivoted AS (
+      SELECT rel_id,
+             MIN(member_id) FILTER (role = 'from' AND member_type = 1) AS from_way,
+             MIN(member_id) FILTER (role = 'via' AND member_type = 0) AS via_node,
+             MIN(member_id) FILTER (role = 'to' AND member_type = 1) AS to_way,
+             COUNT(*) FILTER (role = 'from') AS n_from,
+             COUNT(*) FILTER (role = 'via') AS n_via,
+             COUNT(*) FILTER (role = 'to') AS n_to
+      FROM members GROUP BY rel_id
+    )
+    SELECT p.rel_id, r.restriction, p.from_way, p.via_node, p.to_way,
+           (p.n_from = 1 AND p.n_via = 1 AND p.n_to = 1) AS valid
+    FROM pivoted p JOIN rels r USING (rel_id)
+    """,
+    doc="Turn-restriction relation parsing (type=restriction): pivot "
+    "members BY ROLE into (from_way, via_node, to_way) and certify "
+    "validity (exactly one from / via / to) — the relation interpretation "
+    "every router's ingest runs; the reference expands members "
+    "generically (primitives.py:238-249) but never interprets roles. "
+    "Shape: ONE partial-agg exchange pivots the member list (conditional "
+    "min/count — no per-role join fan-out), then one equi-join attaches "
+    "the restriction tag; malformed relations (missing via, duplicated "
+    "from) surface as valid=false rows, never dropped silently.",
+)
+def osm_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    kinds = F.array(
+        lit("no_left_turn"), lit("no_right_turn"), lit("no_u_turn"), lit("only_straight_on")
+    )
+    rels = o.filter(col("o_orderkey") % 5 < 4).select(
+        col("o_orderkey").alias("rel_id"),
+        F.element_at(kinds, (col("o_orderkey") % 4).cast("int") + 1).alias("restriction"),
+    )
+
+    def member(role: str, mtype: int, off: int, pred=None):
+        m = rels if pred is None else rels.filter(pred)
+        return m.select(
+            "rel_id",
+            lit(role).alias("role"),
+            lit(mtype).cast("int").alias("member_type"),
+            (col("rel_id") * 10 + off).alias("member_id"),
+        )
+
+    members = (
+        member("from", 1, 1)
+        .unionByName(member("via", 0, 2, col("rel_id") % 7 != 0))
+        .unionByName(member("to", 1, 3))
+        .unionByName(member("from", 1, 4, col("rel_id") % 11 == 0))
+    )
+    is_from = (col("role") == "from") & (col("member_type") == 1)
+    is_via = (col("role") == "via") & (col("member_type") == 0)
+    is_to = (col("role") == "to") & (col("member_type") == 1)
+    pivoted = members.groupBy("rel_id").agg(
+        F.min(F.when(is_from, col("member_id"))).alias("from_way"),
+        F.min(F.when(is_via, col("member_id"))).alias("via_node"),
+        F.min(F.when(is_to, col("member_id"))).alias("to_way"),
+        F.count(F.when(col("role") == "from", 1)).alias("n_from"),
+        F.count(F.when(col("role") == "via", 1)).alias("n_via"),
+        F.count(F.when(col("role") == "to", 1)).alias("n_to"),
+    )
+    return pivoted.join(rels, "rel_id").select(
+        "rel_id",
+        "restriction",
+        "from_way",
+        "via_node",
+        "to_way",
+        ((col("n_from") == 1) & (col("n_via") == 1) & (col("n_to") == 1)).alias("valid"),
+    )

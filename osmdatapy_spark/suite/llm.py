@@ -163,6 +163,65 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+        CAST(least(len(t), 100) AS DOUBLE) / 100 AS f_len,
+        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS f_div,
+        CAST(len(list_filter(t, x -> x IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) AS DOUBLE)
+          / len(t) AS f_stop,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / length(text) AS f_digit,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t) AS f_wlen
+      FROM toks
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 1.6*f_len + 2.2*f_div + 3.0*f_stop
+                                    - 4.0*f_digit + 0.35*f_wlen))), 6) AS score,
+           round(1.0 / (1.0 + exp(-(-2.0 + 1.6*f_len + 2.2*f_div + 3.0*f_stop
+                                    - 4.0*f_digit + 0.35*f_wlen))), 6) >= 0.85 AS keep
+    FROM f
+    """,
+    doc="Learned-linear quality classifier INFERENCE (the fastText/CCNet "
+    "document-quality model shape): five engineered features — length "
+    "saturation, type-token diversity, stopword ratio, digit ratio, mean "
+    "word length — through a fixed weight vector and sigmoid, thresholded "
+    "at 0.85.  Weights are trained offline and ship as literals (the same "
+    "literal-shipping discipline as kmeans centroids); inference is pure "
+    "Column algebra — zero shuffle, pipelines inside the documents scan at "
+    "any corpus size.  Score rounded to 6dp so the exp() tail is "
+    "cross-engine stable.",
+)
+def llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    t = tokens(col("text"))
+    n = F.size(t)
+    f_len = F.least(n, lit(100)).cast("double") / 100
+    f_div = F.size(F.array_distinct(t)).cast("double") / n
+    f_stop = F.size(
+        F.filter(t, lambda x: x.isin(STOPWORDS["en"]))
+    ).cast("double") / n
+    f_digit = (
+        F.length("text") - F.length(F.regexp_replace(col("text"), "[0-9]", ""))
+    ).cast("double") / F.length("text")
+    f_wlen = F.length(F.regexp_replace(col("text"), r"\s", "")).cast("double") / n
+    z = (
+        lit(-2.0)
+        + lit(1.6) * f_len
+        + lit(2.2) * f_div
+        + lit(3.0) * f_stop
+        - lit(4.0) * f_digit
+        + lit(0.35) * f_wlen
+    )
+    score = F.round(lit(1.0) / (lit(1.0) + F.exp(-z)), 6)
+    return docs.select("doc_id", score.alias("score"), (score >= 0.85).alias("keep"))
+
+
+@register(
     "llm_langid",
     oracle=f"""
     WITH {TOKS_CTE},

@@ -159,6 +159,10 @@ def test_round2_operator_plan_shapes(spark):
     # tokenizer application: ONE Arrow kernel, finished counts, zero shuffle
     s = assert_plan(q(spark, "llm_vocab_tokenize"), max_exchanges=0)
     assert s.n_python_evals == 1, s.text
+    # classifier inference: pure projection — no shuffle at any corpus size
+    assert_plan(q(spark, "llm_quality_classifier"), max_exchanges=0, forbid_python=True)
+    # role pivot: ONE partial-agg exchange + the tag join (broadcast or SMJ)
+    assert_plan(q(spark, "osm_turn_restrictions"), max_exchanges=3, forbid_python=True)
     # packing: ONE hash exchange on the shard key feeds the prefix-sum window
     assert_plan(q(spark, "llm_sequence_pack"), max_exchanges=1, forbid_python=True)
     # summary rollup: one partial-aggregated exchange on (lang, source)
