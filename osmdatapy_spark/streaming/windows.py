@@ -161,3 +161,67 @@ def streaming_exact_dedup(
     keys = keys or ["user_id", "event_type"]
     stream = _read_event_stream(spark, events_path)
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def rank_windowed_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank (window_start, event_type, n) rows within each window and keep
+    the top ``k`` — total order (count desc, event_type) so ties are
+    deterministic across engines and reruns."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(col("n").desc(), col("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    )
+
+
+def windowed_topk(events: DataFrame, duration: str = "1 hour", k: int = 3) -> DataFrame:
+    """Top-k event types per tumbling window by count — the batch face.
+
+    Shape: ONE partial-aggregated exchange for the windowed counts; the
+    per-window rank rides a second exchange keyed by window_start, whose
+    cardinality is windows × types — tiny relative to the event stream at
+    any scale."""
+    counts = (
+        events.groupBy(F.window("ts", duration).alias("w"), col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return rank_windowed_counts(counts, k)
+
+
+def streaming_windowed_topk(
+    spark: SparkSession,
+    events_path: str,
+    finalize,
+    duration: str = "1 hour",
+    watermark: str = "0 seconds",
+    k: int = 3,
+):
+    """Windowed top-k as a real stream: APPEND-mode windowed counts emit
+    each window EXACTLY ONCE — complete — when the watermark passes its
+    end, so ranking inside ``foreachBatch`` sees every row of a window in
+    the same micro-batch and is safe.  This is the production recipe for
+    rank-per-window over streams, where window functions are unsupported
+    on the streaming plan itself: incremental state does the counting,
+    batch-side Column algebra does the finalization.
+
+    ``finalize(topk_df, batch_id)`` receives the ranked top-k rows of the
+    windows finalized in that micro-batch (idempotent per window — a
+    window never re-emits).  Windows newer than the watermark horizon
+    stay in state, by design: late events can still update them.
+
+    Returns the DataStreamWriter (caller picks trigger/checkpoint)."""
+    stream = _read_event_stream(spark, events_path)
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+    def _finalize_batch(batch_df, batch_id):
+        finalize(rank_windowed_counts(batch_df, k), batch_id)
+
+    return counts.writeStream.outputMode("append").foreachBatch(_finalize_batch)

@@ -741,6 +741,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(T(spark, sf_dir, "events"))
 
 
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY window_start ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      FROM counts
+    )
+    SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Top-k event types per tumbling window — the batch face of "
+    "streaming/windows.streaming_windowed_topk, the rank-per-window-over-"
+    "streams recipe: APPEND-mode windowed counts emit each window exactly "
+    "once (complete) at watermark passage, so foreachBatch ranks safely; "
+    "parity pinned by tests/test_streaming.py::test_windowed_topk_"
+    "matches_batch. Batch shape: one partial-agg exchange for counts, one "
+    "tiny windows×types exchange for the rank — total order (n desc, "
+    "event_type) on ties.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.streaming.windows import windowed_topk
+
+    return windowed_topk(T(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting / repetition / contamination (training-data curation)
 # ---------------------------------------------------------------------------
@@ -1549,6 +1579,7 @@ def _tokenizer_vocab_values() -> str:
 
 @register(
     "llm_vocab_tokenize",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE vocab(tok, ln) AS (
       SELECT * FROM (VALUES {_tokenizer_vocab_values()}) v(tok, ln)

@@ -4,6 +4,8 @@ and must agree with its batch execution — the unified-API guarantee."""
 
 from __future__ import annotations
 
+from datetime import timedelta
+
 from pyspark.sql import functions as F
 
 from osmdatapy_spark.streaming.stateful import running_user_totals
@@ -254,3 +256,52 @@ def test_latest_version_upsert_matches_batch(spark, tmp_path):
     ).collect()
     got = {r["osmid"]: (r["version"], r["op"], r["val"]) for r in rows}
     assert got == batch
+
+
+def test_windowed_topk_matches_batch(spark, tmp_path):
+    """foreachBatch finalization: append-mode windowed counts emit each
+    window exactly once at watermark passage, so ranking per micro-batch
+    equals the batch rank for every FINALIZED window.  Windows not yet
+    passed by the watermark (here: the one containing the stream's max
+    event time, with a 0-second watermark) stay in state — asserted
+    absent, not lost."""
+    from osmdatapy_spark.streaming.windows import streaming_windowed_topk, windowed_topk
+
+    events = load_table(spark, SF_DIR, "events")
+    batch_rows = windowed_topk(events).collect()
+    max_ts = events.agg(F.max("ts")).first()[0]
+    finalized = {
+        (r["window_start"], r["event_type"]): (r["n"], r["rank"])
+        for r in batch_rows
+        if r["window_start"] + timedelta(hours=1) <= max_ts
+    }
+    held_back = {
+        (r["window_start"], r["event_type"])
+        for r in batch_rows
+        if r["window_start"] + timedelta(hours=1) > max_ts
+    }
+    assert finalized and held_back  # the fixture exercises both sides
+
+    got: dict = {}
+    emitted_batches: list[int] = []
+
+    def collect(topk_df, batch_id):
+        rows = topk_df.collect()
+        if rows:
+            emitted_batches.append(batch_id)
+        for r in rows:
+            key = (r["window_start"], r["event_type"])
+            assert key not in got, f"window re-emitted: {key}"
+            got[key] = (r["n"], r["rank"])
+
+    staged = str(tmp_path / "ev_topk")
+    events.write.parquet(staged)
+    q = (
+        streaming_windowed_topk(spark, staged, collect)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_topk"))
+        .start()
+    )
+    q.awaitTermination(240)
+    assert got == finalized
+    assert not (held_back & set(got))
