@@ -1947,3 +1947,62 @@ def osm_turn_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_way",
         ((col("n_from") == 1) & (col("n_via") == 1) & (col("n_to") == 1)).alias("valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F2 comparable_string as a JOIN KEY: place-name search (the reference's
+# datasource name resolution, datasource/datasource.py:184-191 — upper-case,
+# strip apostrophes — applied distributed instead of driver-side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_name_search",
+    oracle="""
+    WITH elements AS (
+      SELECT n_nationkey AS osmid,
+             CASE WHEN n_nationkey % 2 = 0
+                  THEN substr(n_name, 1, 1) || '''' || lower(substr(n_name, 2))
+                  ELSE n_name END AS name
+      FROM nation
+    ),
+    probes AS (
+      SELECT lower(n_name) AS probe FROM nation WHERE n_nationkey % 3 != 1
+    )
+    SELECT p.probe, e.osmid, e.name
+    FROM probes p JOIN elements e
+      ON upper(replace(p.probe, '''', '')) = upper(replace(e.name, '''', ''))
+    """,
+    doc="Place-name search via F2 comparable_string (reference "
+    "datasource.py:184-191: upper-case + strip apostrophes) as a JOIN KEY: "
+    "probe names in scrambled case match decorated element names "
+    "(apostrophes injected, case flipped) only after both sides normalize "
+    "— the geocoding workflow the reference runs driver-side per place, "
+    "here one distributed equi-join on the normalized key (broadcast for "
+    "a probe list, SMJ for a bulk reconcile; the normalization is a "
+    "narrow projection on each side, no extra pass).",
+)
+def osm_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import comparable_string
+
+    nation = T(spark, sf_dir, "nation")
+    elements = nation.select(
+        col("n_nationkey").alias("osmid"),
+        F.when(
+            col("n_nationkey") % 2 == 0,
+            F.concat(
+                F.substring(col("n_name"), 1, 1),
+                lit("'"),
+                F.lower(F.expr("substr(n_name, 2)")),
+            ),
+        )
+        .otherwise(col("n_name"))
+        .alias("name"),
+    )
+    probes = nation.filter(col("n_nationkey") % 3 != 1).select(
+        F.lower(col("n_name")).alias("probe")
+    )
+    return probes.join(
+        elements,
+        comparable_string(col("probe")) == comparable_string(col("name")),
+    ).select("probe", "osmid", "name")

@@ -262,3 +262,42 @@ def test_gopher_flags_rules(spark):
     assert not out[2].keep and not out[2].f_word_count
     assert not out[3].keep and not out[3].f_stopwords and out[3].f_word_count
     assert not out[4].keep and not out[4].f_mean_word_len
+
+
+def test_corpus_manifest_roundtrip(spark, tmp_path):
+    """Manifest invariants: per-shard row counts sum to the corpus, token
+    counts match a direct computation, shard files respect the record
+    bound, fingerprints re-derive identically from a re-read (order
+    independence of the wrapping hash sum), and the _manifest dir stays
+    invisible to read_corpus."""
+    from osmdatapy_spark.sinks import read_corpus, write_corpus_with_manifest
+    from osmdatapy_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "corpus")
+    manifest = write_corpus_with_manifest(
+        docs, path, partition_by=["lang"], max_records_per_file=40
+    )
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == docs.count()
+    assert all(r["n_rows"] <= 40 for r in rows)
+    exp_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    assert sum(r["n_tokens"] for r in rows) == exp_tokens
+    # read_corpus ignores _manifest and restores partition columns
+    back = read_corpus(spark, path)
+    assert back.count() == docs.count() and "lang" in back.columns
+    # fingerprint re-derivation: same rows, any order → same value
+    re_fp = (
+        back.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(
+            F.sum(F.xxhash64(*[c for c in back.columns]).cast("decimal(30,0)"))
+            .cast("string")
+            .alias("fp")
+        )
+    )
+    got = {r["__file"]: r["fp"] for r in re_fp.collect()}
+    for r in rows:
+        assert got[r["file"]] == r["fingerprint"]
