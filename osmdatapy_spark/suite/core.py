@@ -1091,3 +1091,36 @@ def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_files"), F.sum("size_bytes").alias("bin_bytes")
     )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+    WITH sel AS (
+      SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    SELECT l_orderkey, l_partkey, 'l_quantity' AS measure, l_quantity AS value FROM sel
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'l_extendedprice', l_extendedprice FROM sel
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'l_discount', l_discount FROM sel
+    UNION ALL
+    SELECT l_orderkey, l_partkey, 'l_tax', l_tax FROM sel
+    """,
+    doc="UNPIVOT / melt (wide → long; the inverse of rel_pivot_returnflag, "
+    "absent from the reference which holds wide frames only): four measure "
+    "columns fold into (measure, value) rows via DataFrame.unpivot — "
+    "Catalyst's Expand node, a narrow in-row expansion that pipelines "
+    "inside the scan stage with ZERO shuffle at any scale.  No value "
+    "arithmetic happens, so the doubles pass through bit-identical and "
+    "need no decimal guard.",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_partkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )

@@ -1715,3 +1715,64 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(col("k").desc(), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "llm_knn_label",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    p AS (SELECT * FROM c WHERE vec_id % 40 = 7),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id, c.label,
+             round(
+               list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+               4) AS cos
+      FROM c CROSS JOIN p
+      WHERE p.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT probe_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rk
+      FROM votes
+    )
+    SELECT probe_id, label AS pred_label, votes FROM best WHERE rk = 1
+    """,
+    doc="k-NN majority-vote labeling (weak supervision / label "
+    "propagation): each unlabeled probe takes the majority label of its "
+    "k=5 exact-cosine neighbors, ties broken (votes desc, label) for a "
+    "total order.  Composes brute_force_topk (probes broadcast, corpus "
+    "never shuffles) with a broadcast label attach and a probes-sized "
+    "vote aggregation — the only exchanges are over k×probes rows.  At "
+    "scale the neighbor stage swaps to the IVF/LSH path with the vote "
+    "logic unchanged.",
+)
+def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from osmdatapy_spark.functions.similarity import brute_force_topk
+
+    emb = TS(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") % 40 == 7)
+    nbrs = brute_force_topk(emb, probes, k=5)
+    labeled = nbrs.join(
+        F.broadcast(emb.select(col("vec_id").alias("nbr_id"), "label")), "nbr_id"
+    )
+    votes = labeled.groupBy("probe_id", "label").agg(F.count("*").alias("votes"))
+    w = W.partitionBy("probe_id").orderBy(col("votes").desc(), col("label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") == 1)
+        .select("probe_id", col("label").alias("pred_label"), "votes")
+    )

@@ -163,6 +163,11 @@ def test_round2_operator_plan_shapes(spark):
     assert_plan(q(spark, "llm_quality_classifier"), max_exchanges=0, forbid_python=True)
     # role pivot: ONE partial-agg exchange + the tag join (broadcast or SMJ)
     assert_plan(q(spark, "osm_turn_restrictions"), max_exchanges=3, forbid_python=True)
+    # melt: Expand node — in-row expansion, zero shuffle
+    assert_plan(q(spark, "rel_unpivot"), max_exchanges=0, forbid_python=True)
+    # knn vote: all exchanges sized k×probes; corpus side never shuffles
+    s = assert_plan(q(spark, "llm_knn_label"), max_exchanges=3)
+    assert s.n_broadcasts >= 2, s.text
     # packing: ONE hash exchange on the shard key feeds the prefix-sum window
     assert_plan(q(spark, "llm_sequence_pack"), max_exchanges=1, forbid_python=True)
     # summary rollup: one partial-aggregated exchange on (lang, source)
