@@ -1776,3 +1776,53 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rk") == 1)
         .select("probe_id", col("label").alias("pred_label"), "votes")
     )
+
+
+@register(
+    "llm_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, string_split(text, '') AS cs, length(text) AS n FROM documents
+      WHERE length(text) > 0
+    ),
+    freqs AS (
+      SELECT doc_id, n,
+             list_transform(
+               list_distinct(cs),
+               c -> CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n
+             ) AS ps
+      FROM chars
+    )
+    SELECT doc_id,
+           round(-list_sum(list_transform(ps, p -> p * log2(p))), 6) AS entropy,
+           round(-list_sum(list_transform(ps, p -> p * log2(p))), 6) < 2.0 AS suspicious
+    FROM freqs
+    """,
+    doc="Per-document character-level Shannon entropy — the gibberish / "
+    "binary-spill / repeated-char detector curation pipelines run next to "
+    "the Gopher rules (natural text sits ~4 bits/char; near-zero means a "
+    "degenerate document).  Computed ENTIRELY in-row: distinct chars × "
+    "frequency via higher-order array functions, O(distinct·len) per doc, "
+    "JVM-side, ZERO shuffle at any corpus size — no per-char explode, "
+    "which would multiply the row count by document length.  Round-6 "
+    "guard on the log2 fold keeps the float tail engine-portable.",
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cs = F.split(col("text"), "")
+    n = F.length("text")
+    ps = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)).cast("double") / n,
+    )
+    ent = F.round(
+        -F.aggregate(
+            F.transform(ps, lambda p: p * F.log2(p)),
+            lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return docs.select(
+        "doc_id", ent.alias("entropy"), (ent < 2.0).alias("suspicious")
+    )
