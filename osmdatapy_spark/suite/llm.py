@@ -1826,3 +1826,78 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", ent.alias("entropy"), (ent < 2.0).alias("suspicious")
     )
+
+
+@register(
+    "llm_zipf_fit",
+    oracle=r"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rank FROM words
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rank), 9) AS DECIMAL(19,9)) AS x,
+             CAST(round(ln(f), 9) AS DECIMAL(19,9)) AS y
+      FROM ranked WHERE rank <= 500
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6)
+             AS intercept
+    FROM m
+    """,
+    doc="Zipf rank-frequency fit — the corpus-health diagnostic (natural "
+    "language sits near slope -1; a crawl poisoned by templates or spam "
+    "bends the curve): least-squares slope of ln f vs ln rank over the "
+    "top-500 vocabulary.  Scale shape: word counts are ONE partial-agg "
+    "exchange; the global rank window runs over the VOCABULARY (the small "
+    "side — even planet corpora have vocabularies millions deep, and only "
+    "the top-500 survive into the fit); moments accumulate as exact "
+    "decimal sums after the ln round-9 guard (the llm_weighted_sample "
+    "precedent), so the regression is order-free and bit-identical "
+    "cross-engine.",
+)
+def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from osmdatapy_spark.functions.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = words.withColumn(
+        "rank", F.row_number().over(W.orderBy(col("f").desc(), col("w")))
+    ).filter(col("rank") <= 500)
+    x = F.round(F.log(col("rank").cast("double")), 9).cast("decimal(18,9)")
+    y = F.round(F.log(col("f").cast("double")), 9).cast("decimal(18,9)")
+    m = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x") * col("x")).alias("sxx"),
+        F.sum(col("x") * col("y")).alias("sxy"),
+    )
+    n = col("n")
+    sx, sy = col("sx").cast("double"), col("sy").cast("double")
+    sxx, sxy = col("sxx").cast("double"), col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
