@@ -824,3 +824,115 @@ def osm_geojson_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature"
         ),
     )
+
+
+@register(
+    "osm_bbox_clip",
+    oracle=f"""
+    WITH {COORDS_CTE.strip()},
+    segs AS (
+      SELECT way_id, s.i AS seg,
+             c[s.i].lon AS ax, c[s.i].lat AS ay,
+             c[s.i+1].lon AS bx, c[s.i+1].lat AS by
+      FROM coords, (SELECT UNNEST(generate_series(1, 10000)) AS i) s
+      WHERE s.i <= len(c) - 1
+    ),
+    lb AS (
+      SELECT *, bx - ax AS dx, by - ay AS dy,
+        CASE WHEN bx - ax > 0 THEN (-30.0 - ax) / (bx - ax)
+             WHEN bx - ax < 0 THEN (40.0 - ax) / (bx - ax)
+             WHEN ax >= -30.0 AND ax <= 40.0 THEN -1e18 ELSE 1e18 END AS tx_lo,
+        CASE WHEN bx - ax > 0 THEN (40.0 - ax) / (bx - ax)
+             WHEN bx - ax < 0 THEN (-30.0 - ax) / (bx - ax)
+             WHEN ax >= -30.0 AND ax <= 40.0 THEN 1e18 ELSE -1e18 END AS tx_hi,
+        CASE WHEN by - ay > 0 THEN (-20.0 - ay) / (by - ay)
+             WHEN by - ay < 0 THEN (30.0 - ay) / (by - ay)
+             WHEN ay >= -20.0 AND ay <= 30.0 THEN -1e18 ELSE 1e18 END AS ty_lo,
+        CASE WHEN by - ay > 0 THEN (30.0 - ay) / (by - ay)
+             WHEN by - ay < 0 THEN (-20.0 - ay) / (by - ay)
+             WHEN ay >= -20.0 AND ay <= 30.0 THEN 1e18 ELSE -1e18 END AS ty_hi
+      FROM segs
+    ),
+    t AS (
+      SELECT *, greatest(0.0, tx_lo, ty_lo) AS t0, least(1.0, tx_hi, ty_hi) AS t1
+      FROM lb
+    )
+    SELECT way_id, CAST(seg AS BIGINT) AS seg,
+           round(ax + t0 * dx, 7) AS cx1, round(ay + t0 * dy, 7) AS cy1,
+           round(ax + t1 * dx, 7) AS cx2, round(ay + t1 * dy, 7) AS cy2
+    FROM t WHERE t0 <= t1
+    """,
+    doc="Bounding-box polyline clipping (Liang-Barsky parametric clip, "
+    "the extract-by-bbox primitive the reference delegates to its "
+    "downstream GIS): each way segment clips to [-30,40]x[-20,30] "
+    "entirely in-row — parametric entry/exit via least/greatest chains "
+    "over the four slab constraints, degenerate axis-parallel segments "
+    "handled by +-1e18 sentinels, no joins and no shuffle beyond the "
+    "shared coordinate gather.  Every op is exactly-rounded IEEE "
+    "(+,-,*,/), so clipped coordinates are bit-identical cross-engine; "
+    "round-7 is output tidiness, not a determinism guard.",
+)
+def osm_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    coords = _way_coords(spark, sf_dir)
+    segs = coords.select(
+        "way_id",
+        F.posexplode(
+            # sequence(1, 0) DESCENDS in Spark — short-circuit single-point
+            # ways to an empty segment list (the char_kgrams guard)
+            F.when(
+                F.size("c") >= 2,
+                F.transform(
+                    F.sequence(lit(1), F.size("c") - 1),
+                    lambda i: F.struct(
+                        F.element_at("c", i)["lon"].alias("ax"),
+                        F.element_at("c", i)["lat"].alias("ay"),
+                        F.element_at("c", i + 1)["lon"].alias("bx"),
+                        F.element_at("c", i + 1)["lat"].alias("by"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<ax:double,ay:double,bx:double,by:double>>")
+            )
+        ).alias("pos", "s"),
+    ).select(
+        "way_id",
+        (col("pos") + 1).cast("long").alias("seg"),
+        col("s.ax").alias("ax"),
+        col("s.ay").alias("ay"),
+        col("s.bx").alias("bx"),
+        col("s.by").alias("by"),
+    )
+    x0, x1b, y0, y1b = -30.0, 40.0, -20.0, 30.0
+    dx, dy = col("bx") - col("ax"), col("by") - col("ay")
+
+    def slab(d, a, lo, hi, lo_side):
+        inside = (a >= lo) & (a <= hi)
+        if lo_side:
+            return (
+                F.when(d > 0, (lit(lo) - a) / d)
+                .when(d < 0, (lit(hi) - a) / d)
+                .when(inside, lit(-1e18))
+                .otherwise(lit(1e18))
+            )
+        return (
+            F.when(d > 0, (lit(hi) - a) / d)
+            .when(d < 0, (lit(lo) - a) / d)
+            .when(inside, lit(1e18))
+            .otherwise(lit(-1e18))
+        )
+
+    t0 = F.greatest(lit(0.0), slab(dx, col("ax"), x0, x1b, True), slab(dy, col("ay"), y0, y1b, True))
+    t1 = F.least(lit(1.0), slab(dx, col("ax"), x0, x1b, False), slab(dy, col("ay"), y0, y1b, False))
+    return (
+        segs.withColumn("t0", t0)
+        .withColumn("t1", t1)
+        .filter(col("t0") <= col("t1"))
+        .select(
+            "way_id",
+            "seg",
+            F.round(col("ax") + col("t0") * dx, 7).alias("cx1"),
+            F.round(col("ay") + col("t0") * dy, 7).alias("cy1"),
+            F.round(col("ax") + col("t1") * dx, 7).alias("cx2"),
+            F.round(col("ay") + col("t1") * dy, 7).alias("cy2"),
+        )
+    )
