@@ -316,3 +316,45 @@ def hex_cell(lon: Column, lat: Column, size: float) -> tuple[Column, Column]:
     q = F.when((dq > dr) & (dq > ds), -rr - rs).otherwise(rq)
     r = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), -rq - rs).otherwise(rr)
     return q.cast("long"), r.cast("long")
+
+
+def clip_segment_bbox(
+    ax: Column,
+    ay: Column,
+    bx: Column,
+    by: Column,
+    x0: float,
+    x1: float,
+    y0: float,
+    y1: float,
+) -> tuple[Column, Column]:
+    """Liang-Barsky parametric clip of segment (ax,ay)->(bx,by) against
+    the box [x0,x1]x[y0,y1]: returns (t0, t1) — the segment intersects
+    the box iff t0 <= t1, with clipped endpoints a + t*(b-a).
+
+    Entirely in-row: entry/exit parameters via least/greatest chains over
+    the four slab constraints; axis-parallel segments resolve through
+    +-1e18 sentinels (inside -> slab never binds, outside -> forced
+    empty).  Every op is exactly-rounded IEEE (+,-,*,/), so the clip is
+    bit-identical across engines with no rounding guard."""
+    dx, dy = bx - ax, by - ay
+
+    def slab(d: Column, a: Column, lo: float, hi: float, lo_side: bool) -> Column:
+        inside = (a >= lo) & (a <= hi)
+        if lo_side:
+            return (
+                F.when(d > 0, (lit(lo) - a) / d)
+                .when(d < 0, (lit(hi) - a) / d)
+                .when(inside, lit(-1e18))
+                .otherwise(lit(1e18))
+            )
+        return (
+            F.when(d > 0, (lit(hi) - a) / d)
+            .when(d < 0, (lit(lo) - a) / d)
+            .when(inside, lit(1e18))
+            .otherwise(lit(-1e18))
+        )
+
+    t0 = F.greatest(lit(0.0), slab(dx, ax, x0, x1, True), slab(dy, ay, y0, y1, True))
+    t1 = F.least(lit(1.0), slab(dx, ax, x0, x1, False), slab(dy, ay, y0, y1, False))
+    return t0, t1

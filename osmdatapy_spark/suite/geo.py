@@ -902,27 +902,12 @@ def osm_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("s.bx").alias("bx"),
         col("s.by").alias("by"),
     )
-    x0, x1b, y0, y1b = -30.0, 40.0, -20.0, 30.0
+    from osmdatapy_spark.operators.measures import clip_segment_bbox
+
     dx, dy = col("bx") - col("ax"), col("by") - col("ay")
-
-    def slab(d, a, lo, hi, lo_side):
-        inside = (a >= lo) & (a <= hi)
-        if lo_side:
-            return (
-                F.when(d > 0, (lit(lo) - a) / d)
-                .when(d < 0, (lit(hi) - a) / d)
-                .when(inside, lit(-1e18))
-                .otherwise(lit(1e18))
-            )
-        return (
-            F.when(d > 0, (lit(hi) - a) / d)
-            .when(d < 0, (lit(lo) - a) / d)
-            .when(inside, lit(1e18))
-            .otherwise(lit(-1e18))
-        )
-
-    t0 = F.greatest(lit(0.0), slab(dx, col("ax"), x0, x1b, True), slab(dy, col("ay"), y0, y1b, True))
-    t1 = F.least(lit(1.0), slab(dx, col("ax"), x0, x1b, False), slab(dy, col("ay"), y0, y1b, False))
+    t0, t1 = clip_segment_bbox(
+        col("ax"), col("ay"), col("bx"), col("by"), -30.0, 40.0, -20.0, 30.0
+    )
     return (
         segs.withColumn("t0", t0)
         .withColumn("t1", t1)

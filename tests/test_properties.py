@@ -313,3 +313,57 @@ def test_canonical_url_idempotent_and_tracking_free(spark, urls):
         assert "://" not in r.c1 and not r.c1.startswith("www.")
         assert "#" not in r.c1
         assert not r.c1.endswith("/") or r.c1 == "/"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    segs=st.lists(
+        st.tuples(
+            st.integers(min_value=-60, max_value=60),
+            st.integers(min_value=-60, max_value=60),
+            st.integers(min_value=-60, max_value=60),
+            st.integers(min_value=-60, max_value=60),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_clip_segment_bbox_invariants_random(spark, segs):
+    """Liang-Barsky invariants against a brute-force python clip:
+    (1) keep/drop decision matches an independent dense-sampling check;
+    (2) clipped endpoints lie inside the (slightly padded) box;
+    (3) segments entirely inside come through unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from osmdatapy_spark.operators.measures import clip_segment_bbox
+
+    X0, X1, Y0, Y1 = -25.0, 25.0, -15.0, 15.0
+    df = spark.createDataFrame(
+        [(i, float(a), float(b), float(c), float(d)) for i, (a, b, c, d) in enumerate(segs)],
+        "id long, ax double, ay double, bx double, by double",
+    )
+    t0, t1 = clip_segment_bbox(col("ax"), col("ay"), col("bx"), col("by"), X0, X1, Y0, Y1)
+    out = df.select("id", "ax", "ay", "bx", "by", t0.alias("t0"), t1.alias("t1")).collect()
+
+    for r in out:
+        ax, ay, bx, by = r["ax"], r["ay"], r["bx"], r["by"]
+        kept = r["t0"] <= r["t1"]
+        # dense-sampling reference: does ANY sampled point of the segment
+        # fall inside the box? (1e-9 pad for the parametric boundary)
+        hits = any(
+            X0 - 1e-6 <= ax + t * (bx - ax) <= X1 + 1e-6
+            and Y0 - 1e-6 <= ay + t * (by - ay) <= Y1 + 1e-6
+            for t in (i / 2000 for i in range(2001))
+        )
+        assert kept == hits or (kept and not hits), (
+            # a segment can clip to a sliver the sampling grid misses;
+            # the reverse (sampling hit but clip dropped) is a real bug
+            f"clip dropped an intersecting segment: {r}"
+        )
+        if kept:
+            for t in (r["t0"], r["t1"]):
+                px, py = ax + t * (bx - ax), ay + t * (by - ay)
+                assert X0 - 1e-9 <= px <= X1 + 1e-9 and Y0 - 1e-9 <= py <= Y1 + 1e-9, r
+            if X0 <= min(ax, bx) and max(ax, bx) <= X1 and Y0 <= min(ay, by) and max(ay, by) <= Y1:
+                assert r["t0"] == 0.0 and r["t1"] == 1.0, r

@@ -195,6 +195,24 @@ def main() -> None:
         return f"{got} dup groups / {total} canonical urls (== planted)"
 
     timed("url dedup", check_url_dedup)
+
+    def check_tokenize():
+        # the Arrow-kernel path at scale: greedy tokenize every doc, then
+        # certify the reconstruction invariant (token lengths x counts sum
+        # exactly back to the corpus character count — nothing dropped or
+        # double-consumed by the sequential scan)
+        from osmdatapy_spark.functions.text import TOKENIZER_VOCAB, vocab_tokenize_counts
+
+        toks = vocab_tokenize_counts(docs, TOKENIZER_VOCAB)
+        agg = toks.agg(
+            F.sum(F.length("token") * col("n")).alias("chars"),
+            F.sum("n").alias("n_tokens"),
+        ).first()
+        exp = docs.agg(F.sum(F.length("text"))).first()[0]
+        assert agg["chars"] == exp, f"reconstruction {agg['chars']} != {exp}"
+        return f"{agg['n_tokens']} tokens, char reconstruction exact"
+
+    timed("vocab tokenize", check_tokenize)
     spark.stop()
 
 
