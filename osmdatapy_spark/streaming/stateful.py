@@ -168,3 +168,50 @@ def latest_version_upsert(changes_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Running per-key moments (Welford) — the streaming anomaly-detector state
+# ---------------------------------------------------------------------------
+
+MOMENTS_OUTPUT_SCHEMA = "user_id long, n long, mean double, m2 double"
+MOMENTS_STATE_SCHEMA = "n long, mean double, m2 double"
+
+
+def _welford_user(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    for pdf in pdfs:
+        # deterministic intra-batch fold order so replays accumulate
+        # identically (micro-batch row order is not guaranteed)
+        for v in pdf.sort_values("event_id")["value"]:
+            n += 1
+            d = float(v) - mean
+            mean += d / n
+            m2 += d * (float(v) - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "mean": [mean], "m2": [m2]})
+
+
+def running_user_moments(events_stream):
+    """Per-user running (count, mean, M2) via Welford's online update —
+    the state a streaming anomaly detector thresholds against
+    (std = sqrt(M2/n)).  One three-scalar state row per user: bounded by
+    the key population, partitioned horizontally by the groupBy key,
+    numerically stable at any event count (no catastrophic cancellation —
+    the naive sum-of-squares in float is NOT; the batch face gets
+    exactness from DECIMAL sums instead, stream_user_zscore's oracle).
+
+    Update-mode emission per micro-batch; the pytest parity check proves
+    a single availableNow fold reproduces the batch decimal moments to
+    float tolerance."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _welford_user,
+        outputStructType=MOMENTS_OUTPUT_SCHEMA,
+        stateStructType=MOMENTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1901,3 +1901,134 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "llm_hard_negative_mine",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    p AS (SELECT * FROM c WHERE vec_id % 25 = 3),
+    scored AS (
+      SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS neg_id, c.label AS neg_label,
+             round(
+               list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+               4) AS cos
+      FROM c CROSS JOIN p
+      WHERE p.vec_id <> c.vec_id AND p.label <> c.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neg_id) AS rk
+      FROM scored
+    )
+    SELECT probe_id, probe_label, neg_id, neg_label, cos FROM ranked WHERE rk = 1
+    """,
+    doc="Hard-negative mining for contrastive training: each anchor's "
+    "MOST similar example with a DIFFERENT label — the pair that moves "
+    "the loss, the standard retrieval/embedding-training data op.  Same "
+    "broadcast discipline as brute_force_topk (anchors broadcast, corpus "
+    "never shuffles) with the label-mismatch predicate INSIDE the join — "
+    "candidates prune before scoring; top-1 per anchor on (rounded cos, "
+    "id) total order.  At scale the candidate stage swaps to the IVF/LSH "
+    "blocker unchanged.",
+)
+def llm_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from osmdatapy_spark.functions.similarity import as_double, cosine
+
+    emb = TS(spark, sf_dir, "embeddings")
+    c = emb.select(
+        col("vec_id").alias("neg_id"),
+        col("label").alias("neg_label"),
+        as_double(col("embedding")).alias("cvec"),
+    )
+    p = emb.filter(col("vec_id") % 25 == 3).select(
+        col("vec_id").alias("probe_id"),
+        col("label").alias("probe_label"),
+        as_double(col("embedding")).alias("pvec"),
+    )
+    scored = c.join(
+        F.broadcast(p),
+        (col("probe_id") != col("neg_id")) & (col("probe_label") != col("neg_label")),
+    ).select(
+        "probe_id",
+        "probe_label",
+        "neg_id",
+        "neg_label",
+        F.round(cosine(col("pvec"), col("cvec")), 4).alias("cos"),
+    )
+    w = W.partitionBy("probe_id").orderBy(col("cos").desc(), col("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(col("rk") == 1)
+        .drop("rk")
+    )
+
+
+@register(
+    "stream_user_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(19,6))) AS sx,
+             SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS sxx
+      FROM events GROUP BY user_id
+    ),
+    st AS (
+      SELECT user_id, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n AS std
+      FROM s
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           round(CASE WHEN st.std > 0 THEN (e.value - st.mean) / st.std ELSE 0.0 END, 6) AS z,
+           CASE WHEN st.std > 0 THEN abs(e.value - st.mean) > 2.0 * st.std ELSE FALSE END AS is_outlier
+    FROM events e JOIN st USING (user_id)
+    """,
+    doc="Per-user z-score anomaly flags — the batch face of the Welford "
+    "stateful operator (streaming/stateful.running_user_moments; parity "
+    "pinned in test_streaming.py).  Batch exactness comes from DECIMAL "
+    "first/second moments in ONE partial-agg exchange (order-free, "
+    "bit-identical cross-engine); the per-user stats table then BROADCASTS "
+    "back onto the event scan, so the fact stream never shuffles for the "
+    "flagging pass.  Population std, zero-variance users flag nothing; "
+    "the mirrored double expression tree + round-6 guard covers the "
+    "division tail.",
+)
+def stream_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.suite._util import dec
+
+    ev = T(spark, sf_dir, "events")
+    v = dec("value", 19, 6)
+    s = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    n = col("n")
+    sx, sxx = col("sx").cast("double"), col("sxx").cast("double")
+    st = s.select(
+        "user_id",
+        n,
+        (sx / n).alias("mean"),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("std"),
+    )
+    out = ev.join(F.broadcast(st), "user_id")
+    z = F.when(col("std") > 0, (col("value") - col("mean")) / col("std")).otherwise(lit(0.0))
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(z, 6).alias("z"),
+        F.when(
+            col("std") > 0, F.abs(col("value") - col("mean")) > 2.0 * col("std")
+        )
+        .otherwise(lit(False))
+        .alias("is_outlier"),
+    )

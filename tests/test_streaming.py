@@ -305,3 +305,52 @@ def test_windowed_topk_matches_batch(spark, tmp_path):
     q.awaitTermination(240)
     assert got == finalized
     assert not (held_back & set(got))
+
+
+def test_welford_moments_match_batch(spark, tmp_path):
+    """The Welford stateful fold over one availableNow pass must reproduce
+    the batch DECIMAL moments (stream_user_zscore's stats) to float
+    tolerance for every user — the numerically-stable-streaming vs
+    exact-batch agreement that makes the anomaly thresholds consistent
+    across both faces."""
+    import math
+
+    from osmdatapy_spark.streaming.stateful import running_user_moments
+    from osmdatapy_spark.suite._util import dec
+
+    events = load_table(spark, SF_DIR, "events")
+    v = dec("value", 19, 6)
+    batch = {
+        r["user_id"]: (
+            r["n"],
+            float(r["sx"]) / r["n"],
+            math.sqrt(r["n"] * float(r["sxx"]) - float(r["sx"]) ** 2) / r["n"],
+        )
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(v).alias("sx"), F.sum(v * v).alias("sxx"))
+        .collect()
+    }
+
+    staged = str(tmp_path / "ev_moments")
+    events.write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    q = (
+        running_user_moments(stream)
+        .writeStream.format("memory")
+        .queryName("t_moments")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        r["user_id"]: (r["n"], r["mean"], math.sqrt(r["m2"] / r["n"]))
+        for r in spark.sql("select * from t_moments").collect()
+    }
+    assert set(got) == set(batch)
+    for uid, (n, mean, std) in batch.items():
+        gn, gmean, gstd = got[uid]
+        assert gn == n
+        assert abs(gmean - mean) < 1e-9 * max(1.0, abs(mean))
+        assert abs(gstd - std) < 1e-9 * max(1.0, std)
