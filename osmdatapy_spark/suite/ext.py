@@ -2006,3 +2006,124 @@ def osm_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         elements,
         comparable_string(col("probe")) == comparable_string(col("name")),
     ).select("probe", "osmid", "name")
+
+
+@register(
+    "osm_history_asof",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS osmid, CAST(1 AS BIGINT) AS version,
+             o_orderstatus AS val
+      FROM orders
+    ),
+    changes AS (
+      SELECT l_orderkey AS osmid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey) + 1 AS BIGINT)
+               AS version,
+             l_linestatus AS val
+      FROM lineitem
+    ),
+    hist AS (SELECT * FROM base UNION ALL SELECT * FROM changes)
+    SELECT osmid,
+           MAX(version) AS version,
+           arg_max(val, version) AS val
+    FROM hist WHERE version <= 3 GROUP BY osmid
+    """,
+    doc="AS-OF time travel over the element history (the query the SCD2 "
+    "table exists to serve, osm_element_history_scd2): element state at "
+    "version-time 3 as a PARTIAL-AGG ELECTION — filter version <= t, "
+    "groupBy(osmid).agg(max_by) — ONE map-side-combined exchange, no "
+    "window over the full history and no join against the dimension "
+    "table.  At 100 TB the filter prunes version-partitioned history "
+    "files before the scan; the election shape is identical.",
+)
+def osm_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    base = T(spark, sf_dir, "orders").select(
+        col("o_orderkey").alias("osmid"),
+        lit(1).cast("bigint").alias("version"),
+        col("o_orderstatus").alias("val"),
+    )
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("osmid"),
+        (F.row_number().over(w) + 1).cast("bigint").alias("version"),
+        col("l_linestatus").alias("val"),
+    )
+    hist = base.unionByName(changes).filter(col("version") <= 3)
+    return hist.groupBy("osmid").agg(
+        F.max("version").alias("version"),
+        F.max_by("val", "version").alias("val"),
+    )
+
+
+@register(
+    "osm_maxspeed_parse",
+    oracle="""
+    WITH raws AS (
+      SELECT o_orderkey AS osmid,
+             CASE CAST(o_orderkey % 7 AS INT)
+               WHEN 0 THEN CAST(20 + o_orderkey % 100 AS VARCHAR)
+               WHEN 1 THEN CAST(15 + o_orderkey % 60 AS VARCHAR) || ' mph'
+               WHEN 2 THEN 'walk'
+               WHEN 3 THEN 'none'
+               WHEN 4 THEN 'signals'
+               WHEN 5 THEN CAST(30 + o_orderkey % 90 AS VARCHAR) || ' km/h'
+               ELSE '' END AS raw
+      FROM orders
+    )
+    SELECT osmid, raw,
+           CASE
+             WHEN regexp_matches(raw, '^[0-9]+$')
+               THEN CAST(raw AS DOUBLE)
+             WHEN regexp_matches(raw, '^[0-9]+ mph$')
+               THEN round(CAST(regexp_extract(raw, '^([0-9]+)', 1) AS DOUBLE) * 1.609344, 3)
+             WHEN regexp_matches(raw, '^[0-9]+ km/h$')
+               THEN CAST(regexp_extract(raw, '^([0-9]+)', 1) AS DOUBLE)
+             WHEN raw = 'walk' THEN 5.0
+             ELSE NULL END AS kph,
+           raw IN ('none', 'signals') OR regexp_matches(raw, '^[0-9]+( mph| km/h)?$')
+             AS recognized
+    FROM raws
+    """,
+    doc="maxspeed tag normalization — the messy-value parsing every "
+    "router ingest runs (numeric kph, 'N mph', 'N km/h', pedestrian "
+    "'walk', legal markers 'none'/'signals', garbage): regexp dispatch + "
+    "unit conversion to a typed kph column, unparseable values surfaced "
+    "via recognized=false rather than dropped.  Pure JVM-side Column "
+    "algebra (RE2-safe patterns, identical in both engines), zero "
+    "shuffle — pipelines inside the scan like every P-family tag "
+    "operator.  The mph factor multiply is exactly-rounded; round-3 is "
+    "display convention (OSM wiki), not a determinism guard.",
+)
+def osm_maxspeed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    k = (col("o_orderkey") % 7).cast("int")
+    raw = (
+        F.when(k == 0, (20 + col("o_orderkey") % 100).cast("string"))
+        .when(k == 1, F.concat((15 + col("o_orderkey") % 60).cast("string"), lit(" mph")))
+        .when(k == 2, lit("walk"))
+        .when(k == 3, lit("none"))
+        .when(k == 4, lit("signals"))
+        .when(k == 5, F.concat((30 + col("o_orderkey") % 90).cast("string"), lit(" km/h")))
+        .otherwise(lit(""))
+    )
+    raws = o.select(col("o_orderkey").alias("osmid"), raw.alias("raw"))
+    num = F.regexp_extract(col("raw"), r"^([0-9]+)", 1)
+    kph = (
+        F.when(col("raw").rlike(r"^[0-9]+$"), col("raw").cast("double"))
+        .when(col("raw").rlike(r"^[0-9]+ mph$"), F.round(num.cast("double") * 1.609344, 3))
+        .when(col("raw").rlike(r"^[0-9]+ km/h$"), num.cast("double"))
+        .when(col("raw") == "walk", lit(5.0))
+        .otherwise(lit(None).cast("double"))
+    )
+    return raws.select(
+        "osmid",
+        "raw",
+        kph.alias("kph"),
+        (col("raw").isin("none", "signals") | col("raw").rlike(r"^[0-9]+( mph| km/h)?$")).alias(
+            "recognized"
+        ),
+    )
