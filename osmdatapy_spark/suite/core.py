@@ -1124,3 +1124,104 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "rel_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS dur_us,
+             CAST(value AS DECIMAL(19,6)) AS v
+      FROM seg WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           round(CAST(SUM(v * dur_us) AS DOUBLE) / SUM(dur_us), 6) AS twap
+    FROM w GROUP BY user_id
+    """,
+    doc="Time-weighted average value per user (the TWAP/metering "
+    "aggregation — each observation holds until the next one): lead() "
+    "assigns every event its holding duration in exact integer "
+    "microseconds, then duration-weighted values accumulate as exact "
+    "DECIMAL x BIGINT products — order-free, bit-identical cross-engine; "
+    "the single division happens once per user at the end under a "
+    "round-6 guard.  ONE user_id exchange serves both the lead window "
+    "and the final aggregation (sort-window then partial agg on the same "
+    "key — no second shuffle).",
+)
+def rel_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        dec("value", 19, 6).alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.sum("dur_us").alias("total_us"),
+        F.round(
+            F.sum(col("v") * col("dur_us")).cast("double") / F.sum("dur_us"), 6
+        ).alias("twap"),
+    )
+
+
+@register(
+    "rel_funnel_stages",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS first_view,
+             MIN(ts) FILTER (event_type = 'click') AS first_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, first_view, first_click, first_purchase,
+           first_view IS NOT NULL
+             AND first_click IS NOT NULL AND first_click > first_view
+             AND first_purchase IS NOT NULL AND first_purchase > first_click
+             AS converted,
+           CASE WHEN first_view IS NOT NULL
+                 AND first_click IS NOT NULL AND first_click > first_view
+                 AND first_purchase IS NOT NULL AND first_purchase > first_click
+                THEN CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT)
+                ELSE NULL END AS funnel_us
+    FROM stages
+    """,
+    doc="Funnel analysis (view → click → purchase, strictly ordered): "
+    "per-user first-touch timestamps via conditional MIN — the whole "
+    "funnel folds into ONE map-side-combined exchange, no joins between "
+    "stages and no window (the classic product-analytics query, "
+    "expressed the way it survives a 10^11-event store).  Conversion "
+    "demands strict stage ordering; latency in exact integer "
+    "microseconds.",
+)
+def rel_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(col("event_type") == "view", col("ts"))).alias("first_view"),
+        F.min(F.when(col("event_type") == "click", col("ts"))).alias("first_click"),
+        F.min(F.when(col("event_type") == "purchase", col("ts"))).alias("first_purchase"),
+    )
+    ordered = (
+        col("first_view").isNotNull()
+        & col("first_click").isNotNull()
+        & (col("first_click") > col("first_view"))
+        & col("first_purchase").isNotNull()
+        & (col("first_purchase") > col("first_click"))
+    )
+    return stages.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        ordered.alias("converted"),
+        F.when(
+            ordered, F.unix_micros("first_purchase") - F.unix_micros("first_view")
+        ).alias("funnel_us"),
+    )
