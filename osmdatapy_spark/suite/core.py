@@ -1225,3 +1225,93 @@ def rel_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered, F.unix_micros("first_purchase") - F.unix_micros("first_view")
         ).alias("funnel_us"),
     )
+
+
+@register(
+    "rel_retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(w) AS w0 FROM wk GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.w0, e.w - f.w0 AS week_k
+      FROM wk e JOIN firsts f USING (user_id)
+    )
+    SELECT make_timestamp(w0 * 604800000000) AS cohort,
+           CAST(week_k AS BIGINT) AS week_k,
+           COUNT(*) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix (the product-analytics staple): users "
+    "cohorted by the week of their FIRST event, then counted once per "
+    "(cohort, weeks-since-cohort) they were active in.  Shape: the "
+    "first-touch election is one partial-agg exchange; the week-index "
+    "table re-joins itself ON user_id (co-partitioned with the election "
+    "— the sort/partitioning reuses, or broadcasts when the user "
+    "dimension is small); dedup + count folds into one more partial-agg "
+    "pass.  Week indexing is exact integer epoch-floor arithmetic "
+    "(epoch-anchored, NOT an engine's time_bucket — whose origin "
+    "conventions differ), so no date-library drift between engines.",
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WEEK_US = 604_800_000_000
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    wk = ev.select("user_id", (F.unix_micros("ts") / WEEK_US).cast("long").alias("w"))
+    firsts = wk.groupBy("user_id").agg(F.min("w").alias("w0"))
+    activity = wk.join(firsts, "user_id").select(
+        "user_id", "w0", (col("w") - col("w0")).alias("week_k")
+    ).distinct()
+    return activity.groupBy("w0", "week_k").agg(F.count("*").alias("active_users")).select(
+        F.timestamp_micros(col("w0") * WEEK_US).alias("cohort"),
+        col("week_k"),
+        "active_users",
+    )
+
+
+@register(
+    "rel_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b
+      FROM baskets, UNNEST(parts) AS a(p), UNNEST(parts) AS b(p)
+      WHERE a.p < b.p
+    )
+    SELECT part_a, part_b, COUNT(*) AS support
+    FROM pairs GROUP BY part_a, part_b HAVING COUNT(*) >= 2
+    """,
+    doc="Market-basket pair mining (association-rule support counts): "
+    "distinct parts per order collect IN-ROW, pairs expand inside the "
+    "row (a < b upper triangle — bounded by basket size squared, ~7 "
+    "lines per TPC-H order), then ONE partial-agg exchange counts "
+    "support.  No self-join of the fact table against itself — the "
+    "naive formulation shuffles the lineitem twice and explodes on hot "
+    "orders; this shape is linear in baskets + output pairs.",
+)
+def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    col("parts"),
+                    lambda a: F.filter(
+                        F.transform(col("parts"), lambda b: F.struct(a.alias("part_a"), b.alias("part_b"))),
+                        lambda s: s["part_a"] < s["part_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(col("support") >= 2)
+    )
