@@ -1315,3 +1315,91 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(col("support") >= 2)
     )
+
+
+@register(
+    "rel_ratio_to_report",
+    oracle="""
+    WITH rev AS (
+      SELECT n_regionkey AS region, c_nationkey AS nation,
+             SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS nation_rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(nation_rev AS DOUBLE) AS nation_rev,
+           round(CAST(nation_rev AS DOUBLE)
+                 / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS region_share
+    FROM rev
+    """,
+    doc="Ratio-to-report (share-of-parent window): each nation's revenue "
+    "as a fraction of its region's total.  The fact stream aggregates "
+    "FIRST (exact decimal, one partial-agg exchange after two broadcast "
+    "dimension joins); the window then runs over the 25-row nation "
+    "rollup — the share never touches fact-table cardinality, which is "
+    "what makes percent-of-total safe at 100 TB.  Division is one "
+    "exactly-rounded double op per row; round-6 for display symmetry.",
+)
+def rel_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nt = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rev = (
+        o.join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nt), col("c_nationkey") == col("n_nationkey"))
+        .groupBy(col("n_regionkey").alias("region"), col("c_nationkey").alias("nation"))
+        .agg(F.sum(dec("o_totalprice", 19, 4)).alias("nation_rev"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        col("nation_rev").cast("double").alias("nation_rev"),
+        F.round(
+            col("nation_rev").cast("double") / F.sum("nation_rev").over(w).cast("double"), 6
+        ).alias("region_share"),
+    )
+
+
+@register(
+    "rel_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    )
+    SELECT user_id,
+           CAST(MIN(day) AS BIGINT) AS start_day,
+           CAST(MAX(day) AS BIGINT) AS end_day,
+           COUNT(*) AS n_days
+    FROM marked GROUP BY user_id, island
+    """,
+    doc="Gaps-and-islands: maximal runs of CONSECUTIVE active days per "
+    "user via the day - row_number() island-key trick — the classic "
+    "sequence-integrity / activity-streak query.  Day indexing is exact "
+    "integer epoch-floor division; ONE user_id exchange serves the "
+    "distinct-day dedup, the island window, and the island rollup "
+    "(same key end to end, the sessionize-events discipline).",
+)
+def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    DAY_US = 86_400_000_000
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    days = ev.select(
+        "user_id", (F.unix_micros("ts") / DAY_US).cast("long").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.withColumn("island", col("day") - F.row_number().over(w))
+    return marked.groupBy("user_id", "island").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count("*").alias("n_days"),
+    ).drop("island")
