@@ -215,3 +215,60 @@ def running_user_moments(events_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2: validity intervals emitted as versions supersede each other
+# ---------------------------------------------------------------------------
+
+SCD2_OUTPUT_SCHEMA = "osmid long, version long, val string, valid_to long, is_current boolean"
+SCD2_STATE_SCHEMA = "version long, val string"
+
+
+def _scd2_element(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    cur = state.get if state.exists else None  # (version, val) open interval
+    out: list[tuple] = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    changed = False
+    for r in rows.sort_values("version").itertuples():
+        if cur is not None and r.version > cur[0]:
+            # the open interval closes at the superseding version
+            out.append((key[0], cur[0], cur[1], int(r.version) - 1, False))
+        if cur is None or r.version > cur[0]:
+            cur = (int(r.version), str(r.val))
+            changed = True
+    if changed and cur is not None:
+        state.update(cur)
+        out.append((key[0], cur[0], cur[1], None, True))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["osmid", "version", "val", "valid_to", "is_current"]
+        )
+
+
+def scd2_intervals(changes_stream):
+    """Streaming SCD2 history build — the incremental twin of the batch
+    ``osm_element_history_scd2`` window query: as versions arrive, the
+    previously-open interval CLOSES (emitted once, immutable — an
+    append-friendly fact) and the new version opens (update-mode row,
+    superseded later).  A warehouse sink upserts on (osmid, version):
+    closed rows win over their open predecessors, which is exactly the
+    dedup the parity test applies.
+
+    State per element is one (version, val) pair — the same bound as the
+    CDC upsert; history rows live in the SINK, not in state, so a
+    billion-version element costs the same state as a fresh one.  Late
+    or duplicate versions <= the open version are ignored (idempotent
+    replay), matching the batch window's semantics when versions are
+    unique per element."""
+    return changes_stream.groupBy("osmid").applyInPandasWithState(
+        _scd2_element,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

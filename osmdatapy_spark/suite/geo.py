@@ -921,3 +921,59 @@ def osm_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(col("ay") + col("t1") * dy, 7).alias("cy2"),
         )
     )
+
+
+@register(
+    "osm_tile_pyramid",
+    oracle=f"""
+    WITH {NODES_CTE.strip()},
+    t AS (
+      SELECT CAST(floor(round((lon + 180.0) / 360.0, 9) * 64.0) AS BIGINT) AS xtile,
+             CAST(floor(round((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+                              / 2.0, 9) * 64.0) AS BIGINT) AS ytile
+      FROM nodes
+    ),
+    z6 AS (SELECT xtile, ytile, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY xtile, ytile),
+    pyramid AS (
+      SELECT z.z AS zoom, xtile >> (6 - z.z) AS x, ytile >> (6 - z.z) AS y, n
+      FROM z6, (SELECT UNNEST(generate_series(0, 6)) AS z) z
+    )
+    SELECT CAST(zoom AS BIGINT) AS zoom, x, y, SUM(n) AS n_nodes
+    FROM pyramid GROUP BY zoom, x, y
+    """,
+    doc="Tile-pyramid rollup (zooms 6→0) — the aggregation every map/"
+    "analytics tile service precomputes: the finest zoom aggregates ONCE "
+    "from the point stream (the only fact-sized exchange), then all "
+    "coarser zooms derive from the z6 TILE TABLE by bit-shift explode — "
+    "7 rows per tile, vocabulary-sized, so the pyramid costs one more "
+    "tiny partial-agg pass instead of 7 passes over the points.  Exact "
+    "integer shift arithmetic; the mercator fraction reuses the round-9 "
+    "guard.",
+)
+def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import slippy_tile
+    from osmdatapy_spark.suite.osm import derived_nodes
+
+    nodes = derived_nodes(spark, sf_dir)
+    xt, yt = slippy_tile(col("lon"), col("lat"), 6)
+    z6 = (
+        nodes.select(xt.alias("xtile"), yt.alias("ytile"))
+        .groupBy("xtile", "ytile")
+        .agg(F.count("*").alias("n"))
+    )
+    pyramid = z6.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        lit(z).cast("long").alias("zoom"),
+                        F.shiftright(col("xtile"), 6 - z).alias("x"),
+                        F.shiftright(col("ytile"), 6 - z).alias("y"),
+                    )
+                    for z in range(7)
+                ]
+            )
+        ).alias("p"),
+        "n",
+    ).select("p.zoom", "p.x", "p.y", "n")
+    return pyramid.groupBy("zoom", "x", "y").agg(F.sum("n").alias("n_nodes"))

@@ -354,3 +354,56 @@ def test_welford_moments_match_batch(spark, tmp_path):
         assert gn == n
         assert abs(gmean - mean) < 1e-9 * max(1.0, abs(mean))
         assert abs(gstd - std) < 1e-9 * max(1.0, std)
+
+
+def test_scd2_stream_matches_batch(spark, tmp_path):
+    """Streaming SCD2 (closed rows win over open predecessors on
+    (osmid, version)) must reconstruct exactly the batch window-derived
+    validity table."""
+    from pyspark.sql import Window
+
+    from osmdatapy_spark.streaming.stateful import scd2_intervals
+
+    base = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("osmid"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.col("o_orderstatus").alias("val"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    changes = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("osmid"),
+        (F.row_number().over(w) + 1).cast("bigint").alias("version"),
+        F.col("l_linestatus").alias("val"),
+    )
+    hist = base.unionByName(changes)
+    w2 = Window.partitionBy("osmid").orderBy("version")
+    batch = {
+        (r["osmid"], r["version"]): (r["val"], r["valid_to"], r["is_current"])
+        for r in hist.select(
+            "osmid",
+            "version",
+            "val",
+            (F.lead("version").over(w2) - 1).alias("valid_to"),
+            F.lead("version").over(w2).isNull().alias("is_current"),
+        ).collect()
+    }
+
+    staged = str(tmp_path / "scd2_changes")
+    hist.write.parquet(staged)
+    stream = spark.readStream.schema(spark.read.parquet(staged).schema).parquet(staged)
+    q = (
+        scd2_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("t_scd2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got: dict = {}
+    for r in spark.sql("select * from t_scd2").collect():
+        k = (r["osmid"], r["version"])
+        v = (r["val"], r["valid_to"], r["is_current"])
+        if k not in got or not v[2]:  # closed row supersedes open
+            got[k] = v
+    assert got == batch
