@@ -1403,3 +1403,46 @@ def rel_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("end_day"),
         F.count("*").alias("n_days"),
     ).drop("island")
+
+
+@register(
+    "rel_ewma_per_user",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           CAST(list_reduce(xs, (acc, x) -> 0.125 * x + 0.875 * acc) AS DOUBLE) AS ewma
+    FROM ordered
+    """,
+    doc="Exponentially-weighted moving average per user (the online "
+    "smoothing every monitoring/finance pipeline keeps): an inherently "
+    "SEQUENTIAL recurrence s_t = a*x_t + (1-a)*s_{t-1}, folded IN-ROW "
+    "over the per-user event array (collect + total-order sort + "
+    "aggregate fold — one exchange, no per-step window).  alpha = 0.125 "
+    "is binary-exact, so every fold step is exactly-rounded IEEE "
+    "arithmetic in an identical order — bit-identical cross-engine with "
+    "NO rounding guard.  Per-user arrays bound memory (a user's history, "
+    "not the corpus); unbounded keys would stream through the Welford-"
+    "style stateful twin instead.",
+)
+def rel_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    grouped = ev.groupBy("user_id").agg(xs.alias("xs"))
+    ewma = F.aggregate(
+        F.slice(col("xs"), 2, F.greatest(F.size("xs") - 1, lit(0))),
+        F.element_at(col("xs"), 1),
+        lambda acc, x: lit(0.125) * x + lit(0.875) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        ewma.cast("double").alias("ewma"),
+    )

@@ -1447,7 +1447,7 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     changes AS (
       SELECT CASE WHEN l_linenumber % 7 = 0 THEN -l_orderkey ELSE l_orderkey END AS osmid,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) + 1
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) + 1
                AS version,
              CASE WHEN l_linenumber % 7 = 0 THEN 'create'
                   WHEN l_returnflag = 'R' THEN 'delete'
@@ -1496,7 +1496,7 @@ def osm_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("o_orderkey").alias("osmid"), col("o_orderstatus").alias("val")
     )
     li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = li.select(
         F.when(col("l_linenumber") % 7 == 0, -col("l_orderkey"))
         .otherwise(col("l_orderkey"))
@@ -1577,7 +1577,7 @@ def llm_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes AS (
       SELECT l_orderkey AS osmid,
              CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_linenumber, l_partkey) + 1 AS BIGINT)
+                                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) + 1 AS BIGINT)
                AS version,
              l_linestatus AS val
       FROM lineitem
@@ -1606,7 +1606,7 @@ def osm_element_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit(1).cast("bigint").alias("version"),
         col("o_orderstatus").alias("val"),
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = T(spark, sf_dir, "lineitem").select(
         col("l_orderkey").alias("osmid"),
         (F.row_number().over(w) + 1).cast("bigint").alias("version"),
@@ -1683,7 +1683,7 @@ def rel_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH changes AS (
       SELECT CASE WHEN l_linenumber % 7 = 0 THEN -l_orderkey ELSE l_orderkey END AS osmid,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) + 1
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) + 1
                AS version,
              CASE WHEN l_linenumber % 7 = 0 THEN 'create'
                   WHEN l_returnflag = 'R' THEN 'delete'
@@ -1710,7 +1710,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = T(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = li.select(
         F.when(col("l_linenumber") % 7 == 0, -col("l_orderkey"))
         .otherwise(col("l_orderkey"))
@@ -2019,7 +2019,7 @@ def osm_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes AS (
       SELECT l_orderkey AS osmid,
              CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                     ORDER BY l_linenumber, l_partkey) + 1 AS BIGINT)
+                                     ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) + 1 AS BIGINT)
                AS version,
              l_linestatus AS val
       FROM lineitem
@@ -2046,7 +2046,7 @@ def osm_history_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         lit(1).cast("bigint").alias("version"),
         col("o_orderstatus").alias("val"),
     )
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = T(spark, sf_dir, "lineitem").select(
         col("l_orderkey").alias("osmid"),
         (F.row_number().over(w) + 1).cast("bigint").alias("version"),

@@ -119,6 +119,10 @@ def derived_node_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
 WAYS_CTE = """
 ways AS (
   SELECT l_orderkey AS way_id,
+         -- (l_linenumber, l_partkey) can TIE at sf>=0.1, but tied rows carry the
+         -- same l_partkey = node_id, so either pos assignment yields the same
+         -- (pos, node_id) sequence — tie-safe WITHOUT the 5-column total order
+         -- the version-assigning fixtures need (see suite/ext.py SCD2/CDC)
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pos,
          l_partkey AS node_id
   FROM lineitem

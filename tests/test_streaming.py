@@ -217,7 +217,7 @@ def test_latest_version_upsert_matches_batch(spark, tmp_path):
     from pyspark.sql import Window
 
     li = load_table(spark, SF_DIR, "lineitem").limit(2000)
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = li.select(
         F.col("l_orderkey").alias("osmid"),
         (F.row_number().over(w) + 1).cast("long").alias("version"),
@@ -369,7 +369,7 @@ def test_scd2_stream_matches_batch(spark, tmp_path):
         F.lit(1).cast("bigint").alias("version"),
         F.col("o_orderstatus").alias("val"),
     )
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     changes = load_table(spark, SF_DIR, "lineitem").select(
         F.col("l_orderkey").alias("osmid"),
         (F.row_number().over(w) + 1).cast("bigint").alias("version"),
