@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.suite._util import T, dec
+from osmdatapy_spark.suite.osm import (
+    NODES_CTE,
+    WAYS_CTE,
+    derived_nodes,
+    derived_way_refs,
+)
 from osmdatapy_spark.suite.registry import register
 
 # ---------------------------------------------------------------------------
@@ -245,4 +251,176 @@ def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation_vol.alias("nation_vol"),
             F.round(nation_vol / total_vol, 6).alias("share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, round(median(l_extendedprice), 6) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS dv
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, round(median(dv), 6) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag, d.med, a.mad,
+           CAST(COUNT(*) FILTER (d.dv > 3 * a.mad) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY d.l_returnflag, d.med, a.mad
+    """,
+    doc="Robust outlier profile per group: median and median-absolute-"
+    "deviation of extended price per return flag, then the count of rows "
+    "beyond the classic 3xMAD fence.  MAD needs TWO dependent quantile "
+    "passes (deviations exist only after the median is known) — each is a "
+    "partial-aggregated exact percentile, and the per-group medians ride "
+    "back on BROADCAST joins, so the fact table never shuffles: the whole "
+    "query is 3 small aggregation exchanges over a thrice-read scan.  At "
+    "100 TB the documented swap is approx_percentile sketches (one pass "
+    "each, mergeable); exact medians keep the oracle bit-checkable here.  "
+    "Cross-engine float safety: both medians are rounded to 6 places "
+    "BEFORE re-entering arithmetic, so the interpolation ulp between "
+    "engines vanishes and every downstream subtract/compare sees "
+    "identical doubles.",
+)
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("med")
+    )
+    dev = li.join(broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(col("l_extendedprice") - col("med")).alias("dv"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(dv, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.when(col("dv") > 3 * col("mad"), True)).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing: midpoint along each way by arc length
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_way_interpolate",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    pts AS (
+      SELECT w.way_id, w.pos, n.lon, n.lat
+      FROM ways w JOIN nodes n ON w.node_id = n.osmid
+    ),
+    seg0 AS (
+      SELECT way_id, pos, lon AS ax, lat AS ay,
+             lead(lon) OVER (PARTITION BY way_id ORDER BY pos) AS bx,
+             lead(lat) OVER (PARTITION BY way_id ORDER BY pos) AS by
+      FROM pts
+    ),
+    seg AS (
+      SELECT way_id, pos, ax, ay, bx, by,
+             sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) AS seglen
+      FROM seg0 WHERE bx IS NOT NULL
+    ),
+    cum AS (
+      SELECT *, SUM(seglen) OVER (PARTITION BY way_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS cl
+      FROM seg
+    ),
+    tot AS (
+      SELECT *, MAX(cl) OVER (PARTITION BY way_id) AS total FROM cum
+    ),
+    hit AS (
+      SELECT *, row_number() OVER (PARTITION BY way_id ORDER BY pos) AS rn
+      FROM tot WHERE cl >= total / 2
+    )
+    SELECT way_id,
+           CASE WHEN seglen = 0 THEN ax
+                ELSE ax + ((total / 2 - (cl - seglen)) / seglen) * (bx - ax)
+           END AS mid_lon,
+           CASE WHEN seglen = 0 THEN ay
+                ELSE ay + ((total / 2 - (cl - seglen)) / seglen) * (by - ay)
+           END AS mid_lat,
+           total AS len_deg
+    FROM hit WHERE rn = 1
+    """,
+    doc="Linear referencing (the GIS ST_LineInterpolatePoint, fraction "
+    "0.5): the point exactly halfway along each way by planar arc "
+    "length.  lead() turns the gathered (pos, lon, lat) rows into "
+    "segments, an ORDERED window prefix-sum accumulates cumulative "
+    "length (sequential adds in pos order — the one float summation "
+    "whose order IS pinned, hence bit-identical cross-engine), the "
+    "half-length crossing segment is selected by min pos, and the "
+    "midpoint interpolates inside it.  Exactly-rounded ops only "
+    "(+,-,*,/,sqrt) — no rounding guard needed anywhere.  ONE shuffle on "
+    "way_id serves the lead window, the prefix sum, the partition max, "
+    "and the crossing pick (all the same key; Spark reuses the sort).  "
+    "Zero-length segments (consecutive duplicate refs) degrade to the "
+    "segment start rather than NaN.",
+)
+def osm_way_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ways = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
+    pts = ways.join(broadcast(nodes), "node_id").select("way_id", "pos", "lon", "lat")
+
+    w = Window.partitionBy("way_id").orderBy("pos")
+    seg = (
+        pts.select(
+            "way_id",
+            "pos",
+            col("lon").alias("ax"),
+            col("lat").alias("ay"),
+            F.lead("lon").over(w).alias("bx"),
+            F.lead("lat").over(w).alias("by"),
+        )
+        .filter(col("bx").isNotNull())
+        .withColumn(
+            "seglen",
+            F.sqrt(
+                (col("bx") - col("ax")) * (col("bx") - col("ax"))
+                + (col("by") - col("ay")) * (col("by") - col("ay"))
+            ),
+        )
+    )
+    cum = seg.withColumn(
+        "cl",
+        F.sum("seglen").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).withColumn("total", F.max("cl").over(Window.partitionBy("way_id")))
+
+    hit = cum.filter(col("cl") >= col("total") / 2)
+    frac = (col("total") / 2 - (col("cl") - col("seglen"))) / col("seglen")
+    mid_lon = F.when(col("seglen") == 0, col("ax")).otherwise(
+        col("ax") + frac * (col("bx") - col("ax"))
+    )
+    mid_lat = F.when(col("seglen") == 0, col("ay")).otherwise(
+        col("ay") + frac * (col("by") - col("ay"))
+    )
+    picked = hit.withColumn(
+        "r",
+        F.struct(mid_lon.alias("mid_lon"), mid_lat.alias("mid_lat"), col("total").alias("len_deg")),
+    )
+    return (
+        picked.groupBy("way_id")
+        .agg(F.min_by("r", "pos").alias("r"))
+        .select("way_id", "r.mid_lon", "r.mid_lat", "r.len_deg")
     )
