@@ -424,3 +424,171 @@ def osm_way_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by("r", "pos").alias("r"))
         .select("way_id", "r.mid_lon", "r.mid_lat", "r.len_deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty: per-doc fraction of globally unique shingles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks
+    ),
+    dfreq AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_novel,
+           round(CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh JOIN dfreq USING (s) GROUP BY doc_id
+    """,
+    doc="Per-document novelty score: the fraction of a doc's distinct "
+    "word 3-grams that occur in NO other document (global document "
+    "frequency 1) — the cheap, exact complement to near-dup detection "
+    "that curation pipelines use to find boilerplate-heavy vs original "
+    "content.  Shingles explode once, document frequencies come from ONE "
+    "partial-aggregated shuffle on the shingle key, and the df join back "
+    "to the shingle stream reuses the same key partitioning (Catalyst "
+    "aligns both sides — no third wide exchange); the per-doc roll-up is "
+    "a final partial-agg shuffle on doc_id.  The ratio divides two exact "
+    "BIGINTs under a round-6 guard.  At 100 TB the string shingle key "
+    "swaps for xxhash64 (8 bytes) exactly as in the Jaccard pipeline; "
+    "the md5-free string key keeps this oracle-checkable.",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import tokens, word_shingles
+    from osmdatapy_spark.suite._util import TS
+
+    docs = TS(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(col("text")), 3)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(col("df") == 1, True)).alias("n_novel"),
+            F.round(
+                F.count(F.when(col("df") == 1, True)).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = ("src0", "src1")
+
+
+@register(
+    "llm_dsir_weight",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                  % {_DSIR_BUCKETS} AS INTEGER) AS bkt
+      FROM toks
+    ),
+    counts AS (
+      SELECT bkt,
+             CAST(COUNT(*) FILTER (source IN ('src0', 'src1')) AS BIGINT) AS tc,
+             CAST(COUNT(*) AS BIGINT) AS bc
+      FROM b GROUP BY bkt
+    ),
+    tot AS (
+      SELECT CAST(SUM(tc) AS BIGINT) AS tt, CAST(SUM(bc) AS BIGINT) AS nt FROM counts
+    ),
+    wtab AS (
+      SELECT bkt,
+             CAST(round((ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}))
+                       - ln((bc + 1.0) / (nt + {_DSIR_BUCKETS}))) * 1000000, 0)
+                  AS BIGINT) AS w6
+      FROM counts, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w6) AS BIGINT) AS weight_micro,
+           CAST(SUM(w6) AS DOUBLE) / 1000000 AS weight
+    FROM b JOIN wtab USING (bkt) GROUP BY doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling'): score every document "
+    "by the log-likelihood ratio of its hashed-unigram features under a "
+    "target-domain multinomial (docs from the trusted sources) vs the "
+    "full-corpus background, with Laplace smoothing — the standard "
+    "pretraining-mixture reweighting signal.  The feature space is a "
+    "fixed 256-bucket md5 hash (engine-portable; xxhash64 at scale), so "
+    "the model is a TINY 256-row table: token stream aggregates once per "
+    "bucket (partial-agg shuffle), totals fold on the driver-side-free "
+    "broadcast cross join, and per-doc scoring is a BROADCAST join of "
+    "the weight table onto the token stream — the corpus never shuffles "
+    "for scoring; the only wide exchange after counting is the per-doc "
+    "sum.  Float discipline: each bucket's log-ratio is quantized ONCE "
+    "to integer micro-nats in the 256-row table, so the per-doc "
+    "accumulation is exact BIGINT arithmetic — order-free, bit-identical "
+    "on any engine or cluster size.",
+)
+def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import hash_bucket, tokens
+    from osmdatapy_spark.suite._util import TS
+
+    docs = TS(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens(col("text"))).alias("tok")
+    )
+    b = tok.select(
+        "doc_id",
+        "source",
+        hash_bucket(col("tok"), _DSIR_BUCKETS).alias("bkt"),
+    )
+    is_target = col("source").isin(*_DSIR_TARGET)
+    counts = b.groupBy("bkt").agg(
+        F.count(F.when(is_target, True)).alias("tc"),
+        F.count("*").alias("bc"),
+    )
+    tot = counts.agg(
+        F.sum("tc").alias("tt"), F.sum("bc").alias("nt")
+    )
+    wtab = (
+        counts.crossJoin(broadcast(tot))
+        .select(
+            "bkt",
+            F.round(
+                (
+                    F.log((col("tc") + 1.0) / (col("tt") + _DSIR_BUCKETS))
+                    - F.log((col("bc") + 1.0) / (col("nt") + _DSIR_BUCKETS))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("w6"),
+        )
+    )
+    return (
+        b.join(broadcast(wtab), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w6").alias("weight_micro"),
+            (F.sum("w6").cast("double") / 1_000_000).alias("weight"),
+        )
+    )
