@@ -505,7 +505,14 @@ def bigram_lm_scores(
     stream = docs.select(col(id_col), F.explode(bigrams).alias("bg")).select(
         id_col, col("bg.w1").alias("w1"), col("bg.w2").alias("w2")
     )
+    # the bigram stream feeds BOTH the count aggregation and the scoring
+    # join, and c12 feeds both the join and the c1 roll-up — Catalyst does
+    # not dedupe re-derived lineage across branches (same measured hazard
+    # as tfidf_pairs above: each branch would re-run the tokenize+explode
+    # pass over the corpus). Lazy localCheckpoint materializes each once.
+    stream = stream.localCheckpoint(eager=False)
     c12 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = c12.localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(tokens(col(text_col))).alias("w"))

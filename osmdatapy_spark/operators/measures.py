@@ -358,3 +358,85 @@ def clip_segment_bbox(
     t0 = F.greatest(lit(0.0), slab(dx, ax, x0, x1, True), slab(dy, ay, y0, y1, True))
     t1 = F.least(lit(1.0), slab(dx, ax, x0, x1, False), slab(dy, ay, y0, y1, False))
     return t0, t1
+
+
+# ---------------------------------------------------------------------------
+# Geohash (base32 interleaved-bit spatial key)
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
+    """Standard geohash of a WGS84 point at the given character precision —
+    the third spatial bucketing key next to ``slippy_tile``/``quadkey``
+    and ``hex_cell``: like quadkeys, geohash prefixes are prefix-closed
+    (a 4-char prefix names the containing coarse cell), but the base32
+    alphabet is the de-facto interchange format in Elasticsearch/Redis/
+    GeoMesa-style systems.
+
+    Pure integer bit algebra after ONE float op each for lon/lat
+    (exactly-rounded +,/,* then floor — bit-identical cross-engine, no
+    rounding guard needed, unlike the tan/ln mercator fraction): cell
+    indices x (ceil(5p/2) bits) and y (floor(5p/2) bits) interleave as
+    x_j -> bit 2j, y_k -> bit 2k+1, and each 5-bit group maps through
+    the geohash alphabet.  Stays entirely inside whole-stage codegen.
+    """
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = F.least(
+        F.floor((lon + 180.0) / 360.0 * lit(float(1 << lon_bits))),
+        lit((1 << lon_bits) - 1),
+    ).cast("long")
+    y = F.least(
+        F.floor((lat + 90.0) / 180.0 * lit(float(1 << lat_bits))),
+        lit((1 << lat_bits) - 1),
+    ).cast("long")
+    g = lit(0).cast("long")
+    for j in range(lon_bits):
+        g = g + F.shiftleft(F.shiftright(x, j).bitwiseAND(lit(1)), 2 * j)
+    for k in range(lat_bits):
+        g = g + F.shiftleft(F.shiftright(y, k).bitwiseAND(lit(1)), 2 * k + 1)
+    alphabet = F.array(*[lit(ch) for ch in GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(g, 5 * (precision - 1 - c)).bitwiseAND(lit(31)) + 1).cast(
+                "int"
+            ),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_oracle_parts(
+    lon_expr: str, lat_expr: str, precision: int = 7
+) -> dict[str, str]:
+    """DuckDB SQL fragments computing the identical geohash — generated
+    from the same bit layout so the oracle can't drift from the kernel.
+    Returns ``x``/``y`` (cell indices from lon/lat), ``g`` (interleave of
+    columns literally named x and y), and ``gh`` (base32 chars of a
+    column literally named g) — meant to be stacked through CTEs so the
+    big interleave expression appears once, not once per character."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    x = (
+        f"LEAST(CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << lon_bits)}) "
+        f"AS BIGINT), {(1 << lon_bits) - 1})"
+    )
+    y = (
+        f"LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << lat_bits)}) "
+        f"AS BIGINT), {(1 << lat_bits) - 1})"
+    )
+    terms = [f"(((x >> {j}) & 1) << {2 * j})" for j in range(lon_bits)]
+    terms += [f"(((y >> {k}) & 1) << {2 * k + 1})" for k in range(lat_bits)]
+    g = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH32}', CAST(((g >> {5 * (precision - 1 - c)}) & 31) "
+        f"AS INTEGER) + 1, 1)"
+        for c in range(precision)
+    ]
+    return {"x": x, "y": y, "g": g, "gh": "(" + " || ".join(chars) + ")"}

@@ -592,3 +592,57 @@ def llm_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w6").cast("double") / 1_000_000).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash spatial bucketing
+# ---------------------------------------------------------------------------
+
+
+def _geohash_oracle() -> str:
+    from osmdatapy_spark.operators.measures import geohash_oracle_parts
+
+    p = geohash_oracle_parts("lon", "lat", 6)
+    return f"""
+    WITH {NODES_CTE.strip()},
+    xy AS (
+      SELECT osmid, {p["x"]} AS x, {p["y"]} AS y FROM nodes
+    ),
+    gi AS (
+      SELECT osmid, {p["g"]} AS g FROM xy
+    ),
+    h AS (
+      SELECT osmid, {p["gh"]} AS gh FROM gi
+    )
+    SELECT gh, substr(gh, 1, 3) AS gh3,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(osmid) AS min_osmid
+    FROM h GROUP BY gh
+    """
+
+
+@register(
+    "osm_geohash_encode",
+    oracle=_geohash_oracle(),
+    doc="Geohash-6 bucketing + per-cell rollup (operators/measures.py:"
+    "geohash): the third spatial partition key next to slippy/quadkey "
+    "tiles and hex cells, in the base32 format ElasticSearch/Redis/"
+    "GeoMesa interchange expects; the 3-char prefix column shows the "
+    "prefix-closure property (coarse cells are substrings — partition "
+    "pruning at any precision is a LIKE 'abc%' range scan).  The encoder "
+    "is pure integer bit algebra after one exactly-rounded float op per "
+    "axis — no rounding guard, whole-stage codegen throughout, and the "
+    "DuckDB oracle expression is GENERATED from the same bit layout so "
+    "kernel and oracle cannot drift.  One partial-aggregated shuffle on "
+    "the cell key.",
+)
+def osm_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import geohash
+
+    nodes = derived_nodes(spark, sf_dir)
+    return (
+        nodes.select("osmid", geohash(col("lon"), col("lat"), 6).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("n_nodes"), F.min("osmid").alias("min_osmid"))
+        .select("gh", F.substring("gh", 1, 3).alias("gh3"), "n_nodes", "min_osmid")
+    )

@@ -245,3 +245,63 @@ def test_hex_cell_partitions_the_plane(spark):
     hq, hr = hex_cell(F.col("lon"), F.col("lat"), s)
     got = {(r.hq, r.hr) for r in df.select(hq.alias("hq"), hr.alias("hr")).collect()}
     assert got == {(3, 2)}, got
+
+
+def _ref_geohash(lon: float, lat: float, precision: int) -> str:
+    """Textbook interval-halving geohash (Niemeyer's algorithm) — an
+    INDEPENDENT derivation: the kernel + generated oracle share a bit
+    layout, so only a from-first-principles reference catches a layout
+    bug in both at once."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out, bit, ch, even = [], 0, 0, True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch = ch << 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch = ch << 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(alphabet[ch])
+            bit, ch = 0, 0
+    return "".join(out)
+
+
+def test_geohash_matches_textbook_algorithm(spark):
+    from osmdatapy_spark.operators.measures import geohash
+
+    pts = [
+        (-5.6, 42.6),        # ezs42 territory (classic example point)
+        (13.361389, 38.115556),
+        (-179.9, -89.9),
+        (179.9, 89.9),
+        (0.0, 0.0),
+        (2.3488, 48.8534),
+        (-122.419, 37.775),
+    ]
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], "lon double, lat double")
+    for prec in (5, 7):
+        got = df.select(
+            "lon", "lat", geohash(F.col("lon"), F.col("lat"), prec).alias("gh")
+        ).collect()
+        for r in got:
+            assert r.gh == _ref_geohash(r.lon, r.lat, prec), (r.lon, r.lat, r.gh, prec)
+    # the classic documented value
+    row = spark.createDataFrame([(-5.6, 42.6)], "lon double, lat double").select(
+        geohash(F.col("lon"), F.col("lat"), 5).alias("gh")
+    ).collect()[0]
+    assert row.gh == "ezs42"
