@@ -1660,10 +1660,14 @@ def llm_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.dedup import jaccard_similarity
 
-    shingled = _shingled(spark, sf_dir)
+    # shingled feeds the signature pipeline AND the set-gather; sets feeds
+    # both sides of the pair join — lazy localCheckpoint materializes each
+    # once instead of re-running the tokenize+shingle pass per branch
+    shingled = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
     pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
     sets = shingled.groupBy("doc_id").agg(F.collect_set("s").alias("gs"))
+    sets = sets.localCheckpoint(eager=False)
     sa = sets.select(col("doc_id").alias("id_a"), col("gs").alias("ga"))
     sb = sets.select(col("doc_id").alias("id_b"), col("gs").alias("gb"))
     j = jaccard_similarity(col("ga"), col("gb"))
