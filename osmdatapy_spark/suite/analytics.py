@@ -646,3 +646,174 @@ def osm_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"), F.min("osmid").alias("min_osmid"))
         .select("gh", F.substring("gh", 1, 3).alias("gh3"), "n_nodes", "min_osmid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_US = 7 * 24 * 3_600 * 1_000_000  # 7-day attribution window
+
+
+@register(
+    "rel_attribution_position",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, epoch_us(ts) AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type AS channel, epoch_us(ts) AS tts
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT pid, channel, tid,
+             row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS pos,
+             count(*) OVER (PARTITION BY pid) AS n
+      FROM p JOIN t USING (user_id)
+      WHERE tts <= pts AND tts > pts - {_LOOKBACK_US}
+    ),
+    w AS (
+      SELECT pid, channel,
+             CAST(CASE WHEN n = 1 THEN 1000000
+                  WHEN pos = 1 OR pos = n THEN CASE WHEN n = 2 THEN 500000 ELSE 400000 END
+                  ELSE 200000 // (n - 2) END AS BIGINT) AS wt
+      FROM j
+    )
+    SELECT channel,
+           CAST(SUM(wt) AS BIGINT) AS credit_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(wt) AS DOUBLE) / 1000000 AS credit
+    FROM w GROUP BY channel
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution: every "
+    "purchase distributes one unit of conversion credit over the user's "
+    "view/click touches in the prior 7 days — 40% to the first touch, "
+    "40% to the last, the middle 20% split across interior touches — "
+    "then credit rolls up per channel.  The touch gather is an equi-join "
+    "on user_id with a time-range residual (ONE shuffle keyed by user; "
+    "never a cross join), position/count come from one window over the "
+    "per-purchase touch list, and weights are exact integer micro-units "
+    "(1e6 per conversion, integer division for interior splits) so the "
+    "whole ledger is BIGINT arithmetic — order-free, auditable, "
+    "bit-identical at any parallelism.  The only floats are the final "
+    "display division.",
+)
+def rel_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    us = F.unix_micros(col("ts").cast("timestamp"))
+    p = ev.filter(col("event_type") == "purchase").select(
+        col("event_id").alias("pid"), "user_id", us.alias("pts")
+    )
+    t = ev.filter(col("event_type").isin("view", "click")).select(
+        "user_id", col("event_id").alias("tid"), col("event_type").alias("channel"),
+        us.alias("tts"),
+    )
+    j = (
+        p.join(t, "user_id")
+        .filter((col("tts") <= col("pts")) & (col("tts") > col("pts") - _LOOKBACK_US))
+    )
+    w = Window.partitionBy("pid").orderBy("tts", "tid")
+    pos_n = j.select(
+        "pid",
+        "channel",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.count("*").over(Window.partitionBy("pid")).alias("n"),
+    )
+    wt = (
+        F.when(col("n") == 1, lit(1_000_000))
+        .when(
+            (col("pos") == 1) | (col("pos") == col("n")),
+            F.when(col("n") == 2, lit(500_000)).otherwise(lit(400_000)),
+        )
+        .otherwise(F.expr("200000 div (n - 2)"))
+    ).cast("long")
+    return (
+        pos_n.select("channel", wt.alias("wt"))
+        .groupBy("channel")
+        .agg(
+            F.sum("wt").alias("credit_micro"),
+            F.count("*").alias("n_touches"),
+            (F.sum("wt").cast("double") / 1_000_000).alias("credit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-key skew profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT k, cnt, row_number() OVER (ORDER BY cnt, k) AS i FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 6) AS p50,
+           round(quantile_cont(cnt, 0.9), 6) AS p90,
+           round(quantile_cont(cnt, 0.99), 6) AS p99,
+           round(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 6) AS skew_ratio,
+           round(2.0 * CAST(SUM(i * cnt) AS DOUBLE)
+                   / (COUNT(*) * CAST(SUM(cnt) AS DOUBLE))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+    doc="Shuffle-key skew profile — the measure-before-you-shuffle report "
+    "a scale engineer reads before picking a partition key: per-key row "
+    "counts (one partial-aggregated exchange), then key-count quantiles, "
+    "the max/mean hot-key ratio (how much slower the hottest reducer "
+    "runs than the average), and the Gini coefficient of the key "
+    "distribution via the exact rank formula G = 2*Sum(i*c_i)/(n*Sum(c)) "
+    "- (n+1)/n over counts ranked ascending (total order: count, key).  "
+    "The rank is computed WITHOUT a global sort: row_number within each "
+    "count value (balanced partitions) shifted by the exclusive prefix "
+    "of per-count group sizes — a one-row-per-distinct-count ledger, "
+    "broadcast back; the oracle uses the textbook single-sort form.  "
+    "Sum(i*c_i) is exact BIGINT so the Gini is one guarded double "
+    "expression at the end.  skew_ratio > ~5 is the usual 'salt this "
+    "key' trigger.",
+)
+def rel_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = o.groupBy(col("o_custkey").alias("k")).agg(F.count("*").alias("cnt"))
+    # distributed rank by (cnt, k) WITHOUT a global sort: rank within each
+    # cnt value (balanced partitions), shift by the exclusive prefix of
+    # per-cnt group sizes (a tiny ledger — one row per distinct count)
+    w_in = Window.partitionBy("cnt").orderBy("k")
+    w_prefix = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    sizes = (
+        c.groupBy("cnt")
+        .agg(F.count("*").alias("sz"))
+        .withColumn("offset", F.coalesce(F.sum("sz").over(w_prefix), lit(0)))
+        .select("cnt", "offset")
+    )
+    r = (
+        c.withColumn("rn", F.row_number().over(w_in).cast("long"))
+        .join(broadcast(sizes), "cnt")
+        .select("k", "cnt", (col("offset") + col("rn")).alias("i"))
+    )
+    n = F.count("*")
+    tot = F.sum("cnt")
+    return r.agg(
+        n.alias("n_keys"),
+        tot.alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+        F.round(F.max("cnt").cast("double") * n / tot, 6).alias("skew_ratio"),
+        F.round(
+            2.0 * F.sum(col("i") * col("cnt")).cast("double")
+            / (n * tot.cast("double"))
+            - (n + 1).cast("double") / n,
+            6,
+        ).alias("gini"),
+    )
