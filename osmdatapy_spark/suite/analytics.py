@@ -817,3 +817,94 @@ def rel_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift / change-point detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_TARGET = 300  # target mean + allowance (slack) in value units
+_CUSUM_H = 1000      # alarm threshold
+
+
+@register(
+    "rel_cusum_drift",
+    oracle=f"""
+    WITH seq AS (
+      -- cum capped at DECIMAL(28,4): a 38,4 - 38,4 subtraction would
+      -- exceed DuckDB's precision cap and silently promote to DOUBLE
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(19,4)) - {_CUSUM_TARGET}) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS cum
+      FROM events
+    ),
+    mins AS (
+      SELECT user_id, event_id, cum,
+             MIN(cum) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS mn
+      FROM seq
+    ),
+    -- CASE, not LEAST: DuckDB's LEAST over decimals returns DOUBLE
+    s AS (
+      SELECT user_id, event_id,
+             cum - (CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(28,4)) END) AS sc
+      FROM mins
+    )
+    SELECT user_id,
+           CAST(MAX(sc) AS DOUBLE) AS max_cusum,
+           CAST(COUNT(*) FILTER (sc > {_CUSUM_H}) AS BIGINT) AS n_alarms,
+           CAST(COALESCE(MIN(event_id) FILTER (sc > {_CUSUM_H}), -1) AS BIGINT)
+             AS first_alarm_event_id
+    FROM s GROUP BY user_id
+    """,
+    doc="One-sided CUSUM drift detection per user (Page 1954 — THE "
+    "classic change-point statistic: s_i = max(0, s_(i-1) + x_i - "
+    "target) alarms when a stream's mean shifts up): the textbook "
+    "recurrence is sequential and unparallelizable, but it LINEARIZES "
+    "via the prefix identity s_i = cum_i - min(0, min_(j<=i) cum_j) "
+    "where cum is the running sum of (x - target) — so the whole "
+    "detector is two stacked ordered windows (prefix sum, prefix min) "
+    "plus a roll-up, and ONE user_id exchange serves all three (same "
+    "key; Spark reuses the sort).  All state is exact DECIMAL(38,4): "
+    "no float drift, no rounding guard, alarms bit-identical on any "
+    "engine or cluster size.  Emits per user the peak statistic, alarm "
+    "count, and first alarming event (-1 when none: the report is\n    "
+    "NULL-free so downstream sorts/hashes are engine-independent).",
+)
+def rel_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value", 19, 4) - _CUSUM_TARGET)
+        .over(w)
+        .cast("decimal(28,4)")
+        .alias("cum"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = seq.select(
+        "user_id",
+        "event_id",
+        (
+            col("cum")
+            - F.least(lit(0).cast("decimal(28,4)"), F.min("cum").over(w2))
+        ).alias("sc"),
+    )
+    alarm = col("sc") > _CUSUM_H
+    return s.groupBy("user_id").agg(
+        F.max("sc").cast("double").alias("max_cusum"),
+        F.count(F.when(alarm, True)).alias("n_alarms"),
+        F.coalesce(F.min(F.when(alarm, col("event_id"))), lit(-1)).cast("long").alias(
+            "first_alarm_event_id"
+        ),
+    )
