@@ -272,3 +272,66 @@ def scd2_intervals(changes_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift detector (scaled-integer state — exact)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id long, max_cusum double, n_alarms long, first_alarm_event_id long"
+)
+CUSUM_STATE_SCHEMA = "s10k long, max10k long, n_alarms long, first_alarm long"
+
+_CUSUM_TARGET_10K = 300 * 10_000
+_CUSUM_H_10K = 1000 * 10_000
+
+
+def _cusum_user(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    s, mx, n_alarms, first = state.get if state.exists else (0, 0, 0, -1)
+    for pdf in pdfs:
+        # deterministic intra-batch fold order (event-time == event_id order
+        # in this corpus; a production feed sorts on the event-time column)
+        for eid, v in pdf.sort_values("event_id")[["event_id", "value"]].itertuples(
+            index=False
+        ):
+            # 4-dp values scaled to exact integers: the fold is pure BIGINT
+            # arithmetic, so the stream state equals the batch DECIMAL
+            # result BIT-FOR-BIT, not just to float tolerance
+            s = max(0, s + round(float(v) * 10_000) - _CUSUM_TARGET_10K)
+            mx = max(mx, s)
+            if s > _CUSUM_H_10K:
+                n_alarms += 1
+                if first < 0:
+                    first = int(eid)
+    state.update((s, mx, n_alarms, first))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "max_cusum": [mx / 10_000],
+            "n_alarms": [n_alarms],
+            "first_alarm_event_id": [first],
+        }
+    )
+
+
+def running_user_cusum(events_stream):
+    """Streaming face of ``rel_cusum_drift``: Page's recurrence s_i =
+    max(0, s + x - target) applied DIRECTLY — in a stream the sequential
+    dependency costs nothing (events arrive in order), so the state is
+    four scalars per user while the batch face pays a prefix-min window
+    to parallelize the same recurrence.  Values are scaled to exact
+    integer ten-thousandths, making stream-vs-batch agreement exact
+    (pinned by test_cusum_stream_matches_batch), not tolerance-based.
+    Update-mode emission; state bounded by the user population."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _cusum_user,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

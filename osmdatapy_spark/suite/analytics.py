@@ -908,3 +908,85 @@ def rel_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_alarm_event_id"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis (two-proportion z-test)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+        CAST(SUM(conv) FILTER (variant = 0) AS BIGINT) AS conv_a,
+        CAST(COUNT(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+        CAST(SUM(conv) FILTER (variant = 1) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+                      THEN 0.0
+                      ELSE (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_score
+    FROM agg
+    """,
+    doc="A/B experiment readout (two-proportion pooled z-test, the "
+    "product-analytics decision primitive): users split by a "
+    "deterministic hash-style assignment (user_id parity here), "
+    "conversion = any high-value purchase (value > 150), then "
+    "per-variant counts fold into "
+    "the pooled z-statistic.  Shape: ONE partial-aggregated user_id "
+    "exchange for the per-user conversion election, then a single-row "
+    "global conditional aggregate — both variants come out of the SAME "
+    "pass (no per-variant scans, no join).  All inputs to the z formula "
+    "are exact BIGINTs; the one float expression (divisions + an "
+    "exactly-rounded sqrt) computes identically cross-engine under a "
+    "round-6 guard; all-convert / none-convert degenerate splits emit "
+    "z=0 instead of dividing by a zero pooled variance.",
+)
+def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((col("event_type") == "purchase") & (col("value") > 150), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    u = u.withColumn("variant", (col("user_id") % 2).cast("long"))
+    agg = u.agg(
+        F.count(F.when(col("variant") == 0, True)).alias("n_a"),
+        F.sum(F.when(col("variant") == 0, col("conv"))).alias("conv_a"),
+        F.count(F.when(col("variant") == 1, True)).alias("n_b"),
+        F.sum(F.when(col("variant") == 1, col("conv"))).alias("conv_b"),
+    )
+    rate_a = col("conv_a").cast("double") / col("n_a")
+    rate_b = col("conv_b").cast("double") / col("n_b")
+    pooled = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    degenerate = (col("conv_a") + col("conv_b") == 0) | (
+        col("conv_a") + col("conv_b") == col("n_a") + col("n_b")
+    )
+    z = F.when(degenerate, lit(0.0)).otherwise(
+        (rate_b - rate_a)
+        / F.sqrt(pooled * (1 - pooled) * (1.0 / col("n_a") + 1.0 / col("n_b")))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -407,3 +407,36 @@ def test_scd2_stream_matches_batch(spark, tmp_path):
         if k not in got or not v[2]:  # closed row supersedes open
             got[k] = v
     assert got == batch
+
+
+def test_cusum_stream_matches_batch(spark, tmp_path):
+    """Streaming CUSUM (direct recurrence, scaled-integer state) must
+    reproduce the batch prefix-min linearization (rel_cusum_drift)
+    EXACTLY — integer state vs DECIMAL windows, zero tolerance."""
+    from osmdatapy_spark.streaming.stateful import running_user_cusum
+    from osmdatapy_spark.suite.analytics import rel_cusum_drift
+
+    batch = {
+        r["user_id"]: (r["max_cusum"], r["n_alarms"], r["first_alarm_event_id"])
+        for r in rel_cusum_drift(spark, SF_DIR).collect()
+    }
+
+    events = load_table(spark, SF_DIR, "events")
+    staged = str(tmp_path / "ev_cusum")
+    events.write.parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    q = (
+        running_user_cusum(stream)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        r["user_id"]: (r["max_cusum"], r["n_alarms"], r["first_alarm_event_id"])
+        for r in spark.sql("select * from t_cusum").collect()
+    }
+    assert got == batch
