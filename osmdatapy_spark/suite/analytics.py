@@ -990,3 +990,58 @@ def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    SELECT digit, n_obs,
+           round(n * log10(1.0 + 1.0 / digit), 4) AS exp_n,
+           round((n_obs - n * log10(1.0 + 1.0 / digit))
+                 * (n_obs - n * log10(1.0 + 1.0 / digit))
+                 / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit audit (the forensic-accounting / "
+    "data-quality screen for fabricated or truncated numeric columns): "
+    "leading digit of each order total, observed counts vs the Benford "
+    "expectation n*log10(1+1/d), and each digit's chi-square "
+    "contribution.  The digit is extracted from the DECIMAL string form "
+    "— NOT floor(x/10^floor(log10 x)), whose float log wobbles exactly "
+    "at the power-of-ten digit boundaries the test cares about — so "
+    "digit assignment is engine-exact.  ONE partial-aggregated exchange "
+    "to 9 rows; the total rides a broadcast cross join; log10 appears "
+    "only in the 9-row expectation under round guards.",
+)
+def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(dec("o_totalprice", 18, 4).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("n"))
+    exp_n = col("n") * F.log10(1.0 + 1.0 / col("digit"))
+    return c.crossJoin(broadcast(t)).select(
+        "digit",
+        "n_obs",
+        F.round(exp_n, 4).alias("exp_n"),
+        F.round((col("n_obs") - exp_n) * (col("n_obs") - exp_n) / exp_n, 6).alias(
+            "chi2_term"
+        ),
+    )
