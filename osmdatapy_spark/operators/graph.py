@@ -59,3 +59,57 @@ def bfs_hops(
         if frontier.limit(1).count() == 0:
             break
     return dist
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "node_id",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic — the third
+    iterative-loop operator next to ``connected_components`` and
+    ``bfs_hops``, and the one where float nondeterminism usually bites:
+    a parallel double sum of incoming contributions differs run-to-run,
+    so naive distributed PageRank is not reproducible.  Here ranks live
+    in integer pico-units (``scale`` = 1e12 per unit of probability
+    mass) and every step is BIGINT: contribution = r div out_degree,
+    update = (1-d)*scale + (d * Σ contrib) div 100 — bit-identical on
+    any engine, partitioning, or rerun (the dangling-node mass is
+    dropped, the common simplification).
+
+    Per iteration: one shuffle join of ranks onto the edge list keyed by
+    source + one partial-aggregated sum keyed by destination —
+    GraphX/Pregel's exact data movement — with ``localCheckpoint``
+    truncating lineage so iteration N's plan does not replay iterations
+    1..N-1.  The edge list (with out-degrees attached) materializes ONCE
+    and is reused every round.
+    """
+    base = (100 - damping_pct) * scale // 100
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    e = edges.join(deg, src).localCheckpoint()
+    ranks = nodes.select(
+        col(id_col), lit(scale).cast("long").alias("r")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, ranks[id_col] == e[src])
+            .select(col(dst).alias(id_col), F.expr("r div deg").alias("c"))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib, id_col, "left")
+            .select(
+                col(id_col),
+                F.expr(
+                    f"CAST({base} + ({damping_pct} * coalesce(cs, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1045,3 +1045,82 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer-exact, fixed iterations)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_SCALE = 1_000_000_000_000
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled per-iteration CTE chain (no recursive aggregate — SQL bars
+    aggregation over the recursive reference), generated from the same
+    integer update rule as operators/graph.py:pagerank_integer."""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(
+            f"""
+    c{i + 1} AS (
+      SELECT e.dst AS node_id, CAST(SUM(p.r // e.deg) AS BIGINT) AS cs
+      FROM pr{i} p JOIN e ON e.src = p.node_id GROUP BY e.dst
+    ),
+    pr{i + 1} AS (
+      SELECT n.node_id,
+             CAST({_PR_BASE} + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+      FROM allnodes n LEFT JOIN c{i + 1} c USING (node_id)
+    )"""
+        )
+    return f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+    ),
+    sym AS (SELECT src, dst FROM hop UNION ALL SELECT dst, src FROM hop),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    e AS (SELECT sym.src, sym.dst, deg.deg FROM sym JOIN deg USING (src)),
+    allnodes AS (SELECT osmid AS node_id FROM nodes),
+    pr0 AS (SELECT node_id, CAST({_PR_SCALE} AS BIGINT) AS r FROM allnodes),
+    {",".join(steps)}
+    SELECT node_id, r AS rank_pico,
+           CAST(r AS DOUBLE) / {_PR_SCALE} AS rank
+    FROM pr{_PR_ITERS}
+    """
+
+
+@register(
+    "osm_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the way-adjacency graph (5 damped iterations, "
+    "d=0.85) in EXACT integer pico-units — junction centrality, the "
+    "osmnx/networkx analysis distributed, and the iterative-loop "
+    "operator where float PageRank loses reproducibility (parallel "
+    "double sums of in-contributions differ run to run; BIGINT sums "
+    "don't).  Each iteration is GraphX/Pregel's data movement verbatim: "
+    "ranks shuffle-join onto the out-degree-annotated edge list (built "
+    "ONCE), contributions partial-aggregate per destination, dangling "
+    "mass drops.  localCheckpoint truncates lineage per round so "
+    "iteration N never replays 1..N-1.  The oracle unrolls the same "
+    "update as 5 generated CTE pairs — bit-for-bit, not tolerance-based.",
+)
+def osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.graph import pagerank_integer
+
+    refs = derived_way_refs(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull())
+    )
+    edges = hop.union(hop.select(col("dst").alias("src"), col("src").alias("dst")))
+    nodes = derived_nodes(spark, sf_dir).select(col("osmid").alias("node_id"))
+    pr = pagerank_integer(edges, nodes, iters=_PR_ITERS, scale=_PR_SCALE)
+    return pr.select(
+        "node_id",
+        col("r").alias("rank_pico"),
+        (col("r").cast("double") / _PR_SCALE).alias("rank"),
+    )
