@@ -79,6 +79,7 @@ def plan_summary(df: DataFrame) -> PlanSummary:
 def assert_plan(
     df: DataFrame,
     max_exchanges: int | None = None,
+    min_broadcasts: int | None = None,
     require_pushed_filter: str | None = None,
     require_pruned_columns: list[str] | None = None,
     forbid_python: bool = False,
@@ -90,6 +91,10 @@ def assert_plan(
     if max_exchanges is not None and s.n_exchanges > max_exchanges:
         raise AssertionError(
             f"plan has {s.n_exchanges} shuffles (max {max_exchanges}):\n{s.text}"
+        )
+    if min_broadcasts is not None and s.n_broadcasts < min_broadcasts:
+        raise AssertionError(
+            f"plan has {s.n_broadcasts} broadcasts (min {min_broadcasts}):\n{s.text}"
         )
     if require_pushed_filter is not None and not any(
         require_pushed_filter in f for f in s.pushed_filters

@@ -292,3 +292,48 @@ def test_session3c_operator_plan_shapes(spark):
     # integrity report: the per-way checks share ONE persisted pass
     s = plan_summary(q(spark, "osm_integrity_report"))
     assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
+
+
+def test_cusum_single_user_exchange(spark):
+    # prefix-sum + prefix-min windows + rollup all share the ONE user_id
+    # shuffle — the linearization must not pay a second exchange
+    assert_plan(q(spark, "rel_cusum_drift"), max_exchanges=1, forbid_python=True)
+
+
+def test_interval_overlap_shape(spark):
+    # wide point set shuffles once on (type, bucket); the remaining
+    # exchanges carry only the per-bucket ledger (tiny) — and the ledger
+    # must come back as a BROADCAST join, never a wide shuffle join
+    assert_plan(
+        q(spark, "rel_interval_overlap"),
+        max_exchanges=4,
+        min_broadcasts=1,
+        forbid_python=True,
+    )
+
+
+def test_way_interpolate_single_exchange(spark):
+    # lead window, prefix sum, partition max, and crossing pick all reuse
+    # the way_id sort; nodes attach by broadcast
+    assert_plan(
+        q(spark, "osm_way_interpolate"),
+        max_exchanges=1,
+        min_broadcasts=1,
+        forbid_python=True,
+    )
+
+
+def test_geohash_zero_shuffle_before_agg(spark):
+    # pure bit algebra + one partial-aggregated exchange on the cell key
+    assert_plan(q(spark, "osm_geohash_encode"), max_exchanges=1, forbid_python=True)
+
+
+def test_dsir_corpus_never_shuffles_for_scoring(spark):
+    # the 256-row weight table broadcasts; wide exchanges are the bucket
+    # count agg and the per-doc sum only
+    assert_plan(
+        q(spark, "llm_dsir_weight"),
+        max_exchanges=4,
+        min_broadcasts=2,
+        forbid_python=True,
+    )
