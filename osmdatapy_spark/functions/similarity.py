@@ -222,6 +222,7 @@ def ivf_topk(
     n_probe: int = 2,
     iters: int = 1,
     decimals: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k with a k-means IVF coarse quantizer: each probe scores
     candidates only in its ``n_probe`` nearest cells — same cell-join and
@@ -231,8 +232,15 @@ def ivf_topk(
     Scale shape: the corpus is scanned once, learns its cell via a
     literal-centroid projection, and shuffles once by cell; probes (with
     their ``n_probe`` cell keys exploded) broadcast.  Raising ``n_probe``
-    trades work for recall, the standard IVF dial."""
-    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    trades work for recall, the standard IVF dial.
+
+    Pass ``centroids`` (from ``kmeans_centroids``, usually via
+    ``artifacts.train_once``) to SERVE against a pre-trained quantizer —
+    the production split: training runs once, every query after is pure
+    scan + one cell shuffle.  Training here is deterministic, so the
+    result is identical either way."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     c = corpus.select(
         col(id_col).alias("nbr_id"),
         as_double(col(vec_col)).alias("cvec"),
@@ -495,6 +503,7 @@ def pq_topk(
     rerank: int = 10,
     iters: int = 1,
     decimals: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-stage PQ retrieval: (1) scan the COMPRESSED codes with
     asymmetric distance — each probe precomputes its ``m_sub × k_cells``
@@ -510,8 +519,13 @@ def pq_topk(
     ``rerank × probes`` rows, not the corpus.  Probes (and their distance
     tables) broadcast; the corpus never shuffles in stage 1; stage 2 is a
     semi-join-sized shuffle on candidate ids.
+
+    Pass ``codebooks`` (from ``pq_codebooks``, usually via
+    ``artifacts.train_once``) to serve against pre-trained quantizers —
+    training is deterministic, so the result is identical either way.
     """
-    codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
     v = as_double(col(vec_col))
     c = corpus.select(
         col(id_col).alias("nbr_id"), pq_codes(v, codebooks, dim).alias("codes")
@@ -584,6 +598,7 @@ def semantic_dedup_pairs(
     min_cos: float = 0.4,
     max_bucket: int = 64,
     decimals: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus with k-means, then
     look for near-duplicate pairs ONLY within each cluster — the cluster
@@ -601,7 +616,8 @@ def semantic_dedup_pairs(
     """
     from osmdatapy_spark.functions.dedup import _bucket_pairs
 
-    centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     v = as_double(col(vec_col))
     assigned = corpus.select(
         col(id_col).alias("_id"), v.alias("v"), nearest_cell(v, centroids).alias("cell")

@@ -70,6 +70,7 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     id_col: str = "node_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic — the third
     iterative-loop operator next to ``connected_components`` and
@@ -78,9 +79,14 @@ def pagerank_integer(
     so naive distributed PageRank is not reproducible.  Here ranks live
     in integer pico-units (``scale`` = 1e12 per unit of probability
     mass) and every step is BIGINT: contribution = r div out_degree,
-    update = (1-d)*scale + (d * Σ contrib) div 100 — bit-identical on
-    any engine, partitioning, or rerun (the dangling-node mass is
-    dropped, the common simplification).
+    update = (1-d)*scale + (cs div 100)*d_pct + ((cs % 100)*d_pct) div
+    100 — algebraically identical to (d_pct*cs) div 100 for cs ≥ 0 but
+    division-first, so the multiplication can NEVER overflow BIGINT (the
+    naive d_pct*cs form wraps silently once a hub's summed
+    in-contribution exceeds ~2^63/d_pct ≈ 1.08e17 pico-units, e.g. a
+    ~100k-in-degree node at the default scale).  Bit-identical on any
+    engine, partitioning, or rerun (the dangling-node mass is dropped,
+    the common simplification).
 
     Per iteration: one shuffle join of ranks onto the edge list keyed by
     source + one partial-aggregated sum keyed by destination —
@@ -90,11 +96,13 @@ def pagerank_integer(
     and is reused every round.
     """
     base = (100 - damping_pct) * scale // 100
+    # checkpoint=False exists ONLY for plan-shape audits (test_plans.py
+    # pins the per-iteration data movement): localCheckpoint is eager and
+    # replaces lineage with an RDD scan, hiding the joins it executes
+    ckpt = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
-    e = edges.join(deg, src).localCheckpoint()
-    ranks = nodes.select(
-        col(id_col), lit(scale).cast("long").alias("r")
-    ).localCheckpoint()
+    e = ckpt(edges.join(deg, src))
+    ranks = ckpt(nodes.select(col(id_col), lit(scale).cast("long").alias("r")))
     for _ in range(iters):
         contrib = (
             ranks.join(e, ranks[id_col] == e[src])
@@ -107,9 +115,11 @@ def pagerank_integer(
             .select(
                 col(id_col),
                 F.expr(
-                    f"CAST({base} + ({damping_pct} * coalesce(cs, 0)) div 100 AS BIGINT)"
+                    f"CAST({base} + (coalesce(cs, 0) div 100) * {damping_pct}"
+                    f" + ((coalesce(cs, 0) % 100) * {damping_pct}) div 100"
+                    " AS BIGINT)"
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
+        ranks = ckpt(ranks)
     return ranks

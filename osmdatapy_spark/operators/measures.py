@@ -378,9 +378,15 @@ def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
     Pure integer bit algebra after ONE float op each for lon/lat
     (exactly-rounded +,/,* then floor — bit-identical cross-engine, no
     rounding guard needed, unlike the tan/ln mercator fraction): cell
-    indices x (ceil(5p/2) bits) and y (floor(5p/2) bits) interleave as
-    x_j -> bit 2j, y_k -> bit 2k+1, and each 5-bit group maps through
-    the geohash alphabet.  Stays entirely inside whole-stage codegen.
+    indices x (ceil(5p/2) bits) and y (floor(5p/2) bits) interleave
+    FROM THE MSB — the standard layout starts with a longitude bit at
+    the most-significant position and alternates lon/lat downward, so
+    lon bit j-from-MSB lands at g bit (bits-1-2j) and lat bit k-from-MSB
+    at (bits-2-2k).  (An LSB-anchored interleave coincides with this
+    only for odd total bit counts, i.e. odd precisions — even precisions
+    would silently swap the lon/lat roles and emit nonstandard hashes.)
+    Each 5-bit group then maps through the geohash alphabet.  Stays
+    entirely inside whole-stage codegen.
     """
     bits = 5 * precision
     lon_bits = (bits + 1) // 2
@@ -395,9 +401,13 @@ def geohash(lon: Column, lat: Column, precision: int = 7) -> Column:
     ).cast("long")
     g = lit(0).cast("long")
     for j in range(lon_bits):
-        g = g + F.shiftleft(F.shiftright(x, j).bitwiseAND(lit(1)), 2 * j)
+        g = g + F.shiftleft(
+            F.shiftright(x, lon_bits - 1 - j).bitwiseAND(lit(1)), bits - 1 - 2 * j
+        )
     for k in range(lat_bits):
-        g = g + F.shiftleft(F.shiftright(y, k).bitwiseAND(lit(1)), 2 * k + 1)
+        g = g + F.shiftleft(
+            F.shiftright(y, lat_bits - 1 - k).bitwiseAND(lit(1)), bits - 2 - 2 * k
+        )
     alphabet = F.array(*[lit(ch) for ch in GEOHASH32])
     chars = [
         F.element_at(
@@ -431,8 +441,14 @@ def geohash_oracle_parts(
         f"LEAST(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << lat_bits)}) "
         f"AS BIGINT), {(1 << lat_bits) - 1})"
     )
-    terms = [f"(((x >> {j}) & 1) << {2 * j})" for j in range(lon_bits)]
-    terms += [f"(((y >> {k}) & 1) << {2 * k + 1})" for k in range(lat_bits)]
+    terms = [
+        f"(((x >> {lon_bits - 1 - j}) & 1) << {bits - 1 - 2 * j})"
+        for j in range(lon_bits)
+    ]
+    terms += [
+        f"(((y >> {lat_bits - 1 - k}) & 1) << {bits - 2 - 2 * k})"
+        for k in range(lat_bits)
+    ]
     g = "(" + " + ".join(terms) + ")"
     chars = [
         f"substr('{GEOHASH32}', CAST(((g >> {5 * (precision - 1 - c)}) & 31) "

@@ -294,11 +294,12 @@ def _cusum_user(
 ) -> Iterable[pd.DataFrame]:
     s, mx, n_alarms, first = state.get if state.exists else (0, 0, 0, -1)
     for pdf in pdfs:
-        # deterministic intra-batch fold order (event-time == event_id order
-        # in this corpus; a production feed sorts on the event-time column)
-        for eid, v in pdf.sort_values("event_id")[["event_id", "value"]].itertuples(
-            index=False
-        ):
+        # fold in (ts, event_id) order — the SAME total order the batch
+        # face's prefix-sum/prefix-min windows use; event_id alone only
+        # coincides when ids happen to be assigned in timestamp order
+        for eid, v in pdf.sort_values(["ts", "event_id"])[
+            ["event_id", "value"]
+        ].itertuples(index=False):
             # 4-dp values scaled to exact integers: the fold is pure BIGINT
             # arithmetic, so the stream state equals the batch DECIMAL
             # result BIT-FOR-BIT, not just to float tolerance

@@ -833,15 +833,19 @@ _CUSUM_H = 1000      # alarm threshold
     WITH seq AS (
       -- cum capped at DECIMAL(28,4): a 38,4 - 38,4 subtraction would
       -- exceed DuckDB's precision cap and silently promote to DOUBLE
-      SELECT user_id, event_id,
+      SELECT user_id, event_id, ts,
              CAST(SUM(CAST(value AS DECIMAL(19,4)) - {_CUSUM_TARGET}) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS cum
       FROM events
     ),
     mins AS (
+      -- the linearization identity needs ONE total order shared by the
+      -- prefix sum and the prefix min: order by (ts, event_id) exactly
+      -- like seq's window (event_id alone only coincides when ids are
+      -- assigned in timestamp order — an unasserted corpus property)
       SELECT user_id, event_id, cum,
-             MIN(cum) OVER (PARTITION BY user_id ORDER BY event_id
+             MIN(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS mn
       FROM seq
     ),
@@ -882,14 +886,17 @@ def rel_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "user_id",
         "event_id",
+        "ts",
         F.sum(dec("value", 19, 4) - _CUSUM_TARGET)
         .over(w)
         .cast("decimal(28,4)")
         .alias("cum"),
     )
+    # SAME total order as the prefix-sum window: the s_i = cum_i -
+    # min(0, min cum_j) identity only holds under one shared order
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = seq.select(
@@ -1006,15 +1013,24 @@ def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     c AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+      -- Benford applies to leading SIGNIFICANT digits only: values in
+      -- [0,1) yield digit 0 (1/0 in the expectation) and negatives
+      -- yield '-' -> NULL; both are out of the law's domain, so gate
+      -- digit to 1..9 BEFORE any expectation/chi2 arithmetic
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d
+      WHERE digit BETWEEN 1 AND 9 GROUP BY digit
     ),
-    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+    ct AS (
+      -- the corpus total as a window over the 9-row aggregate: ONE scan
+      -- of orders, never a second lineage for the denominator
+      SELECT digit, n_obs, CAST(SUM(n_obs) OVER () AS BIGINT) AS n FROM c
+    )
     SELECT digit, n_obs,
            round(n * log10(1.0 + 1.0 / digit), 4) AS exp_n,
            round((n_obs - n * log10(1.0 + 1.0 / digit))
                  * (n_obs - n * log10(1.0 + 1.0 / digit))
                  / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
-    FROM c, t
+    FROM ct
     """,
     doc="Benford's-law first-digit audit (the forensic-accounting / "
     "data-quality screen for fabricated or truncated numeric columns): "
@@ -1024,8 +1040,10 @@ def rel_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— NOT floor(x/10^floor(log10 x)), whose float log wobbles exactly "
     "at the power-of-ten digit boundaries the test cares about — so "
     "digit assignment is engine-exact.  ONE partial-aggregated exchange "
-    "to 9 rows; the total rides a broadcast cross join; log10 appears "
-    "only in the 9-row expectation under round guards.",
+    "to 9 rows and ONE scan of orders; the denominator is a global "
+    "window over the 9-row aggregate (a second c.agg() lineage would "
+    "re-scan the table); log10 appears only in the 9-row expectation "
+    "under round guards.",
 )
 def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
@@ -1034,10 +1052,21 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    c = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
-    t = c.agg(F.sum("n_obs").alias("n"))
+    # domain gate mirrors the oracle: digit 0 (|x|<1) and NULL (negative
+    # sign char) rows are outside Benford's law and would divide by zero
+    c = (
+        d.filter(col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    # total via a global window over the 9-row aggregate — a crossJoin
+    # against a separate c.agg() lineage would SCAN ORDERS TWICE; the
+    # partition-less window is fine (9 rows, documented exception)
+    ct = c.withColumn(
+        "n", F.sum("n_obs").over(Window.partitionBy()).cast("long")
+    )
     exp_n = col("n") * F.log10(1.0 + 1.0 / col("digit"))
-    return c.crossJoin(broadcast(t)).select(
+    return ct.select(
         "digit",
         "n_obs",
         F.round(exp_n, 4).alias("exp_n"),
@@ -1070,7 +1099,8 @@ def _pagerank_oracle() -> str:
     ),
     pr{i + 1} AS (
       SELECT n.node_id,
-             CAST({_PR_BASE} + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+             CAST({_PR_BASE} + (COALESCE(c.cs, 0) // 100) * 85
+                  + ((COALESCE(c.cs, 0) % 100) * 85) // 100 AS BIGINT) AS r
       FROM allnodes n LEFT JOIN c{i + 1} c USING (node_id)
     )"""
         )

@@ -1064,7 +1064,10 @@ def rel_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bin,
            COUNT(*) AS n_files,
-           SUM(size_bytes) AS bin_bytes
+           -- DuckDB's SUM(BIGINT) is HUGEINT: uncast it survives the
+           -- row-count/schema checks but breaks the driver's value hash
+           -- (round-2's one red row) — cast back to BIGINT explicitly
+           CAST(SUM(size_bytes) AS BIGINT) AS bin_bytes
     FROM binned GROUP BY bin
     """,
     doc="Small-file compaction planner (the lakehouse maintenance job "
@@ -1082,12 +1085,12 @@ def rel_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dec("o_totalprice", 18, 4) * 10000).cast("bigint").alias("size_bytes"),
     )
     w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    # integer DIV, not floor(float /): keeps the whole query float-free
     binned = files.withColumn(
-        "bin",
-        F.floor(
-            F.coalesce(F.sum("size_bytes").over(w), lit(0)) / lit(10_000_000_000)
-        ).cast("bigint"),
-    )
+        "prefix_bytes", F.coalesce(F.sum("size_bytes").over(w), lit(0).cast("bigint"))
+    ).withColumn(
+        "bin", F.expr("prefix_bytes DIV 10000000000").cast("bigint")
+    ).drop("prefix_bytes")
     return binned.groupBy("bin").agg(
         F.count("*").alias("n_files"), F.sum("size_bytes").alias("bin_bytes")
     )

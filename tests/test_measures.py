@@ -294,14 +294,54 @@ def test_geohash_matches_textbook_algorithm(spark):
         (-122.419, 37.775),
     ]
     df = spark.createDataFrame([(float(a), float(b)) for a, b in pts], "lon double, lat double")
-    for prec in (5, 7):
+    # Even precisions MUST be covered: an LSB-anchored interleave agrees
+    # with the standard layout at odd precisions but swaps lon/lat roles
+    # at even ones (round-2 ADVICE finding).
+    for prec in (4, 5, 6, 7):
         got = df.select(
             "lon", "lat", geohash(F.col("lon"), F.col("lat"), prec).alias("gh")
         ).collect()
         for r in got:
             assert r.gh == _ref_geohash(r.lon, r.lat, prec), (r.lon, r.lat, r.gh, prec)
-    # the classic documented value
+    # the classic documented values
     row = spark.createDataFrame([(-5.6, 42.6)], "lon double, lat double").select(
         geohash(F.col("lon"), F.col("lat"), 5).alias("gh")
     ).collect()[0]
     assert row.gh == "ezs42"
+    # Paris at even precision 6 — the exact case the LSB layout broke
+    # (it yielded 'w0jqxm' instead of the standard 'u09tvm').
+    row = spark.createDataFrame([(2.3488, 48.8534)], "lon double, lat double").select(
+        geohash(F.col("lon"), F.col("lat"), 6).alias("gh")
+    ).collect()[0]
+    assert row.gh == "u09tvm"
+
+
+def test_geohash_oracle_parts_match_kernel(spark):
+    """The generated DuckDB fragments must track the fixed MSB layout —
+    run both engines on the same points at an even AND an odd precision."""
+    import duckdb
+
+    from osmdatapy_spark.operators.measures import geohash, geohash_oracle_parts
+
+    pts = [(-5.6, 42.6), (2.3488, 48.8534), (151.2093, -33.8688), (0.0, 0.0)]
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pts], "lon double, lat double"
+    )
+    for prec in (4, 6, 7):
+        got = [
+            r.gh
+            for r in df.select(
+                geohash(F.col("lon"), F.col("lat"), prec).alias("gh")
+            ).collect()
+        ]
+        p = geohash_oracle_parts("lon", "lat", prec)
+        con = duckdb.connect()
+        rows = con.execute(
+            "WITH pts(lon, lat) AS (VALUES "
+            + ", ".join(f"({a}, {b})" for a, b in pts)
+            + f"), xy AS (SELECT {p['x']} AS x, {p['y']} AS y FROM pts), "
+            f"gg AS (SELECT {p['g']} AS g FROM xy) "
+            f"SELECT {p['gh']} FROM gg"
+        ).fetchall()
+        con.close()
+        assert got == [r[0] for r in rows], (prec, got, rows)

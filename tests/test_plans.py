@@ -328,6 +328,39 @@ def test_geohash_zero_shuffle_before_agg(spark):
     assert_plan(q(spark, "osm_geohash_encode"), max_exchanges=1, forbid_python=True)
 
 
+def test_ab_test_two_exchanges(spark):
+    # per-user conversion election: ONE partial-aggregated user_id
+    # exchange; the global single-row fold adds one single-partition
+    # exchange — nothing else, no join, no Python
+    assert_plan(q(spark, "rel_ab_test"), max_exchanges=2, forbid_python=True)
+
+
+def test_benford_single_scan_two_exchanges(spark):
+    # digit counts: ONE partial-aggregated exchange to ≤9 rows; the
+    # denominator is a global window over those 9 rows (one tiny
+    # single-partition exchange) — and orders is scanned exactly ONCE
+    s = assert_plan(q(spark, "rel_benford_digits"), max_exchanges=2, forbid_python=True)
+    assert s.n_scans == 1, s.text
+
+
+def test_pagerank_iteration_shape(spark):
+    # the per-iteration data movement (GraphX/Pregel verbatim): ranks
+    # join the degree-annotated edge list on src, contributions
+    # partial-aggregate per dst, the update left-joins back onto nodes —
+    # bounded exchanges, zero Python, no cartesian.  checkpoint=False
+    # exposes the real lineage that localCheckpoint would hide.
+    from osmdatapy_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node_id long")
+    pr = pagerank_integer(edges, nodes, iters=1, checkpoint=False)
+    s = assert_plan(pr, forbid_python=True)
+    assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
+    assert s.n_exchanges <= 6, s.text
+
+
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
     # the 256-row weight table broadcasts; wide exchanges are the bucket
     # count agg and the per-doc sum only

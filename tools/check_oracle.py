@@ -22,6 +22,25 @@ from osmdatapy_spark.suite import QUERY_REGISTRY  # noqa: E402
 from osmdatapy_spark.tables import TABLE_NAMES  # noqa: E402
 
 
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the driver-visible hash family.  The
+    driver's value hash renders ints and floats differently, so an
+    integer Spark column vs a float/object oracle column (e.g. DuckDB
+    HUGEINT from an uncast SUM(BIGINT), or DECIMAL) hash-mismatches even
+    when the values are numerically equal — round 2's one red row.  This
+    lint FAILS on kind disagreement instead of letting canon() coerce."""
+    s = str(dtype)
+    if "datetime" in s:
+        return "datetime"
+    if s in ("bool", "boolean"):
+        return "bool"
+    if s.lower().startswith(("int", "uint")):
+        return "int"
+    if s.lower().startswith("float"):
+        return "float"
+    return "object"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -79,6 +98,15 @@ def main() -> int:
             continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            n_fail += 1
+            continue
+        kind_bad = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in a.columns
+            if dtype_kind(sdf[c].dtype) != dtype_kind(odf[c].dtype)
+        ]
+        if kind_bad:
+            print(f"FAIL  {name}: DTYPE KIND mismatch (driver hash would differ): {kind_bad}")
             n_fail += 1
             continue
         if len(a) != len(b):
