@@ -1,0 +1,208 @@
+"""Composable corpus-curation pipeline — the ``Query``-style facade over
+the LLM-data operators (functions/dedup.py, functions/curation.py,
+functions/text.py).
+
+The operators each exist and pass their own oracles; this facade makes
+the north-star scope USABLE as one object: a ``Curate`` wraps a corpus
+DataFrame and chains curation steps lazily (every step is ordinary
+DataFrame algebra — nothing executes until an action), mirroring how the
+reference's ``Query`` composes predicates before ``osm.query`` runs
+(reference osmquery.py:165-209).
+
+Default recipe (``Curate.default_recipe``): normalize → exact dedup →
+fuzzy (n-gram Jaccard) dedup → quality gate → per-domain cap.  Every
+default step is pure Column algebra + the already-pinned dedup shapes,
+so the end-to-end recipe has an exact DuckDB oracle
+(suite/llm.py::llm_curation_recipe).
+
+Scale shape: the steps compose WITHOUT intermediate materialization —
+normalize folds into the scan; exact dedup is one fingerprint exchange;
+fuzzy dedup is the inverted-index candidate pipeline (never O(n²));
+quality is a scan-stage filter; the cap is a map-side WindowGroupLimit.
+A planet-scale run persists between the dedup stages (call ``persist()``
+where the lineage forks); the small-SF suite leaves Catalyst to pipeline
+it all.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col, lit
+
+
+class Curate:
+    """Lazy curation pipeline over a ``(id, text, ...)`` corpus.
+
+    Each step returns ``self`` so recipes read as one chain::
+
+        clean = (Curate(docs)
+                 .normalize()
+                 .exact_dedup()
+                 .fuzzy_dedup(threshold=0.5)
+                 .quality_filter(min_tokens=20, max_tokens=95)
+                 .domain_cap("source", 60)
+                 .df())
+    """
+
+    def __init__(self, corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        self._df = corpus
+        self.id_col = id_col
+        self.text_col = text_col
+        self.steps: list[str] = []
+
+    # -- steps -------------------------------------------------------------
+
+    def normalize(self, nfc: bool = False) -> "Curate":
+        """Whitespace canonicalization: trim + collapse internal runs to
+        one space — pure Column algebra, folds into the scan.  With
+        ``nfc=True`` additionally applies NFC unicode normalization via
+        the Arrow kernel (functions.text) — off by default so the default
+        recipe stays oracle-exact in plain SQL."""
+        t = F.regexp_replace(F.trim(col(self.text_col)), r"\s+", " ")
+        if nfc:
+            from osmdatapy_spark.functions.text import nfc_normalize
+
+            t = nfc_normalize(t)
+        self._df = self._df.withColumn(self.text_col, t)
+        self.steps.append("normalize")
+        return self
+
+    def exact_dedup(self) -> "Curate":
+        """Drop exact duplicates by content fingerprint, keeping the
+        smallest id — ONE shuffle on a uniform md5 key (the
+        llm_exact_dedup shape)."""
+        w_min = (
+            self._df.groupBy(F.md5(col(self.text_col)).alias("_fp"))
+            .agg(F.min(col(self.id_col)).alias(self.id_col))
+            .drop("_fp")
+        )
+        self._df = self._df.join(w_min, self.id_col, "left_semi")
+        self.steps.append("exact_dedup")
+        return self
+
+    def fuzzy_dedup(
+        self,
+        threshold: float = 0.5,
+        shingle_n: int = 3,
+        max_doc_freq: int = 20,
+        min_shared: int = 3,
+    ) -> "Curate":
+        """Near-duplicate removal by exact n-gram Jaccard over
+        inverted-index candidates (the llm_jaccard_pairs shape — bucketed
+        postings, chunk-split hot shingles, never O(n²)), dropping the
+        larger id of every pair at/above ``threshold`` (min-id keeper —
+        the llm_dedup_keep_best reduction; use
+        ``functions.dedup.connected_components`` downstream for full
+        transitive clustering)."""
+        from osmdatapy_spark.functions.dedup import (
+            jaccard_candidate_pairs,
+            jaccard_similarity,
+        )
+        from osmdatapy_spark.functions.text import shingle_sets
+
+        sets = shingle_sets(
+            self._df, text_col=self.text_col, id_col=self.id_col, n=shingle_n
+        ).persist()
+        shingled = sets.select(self.id_col, F.explode(col("s")).alias("s"))
+        cand = jaccard_candidate_pairs(
+            shingled, self.id_col, "s", max_doc_freq=max_doc_freq, min_shared=min_shared
+        )
+        sa = sets.select(col(self.id_col).alias("id_a"), col("s").alias("sa"))
+        sb = sets.select(col(self.id_col).alias("id_b"), col("s").alias("sb"))
+        dupes = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_b", jaccard_similarity(col("sa"), col("sb")).alias("jac")
+            )
+            .filter(col("jac") >= lit(float(threshold)))
+            .select(col("id_b").alias(self.id_col))
+            .distinct()
+        )
+        self._df = self._df.join(dupes, self.id_col, "left_anti")
+        self.steps.append("fuzzy_dedup")
+        return self
+
+    def paragraph_dedup(self, block: int = 20) -> "Curate":
+        """Rewrite each document keeping only its globally-first-seen
+        paragraphs (functions.curation.paragraph_dedup — the boilerplate
+        killer; paragraphs are ``block``-token word blocks).  The report's
+        ``dedup_text`` replaces the text column; other columns survive.
+        Optional step: not part of the oracled default recipe."""
+        from osmdatapy_spark.functions.curation import paragraph_dedup
+
+        rep = paragraph_dedup(
+            self._df, id_col=self.id_col, text_col=self.text_col, block=block
+        ).select(self.id_col, col("dedup_text").alias(self.text_col))
+        self._df = self._df.drop(self.text_col).join(rep, self.id_col, "left")
+        self.steps.append("paragraph_dedup")
+        return self
+
+    def quality_filter(
+        self,
+        min_tokens: int = 20,
+        max_tokens: int = 95,
+        min_diversity: float = 0.3,
+    ) -> "Curate":
+        """Token-count band + type-token diversity gate (the
+        llm_quality_filter rule) — a scan-stage filter, zero shuffle."""
+        from osmdatapy_spark.functions.text import tokens
+
+        t = tokens(col(self.text_col))
+        n = F.size(t)
+        diversity = F.size(F.array_distinct(t)).cast("double") / n
+        self._df = self._df.filter(
+            n.between(min_tokens, max_tokens) & (diversity > lit(float(min_diversity)))
+        )
+        self.steps.append("quality_filter")
+        return self
+
+    def domain_cap(self, domain_col: str = "source", k: int = 60) -> "Curate":
+        """At most ``k`` documents per domain, deterministic keeper order
+        (smallest id) — rank<=k rewrites to a map-side WindowGroupLimit
+        (the llm_domain_cap shape), so no domain's full row set ever
+        shuffles."""
+        w = Window.partitionBy(domain_col).orderBy(self.id_col)
+        self._df = (
+            self._df.withColumn("_rk", F.row_number().over(w))
+            .filter(col("_rk") <= k)
+            .drop("_rk")
+        )
+        self.steps.append("domain_cap")
+        return self
+
+    # -- terminals ---------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """The surviving corpus after every chained step."""
+        return self._df
+
+    def persist(self) -> "Curate":
+        """Materialization point between stages — at planet scale call
+        this after the dedup stages so downstream steps re-scan memory."""
+        self._df = self._df.persist()
+        return self
+
+    # -- recipes -----------------------------------------------------------
+
+    @classmethod
+    def default_recipe(
+        cls, corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        domain_col: Optional[str] = "source", cap: int = 60,
+    ) -> "Curate":
+        """The documented default curation recipe: normalize → exact →
+        fuzzy → quality → per-domain cap.  Oracled end-to-end by
+        suite/llm.py::llm_curation_recipe."""
+        c = (
+            cls(corpus, id_col, text_col)
+            .normalize()
+            .exact_dedup()
+            .fuzzy_dedup(threshold=0.5)
+            .quality_filter(min_tokens=20, max_tokens=95, min_diversity=0.3)
+        )
+        if domain_col is not None:
+            c = c.domain_cap(domain_col, cap)
+        return c

@@ -75,6 +75,10 @@ class OSM:
         # KIND-PRUNED elements scan (P2 block pruning) instead of decoding
         # every element kind and filtering post-decode
         self._pbf_meta: "tuple[SparkSession, str] | None" = pbf_meta
+        # per-ring coordinate arrays for ALL geometry-bearing relations,
+        # persisted once by cache_relation_geometry() — the reusable
+        # bronze step behind relation_areas()/relation_lines()/query()
+        self._rel_coords_cache: Optional[DataFrame] = None
 
     # -- constructors ------------------------------------------------------
 
@@ -563,26 +567,40 @@ class OSM:
     def relation_areas(self) -> DataFrame:
         """(rel_id, wkt) POLYGON/MULTIPOLYGON for type ∈ {multipolygon,
         boundary} relations (reference ``_frame.py:107-179``)."""
-        return self._relation_geometries(self._relation_kinds(line=False))
+        return self._relation_geometries(
+            self._relation_kinds(line=False), branches=("area",)
+        )
 
     def relation_lines(self) -> DataFrame:
         """(rel_id, wkt) LINESTRING/MULTILINESTRING for type=route
         relations (reference line branch ``_frame.py:87-105``)."""
-        return self._relation_geometries(self._relation_kinds(area=False))
+        return self._relation_geometries(
+            self._relation_kinds(area=False), branches=("line",)
+        )
 
-    def _relation_geometries(self, kinds: DataFrame) -> DataFrame:
-        """Relation geometry assembly shared by areas and routes: ONE
-        member-chaining pipeline (G6 kernel, endpoint join, node-sequence
-        expansion), splitting into the polygon ring algebra (G7-G9 + G3)
-        and the linestring branch only at WKT assembly — the two types are
-        disjoint by the G5 dispatch, so a unionByName stitches the result.
+    def cache_relation_geometry(self) -> "OSM":
+        """Materialize the chain/gather pipeline for ALL geometry-bearing
+        relations as a persisted bronze table (like ``to_bronze`` for the
+        element tables): the G6 chain kernel + node-coordinate join — the
+        expensive 9-of-12-exchanges prefix of every relation-geometry
+        query — runs ONCE, and every later ``relation_areas()`` /
+        ``relation_lines()`` / geometry ``query()`` reads the persisted
+        per-ring coordinate arrays (≤3 exchanges: branch filter + WKT
+        assembly).  The persisted unit is relation rings only — a sliver
+        of the corpus even at planet scale (where this table would be a
+        written bronze parquet, same contract)."""
+        if self._rel_coords_cache is None:
+            coords = self._build_ring_coords(self._relation_kinds())
+            self._rel_coords_cache = coords.persist()
+        return self
 
-        Scale shape: ONE refs aggregation + ONE way_id join feed the fused
-        chain kernel (``ring_chains`` — refs ride the rel_id exchange
-        through Arrow); ONE shared node-coordinate gather serves both
-        branches (the node join is the expensive step — per-branch gathers
-        would scan and shuffle the nodes table twice); everything after it
-        stays keyed by rel_id."""
+    def _build_ring_coords(self, kinds: DataFrame) -> DataFrame:
+        """The shared chain/gather pipeline: ONE refs aggregation + ONE
+        way_id join feed the fused chain kernel (``ring_chains`` — refs
+        ride the rel_id exchange through Arrow); ONE node-coordinate
+        gather serves both geometry branches (the node join is the
+        expensive step — per-branch gathers would scan and shuffle the
+        nodes table twice); everything after stays keyed by rel_id."""
         members = (
             self.rel_members.join(kinds, "rel_id")
             .filter(col("member_type") == OSMTYPE_WAY)
@@ -606,18 +624,44 @@ class OSM:
             "nodes",
             F.when(col("kind") == "area", close_rings(col("nodes"))).otherwise(col("nodes")),
         )
-        # ONE coordinate gather serves BOTH branches: the node join is the
-        # expensive step of this pipeline (it shuffles ring points by node
-        # id), so the branches split only after it.  The split must be
-        # PHYSICAL, not just logical: Spark does not share subtrees across
-        # union branches, so without persist each branch would re-run the
-        # whole upstream (chain kernel + node join).  The persisted unit is
-        # per-ring coordinate arrays — relation rings only, a sliver of the
-        # corpus even at planet scale
-        coords = self._ring_coords(chains, ["ring_role", "kind"]).persist()
-        areas = self._assemble_areas(coords.filter(col("kind") == "area"))
-        lines = self._assemble_lines(coords.filter(col("kind") == "line"))
-        return areas.unionByName(lines)
+        return self._ring_coords(chains, ["ring_role", "kind"])
+
+    def _relation_geometries(
+        self, kinds: DataFrame, branches: tuple = ("area", "line")
+    ) -> DataFrame:
+        """Relation geometry assembly shared by areas and routes: ONE
+        member-chaining pipeline (G6 kernel, endpoint join, node-sequence
+        expansion), splitting into the polygon ring algebra (G7-G9 + G3)
+        and the linestring branch only at WKT assembly — the two types are
+        disjoint by the G5 dispatch, so a unionByName stitches the result.
+
+        With ``cache_relation_geometry()`` warmed, the chain/gather prefix
+        is read from the persisted bronze table (restricted to the
+        requested relations by a left-semi join) instead of recomputed."""
+        if self._rel_coords_cache is not None:
+            coords = self._rel_coords_cache.join(
+                kinds.select("rel_id"), "rel_id", "left_semi"
+            )
+        else:
+            # one-shot path: persist the shared gather for THIS query only.
+            # The split must be PHYSICAL, not just logical: Spark does not
+            # share subtrees across union branches, so without persist each
+            # branch would re-run the whole upstream (chain kernel + node
+            # join).  The persisted unit is per-ring coordinate arrays —
+            # relation rings only, a sliver of the corpus even at planet
+            # scale
+            coords = self._build_ring_coords(kinds).persist()
+        # build only the requested branches: a lines-only caller must not
+        # pay the (empty) polygon ring algebra's aggregations in its plan
+        parts = []
+        if "area" in branches:
+            parts.append(self._assemble_areas(coords.filter(col("kind") == "area")))
+        if "line" in branches:
+            parts.append(self._assemble_lines(coords.filter(col("kind") == "line")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _ring_coords(self, rings: DataFrame, extra_keys: list[str]) -> DataFrame:
         """J4: one node-coordinate join, then re-collect ordered per-ring

@@ -159,8 +159,28 @@ def comparable_string(text: Column) -> Column:
     """Normalization for name matching (reference F2 ``comparable_string``,
     datasource/datasource.py:184-191): upper-case, strip apostrophes.
     NFC normalization needs a pandas_udf (no Spark builtin) — the synthetic
-    corpus is ASCII so the Column path suffices; see tests for the UDF variant."""
+    corpus is ASCII so the Column path suffices; see ``nfc_normalize`` for
+    the UDF variant."""
     return F.upper(F.regexp_replace(text, r"[''']", ""))
+
+
+def nfc_normalize(text: Column) -> Column:
+    """NFC unicode normalization as an Arrow-batched pandas UDF — Spark has
+    no builtin for it; this is the documented pattern for the rare
+    Python-required scalar (used by llm_text_normalize and the Curate
+    facade's ``normalize(nfc=True)``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint parser rejects
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return pandas_udf(_nfc, "string")(text)
 
 
 # -- PII scrubbing + deterministic sampling (training-data curation) --------

@@ -25,6 +25,10 @@ class PlanSummary:
     n_scans: int = 0
     n_codegen_stages: int = 0
     n_python_evals: int = 0  # BatchEvalPython / ArrowEvalPython / FlatMap*
+    # kernels inside InMemoryRelation build plans (run once to fill the
+    # cache, not per read) — kept separate so containment checks can still
+    # see that a declared kernel exists somewhere in the lineage
+    n_python_evals_cached: int = 0
     n_sorts: int = 0
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
@@ -38,16 +42,50 @@ def explain_text(df: DataFrame, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def _cached_subtree_ids(text: str) -> set[int]:
+    """Node ids living INSIDE an ``InMemoryRelation`` — the stored build
+    plan of a persisted DataFrame.  ``explain`` prints (and numbers) that
+    subtree, but it never re-executes on a warm cache, so shape pins must
+    not count its exchanges/scans/kernels as the query's own work."""
+    tree = text.split("\n\n", 1)[0]
+    excluded: set[int] = set()
+    skip_indent: int | None = None
+    for line in tree.splitlines():
+        nm = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if not nm:
+            continue
+        indent = nm.start(1)
+        name, nid = nm.group(1), int(nm.group(2))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                excluded.add(nid)
+                continue
+            skip_indent = None
+        if name.startswith("InMemoryRelation"):
+            excluded.add(nid)
+            skip_indent = indent
+    return excluded
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     """Parse the formatted physical plan into countable facts."""
     text = explain_text(df)
     s = PlanSummary(text=text)
+    cached_ids = _cached_subtree_ids(text)
+    cur_id: int | None = None
     for line in text.splitlines():
         name = line.strip()
         # node lines look like "(3) Exchange" or "(12) Scan parquet ..."
-        m = re.match(r"\(\d+\)\s+(\S+.*)", name)
+        m = re.match(r"\((\d+)\)\s+(\S+.*)", name)
         if m:
-            node = m.group(1)
+            cur_id = int(m.group(1))
+            if cur_id in cached_ids and m.group(2).startswith(
+                ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas", "FlatMapGroupsInArrow")
+            ):
+                s.n_python_evals_cached += 1
+        if m and cur_id not in cached_ids:
+            node = m.group(2)
             if node.startswith("BroadcastExchange"):
                 s.n_broadcasts += 1
             elif node.startswith("Exchange"):
@@ -58,6 +96,8 @@ def plan_summary(df: DataFrame) -> PlanSummary:
                 s.n_python_evals += 1
             elif node.startswith("Sort"):
                 s.n_sorts += 1
+        if cur_id in cached_ids:
+            continue
         pm = re.search(r"PushedFilters: \[(.*?)\]", line)
         if pm and pm.group(1):
             s.pushed_filters.append(pm.group(1))

@@ -1154,3 +1154,102 @@ def osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("r").alias("rank_pico"),
         (col("r").cast("double") / _PR_SCALE).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph family, next to pagerank/bfs/components)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_triangle_count",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM hop WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ),
+    k AS (SELECT v, d * 1000000000000 + v AS kk FROM deg),
+    o AS (
+      SELECT CASE WHEN ka.kk < kb.kk THEN e.a ELSE e.b END AS s,
+             CASE WHEN ka.kk < kb.kk THEN e.b ELSE e.a END AS t,
+             CASE WHEN ka.kk < kb.kk THEN kb.kk ELSE ka.kk END AS kt
+      FROM e JOIN k ka ON ka.v = e.a JOIN k kb ON kb.v = e.b
+    ),
+    tri AS (
+      SELECT o1.s AS x, o1.t AS y, o2.t AS z
+      FROM o o1
+      JOIN o o2 ON o2.s = o1.s AND o1.kt < o2.kt
+      JOIN o o3 ON o3.s = o1.t AND o3.t = o2.t
+    )
+    SELECT v AS node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS v FROM tri
+      UNION ALL SELECT y AS v FROM tri
+      UNION ALL SELECT z AS v FROM tri
+    )
+    GROUP BY v
+    """,
+    doc="Per-node triangle counting over the way-adjacency graph — the "
+    "fourth graph operator (components/BFS/PageRank), and the clustering-"
+    "coefficient numerator used for community structure and bot/anomaly "
+    "screens.  Scalable shape is the ORIENTED wedge join (Schank/Wagner, "
+    "the standard distributed algorithm): every undirected edge orients "
+    "from its lower (degree, id) endpoint to the higher — packed into one "
+    "BIGINT key so the order is total — which caps every node's "
+    "out-degree at O(sqrt(E)); wedges join only low->high, so the probe "
+    "never explodes on hubs and each triangle is found exactly once.  "
+    "Exchanges: edge distinct, degree agg, two key joins, wedge self-join "
+    "+ existence probe — all partial-aggregated equi-joins on node keys; "
+    "per-node counts come from one final explode+agg.",
+)
+def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = derived_way_refs(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull() & (col("src") != col("dst")))
+    )
+    e = hop.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        e.select(col("a").alias("v"))
+        .unionAll(e.select(col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    k = deg.select("v", (col("d") * lit(1_000_000_000_000) + col("v")).alias("kk"))
+    ka = k.select(col("v").alias("a"), col("kk").alias("ka"))
+    kb = k.select(col("v").alias("b"), col("kk").alias("kb"))
+    o = (
+        e.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(col("ka") < col("kb"), col("a")).otherwise(col("b")).alias("s"),
+            F.when(col("ka") < col("kb"), col("b")).otherwise(col("a")).alias("t"),
+            F.greatest("ka", "kb").alias("kt"),
+        )
+    )
+    o1 = o.select(col("s").alias("s1"), col("t").alias("y"), col("kt").alias("k1"))
+    o2 = o.select(col("s").alias("s1"), col("t").alias("z"), col("kt").alias("k2"))
+    wedges = o1.join(o2, "s1").filter(col("k1") < col("k2"))
+    closer = o.select(col("s").alias("y"), col("t").alias("z"))
+    tri = wedges.join(closer, ["y", "z"]).select(col("s1").alias("x"), "y", "z")
+    nodes = (
+        tri.select(col("x").alias("v"))
+        .unionAll(tri.select(col("y").alias("v")))
+        .unionAll(tri.select(col("z").alias("v")))
+    )
+    return nodes.groupBy(col("v").alias("node_id")).agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

@@ -823,23 +823,14 @@ def osm_polygon_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ops — the documented pattern for the rare Python-required scalar.",
 )
 def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-
-    # no type hints: the module's `from __future__ import annotations`
-    # stringifies them, which pandas_udf's hint parser rejects
-    def _nfc(s):
-        import unicodedata
-
-        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
-
-    nfc = pandas_udf(_nfc, "string")
+    from osmdatapy_spark.functions.text import fingerprint, nfc_normalize
 
     docs = T(spark, sf_dir, "documents")
-    from osmdatapy_spark.functions.text import fingerprint
-
     return docs.select(
         "doc_id",
-        F.upper(nfc(F.regexp_replace(col("text"), "'", ""))).alias("comparable"),
+        F.upper(nfc_normalize(F.regexp_replace(col("text"), "'", ""))).alias(
+            "comparable"
+        ),
         fingerprint(col("text")).alias("fp"),
     )
 
@@ -2154,4 +2145,91 @@ def osm_maxspeed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (col("raw").isin("none", "signals") | col("raw").rlike(r"^[0-9]+( mph| km/h)?$")).alias(
             "recognized"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization of embeddings (the storage-compression op next
+# to PQ's codebook compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             round(list_max(list_transform(v, x -> abs(x))) / 127.0, 9) AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> LEAST(GREATEST(
+               CAST(floor(x / scale + 0.5) AS BIGINT), -127), 127)) AS codes
+      FROM sc WHERE scale > 0
+    ),
+    d AS (
+      SELECT vec_id, scale, codes,
+             list_transform(codes, c -> c * scale) AS dq,
+             v
+      FROM q
+    )
+    SELECT vec_id, scale,
+           CAST(len(codes) AS BIGINT) AS n_dims,
+           round(
+             list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * dq[i]))
+             / (sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))
+                * sqrt(list_sum(list_transform(generate_series(1, len(dq)), i -> dq[i] * dq[i])))),
+             4) AS cos_dq,
+           round(list_max(list_transform(generate_series(1, len(v)),
+                                         i -> abs(v[i] - dq[i]))), 6) AS max_abs_err
+    FROM d
+    """,
+    doc="Int8 scalar quantization of the embedding column (the 4x "
+    "storage/bandwidth compression every production vector store applies "
+    "BEFORE indexing — the symmetric per-vector absmax scheme): scale = "
+    "max|x|/127, codes = clamp(round(x/scale)) as 8-bit ints, plus the "
+    "self-audit every quantizer ships — cosine(original, dequantized) and "
+    "the max absolute reconstruction error.  Pure Column algebra over "
+    "array ops: ZERO shuffle, pipelines inside the scan at any corpus "
+    "size (contrast: PQ compresses via learned codebooks and needs "
+    "training; absmax-int8 is the training-free path).  Rounding is "
+    "floor(x+0.5) in BOTH engines (no round-half-mode divergence); the "
+    "libm-touched cosine carries the suite's round-4 guard, scale round-9.",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import as_double, cosine
+
+    emb = TS(spark, sf_dir, "embeddings")
+    v = as_double(col("embedding"))
+    sc = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.round(
+            F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0, 9
+        ).alias("scale"),
+    ).filter(col("scale") > 0)
+    codes = F.transform(
+        col("v"),
+        lambda x: F.least(
+            F.greatest(
+                F.floor(x / col("scale") + 0.5).cast("long"), lit(-127).cast("long")
+            ),
+            lit(127).cast("long"),
+        ),
+    )
+    q = sc.select("vec_id", "v", "scale", codes.alias("codes"))
+    dq = F.transform(col("codes"), lambda c: c * col("scale"))
+    d = q.select("vec_id", "scale", "codes", dq.alias("dq"), "v")
+    err = F.zip_with(col("v"), col("dq"), lambda a, b: F.abs(a - b))
+    return d.select(
+        "vec_id",
+        "scale",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.round(cosine(col("v"), col("dq")), 4).alias("cos_dq"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
     )

@@ -1085,6 +1085,90 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_curation_recipe",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id, lang, source,
+             regexp_replace(trim(text), '\s+', ' ', 'g') AS text
+      FROM documents
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY md5(text)
+    ),
+    ex AS (SELECT n.* FROM norm n JOIN keepers USING (doc_id)),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM ex
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks
+    ),
+    pex AS (
+      SELECT g, UNNEST(ids) AS id, UNNEST(generate_series(1, len(ids))) AS pos
+      FROM (
+        SELECT g, list_sort(list(doc_id)) AS ids
+        FROM (SELECT doc_id, UNNEST(s) AS g FROM sh)
+        GROUP BY g
+      )
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM pex a JOIN pex b
+        ON a.g = b.g AND b.pos > a.pos
+       AND b.pos <= ((a.pos - 1) // 19) * 19 + 20
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    dupes AS (
+      SELECT DISTINCT c.id_b AS doc_id
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ),
+    fuzzy AS (
+      SELECT e.* FROM ex e WHERE e.doc_id NOT IN (SELECT doc_id FROM dupes)
+    ),
+    quality AS (
+      SELECT f.doc_id, f.lang, f.source, CAST(len(t.t) AS BIGINT) AS n_tokens
+      FROM fuzzy f JOIN toks t USING (doc_id)
+      WHERE len(t.t) BETWEEN 20 AND 95
+        AND CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t) > 0.3
+    ),
+    capped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+      FROM quality
+    )
+    SELECT doc_id, lang, source, n_tokens FROM capped WHERE rk <= 10
+    """,
+    doc="End-to-end curation via the Curate facade's DEFAULT RECIPE "
+    "(curate.py — the Query-style composable pipeline the north-star "
+    "scope ships as one object): whitespace normalize → exact md5 dedup "
+    "(min-id keeper, one fingerprint exchange) → fuzzy n-gram-Jaccard "
+    "dedup (inverted-index candidates, chunk-split postings, min-id "
+    "keeper) → quality gate (token band + type-token diversity, "
+    "scan-stage filter) → per-source cap (map-side WindowGroupLimit).  "
+    "Every stage is an already-pinned scale shape; the oracle replays "
+    "the WHOLE chain over the same intermediates, so the hard signal "
+    "pins the composition, not just the parts.",
+)
+def llm_curation_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.curate import Curate
+
+    docs = TS(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    cur = Curate.default_recipe(docs, domain_col="source", cap=10)
+    out = cur.df()
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens(col("text"))).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "llm_corpus_summary",
     oracle=r"""
     WITH n AS (
@@ -2035,4 +2119,198 @@ def stream_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(lit(False))
         .alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (RAG-style lexical search over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "query", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             round(ln((s.n - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), stats s
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             round(SUM(round(
+               i.idf * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)),
+               9)), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM tf t
+      JOIN idf i USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score, n_terms_hit,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_BM25_K}
+    """,
+    bench=True,
+    doc="BM25 top-k lexical retrieval (Robertson/Okapi — the RAG "
+    "retrieval baseline every corpus search starts from): per-term tf "
+    "over the query vocabulary, document-frequency idf, length "
+    "normalization against the corpus average.  Shape: the token explode "
+    "filters to the QUERY TERMS inside the scan stage (a literal IN — "
+    "the corpus-wide posting explosion never materializes); (doc, term) "
+    "tf is one partial-aggregated exchange; idf and corpus stats are "
+    "vocabulary-sized and broadcast; the final top-k is a TakeOrdered "
+    "heap, never a global sort.  Float discipline: idf and each term "
+    "contribution carry round-9 guards, the summed score a round-6 guard "
+    "— cross-engine exact (same ln/division behavior under rounding).",
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(col("text")).alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "term",
+            F.round(
+                F.log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9
+            ).alias("idf"),
+        )
+    )
+    contrib = F.round(
+        col("idf")
+        * (col("tf") * (_BM25_K1 + 1.0))
+        / (
+            col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * col("dl") / col("avgdl"))
+        ),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("c"), 6).alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+    )
+    # top-k via orderBy+limit -> TakeOrdered HEAPS (never a global sort /
+    # single-partition window over the scored set, which is corpus-sized
+    # when the query terms are common); the rank column is then a window
+    # over the k surviving rows only
+    top = scored.orderBy(col("score").desc(), "doc_id").limit(_BM25_K)
+    w = Window.orderBy(col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "n_terms_hit", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram fraction (memorization-risk metric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dup_ngram_fraction",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                                || t[i+3] || ' ' || t[i+4])) AS gs
+      FROM toks
+    ),
+    gdf AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS docfreq
+      FROM (SELECT doc_id, UNNEST(gs) AS g FROM grams)
+      GROUP BY g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (docfreq >= 2) AS BIGINT) AS n_shared
+      FROM (SELECT doc_id, UNNEST(gs) AS g FROM grams) x
+      JOIN gdf USING (g)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           CAST(n_shared AS DOUBLE) / n_grams AS dup_fraction
+    FROM per_doc
+    """,
+    doc="Duplicated-5-gram fraction per document (the memorization-risk / "
+    "cross-document-overlap screen from the dedup literature — Lee et al. "
+    "2022 measure training-set repetition exactly this way): the share of "
+    "a document's distinct 5-grams that also occur in at least one OTHER "
+    "document (docfreq >= 2 over distinct-per-doc grams).  Shape: "
+    "distinct-gram explode -> gram docfreq (ONE partial-aggregated "
+    "exchange — a boilerplate gram repeated everywhere collapses "
+    "map-side) -> join back -> per-doc rollup.  The ratio is exact "
+    "int64/int64 — no float drift anywhere.",
+)
+def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    docs = TS(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(word_ngrams(tokens(col("text")), 5)).alias("gs"),
+    )
+    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
+    gdf = exploded.groupBy("g").agg(F.count("*").cast("long").alias("docfreq"))
+    per_doc = (
+        exploded.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.count(F.when(col("docfreq") >= 2, True)).cast("long").alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        (col("n_shared").cast("double") / col("n_grams")).alias("dup_fraction"),
     )

@@ -1,0 +1,85 @@
+"""Curate facade: the Query-style composable curation pipeline
+(curate.py).  Semantics of the end-to-end default recipe are pinned by
+the llm_curation_recipe oracle; these tests pin the facade mechanics —
+step composition, keeper determinism, optional steps."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.curate import Curate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # two exact dups after whitespace normalize (ids 1, 2) + distinct 3
+        (1, "the   quick brown fox jumps over one lazy dog while seventeen green "
+            "turtles carry twelve purple boxes across nine frozen rivers toward "
+            "distant mountains under cloudy autumn skies every single morning", "en", "a"),
+        (2, "the quick brown fox jumps over one lazy dog while seventeen green "
+            "turtles carry twelve purple boxes across nine frozen rivers toward "
+            "distant mountains under cloudy autumn skies every single morning", "en", "a"),
+        (3, "a completely different document about spark catalyst plans and shuffles " * 3, "en", "b"),
+        # near-dup of 3 (one token changed) -> fuzzy drop (id 4 > 3)
+        (4, "a completely different document about spark tungsten plans and shuffles " * 3, "en", "b"),
+        # too short -> quality drop
+        (5, "tiny doc", "en", "b"),
+        # degenerate repetition -> diversity drop
+        (6, "spam " * 50, "en", "c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_default_recipe_end_to_end(corpus):
+    cur = Curate.default_recipe(corpus, domain_col="source", cap=10)
+    got = sorted(r["doc_id"] for r in cur.df().select("doc_id").collect())
+    # 1 survives exact (min id), 3 survives fuzzy (min id), 5/6 fail quality
+    assert got == [1, 3], got
+    assert cur.steps == [
+        "normalize", "exact_dedup", "fuzzy_dedup", "quality_filter", "domain_cap",
+    ]
+
+
+def test_steps_compose_independently(corpus):
+    # exact only: normalize collapses 1/2 into one fingerprint
+    got = sorted(
+        r["doc_id"]
+        for r in Curate(corpus).normalize().exact_dedup().df().select("doc_id").collect()
+    )
+    assert got == [1, 3, 4, 5, 6], got
+    # quality only: 5 (short) and 6 (low diversity) drop, dups stay
+    got = sorted(
+        r["doc_id"] for r in Curate(corpus).quality_filter().df().select("doc_id").collect()
+    )
+    assert got == [1, 2, 3, 4], got
+
+
+def test_domain_cap_keeps_smallest_ids(corpus):
+    got = sorted(
+        r["doc_id"]
+        for r in Curate(corpus).domain_cap("source", 1).df().select("doc_id").collect()
+    )
+    # one per source: a->1, b->3, c->6
+    assert got == [1, 3, 6], got
+
+
+def test_paragraph_step_available(spark):
+    # paragraphs are `block`-token word blocks; with block=3 the shared
+    # leading block dedups to its first occurrence (doc 1)
+    docs = spark.createDataFrame(
+        [
+            (1, "shared boilerplate header unique body one", "en", "a"),
+            (2, "shared boilerplate header unique body two", "en", "a"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in Curate(docs).paragraph_dedup(block=3).df().select("doc_id", "text").collect()
+    }
+    assert "shared boilerplate header" in out[1]
+    assert "shared boilerplate header" not in out[2]
+    assert "unique body two" in out[2]

@@ -144,3 +144,27 @@ def test_query_relation_geometry(osm):
     # route relations assemble as linestrings since round 2 (reference
     # line branch _frame.py:87-105)
     assert rows[5].startswith(("LINESTRING (", "MULTILINESTRING ("))
+
+
+def test_cached_relation_geometry_reuse(spark):
+    """cache_relation_geometry() is the reusable bronze step: after
+    warming, relation_lines()/relation_areas() read the persisted chain
+    (InMemoryTableScan) with <=3 exchanges, instead of re-running the
+    9-exchange chain/gather prefix — and results are identical."""
+    from osmdatapy_spark.plans.audit import plan_summary
+
+    t = fixture_tables(spark)
+    osm = OSM.from_tables(t["elements"], t["nodes"], t["way_refs"], t["rel_members"])
+    cold = {r["rel_id"]: r["wkt"] for r in osm.relation_lines().collect()}
+    cold_areas = {r["rel_id"]: r["wkt"] for r in osm.relation_areas().collect()}
+
+    osm.cache_relation_geometry()
+    warm_df = osm.relation_lines()
+    s = plan_summary(warm_df)
+    assert "InMemoryTableScan" in s.text, s.text
+    assert s.n_exchanges <= 3, s.text
+    warm = {r["rel_id"]: r["wkt"] for r in warm_df.collect()}
+    assert warm == cold
+    warm_areas = {r["rel_id"]: r["wkt"] for r in osm.relation_areas().collect()}
+    assert warm_areas == cold_areas
+    osm._rel_coords_cache.unpersist()

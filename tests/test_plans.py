@@ -138,7 +138,11 @@ def test_all_query_plans_python_containment(spark):
             continue
         s = plan_summary(qd.fn(spark, SF_DIR))
         if name in _PYTHON_OK:
-            assert s.n_python_evals >= 1, f"{name} expected a pandas kernel"
+            # the kernel may live inside a self-persisted stage's cached
+            # build plan (runs once to fill the cache) — count both
+            assert s.n_python_evals + s.n_python_evals_cached >= 1, (
+                f"{name} expected a pandas kernel"
+            )
         elif s.n_python_evals:
             offenders[name] = s.n_python_evals
     assert not offenders, f"unexpected Python nodes: {offenders}"
@@ -359,6 +363,29 @@ def test_pagerank_iteration_shape(spark):
     s = assert_plan(pr, forbid_python=True)
     assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
     assert s.n_exchanges <= 6, s.text
+
+
+def test_round3_session_operator_plan_shapes(spark):
+    """Shape pins for this session's new operators."""
+    # BM25: term filter inside the scan, (doc,term) partial agg, idf/stats
+    # broadcast back, top-k via TakeOrdered heaps — never a global sort
+    s = assert_plan(q(spark, "llm_bm25_topk"), forbid_python=True)
+    assert "TakeOrdered" in s.text, s.text
+    assert s.n_broadcasts >= 2, s.text
+    # dup-ngram fraction: gram docfreq partial agg + join back + doc rollup
+    assert_plan(q(spark, "llm_dup_ngram_fraction"), max_exchanges=4, forbid_python=True)
+    # int8 quantization: pure projection — zero shuffle at any corpus size
+    assert_plan(q(spark, "llm_embed_quantize"), max_exchanges=0, forbid_python=True)
+    # triangle counting: oriented wedge join — equi-joins only, no
+    # cartesian/BNL anywhere, no Python
+    s = plan_summary(q(spark, "osm_triangle_count"))
+    assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
+    assert s.n_python_evals == 0, s.text
+    # curation recipe: the whole default chain is Column algebra + the
+    # pinned dedup shapes — no Python anywhere
+    s = plan_summary(q(spark, "llm_curation_recipe"))
+    assert s.n_python_evals == 0, s.text
+    assert "Cartesian" not in s.text, s.text
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
