@@ -456,3 +456,83 @@ def geohash_oracle_parts(
         for c in range(precision)
     ]
     return {"x": x, "y": y, "g": g, "gh": "(" + " || ".join(chars) + ")"}
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve index (locality-preserving layout key, next to z-order)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_index(x: Column, y: Column, order: int = 8) -> Column:
+    """Hilbert-curve distance d of grid cell (x, y) on a 2^order × 2^order
+    grid — the locality-preserving alternative to the Morton/z-order
+    interleave (``suite/core._z_interleave``): consecutive d values are
+    ALWAYS grid neighbors (no z-curve jumps), so range-bucketing by d
+    yields tighter per-bucket min/max envelopes than z-order — the reason
+    Iceberg/Delta added OPTIMIZE ... hilbert.
+
+    The standard per-level fold (Wikipedia's xy2d): at each scale s the
+    quadrant bits (rx, ry) contribute s²·((3rx) XOR ry) and the frame
+    rotates/reflects.  Formulated as ``F.aggregate`` over the literal
+    level array with a struct(x, y, d) accumulator — NOT as an unrolled
+    when/otherwise tree: each level's new x/y reference the previous
+    level's x/y several times, so inlined unrolling grows the expression
+    tree exponentially (~8^order nodes; order 8 OOMs the driver during
+    analysis).  The fold's lambda is ONE level; the accumulator is a
+    runtime value.  Pure integer Column algebra, zero shuffle.
+    """
+    n = 1 << order
+    levels = F.array(*[lit(1 << i) for i in range(order - 1, -1, -1)])
+    init = F.struct(
+        x.cast("long").alias("x"), y.cast("long").alias("y"), lit(0).cast("long").alias("d")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        sl = s.cast("long")
+        rx = F.when(acc["x"].bitwiseAND(sl) > 0, lit(1)).otherwise(lit(0))
+        ry = F.when(acc["y"].bitwiseAND(sl) > 0, lit(1)).otherwise(lit(0))
+        d = acc["d"] + sl * sl * ((lit(3) * rx).bitwiseXOR(ry)).cast("long")
+        # rot(n, x, y, rx, ry): reflect when ry==0 and rx==1, then swap
+        refl_x = F.when((ry == 0) & (rx == 1), lit(n - 1) - acc["x"]).otherwise(acc["x"])
+        refl_y = F.when((ry == 0) & (rx == 1), lit(n - 1) - acc["y"]).otherwise(acc["y"])
+        nxt_x = F.when(ry == 0, refl_y).otherwise(refl_x)
+        nxt_y = F.when(ry == 0, refl_x).otherwise(refl_y)
+        return F.struct(nxt_x.alias("x"), nxt_y.alias("y"), d.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def hilbert_oracle_ctes(
+    x_expr: str, y_expr: str, order: int = 8, carry: tuple = ()
+) -> str:
+    """DuckDB CTE chain computing the identical Hilbert index — generated
+    from the same per-level fold so the oracle can't drift from the
+    kernel.  Produces stacked CTEs ``h0 .. h{order}``; the final one
+    exposes columns (d, x, y) where d is the Hilbert distance (x/y are
+    the ROTATED frame's coords after the fold — not the inputs; list any
+    input columns that must survive to the output in ``carry``).  The
+    caller embeds it as ``WITH {ctes}, ... SELECT d FROM h{order}`` after
+    providing a relation named ``h_src`` with the raw inputs."""
+    n = 1 << order
+    keep = "".join(f"{c}, " for c in carry)
+    parts = [
+        f"h0 AS (SELECT {keep}CAST({x_expr} AS BIGINT) AS x, "
+        f"CAST({y_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM h_src)"
+    ]
+    s = n >> 1
+    i = 0
+    while s > 0:
+        i += 1
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        d = f"d + {s} * {s} * xor(3 * {rx}, {ry})"
+        refl_x = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - x ELSE x END)"
+        refl_y = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {n - 1} - y ELSE y END)"
+        nx = f"(CASE WHEN {ry} = 0 THEN {refl_y} ELSE {refl_x} END)"
+        ny = f"(CASE WHEN {ry} = 0 THEN {refl_x} ELSE {refl_y} END)"
+        parts.append(
+            f"h{i} AS (SELECT {keep}{nx} AS x, {ny} AS y, "
+            f"CAST({d} AS BIGINT) AS d FROM h{i - 1})"
+        )
+        s >>= 1
+    return ",\n    ".join(parts)

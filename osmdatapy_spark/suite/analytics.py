@@ -1253,3 +1253,169 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(col("v").alias("node_id")).agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window family: ntile quantile bands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_ntile_bands",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+      SELECT o_custkey, total,
+             CAST(ntile(4) OVER (ORDER BY total DESC, o_custkey) AS BIGINT) AS band
+      FROM spend
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(total) AS DOUBLE) AS min_spend,
+           CAST(MAX(total) AS DOUBLE) AS max_spend,
+           CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DOUBLE) AS band_spend
+    FROM banded GROUP BY band
+    """,
+    doc="Customer spend quartiles via ntile — the ranking-window family "
+    "member (rank/dense_rank/ntile) the suite lacked: per-customer spend "
+    "folds first (partial-aggregated exchange on custkey — the window "
+    "input is customer-sized, not order-sized), ntile(4) assigns bands "
+    "under the (spend DESC, custkey) total order, and a 4-row rollup "
+    "summarizes each band.  The ntile window is the one global-ordered "
+    "step; it runs on the AGGREGATED customer table — at 100 TB you "
+    "range-partition that same order instead (ntile = rank over "
+    "range-partition boundaries), the standard decomposition.  Spend "
+    "sums are exact DECIMAL.",
+)
+def rel_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("total")
+    )
+    w = Window.orderBy(col("total").desc(), "o_custkey")
+    banded = spend.withColumn("band", F.ntile(4).over(w).cast("long"))
+    return banded.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.min("total").alias("min_spend"),
+        F.max("total").alias("max_spend"),
+        F.sum(col("total").cast("decimal(18,4)")).cast("double").alias("band_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap flag rollup (bitwise aggregates)
+# ---------------------------------------------------------------------------
+
+_EVENT_FLAG = "CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8 WHEN 'error' THEN 16 ELSE 0 END"
+
+
+@register(
+    "rel_bitmap_flags",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, {_EVENT_FLAG} AS flag FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT) AS seen_mask,
+           CAST(bit_count(CAST(bit_or(flag) AS BIGINT)) AS BIGINT) AS n_distinct_types,
+           bit_and(CASE WHEN flag IN (1, 2) THEN 1 ELSE 0 END) = 1 AS browse_only
+    FROM f GROUP BY user_id
+    """,
+    doc="Per-user behavior bitmap via BITWISE AGGREGATES (bit_or/bit_and "
+    "— the roaring-bitmap-style feature-flag rollup warehouses use for "
+    "segment membership): each event type maps to a power-of-two flag, "
+    "bit_or folds the set of seen types into ONE int64 (popcount = "
+    "distinct-type count without a distinct agg), bit_and detects "
+    "every-event predicates (browse-only users).  Bitwise ops are "
+    "associative+commutative, so the whole rollup is one "
+    "partial-aggregated exchange — the map-side combine collapses any "
+    "per-user event volume to a single word.",
+)
+def rel_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    flag = (
+        F.when(col("event_type") == "click", 1)
+        .when(col("event_type") == "view", 2)
+        .when(col("event_type") == "signup", 4)
+        .when(col("event_type") == "purchase", 8)
+        .when(col("event_type") == "error", 16)
+        .otherwise(0)
+    )
+    browse = F.when(flag.isin(1, 2), 1).otherwise(0)
+    return ev.select("user_id", flag.alias("flag"), browse.alias("b")).groupBy(
+        "user_id"
+    ).agg(
+        F.bit_or("flag").cast("long").alias("seen_mask"),
+        F.bit_count(F.bit_or("flag").cast("long")).cast("long").alias("n_distinct_types"),
+        (F.bit_and("b") == 1).alias("browse_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Street-bearing histogram (the osmnx orientation rose)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_bearing_histogram",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    seg AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+    ),
+    vec AS (
+      SELECT na.lon AS x1, na.lat AS y1, nb.lon AS x2, nb.lat AS y2
+      FROM seg
+      JOIN nodes na ON na.osmid = seg.src
+      JOIN nodes nb ON nb.osmid = seg.dst
+      WHERE NOT (na.lon = nb.lon AND na.lat = nb.lat)
+    ),
+    deg AS (
+      -- compass bearing: atan2(dx, dy) in degrees, normalized to [0, 360);
+      -- round-6 absorbs the 1-ulp atan2/degrees drift BEFORE the bin floor
+      SELECT round(CASE WHEN degrees(atan2(x2 - x1, y2 - y1)) < 0
+                        THEN degrees(atan2(x2 - x1, y2 - y1)) + 360.0
+                        ELSE degrees(atan2(x2 - x1, y2 - y1)) END, 6) AS b
+      FROM vec
+    )
+    SELECT CAST(floor(b / 10.0) % 36 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM deg GROUP BY 1
+    """,
+    doc="Street-bearing histogram in 10-degree bins — the osmnx "
+    "street-orientation rose (Boeing 2019) distributed: consecutive way "
+    "nodes pair via the pos window, coordinates attach through the nodes "
+    "dim join, compass bearing = atan2(dx, dy) normalized to [0,360).  "
+    "Float discipline: atan2/degrees are 1-ulp libm calls, so the bearing "
+    "carries a round-6 guard BEFORE the bin floor — the same pattern as "
+    "the mercator tile fraction — making bin assignment engine-exact.  "
+    "Shape: the way_id window reuses one exchange, nodes broadcast, and "
+    "the 36-row histogram is one partial-aggregated exchange.",
+)
+def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    seg = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull())
+    )
+    na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
+    nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
+    vec = (
+        seg.join(broadcast(na), "src")
+        .join(broadcast(nb), "dst")
+        .filter(~((col("x1") == col("x2")) & (col("y1") == col("y2"))))
+    )
+    raw = F.degrees(F.atan2(col("x2") - col("x1"), col("y2") - col("y1")))
+    bearing = F.round(F.when(raw < 0, raw + 360.0).otherwise(raw), 6)
+    return (
+        vec.select((F.floor(bearing / 10.0) % 36).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n_segments"))
+    )

@@ -1449,3 +1449,57 @@ def rel_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         ewma.cast("double").alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering layout (next to rel_zorder_layout)
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_layout_oracle() -> str:
+    from osmdatapy_spark.operators.measures import hilbert_oracle_ctes
+
+    # the raw keys ride the CTE chain via carry (the fold's x/y rotate)
+    ctes = hilbert_oracle_ctes("a", "b", order=8, carry=("a", "b"))
+    return f"""
+    WITH h_src AS (
+      SELECT (o_custkey % 256) AS a, (o_orderkey % 256) AS b FROM orders
+    ),
+    {ctes}
+    SELECT CAST(d >> 12 AS BIGINT) AS hbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(a) AS BIGINT) AS a_min, CAST(max(a) AS BIGINT) AS a_max,
+           CAST(min(b) AS BIGINT) AS b_min, CAST(max(b) AS BIGINT) AS b_max
+    FROM h8 GROUP BY 1
+    """
+
+
+@register(
+    "rel_hilbert_layout",
+    oracle=_hilbert_layout_oracle(),
+    doc="Hilbert-curve clustering layout — the locality-preserving "
+    "upgrade to rel_zorder_layout (Iceberg/Delta OPTIMIZE ... hilbert): "
+    "consecutive curve positions are ALWAYS grid neighbors (no z-curve "
+    "jumps), so range-bucketing by the Hilbert distance yields tighter "
+    "per-bucket (a, b) min/max envelopes than Morton interleave — "
+    "directly better file-skipping.  The per-level rotate/reflect fold "
+    "unrolls into a fixed integer expression tree: pure Column algebra, "
+    "one partial-aggregated exchange on the bucket key.  The oracle "
+    "replays the identical fold via generated CTEs (same source, "
+    "operators/measures.hilbert_oracle_ctes — kernel and oracle cannot "
+    "drift).",
+)
+def rel_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import hilbert_index
+
+    o = T(spark, sf_dir, "orders")
+    a = (col("o_custkey") % 256).cast("long")
+    b = (col("o_orderkey") % 256).cast("long")
+    z = o.select(a.alias("a"), b.alias("b"), hilbert_index(a, b, order=8).alias("d"))
+    return z.groupBy(F.shiftright("d", 12).cast("long").alias("hbucket")).agg(
+        F.count("*").alias("n"),
+        F.min("a").cast("long").alias("a_min"),
+        F.max("a").cast("long").alias("a_max"),
+        F.min("b").cast("long").alias("b_min"),
+        F.max("b").cast("long").alias("b_max"),
+    )

@@ -345,3 +345,44 @@ def test_geohash_oracle_parts_match_kernel(spark):
         ).fetchall()
         con.close()
         assert got == [r[0] for r in rows], (prec, got, rows)
+
+
+def _py_hilbert(order: int, x: int, y: int) -> int:
+    """Independent textbook xy2d (Wikipedia) — from-first-principles
+    reference, like _ref_geohash."""
+    n = 1 << order
+    d, s = 0, n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_matches_textbook_and_is_a_space_filling_curve(spark):
+    from osmdatapy_spark.operators.measures import hilbert_index
+
+    order, n = 4, 16
+    cells = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_index(F.col("x"), F.col("y"), order).alias("d")
+        ).collect()
+    }
+    # matches the independent reference on every cell
+    for (x, y), d in got.items():
+        assert d == _py_hilbert(order, x, y), (x, y, d)
+    # bijective onto [0, n^2)
+    assert sorted(got.values()) == list(range(n * n))
+    # THE Hilbert property: consecutive curve positions are grid neighbors
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_d[d], by_d[d + 1])

@@ -386,6 +386,17 @@ def test_round3_session_operator_plan_shapes(spark):
     s = plan_summary(q(spark, "llm_curation_recipe"))
     assert s.n_python_evals == 0, s.text
     assert "Cartesian" not in s.text, s.text
+    # hilbert layout: the level fold is one aggregate expression — pure
+    # projection + ONE partial-aggregated bucket exchange, like z-order
+    assert_plan(q(spark, "rel_hilbert_layout"), max_exchanges=1, forbid_python=True)
+    # ntile bands: custkey partial agg + ONE global window on the
+    # customer-sized aggregate + 4-row rollup
+    assert_plan(q(spark, "rel_ntile_bands"), max_exchanges=3, forbid_python=True)
+    # bitmap rollup: bitwise aggs are associative — ONE partial-agg exchange
+    assert_plan(q(spark, "rel_bitmap_flags"), max_exchanges=1, forbid_python=True)
+    # bearing histogram: way window + broadcast node attaches + 36-row agg
+    s = assert_plan(q(spark, "osm_bearing_histogram"), max_exchanges=3, forbid_python=True)
+    assert s.n_broadcasts >= 2, s.text
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
