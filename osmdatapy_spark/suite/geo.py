@@ -15,7 +15,7 @@ planar/area/centroid (no rounding guard), round-4 guard on haversine
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
@@ -979,3 +979,148 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     ).select("p.zoom", "p.x", "p.y", "n")
     return pyramid.groupBy("zoom", "x", "y").agg(F.sum("n").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Map matching: GPS points -> nearest way SEGMENT (point-to-segment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_map_match",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    seg AS (
+      SELECT a.way_id, a.pos AS seg,
+             na.lon AS x1, na.lat AS y1, nb.lon AS x2, nb.lat AS y2
+      FROM ways a
+      JOIN ways b ON b.way_id = a.way_id AND b.pos = a.pos + 1
+      JOIN nodes na ON na.osmid = a.node_id
+      JOIN nodes nb ON nb.osmid = b.node_id
+    ),
+    segcells AS (
+      SELECT DISTINCT way_id, seg, x1, y1, x2, y2, cx, cy FROM (
+        SELECT *, CAST(floor(x1 / 30.0) AS BIGINT) AS cx,
+                  CAST(floor(y1 / 30.0) AS BIGINT) AS cy FROM seg
+        UNION
+        SELECT *, CAST(floor(x2 / 30.0) AS BIGINT),
+                  CAST(floor(y2 / 30.0) AS BIGINT) FROM seg
+      )
+    ),
+    gps AS (
+      SELECT osmid AS probe_id, lon AS px, lat AS py,
+             CAST(floor(lon / 30.0) AS BIGINT) AS cx,
+             CAST(floor(lat / 30.0) AS BIGINT) AS cy
+      FROM nodes WHERE osmid % 97 = 0
+    ),
+    scored AS (
+      SELECT g.probe_id, s.way_id, s.seg,
+             LEAST(GREATEST(
+               CASE WHEN (s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1) = 0
+                    THEN 0.0
+                    ELSE ((g.px-s.x1)*(s.x2-s.x1) + (g.py-s.y1)*(s.y2-s.y1))
+                         / ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1)) END,
+               0.0), 1.0) AS t
+      FROM gps g JOIN segcells s
+        ON s.cx BETWEEN g.cx - 1 AND g.cx + 1
+       AND s.cy BETWEEN g.cy - 1 AND g.cy + 1
+    ),
+    dist AS (
+      SELECT sc.probe_id, sc.way_id, sc.seg, sc.t,
+             (g.px - (s.x1 + sc.t*(s.x2-s.x1))) * (g.px - (s.x1 + sc.t*(s.x2-s.x1)))
+           + (g.py - (s.y1 + sc.t*(s.y2-s.y1))) * (g.py - (s.y1 + sc.t*(s.y2-s.y1))) AS d2
+      FROM scored sc
+      JOIN gps g ON g.probe_id = sc.probe_id
+      JOIN (SELECT DISTINCT way_id, seg, x1, y1, x2, y2 FROM segcells) s
+        ON s.way_id = sc.way_id AND s.seg = sc.seg
+    ),
+    ranked AS (
+      SELECT probe_id, way_id, seg, t, d2,
+             row_number() OVER (PARTITION BY probe_id ORDER BY d2, way_id, seg) AS rn
+      FROM dist
+    )
+    SELECT probe_id, way_id, CAST(seg AS BIGINT) AS seg, t, d2
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Map matching (GPS point -> nearest way SEGMENT): the step beyond "
+    "osm_nearest_node that real trace-snapping needs — distance is to the "
+    "segment INTERIOR via the clamped projection t = clamp(dot/len2, 0, 1) "
+    "and foot-of-perpendicular, not to vertices, so a point alongside a "
+    "long straight road snaps correctly even when both endpoints are far. "
+    "Every op in t/d2 is exactly-rounded IEEE (+,-,*,/ and clamp): "
+    "bit-identical cross-engine with NO round guard.  Shape: segments "
+    "index under the distinct grid cells of their endpoints, probes "
+    "explode 3x3 and equi-join on the cell key (shuffle by cell, never "
+    "probe x segments), winner via one min-election under the (d2, "
+    "way_id, seg) total order.  At 100 TB cell_deg is the per-cell-load "
+    "knob and hot urban cells are AQE skew territory — same discipline "
+    "as osm_point_in_polygon.",
+)
+def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    seg = (
+        refs.select(
+            "way_id",
+            col("pos").alias("seg"),
+            col("node_id").alias("src"),
+            F.lead("node_id").over(w).alias("dst"),
+        )
+        .filter(col("dst").isNotNull())
+    )
+    na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
+    nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
+    segs = seg.join(broadcast(na), "src").join(broadcast(nb), "dst").drop("src", "dst")
+    cell = lambda x, y: F.struct(  # noqa: E731
+        F.floor(x / 30.0).cast("long").alias("cx"), F.floor(y / 30.0).cast("long").alias("cy")
+    )
+    segcells = (
+        segs.select(
+            "way_id", "seg", "x1", "y1", "x2", "y2",
+            F.explode(F.array_distinct(F.array(
+                cell(col("x1"), col("y1")), cell(col("x2"), col("y2"))
+            ))).alias("c"),
+        )
+        .select("way_id", "seg", "x1", "y1", "x2", "y2", col("c.cx").alias("cx"), col("c.cy").alias("cy"))
+    )
+    gps = nodes.filter(col("osmid") % 97 == 0).select(
+        col("osmid").alias("probe_id"),
+        col("lon").alias("px"),
+        col("lat").alias("py"),
+        cell(col("lon"), col("lat")).alias("pc"),
+    )
+    probes = gps.select(
+        "probe_id", "px", "py",
+        F.explode(F.flatten(F.array(*[
+            F.array(F.struct(
+                (col("pc.cx") + dx).alias("cx"), (col("pc.cy") + dy).alias("cy")
+            ))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ]))).alias("c"),
+    ).select("probe_id", "px", "py", col("c.cx").alias("cx"), col("c.cy").alias("cy"))
+    j = probes.join(segcells, ["cx", "cy"])
+    dx, dy = col("x2") - col("x1"), col("y2") - col("y1")
+    l2 = dx * dx + dy * dy
+    t_raw = F.when(l2 == 0, lit(0.0)).otherwise(
+        ((col("px") - col("x1")) * dx + (col("py") - col("y1")) * dy) / l2
+    )
+    t = F.least(F.greatest(t_raw, lit(0.0)), lit(1.0))
+    qx, qy = col("x1") + col("t") * dx, col("y1") + col("t") * dy
+    d2 = (col("px") - qx) * (col("px") - qx) + (col("py") - qy) * (col("py") - qy)
+    scored = j.withColumn("t", t).withColumn("d2", d2)
+    best = scored.groupBy("probe_id").agg(
+        F.min(
+            F.struct(
+                col("d2").alias("d2"), col("way_id").alias("way_id"),
+                col("seg").alias("seg"), col("t").alias("t"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "probe_id",
+        col("m.way_id").alias("way_id"),
+        col("m.seg").cast("long").alias("seg"),
+        col("m.t").alias("t"),
+        col("m.d2").alias("d2"),
+    )

@@ -2314,3 +2314,65 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (col("n_shared").cast("double") / col("n_grams")).alias("dup_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 overlap scoring (eval-metric face of the dedup candidates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_rouge_overlap",
+    oracle=f"""
+    WITH {TOKS_CTE.strip()}, {SHINGLES_CTE.strip()}, {JACCARD_SCORED_CTES.strip()},
+    big AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(len(list_intersect(ba.bg, bb.bg)) AS BIGINT) AS n_shared_bigrams,
+           CAST(len(ba.bg) AS BIGINT) AS n_bigrams_a,
+           CAST(len(bb.bg) AS BIGINT) AS n_bigrams_b,
+           CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(bb.bg) AS rouge2_recall_b,
+           CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(ba.bg) AS rouge2_recall_a
+    FROM scored s
+    JOIN big ba ON ba.doc_id = s.id_a
+    JOIN big bb ON bb.doc_id = s.id_b
+    WHERE s.jac >= 0.5
+    """,
+    doc="ROUGE-2 overlap scoring over the verified near-dup pairs — the "
+    "summarization/eval metric face of the dedup pipeline (the same "
+    "statistic contamination checkers and distillation filters compute): "
+    "for every pair the fuzzy dedup confirms (exact Jaccard >= 0.5 on "
+    "3-shingles), the distinct-bigram intersection and both directional "
+    "recalls.  Shape: candidates come from the SAME inverted-index "
+    "pipeline as llm_jaccard_pairs (never O(n^2)); bigram sets join in "
+    "by doc id only for surviving pairs.  Counts are exact int64; the "
+    "two recalls are single int/int divisions — no float drift.",
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import word_ngrams
+
+    docs = TS(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_impl(spark, sf_dir).select("id_a", "id_b")
+    big = docs.select(
+        "doc_id", F.array_distinct(word_ngrams(tokens(col("text")), 2)).alias("bg")
+    )
+    ba = big.select(col("doc_id").alias("id_a"), col("bg").alias("ba"))
+    bb = big.select(col("doc_id").alias("id_b"), col("bg").alias("bb"))
+    inter = F.size(F.array_intersect(col("ba"), col("bb")))
+    return (
+        pairs.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.cast("long").alias("n_shared_bigrams"),
+            F.size("ba").cast("long").alias("n_bigrams_a"),
+            F.size("bb").cast("long").alias("n_bigrams_b"),
+            (inter.cast("double") / F.size("bb")).alias("rouge2_recall_b"),
+            (inter.cast("double") / F.size("ba")).alias("rouge2_recall_a"),
+        )
+    )

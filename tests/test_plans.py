@@ -397,6 +397,13 @@ def test_round3_session_operator_plan_shapes(spark):
     # bearing histogram: way window + broadcast node attaches + 36-row agg
     s = assert_plan(q(spark, "osm_bearing_histogram"), max_exchanges=3, forbid_python=True)
     assert s.n_broadcasts >= 2, s.text
+    # map matching: cell-key equi-join only — never probe x segments
+    s = plan_summary(q(spark, "osm_map_match"))
+    assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
+    assert s.n_python_evals == 0, s.text
+    # ROUGE overlap: rides the inverted-index candidates + two id joins
+    s = plan_summary(q(spark, "llm_rouge_overlap"))
+    assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
