@@ -2376,3 +2376,84 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / F.size("ba")).alias("rouge2_recall_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture epoch planner (up/down-sampling computation)
+# ---------------------------------------------------------------------------
+
+# per-domain token budgets for the target mixture (literal in BOTH engines)
+_MIX_TARGETS = {f"src{i}": 20_000 + 7_000 * (i % 5) for i in range(20)}
+
+
+@register(
+    "llm_mixture_epochs",
+    oracle=rf"""
+    WITH targets(source, target_tokens) AS (
+      VALUES {", ".join(f"('{s}', {t})" for s, t in sorted(_MIX_TARGETS.items()))}
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS avail_tokens FROM toks GROUP BY source
+    ),
+    plan AS (
+      SELECT a.source, a.avail_tokens, t.target_tokens,
+             t.target_tokens // a.avail_tokens AS full_epochs,
+             t.target_tokens % a.avail_tokens AS remainder_tokens
+      FROM avail a JOIN targets t USING (source)
+    )
+    SELECT d.doc_id, d.source, d.nt AS n_tokens,
+           CAST(p.full_epochs
+                + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % p.avail_tokens < p.remainder_tokens
+                       THEN 1 ELSE 0 END AS BIGINT) AS epochs
+    FROM toks d JOIN plan p USING (source)
+    """,
+    doc="Training-mixture epoch planner — the actual up/down-sampling "
+    "computation of data-mix construction (the DoReMi/Llama-recipe 'this "
+    "domain runs 2.3 epochs' table made per-document and deterministic): "
+    "per-domain available tokens fold once, the target budget divides "
+    "into full epochs + an integer remainder, and each document earns "
+    "the extra epoch iff md5(doc_id) mod avail < remainder — expected "
+    "extra tokens == remainder EXACTLY, all arithmetic BIGINT (no float "
+    "probability anywhere, any engine/rerun identical).  Shape: one "
+    "partial-aggregated domain rollup (domain-count-sized), broadcast "
+    "back onto the scan — the per-doc assignment never shuffles.",
+)
+def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.text import portable_hash32
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens(col("text"))).cast("long").alias("n_tokens")
+    )
+    avail = toks.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("avail_tokens"))
+    targets = F.create_map(
+        *[lit(v) for kv in sorted(_MIX_TARGETS.items()) for v in kv]
+    )
+    plan = avail.select(
+        "source",
+        "avail_tokens",
+        F.element_at(targets, col("source")).cast("long").alias("target_tokens"),
+    ).select(
+        "source",
+        "avail_tokens",
+        F.expr("target_tokens div avail_tokens").alias("full_epochs"),
+        (col("target_tokens") % col("avail_tokens")).alias("remainder_tokens"),
+    )
+    h = portable_hash32(col("doc_id").cast("string"))
+    return toks.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            col("full_epochs")
+            + F.when(h % col("avail_tokens") < col("remainder_tokens"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("epochs"),
+    )

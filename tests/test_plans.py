@@ -404,6 +404,10 @@ def test_round3_session_operator_plan_shapes(spark):
     # ROUGE overlap: rides the inverted-index candidates + two id joins
     s = plan_summary(q(spark, "llm_rouge_overlap"))
     assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
+    # mixture planner: domain rollup broadcast back — per-doc assignment
+    # never shuffles (one partial-agg exchange for the domain table)
+    s = assert_plan(q(spark, "llm_mixture_epochs"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
