@@ -123,3 +123,57 @@ def pagerank_integer(
         )
         ranks = ckpt(ranks)
     return ranks
+
+
+def bellman_ford_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    id_col: str = "node_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded Bellman-Ford shortest path from a seed set over WEIGHTED
+    edges with exact BIGINT weights — the routing primitive ``bfs_hops``
+    (hop counts) upgrades to: after ``iters`` relaxation rounds every
+    node reachable within ``iters`` edges carries its exact shortest
+    distance over at-most-``iters``-edge paths.  Float edge weights make
+    distributed shortest path nondeterministic at ties (two equal-cost
+    paths whose float sums differ in the last ulp); integer weights
+    (e.g. L1 micro-degrees, time in ms) make every relaxation
+    bit-identical on any engine or partitioning.
+
+    Per round: one join of the current distance table onto the edge list
+    keyed by source + one partial-aggregated ``min`` per destination —
+    the same GraphX/Pregel data movement as ``pagerank_integer``, with
+    ``localCheckpoint`` truncating lineage per round.  Unlike BFS, a
+    node may improve in a later round (re-relaxation is the point);
+    convergence-before-``iters`` exits early via the same driver probe.
+    """
+    ckpt = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    e = ckpt(edges.select(col(src).alias("s"), col(dst).alias("d"), col(w).alias("w")))
+    dist = ckpt(seeds.select(col(id_col), lit(0).cast("long").alias("dist")))
+    for _ in range(iters):
+        relaxed = (
+            dist.join(e, dist[id_col] == e["s"])
+            .select(col("d").alias(id_col), (col("dist") + col("w")).alias("dist"))
+        )
+        new_dist = ckpt(
+            dist.unionByName(relaxed).groupBy(id_col).agg(F.min("dist").alias("dist"))
+        )
+        # converged when no node improved this round (exact integer equality)
+        if checkpoint:
+            improved = (
+                new_dist.join(dist.withColumnRenamed("dist", "old"), id_col, "left")
+                .filter(col("old").isNull() | (col("dist") < col("old")))
+                .limit(1)
+                .count()
+            )
+            dist = new_dist
+            if improved == 0:
+                break
+        else:
+            dist = new_dist
+    return dist

@@ -1419,3 +1419,94 @@ def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count("*").cast("long").alias("n_segments"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford shortest paths (weighted routing primitive)
+# ---------------------------------------------------------------------------
+
+_BF_ITERS = 4
+
+
+def _bellman_ford_oracle() -> str:
+    """Unrolled relaxation rounds (same generation discipline as the
+    pagerank oracle): d{k} = min(d{k-1}, relax over weighted edges)."""
+    steps = []
+    for i in range(_BF_ITERS):
+        steps.append(
+            f"""
+    d{i + 1} AS (
+      SELECT node_id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT node_id, dist FROM d{i}
+        UNION ALL
+        SELECT e.dst AS node_id, p.dist + e.w AS dist
+        FROM d{i} p JOIN e ON e.src = p.node_id
+      ) GROUP BY node_id
+    )"""
+        )
+    return f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+    ),
+    sym AS (SELECT src, dst FROM hop UNION ALL SELECT dst, src FROM hop),
+    e AS (
+      SELECT DISTINCT s.src, s.dst,
+             CAST(abs(na.lon - nb.lon) * 4 + abs(na.lat - nb.lat) * 4 AS BIGINT) AS w
+      FROM sym s
+      JOIN nodes na ON na.osmid = s.src
+      JOIN nodes nb ON nb.osmid = s.dst
+    ),
+    d0 AS (
+      SELECT osmid AS node_id, CAST(0 AS BIGINT) AS dist
+      FROM nodes WHERE osmid % 211 = 0
+    ),
+    {",".join(steps)}
+    SELECT node_id, dist FROM d{_BF_ITERS}
+    """
+
+
+@register(
+    "osm_shortest_path",
+    oracle=_bellman_ford_oracle(),
+    doc="Bounded Bellman-Ford shortest distance from a seed set over the "
+    "way-adjacency graph with EXACT integer L1 quarter-degree edge "
+    "weights — the weighted-routing upgrade to osm_bfs_hops, and the "
+    "fifth graph operator.  Integer weights are the determinism story: "
+    "float edge costs make equal-cost paths differ in the last ulp "
+    "across partitionings; BIGINT relaxation is bit-identical anywhere. "
+    "Per round ONE shuffle join of the distance table onto the edge "
+    "list + one partial-aggregated min per destination (re-relaxation "
+    "IS the algorithm, unlike BFS's final-on-first-touch), "
+    "localCheckpoint truncating lineage, early exit when a round "
+    "improves nothing.  The oracle unrolls the same 4 relaxation "
+    "rounds as generated CTEs.",
+)
+def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.graph import bellman_ford_integer
+
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull())
+    )
+    sym = hop.unionAll(hop.select(col("dst").alias("src"), col("src").alias("dst")))
+    na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
+    nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
+    edges = (
+        sym.join(broadcast(na), "src")
+        .join(broadcast(nb), "dst")
+        .select(
+            "src",
+            "dst",
+            (F.abs(col("x1") - col("x2")) * 4 + F.abs(col("y1") - col("y2")) * 4)
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+    seeds = nodes.filter(col("osmid") % 211 == 0).select(col("osmid").alias("node_id"))
+    return bellman_ford_integer(edges, seeds, iters=_BF_ITERS)

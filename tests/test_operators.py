@@ -294,3 +294,27 @@ def test_integrity_checks_on_hand_built_ways(spark):
     assert rows[4].dups == 1                   # duplicate consecutive
     assert rows[2].src == rows[2].dst == 20    # closed ring
     assert rows[1].src == 10 and rows[1].dst == 12
+
+
+def test_bellman_ford_integer_relaxation(spark):
+    """Weighted shortest path must beat the fewer-hops-but-heavier route
+    (the case hop-BFS gets wrong) and re-relax across rounds."""
+    from osmdatapy_spark.operators.graph import bellman_ford_integer
+
+    # 1 -> 4 direct costs 10; 1 -> 2 -> 3 -> 4 costs 3 (three hops)
+    edges = spark.createDataFrame(
+        [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 2)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in bellman_ford_integer(edges, seeds, iters=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 5}, got
+    # with only 1 round, the heavy direct edge wins to node 4
+    got1 = {
+        r["node_id"]: r["dist"]
+        for r in bellman_ford_integer(edges, seeds, iters=1).collect()
+    }
+    assert got1[4] == 10 and got1[2] == 1, got1

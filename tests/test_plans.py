@@ -119,12 +119,13 @@ _PYTHON_OK = {
 }
 
 # iterative queries that execute driver-side loops at build time — their
-# final-plan audit is covered by their own operator tests
+# final-plan audit is covered by their own operator tests.  (llm_ann_ivf_topk
+# left this list in round 3: with the train/serve artifact cache its build
+# cost is one cached lookup, so the blanket audit covers it.)
 _SKIP_BUILD = {
     "llm_dedup_clusters",
     "llm_dedup_pipeline",
     "osm_relation_expand_depth3",
-    "llm_ann_ivf_topk",
 }
 
 
