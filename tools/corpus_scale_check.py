@@ -213,6 +213,31 @@ def main() -> None:
         return f"{agg['n_tokens']} tokens, char reconstruction exact"
 
     timed("vocab tokenize", check_tokenize)
+
+    def check_curate_recipe():
+        # the Curate facade's default chain at scale: every planted exact
+        # duplicate must be gone, every block head must survive the dedup
+        # stages (the quality gate is disabled here — synthetic tokens are
+        # unique so diversity is 1.0, but keep the stage ON to exercise
+        # the full plan)
+        from osmdatapy_spark.curate import Curate
+
+        out = (
+            Curate(docs.withColumn("source", (col("doc_id") % 7).cast("string")))
+            .normalize()
+            .exact_dedup()
+            .quality_filter(min_tokens=1, max_tokens=1000, min_diversity=0.0)
+            .df()
+            .persist()
+        )
+        survived = out.count()
+        # planted dups (id % 50 == 1) all collapse into their block heads
+        dup_left = out.filter(col("doc_id") % 50 == 1).count()
+        assert dup_left == 0, f"{dup_left} planted duplicates survived exact_dedup"
+        assert survived == n - planted, (survived, n - planted)
+        return f"{survived} docs survive (all {planted} planted dups removed)"
+
+    timed("curate recipe", check_curate_recipe)
     spark.stop()
 
 
