@@ -223,14 +223,26 @@ def scan_blob_spans(path: str) -> list[BlobSpan]:
     This is the driver-side planning pass: O(#blobs) tiny reads, not a
     full-file decode (contrast reference pass 1 which decodes every block
     to build caches, ``headers.py:124-201``)."""
+    import os
+
     spans: list[BlobSpan] = []
+    fsize = os.path.getsize(path)
     with open(path, "rb") as f:
         while True:
             head = f.read(4)
             if len(head) < 4:
                 break
             (hlen,) = struct.unpack(">I", head)
+            # spec caps BlobHeader at 64 KiB — a larger value means this
+            # is not a PBF frame boundary (garbage input), not a big header
+            if hlen == 0 or hlen > 64 * 1024:
+                raise ValueError(
+                    f"invalid BlobHeader length {hlen} at offset {f.tell() - 4} "
+                    f"(not an OSM PBF file?)"
+                )
             header = f.read(hlen)
+            if len(header) < hlen:
+                raise ValueError(f"truncated BlobHeader at offset {f.tell() - len(header)}")
             btype = "OSMData"
             datasize = 0
             for field, _, val in iter_fields(header, 0, len(header)):
@@ -239,6 +251,11 @@ def scan_blob_spans(path: str) -> list[BlobSpan]:
                 elif field == 3:
                     datasize = val
             offset = f.tell()
+            if offset + datasize > fsize:
+                raise ValueError(
+                    f"truncated blob: {btype} at {offset} claims {datasize} bytes "
+                    f"but the file ends at {fsize}"
+                )
             spans.append(BlobSpan(btype, offset, datasize))
             f.seek(datasize, 1)
     return spans

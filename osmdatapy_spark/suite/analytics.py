@@ -1510,3 +1510,66 @@ def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(col("osmid") % 211 == 0).select(col("osmid").alias("node_id"))
     return bellman_ford_integer(edges, seeds, iters=_BF_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Road-network connected components (the OSM face of the CC operator)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_network_components",
+    oracle=f"""
+    WITH RECURSIVE {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+      WHERE a.way_id % 9 = 0
+    ),
+    sym AS (
+      SELECT src, dst FROM hop WHERE src <> dst
+      UNION SELECT dst, src FROM hop WHERE src <> dst
+    ),
+    cc(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT src AS a FROM sym)
+      UNION
+      SELECT cc.a, s.dst FROM cc JOIN sym s ON cc.b = s.src
+    ),
+    lbl AS (SELECT a AS node_id, MIN(b) AS cluster FROM cc GROUP BY a),
+    all_lbl AS (
+      SELECT n.osmid AS node_id, COALESCE(l.cluster, n.osmid) AS cluster
+      FROM nodes n LEFT JOIN lbl l ON l.node_id = n.osmid
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM all_lbl GROUP BY cluster
+    """,
+    doc="Connected components of a sparsified road network (ways with "
+    "way_id % 9 = 0) — the OSM face of the min-label CC operator the "
+    "dedup pipeline uses, answering 'how many disconnected islands does "
+    "this network have and how big are they' (the first integrity check "
+    "run on any routing graph).  Spark side: min-label propagation to a "
+    "fixpoint (one join + one partial-agg min per round, localCheckpoint "
+    "lineage truncation, converges in graph-diameter rounds); nodes "
+    "touching no edge default to singleton components via left join + "
+    "coalesce.  The oracle derives the same labels by recursive "
+    "transitive closure + min — a formulation that only works at "
+    "oracle scale, which is exactly why the distributed side exists.",
+)
+def osm_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.dedup import connected_components
+
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.filter(col("way_id") % 9 == 0)
+        .select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull() & (col("src") != col("dst")))
+    )
+    labels = connected_components(hop.select(col("src").alias("id_a"), col("dst").alias("id_b")))
+    all_lbl = (
+        nodes.select(col("osmid").alias("node_id"))
+        .join(labels.withColumnRenamed("id", "node_id"), "node_id", "left")
+        .select("node_id", F.coalesce("cluster", "node_id").alias("cluster"))
+    )
+    return all_lbl.groupBy("cluster").agg(F.count("*").cast("long").alias("n_nodes"))

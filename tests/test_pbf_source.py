@@ -327,3 +327,46 @@ def test_query_on_path_backed_osm_uses_kind_pruned_scan(spark, fixture_pbf):
     a = sorted(r["osmid"] for r in osm.query(q).collect())
     b = sorted(r["osmid"] for r in table_backed.query(q).collect())
     assert a == b and len(a) > 0
+
+
+def test_corrupt_pbf_fails_cleanly(spark, fixture_pbf, tmp_path):
+    """Malformed input must raise a diagnosable error, not decode garbage:
+    (a) truncated mid-frame, (b) flipped bytes inside a zlib blob, (c) a
+    non-PBF file.  At cluster scale a clean per-file error is the
+    difference between one failed task and a silently wrong table."""
+    import zlib
+
+    import pytest as _pytest
+
+    from osmdatapy_spark.sources.pbf_codec import read_blob, scan_blob_spans
+
+    raw = open(fixture_pbf, "rb").read()
+
+    # (a) truncated mid-frame: the final span would extend past EOF —
+    # the planning scan must refuse it, not return a phantom partition
+    trunc = tmp_path / "trunc.osm.pbf"
+    trunc.write_bytes(raw[: len(raw) - 7])
+    full_spans = list(scan_blob_spans(fixture_pbf))
+    with _pytest.raises(ValueError, match="truncated"):
+        list(scan_blob_spans(str(trunc)))
+
+    # (b) corrupted compressed payload: zlib must raise, not yield noise
+    spans = [s for s in full_spans if s.blob_type == "OSMData"]
+    assert spans
+    s0 = spans[0]
+    corrupted = bytearray(raw)
+    mid = s0.offset + (s0.size // 2)
+    for i in range(mid, mid + 8):
+        corrupted[i] ^= 0xFF
+    bad = tmp_path / "bad.osm.pbf"
+    bad.write_bytes(bytes(corrupted))
+    with _pytest.raises((zlib.error, ValueError)):
+        for sp in scan_blob_spans(str(bad)):
+            if sp.blob_type == "OSMData":
+                read_blob(str(bad), sp)
+
+    # (c) not a PBF at all
+    junk = tmp_path / "junk.osm.pbf"
+    junk.write_bytes(b"\x00\x01parquet-not-pbf" * 100)
+    with _pytest.raises(ValueError):
+        list(scan_blob_spans(str(junk)))
