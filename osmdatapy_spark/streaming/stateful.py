@@ -336,3 +336,66 @@ def running_user_cusum(events_stream):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (bounded-state streaming top-k)
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT_SCHEMA = "event_type string, user_id long, est_count long, rank long"
+HH_STATE_SCHEMA = "ids array<long>, counts array<long>"
+
+_HH_M = 256  # tracked-counter budget per key (the MG memory bound)
+_HH_K = 10
+
+
+def _heavy_hitters(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        ids, counts = state.get
+        tracked = dict(zip(ids, counts))
+    else:
+        tracked = {}
+    for pdf in pdfs:
+        # deterministic fold order (same discipline as the CUSUM fold)
+        for uid in pdf.sort_values(["ts", "event_id"])["user_id"]:
+            uid = int(uid)
+            if uid in tracked:
+                tracked[uid] += 1
+            elif len(tracked) < _HH_M:
+                tracked[uid] = 1
+            else:
+                # MG decrement step: every counter pays one; zeros evict
+                tracked = {u: c - 1 for u, c in tracked.items() if c > 1}
+    state.update((list(tracked.keys()), list(tracked.values())))
+    top = sorted(tracked.items(), key=lambda uc: (-uc[1], uc[0]))[:_HH_K]
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(top),
+            "user_id": [u for u, _ in top],
+            "est_count": [c for _, c in top],
+            "rank": list(range(1, len(top) + 1)),
+        }
+    )
+
+
+def running_heavy_hitters(events_stream):
+    """Streaming top-k users per event type via Misra–Gries (the
+    bounded-state frequency sketch: at most ``m`` counters per key, with
+    the guarantee est >= true - N/m — and EXACT counts whenever the key's
+    distinct-item count stays under ``m``, which the batch-parity test
+    exploits).  The batch face is ``stream_heavy_hitters`` (plain groupBy
+    count + per-key top-k); the streaming face never stores more than
+    ``m`` (id, count) pairs per event type no matter how many users flow
+    through — the state-boundedness story CMS tells for totals, told for
+    top-k membership.  Update-mode emission of the current top ``k``."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        _heavy_hitters,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2233,3 +2233,47 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(col("v"), col("dq")), 4).alias("cos_dq"),
         F.round(F.array_max(err), 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters per event type (batch face of the Misra–Gries stream op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM events GROUP BY event_type, user_id
+    ),
+    r AS (
+      SELECT event_type, user_id, est_count,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY est_count DESC, user_id) AS BIGINT) AS rank
+      FROM c
+    )
+    SELECT event_type, user_id, est_count, rank FROM r WHERE rank <= 10
+    """,
+    doc="Top-10 users per event type — the batch face of "
+    "streaming/stateful.running_heavy_hitters (Misra–Gries bounded-state "
+    "top-k: at most m counters per key with est >= true - N/m, EXACT "
+    "whenever a key's distinct items stay under m — the parity test's "
+    "regime).  Batch shape: one partial-aggregated (type, user) count "
+    "exchange, then rank<=k rewrites to a map-side WindowGroupLimit on "
+    "the per-type count table.  The streaming twin holds <= m (id, "
+    "count) pairs per event type no matter the user population.",
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("est_count")
+    )
+    w = W.partitionBy("event_type").orderBy(col("est_count").desc(), "user_id")
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("event_type", "user_id", "est_count", "rank")
+    )

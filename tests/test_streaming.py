@@ -440,3 +440,40 @@ def test_cusum_stream_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from t_cusum").collect()
     }
     assert got == batch
+
+
+def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
+    """Misra–Gries streaming top-k == the batch groupBy top-k when the
+    per-key distinct-item count stays under the counter budget m (the
+    exactness regime the operator guarantees)."""
+    from osmdatapy_spark.streaming.stateful import running_heavy_hitters
+    from osmdatapy_spark.suite.ext import stream_heavy_hitters
+
+    batch = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["est_count"])
+        for r in stream_heavy_hitters(spark, SF_DIR).collect()
+    }
+
+    from osmdatapy_spark.tables import load_table
+
+    staged = str(tmp_path / "ev_hh")
+    load_table(spark, SF_DIR, "events").write.parquet(staged)
+    stream = spark.readStream.schema(
+        load_table(spark, SF_DIR, "events").schema
+    ).parquet(staged)
+    q = (
+        running_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["rank"]): (r["user_id"], r["est_count"])
+        for r in spark.sql(
+            "SELECT * FROM t_hh"
+        ).collect()
+    }
+    assert got == batch, {k: (got.get(k), batch.get(k)) for k in set(got) | set(batch) if got.get(k) != batch.get(k)}
