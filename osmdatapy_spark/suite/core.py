@@ -1503,3 +1503,56 @@ def rel_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("b").cast("long").alias("b_min"),
         F.max("b").cast("long").alias("b_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy screen over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_k_anonymity",
+    oracle="""
+    WITH q AS (
+      -- floor(x/1000) explicitly: DuckDB's // floors but Spark's div
+      -- truncates toward zero — they disagree on negative balances;
+      -- an exactly-rounded double division + floor agrees everywhere
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS grp
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (grp < 5) AS BIGINT) AS n_violating_classes,
+           CAST(COALESCE(SUM(grp) FILTER (grp < 5), 0) AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(grp) AS BIGINT) AS min_class_size
+    FROM q
+    """,
+    doc="k-anonymity audit over quasi-identifier columns (nation x "
+    "account-balance band): the privacy screen a dataset release or "
+    "training-data pipeline runs to find equivalence classes smaller "
+    "than k — each one a re-identification risk that suppression/"
+    "coarsening must fix before release.  The banding division is exact "
+    "DECIMAL integer-div (no float band edges); two stacked partial-"
+    "aggregated exchanges (quasi-identifier classes, then a 1-row "
+    "report) — at 100 TB only class counts move.  FILTER aggregates "
+    "keep it one pass; a NULL n_exposed_rows would mean zero violations "
+    "(sum over empty set) — COALESCEd to 0 for a NULL-free report.",
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    q = c.groupBy(
+        "c_nationkey",
+        F.floor(col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("grp"))
+    small = col("grp") < 5
+    return q.agg(
+        lit(5).cast("long").alias("k"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.count(F.when(small, True)).cast("long").alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(small, col("grp"))), lit(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.min("grp").cast("long").alias("min_class_size"),
+    )

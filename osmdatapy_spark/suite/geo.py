@@ -988,6 +988,7 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "osm_map_match",
+    bench=True,
     oracle=f"""
     WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
     seg AS (

@@ -1086,6 +1086,7 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_curation_recipe",
+    bench=True,
     oracle=r"""
     WITH norm AS (
       SELECT doc_id, lang, source,
