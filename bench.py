@@ -187,6 +187,13 @@ def main() -> None:
         "osm_linestring_wkt", "llm_token_stats", "llm_jaccard_pairs",
         "llm_minhash_lsh", "llm_cosine_topk", "llm_ann_grid_topk",
     ]
+    # the round-2 headline set (BENCH_r02) — same rationale, next epoch
+    R2_SET = R1_SET + [
+        "llm_ann_ivf_topk", "llm_fuzzy_edit_pairs", "llm_lm_score",
+        "llm_paragraph_dedup", "llm_vocab_tokenize", "llm_winnow_fingerprint",
+        "osm_point_in_polygon", "osm_way_length", "pbf_query", "pbf_scan",
+        "stream_interval_join",
+    ]
     out = {
         "metric": "headline query wall-clock (noop sink, warm JVM, best of 2 passes)",
         "value": round(sum(timings.values()), 3),
@@ -194,6 +201,7 @@ def main() -> None:
         "queries": timings,
         "ann_training_sec": training,
         "r1_comparable_sec": round(sum(timings[n] for n in R1_SET if n in timings), 3),
+        "r2_comparable_sec": round(sum(timings[n] for n in R2_SET if n in timings), 3),
         "n_queries": len(timings),
         "sf": sf,
     }

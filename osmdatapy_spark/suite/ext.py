@@ -2277,3 +2277,46 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rank") <= 10)
         .select("event_type", "user_id", "est_count", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Second pure-SQL entry: TPC-H Q5 shape (local-supplier volume)
+# ---------------------------------------------------------------------------
+
+TPCH_Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+@register(
+    "rel_sql_tpch_q5",
+    oracle=TPCH_Q5_SQL,
+    doc="TPC-H Q5 (local-supplier volume) through the SQL entry point — "
+    "the 6-table join-reordering workout next to rel_sql_tpch_q3's "
+    "3-table shape: the IDENTICAL ANSI text runs via spark.sql() and the "
+    "DuckDB oracle.  Catalyst broadcasts the three dims (nation/region/"
+    "supplier at this SF) and plans customer⋈orders⋈lineitem as the one "
+    "wide join tree, with the same-nation residual (c_nationkey = "
+    "s_nationkey) folded into the supplier join — exercising join "
+    "reordering + predicate pushdown through the SQL face.  Exact "
+    "DECIMAL revenue; group key is the 25-value nation name so the "
+    "final exchange is vocabulary-sized.",
+)
+def rel_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q5_SQL)

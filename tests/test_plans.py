@@ -409,6 +409,14 @@ def test_round3_session_operator_plan_shapes(spark):
     # never shuffles (one partial-agg exchange for the domain table)
     s = assert_plan(q(spark, "llm_mixture_epochs"), max_exchanges=1, forbid_python=True)
     assert s.n_broadcasts >= 1, s.text
+    # SQL Q5: 6-table join tree — dims broadcast, no cartesian
+    s = assert_plan(q(spark, "rel_sql_tpch_q5"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 3 and "Cartesian" not in s.text, s.text
+    # k-anonymity: two stacked partial-agg exchanges, nothing else
+    assert_plan(q(spark, "rel_k_anonymity"), max_exchanges=2, forbid_python=True)
+    # heavy-hitters batch face: count agg + map-side WindowGroupLimit
+    s = assert_plan(q(spark, "stream_heavy_hitters"), max_exchanges=2, forbid_python=True)
+    assert "WindowGroupLimit" in s.text, s.text
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
