@@ -1522,9 +1522,16 @@ def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {WAYS_CTE.strip()}, {NODES_CTE.strip()},
     hop AS (
+      -- sparsified subnetwork: % 97 ways, first 3 segments each.  The
+      -- sparsification keeps component sizes bounded at EVERY sf — at
+      -- way_id % 9 the sf0.1 graph (100k edges / 19k nodes) is one giant
+      -- component, whose recursive-closure oracle is O(|component|^2)
+      -- rows (~370M); the distributed min-label side would be fine, but
+      -- the ORACLE must stay runnable, and bounded components also make
+      -- the result an actually-interesting island report
       SELECT a.node_id AS src, b.node_id AS dst
       FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
-      WHERE a.way_id % 9 = 0
+      WHERE a.way_id % 97 = 0 AND a.pos <= 3
     ),
     sym AS (
       SELECT src, dst FROM hop WHERE src <> dst
@@ -1562,9 +1569,14 @@ def osm_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = derived_nodes(spark, sf_dir)
     w = Window.partitionBy("way_id").orderBy("pos")
     hop = (
-        refs.filter(col("way_id") % 9 == 0)
-        .select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
-        .filter(col("dst").isNotNull() & (col("src") != col("dst")))
+        refs.filter(col("way_id") % 97 == 0)
+        .select(
+            "pos",
+            col("node_id").alias("src"),
+            F.lead("node_id").over(w).alias("dst"),
+        )
+        .filter(col("dst").isNotNull() & (col("src") != col("dst")) & (col("pos") <= 3))
+        .drop("pos")
     )
     labels = connected_components(hop.select(col("src").alias("id_a"), col("dst").alias("id_b")))
     all_lbl = (

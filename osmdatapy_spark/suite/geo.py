@@ -1137,8 +1137,8 @@ def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {NODES_CTE.strip()},
     cells AS (
-      SELECT CAST(floor(lon / 10.0) AS BIGINT) AS cx,
-             CAST(floor(lat / 10.0) AS BIGINT) AS cy,
+      SELECT CAST(floor(lon / 15.0) AS BIGINT) AS cx,
+             CAST(floor(lat / 15.0) AS BIGINT) AS cy,
              CAST(COUNT(*) AS BIGINT) AS n_points
       FROM nodes GROUP BY 1, 2
     ),
@@ -1167,7 +1167,8 @@ def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Grid-density spatial clustering (DBSCAN-lite): cells with >= "
     "minPts nodes are 'dense', adjacent dense cells (8-neighborhood) "
-    "merge into clusters via min-label connected components — the "
+    "merge into clusters via min-label connected components (cap 60 "
+    "rounds: a dense cell grid is a long-diameter snake) — the "
     "distributed formulation of density clustering every geo pipeline "
     "uses when true DBSCAN's eps-graph is too expensive (grid cells ARE "
     "the eps neighborhoods, off by at most one cell diagonal).  Shape: "
@@ -1182,8 +1183,8 @@ def osm_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = derived_nodes(spark, sf_dir)
     cells = nodes.groupBy(
-        F.floor(col("lon") / 10.0).cast("long").alias("cx"),
-        F.floor(col("lat") / 10.0).cast("long").alias("cy"),
+        F.floor(col("lon") / 15.0).cast("long").alias("cx"),
+        F.floor(col("lat") / 15.0).cast("long").alias("cy"),
     ).agg(F.count("*").cast("long").alias("n_points"))
     dense = cells.filter(col("n_points") >= 4).withColumn(
         "cell_id", (col("cx") + 18) * 1000 + (col("cy") + 9)
@@ -1207,8 +1208,12 @@ def osm_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = probe.join(
         dense.select("cx", "cy", col("cell_id").alias("dst")), ["cx", "cy"]
     ).select("src", "dst")
+    # min-label propagation converges in component-DIAMETER rounds; a
+    # fully-dense cell grid is a long snake (diameter ~ grid width), so
+    # the cap must exceed the 24x12 grid's diameter — 60 covers it with
+    # margin (each round is a join+agg on <=288 rows)
     labels = connected_components(
-        adj.select(col("src").alias("id_a"), col("dst").alias("id_b"))
+        adj.select(col("src").alias("id_a"), col("dst").alias("id_b")), max_iter=60
     )
     lbl = (
         dense.join(labels.withColumnRenamed("id", "cell_id"), "cell_id", "left")
