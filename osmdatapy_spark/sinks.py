@@ -88,3 +88,68 @@ def write_corpus_with_manifest(
     manifest = back.groupBy(F.col("__file").alias("file")).agg(*aggs)
     manifest.coalesce(1).write.mode("overwrite").json(path + "/_manifest")
     return spark.read.json(path + "/_manifest")
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: "list[str]",
+    curve: str = "hilbert",
+    order: int = 8,
+    mode: str = "overwrite",
+    max_records_per_file: int = 1_000_000,
+    num_files: int = 0,
+) -> None:
+    """Space-filling-curve clustered parquet write — the OPTIMIZE ZORDER /
+    hilbert maintenance job as a sink: rows range-partition and sort by
+    the curve position of two key columns, so every output file's
+    min/max footer statistics bound BOTH keys to a narrow envelope and a
+    predicate on EITHER column prunes most files (the payoff
+    rel_zorder_layout / rel_hilbert_layout report as queries, applied to
+    storage).
+
+    ``cols`` are two numeric columns; each is rank-bucketed into
+    2^``order`` quantile cells via ``ntile`` (making the curve
+    data-adaptive — raw value interleave degrades when one key is
+    skewed), then interleaved with the chosen ``curve``:
+    ``hilbert`` (tighter envelopes, operators/measures.hilbert_index) or
+    ``zorder`` (Morton bits).  One exchange for the rank windows + the
+    range partition — the same cost OPTIMIZE pays.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmdatapy_spark.operators.measures import hilbert_index
+
+    if len(cols) != 2:
+        raise ValueError("write_clustered interleaves exactly two key columns")
+    n = 1 << order
+    a = F.ntile(n).over(Window.orderBy(F.col(cols[0]))) - 1
+    b = F.ntile(n).over(Window.orderBy(F.col(cols[1]))) - 1
+    if curve == "hilbert":
+        key = hilbert_index(a, b, order)
+    elif curve == "zorder":
+        key = F.lit(0).cast("long")
+        for j in range(order):
+            key = (
+                key
+                + F.shiftleft(F.shiftright(a.cast("long"), j).bitwiseAND(F.lit(1)), 2 * j + 1)
+                + F.shiftleft(F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1)), 2 * j)
+            )
+    else:
+        raise ValueError(f"unknown curve {curve!r} (hilbert|zorder)")
+    # explicit file count when given: AQE happily coalesces a small range
+    # exchange to ONE partition — one file, no envelope win; at real scale
+    # leave 0 and size via maxRecordsPerFile + shuffle partitions
+    parts = (
+        [F.col("__curve")] if num_files <= 0 else [num_files, F.col("__curve")]
+    )
+    (
+        df.withColumn("__curve", key)
+        .repartitionByRange(*parts)
+        .sortWithinPartitions("__curve")
+        .drop("__curve")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

@@ -318,3 +318,45 @@ def test_bellman_ford_integer_relaxation(spark):
         for r in bellman_ford_integer(edges, seeds, iters=1).collect()
     }
     assert got1[4] == 10 and got1[2] == 1, got1
+
+
+def test_write_clustered_shrinks_file_envelopes(spark, tmp_path):
+    """The clustered write's payoff, measured on the files it produces:
+    after a hilbert-clustered write, each parquet file's (a, b) min/max
+    envelope covers a small fraction of the domain — so a point
+    predicate on EITHER column can skip most files — while a plain write
+    of shuffled data gives every file a near-full-domain envelope."""
+    from pyspark.sql import functions as F
+
+    from osmdatapy_spark.sinks import write_clustered
+
+    n = 1 << 14
+    # decorrelated keys (bit-reversal makes b a shuffled permutation of a)
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        F.expr("reverse(lpad(bin(id), 14, '0'))").alias("_rb"),
+    ).select("a", F.conv("_rb", 2, 10).cast("long").alias("b"))
+
+    plain_dir, clus_dir = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    df.repartition(16).write.parquet(plain_dir)
+    write_clustered(
+        df.repartition(16), clus_dir, ["a", "b"], curve="hilbert", order=7, num_files=16
+    )
+
+    def mean_envelope(path):
+        files = spark.read.parquet(path).withColumn(
+            "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        env = files.groupBy("f").agg(
+            ((F.max("a") - F.min("a")) / F.lit(float(n))).alias("ea"),
+            ((F.max("b") - F.min("b")) / F.lit(float(n))).alias("eb"),
+        )
+        row = env.agg(F.avg("ea").alias("ma"), F.avg("eb").alias("mb")).collect()[0]
+        return row["ma"], row["mb"]
+
+    pa, pb = mean_envelope(plain_dir)
+    ca, cb = mean_envelope(clus_dir)
+    # plain shuffled files span ~the whole domain on both keys
+    assert pa > 0.8 and pb > 0.8, (pa, pb)
+    # clustered files bound BOTH keys to well under half the domain
+    assert ca < 0.5 and cb < 0.5, (ca, cb)
