@@ -1223,3 +1223,53 @@ def osm_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.sum("n_points").cast("long").alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON LineString export (the way-geometry face of osm_geojson_points)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_geojson_lines",
+    oracle=f"""
+    WITH {COORDS_CTE.strip()}
+    SELECT way_id,
+           '{{"type":"Feature","geometry":{{"type":"LineString","coordinates":['
+           || array_to_string(list_transform(c, p -> printf('[%.7f,%.7f]', p.lon, p.lat)), ',')
+           || ']}},"properties":{{"way_id":' || CAST(way_id AS VARCHAR) || '}}}}' AS feature
+    FROM coords
+    WHERE len(c) >= 2
+    """,
+    doc="GeoJSON LineString Feature export for ways (RFC 7946) — the "
+    "line-geometry sibling of osm_geojson_points: each way's gathered "
+    "coordinate array formats to a self-contained line-delimited Feature "
+    "via array transform + printf (C-locale %.7f, deterministic "
+    "cross-engine), so any partition writes independently — the "
+    "cluster-native form of the reference's GeoDataFrame hand-off.  "
+    "Rides the SAME coordinate-gather exchange as the WKT constructors "
+    "and measures (one way_id groupBy); degenerate <2-point ways drop "
+    "per the reference's min-2-point rule (P9).",
+)
+def osm_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = _way_coords(spark, sf_dir).filter(F.size("c") >= 2)
+    coords_json = F.concat(
+        lit("["),
+        F.array_join(
+            F.transform(
+                col("c"), lambda p: F.format_string("[%.7f,%.7f]", p["lon"], p["lat"])
+            ),
+            ",",
+        ),
+        lit("]"),
+    )
+    return wc.select(
+        "way_id",
+        F.concat(
+            lit('{"type":"Feature","geometry":{"type":"LineString","coordinates":'),
+            coords_json,
+            lit('},"properties":{"way_id":'),
+            col("way_id").cast("string"),
+            lit("}}"),
+        ).alias("feature"),
+    )

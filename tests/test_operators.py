@@ -360,3 +360,22 @@ def test_write_clustered_shrinks_file_envelopes(spark, tmp_path):
     assert pa > 0.8 and pb > 0.8, (pa, pb)
     # clustered files bound BOTH keys to well under half the domain
     assert ca < 0.5 and cb < 0.5, (ca, cb)
+
+
+def test_geojson_features_are_valid_json(spark):
+    """Both GeoJSON exporters must emit parseable RFC 7946 Features —
+    printf assembly is easy to break with a stray quote/bracket."""
+    import json
+
+    from osmdatapy_spark.suite.geo import osm_geojson_lines
+
+    sf = "/root/testdata/sf0.001"
+    rows = osm_geojson_lines(spark, sf).limit(20).collect()
+    assert rows
+    for r in rows:
+        f = json.loads(r["feature"])
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "LineString"
+        assert len(f["geometry"]["coordinates"]) >= 2
+        assert all(len(p) == 2 for p in f["geometry"]["coordinates"])
+        assert f["properties"]["way_id"] == r["way_id"]
