@@ -566,11 +566,10 @@ def _decode_way(data: bytes, strings, with_metadata, date_gran) -> Element:
         elif field == 4:
             info = bytes(val)
         elif field == 8:
-            deltas = read_packed_signed(val, 0, len(val))
-            acc = 0
-            for d in deltas:
-                acc += d
-                refs.append(acc)
+            # delta → absolute refs via C-speed accumulate (no Python loop)
+            from itertools import accumulate
+
+            refs = list(accumulate(read_packed_signed(val, 0, len(val))))
     el = Element(osmid, WAY, _tags_from_keyvals(keys, vals, strings), refs=refs)
     _apply_info(el, info, with_metadata, date_gran)
     return el
@@ -597,11 +596,9 @@ def _decode_relation(data: bytes, strings, with_metadata, date_gran) -> Element:
         elif field == 8:
             roles = read_packed_varints(val, 0, len(val))
         elif field == 9:
-            deltas = read_packed_signed(val, 0, len(val))
-            acc = 0
-            for d in deltas:
-                acc += d
-                memids.append(acc)
+            from itertools import accumulate
+
+            memids = list(accumulate(read_packed_signed(val, 0, len(val))))
         elif field == 10:
             types = read_packed_varints(val, 0, len(val))
     members = [
