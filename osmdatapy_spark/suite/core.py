@@ -1556,3 +1556,73 @@ def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_exposed_rows"),
         F.min("grp").cast("long").alias("min_class_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register table — an EXACTLY-verified sketch build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_hll_registers",
+    oracle="""
+    WITH h AS (
+      -- portable 60-bit hash: first 15 md5 hex digits (same recipe as
+      -- hash_bucket/minhash — both engines compute the identical value)
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    parts AS (
+      SELECT hv % 256 AS bucket, hv // 256 AS w FROM h
+    ),
+    rho AS (
+      -- rank of the first set bit of the 52-bit remainder, via string
+      -- algebra (exact in both engines; no float log2): w = 0 -> 53
+      SELECT bucket,
+             CASE WHEN w = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS r
+      FROM parts
+    ),
+    regs AS (
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(r) AS BIGINT) AS register
+      FROM rho GROUP BY bucket
+    )
+    SELECT bucket, register,
+           round(0.7213 / (1.0 + 1.079 / 256) * 256 * 256
+                 / SUM(power(2.0, -register)) OVER (), 4) AS raw_estimate
+    FROM regs
+    """,
+    doc="HyperLogLog register table built EXACTLY (Flajolet et al. 2007) "
+    "— the mergeable distinct-count sketch with its construction under "
+    "the full value-hash gate, unlike the rows-only approx_count_distinct "
+    "family: the 60-bit hash is the portable md5 recipe both engines "
+    "share, bucket = h mod 256, and the first-set-bit rank computes by "
+    "string algebra on bin(w) (exact — no float log2).  Registers are a "
+    "MAX aggregate: associative+commutative, so the sketch "
+    "partial-aggregates map-side and MERGES across epochs/partitions by "
+    "construction — the lambda-architecture property that makes HLL "
+    "ubiquitous.  The raw harmonic estimate rides along under a round-4 "
+    "guard (power(2,-r) sums over 256 rows).  ONE register-table "
+    "exchange; at 100 TB only 256-row partials move.",
+)
+def rel_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    hv = F.conv(F.substring(F.md5(col("o_custkey").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    parts = o.select((hv % 256).alias("bucket"), hv.alias("hv")).select(
+        "bucket", F.expr("hv div 256").alias("w")
+    )
+    r = F.when(col("w") == 0, lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(col("w")), 52, "0"), "1")
+    )
+    regs = (
+        parts.select("bucket", r.alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").cast("long").alias("register"))
+        .select(col("bucket").cast("long").alias("bucket"), "register")
+    )
+    est = 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 / F.sum(
+        F.pow(2.0, -col("register"))
+    ).over(Window.partitionBy())
+    return regs.select("bucket", "register", F.round(est, 4).alias("raw_estimate"))

@@ -821,3 +821,20 @@ def test_vocab_tokenize_roundtrip_reconstruction(spark):
     bad = got.join(exp, "doc_id").filter(col("chars") != col("expected")).count()
     assert bad == 0
     assert got.count() == docs.count()
+
+
+def test_hll_estimate_accuracy(spark):
+    """The exactly-built HLL registers must also ESTIMATE well: the raw
+    harmonic estimate at m=256 has rsd ~1.04/sqrt(256) = 6.5%; assert
+    within 3 rsd of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from osmdatapy_spark.suite.core import rel_hll_registers
+    from osmdatapy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    est = rel_hll_registers(spark, sf).select("raw_estimate").first()[0]
+    true = (
+        load_table(spark, sf, "orders").select("o_custkey").distinct().count()
+    )
+    assert abs(est - true) / true < 3 * 1.04 / (256 ** 0.5), (est, true)
