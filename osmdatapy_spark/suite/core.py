@@ -1626,3 +1626,70 @@ def rel_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(2.0, -col("register"))
     ).over(Window.partitionBy())
     return regs.select("bucket", "register", F.round(est, 4).alias("raw_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter build — the second exactly-verified sketch (join pruning)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1024  # 32 words x 32 bits
+_BLOOM_K = 3
+
+
+def _bloom_positions_sql(key_sql: str) -> list[str]:
+    """k portable hash positions from non-overlapping md5 hex slices —
+    the same shared-recipe family as hash_bucket/minhash/HLL."""
+    return [
+        f"CAST(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {_BLOOM_BITS}"
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register(
+    "rel_bloom_filter",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    pos AS (
+      {" UNION ALL ".join(f"SELECT {p} AS p FROM keys" for p in _bloom_positions_sql("k"))}
+    ),
+    bits AS (SELECT DISTINCT p // 32 AS word, p % 32 AS bit FROM pos)
+    SELECT CAST(word AS BIGINT) AS word,
+           CAST(SUM(CAST(1 AS BIGINT) << bit) AS BIGINT) AS bits
+    FROM bits GROUP BY word
+    """,
+    doc="Bloom-filter build with the construction EXACTLY verified (the "
+    "second oracled sketch next to rel_hll_registers): k=3 portable "
+    "md5-slice hashes set bits in a 1024-bit filter stored as 32x32-bit "
+    "words (32-bit words deliberately — a 1<<63 shift overflows signed "
+    "arithmetic in DuckDB and flips the sign bit in Spark).  The word "
+    "table is an OR-fold (distinct bits then exact sum of disjoint "
+    "powers): associative, map-side combined, mergeable across "
+    "partitions/epochs like every linear sketch.  This is the structure "
+    "behind Bloom-join pruning (Spark's runtime row-group skipping): "
+    "build on the dim side's join keys, ship 128 bytes, drop fact rows "
+    "early.  FPR accuracy is pinned by its own pytest, not the oracle.",
+)
+def rel_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    keys = o.select(col("o_custkey").alias("k")).distinct()
+    pos = None
+    for i in range(_BLOOM_K):
+        h = (
+            F.conv(
+                F.substring(F.md5(col("k").cast("string")), 1 + 8 * i, 8), 16, 10
+            ).cast("long")
+            % _BLOOM_BITS
+        )
+        part = keys.select(h.alias("p"))
+        pos = part if pos is None else pos.unionAll(part)
+    bits = pos.select(
+        F.expr("p div 32").alias("word"), (col("p") % 32).alias("bit")
+    ).distinct()
+    # pyspark's F.shiftleft only takes a literal shift — SQL expr allows
+    # the column-valued bit position
+    return bits.groupBy(col("word").cast("long").alias("word")).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .cast("long")
+        .alias("bits")
+    )

@@ -838,3 +838,41 @@ def test_hll_estimate_accuracy(spark):
         load_table(spark, sf, "orders").select("o_custkey").distinct().count()
     )
     assert abs(est - true) / true < 3 * 1.04 / (256 ** 0.5), (est, true)
+
+
+def test_bloom_filter_membership_and_fpr(spark):
+    """The exactly-built Bloom words must behave like a Bloom filter: zero
+    false negatives on members, and a false-positive rate on
+    known-non-members near the theoretical (1 - e^(-kn/m))^k."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    from osmdatapy_spark.suite.core import _BLOOM_BITS, _BLOOM_K, rel_bloom_filter
+    from osmdatapy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    words = {r["word"]: r["bits"] for r in rel_bloom_filter(spark, sf).collect()}
+
+    def contains(k: int) -> bool:
+        import hashlib
+
+        md5 = hashlib.md5(str(k).encode()).hexdigest()
+        for i in range(_BLOOM_K):
+            p = int(md5[8 * i : 8 * i + 8], 16) % _BLOOM_BITS
+            if not (words.get(p // 32, 0) >> (p % 32)) & 1:
+                return False
+        return True
+
+    members = [
+        r["o_custkey"]
+        for r in load_table(spark, sf, "orders").select("o_custkey").distinct().collect()
+    ]
+    assert all(contains(k) for k in members)  # no false negatives, ever
+
+    non_members = [k for k in range(10_000_000, 10_002_000)]
+    fp = sum(contains(k) for k in non_members) / len(non_members)
+    n, m, k = len(members), _BLOOM_BITS, _BLOOM_K
+    theo = (1 - math.exp(-k * n / m)) ** k
+    assert fp < min(1.0, 2.5 * theo + 0.02), (fp, theo)
