@@ -1673,16 +1673,24 @@ def _bloom_positions_sql(key_sql: str) -> list[str]:
 def rel_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     keys = o.select(col("o_custkey").alias("k")).distinct()
-    pos = None
-    for i in range(_BLOOM_K):
-        h = (
-            F.conv(
-                F.substring(F.md5(col("k").cast("string")), 1 + 8 * i, 8), 16, 10
-            ).cast("long")
-            % _BLOOM_BITS
-        )
-        part = keys.select(h.alias("p"))
-        pos = part if pos is None else pos.unionAll(part)
+    # all k positions in ONE pass (explode of an array): a k-branch union
+    # would re-derive the distinct-keys lineage k times — k extra scans
+    # and exchanges for the same rows
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(F.md5(col("k").cast("string")), 1 + 8 * i, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_BITS
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
     bits = pos.select(
         F.expr("p div 32").alias("word"), (col("p") % 32).alias("bit")
     ).distinct()

@@ -876,3 +876,41 @@ def test_bloom_filter_membership_and_fpr(spark):
     n, m, k = len(members), _BLOOM_BITS, _BLOOM_K
     theo = (1 - math.exp(-k * n / m)) ** k
     assert fp < min(1.0, 2.5 * theo + 0.02), (fp, theo)
+
+
+def test_hll_registers_merge_across_epochs(spark):
+    """Mergeability — THE reason sketches exist: building registers on two
+    disjoint epochs and max-merging them must equal the full-corpus build
+    bit-for-bit (max is associative/commutative; same for Bloom's OR)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    from osmdatapy_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    o = load_table(spark, sf, "orders")
+
+    def registers(df):
+        hv = F.conv(
+            F.substring(F.md5(col("o_custkey").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        parts = df.select((hv % 256).alias("bucket"), hv.alias("hv")).select(
+            "bucket", F.expr("hv div 256").alias("w")
+        )
+        r = F.when(col("w") == 0, F.lit(53)).otherwise(
+            F.instr(F.lpad(F.bin(col("w")), 52, "0"), "1")
+        )
+        return (
+            parts.select("bucket", r.alias("r"))
+            .groupBy("bucket")
+            .agg(F.max("r").alias("register"))
+        )
+
+    full = {r["bucket"]: r["register"] for r in registers(o).collect()}
+    e1 = registers(o.filter(col("o_orderkey") % 2 == 0))
+    e2 = registers(o.filter(col("o_orderkey") % 2 == 1))
+    merged = {
+        r["bucket"]: r["register"]
+        for r in e1.unionByName(e2).groupBy("bucket").agg(F.max("register").alias("register")).collect()
+    }
+    assert merged == full

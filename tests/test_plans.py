@@ -417,6 +417,10 @@ def test_round3_session_operator_plan_shapes(spark):
     # heavy-hitters batch face: count agg + map-side WindowGroupLimit
     s = assert_plan(q(spark, "stream_heavy_hitters"), max_exchanges=2, forbid_python=True)
     assert "WindowGroupLimit" in s.text, s.text
+    # HLL registers: distinct + register agg; 256-row global window
+    assert_plan(q(spark, "rel_hll_registers"), max_exchanges=3, forbid_python=True)
+    # Bloom words: key distinct + bit distinct + 32-row word agg
+    assert_plan(q(spark, "rel_bloom_filter"), max_exchanges=3, forbid_python=True)
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
