@@ -367,3 +367,96 @@ def test_clip_segment_bbox_invariants_random(spark, segs):
                 assert X0 - 1e-9 <= px <= X1 + 1e-9 and Y0 - 1e-9 <= py <= Y1 + 1e-9, r
             if X0 <= min(ax, bx) and max(ax, bx) <= X1 and Y0 <= min(ay, by) and max(ay, by) <= Y1:
                 assert r["t0"] == 0.0 and r["t1"] == 1.0, r
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12), st.integers(1, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_bellman_ford_matches_bruteforce(spark, edges, iters):
+    """Bounded Bellman-Ford == brute-force min over all <=iters-edge paths
+    from the seed, on random small weighted digraphs."""
+    from osmdatapy_spark.operators.graph import bellman_ford_integer
+
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node_id long")
+    got = {
+        r["node_id"]: r["dist"]
+        for r in bellman_ford_integer(edf, seeds, iters=iters).collect()
+    }
+    # python reference: iterate relaxation exactly `iters` times
+    dist = {1: 0}
+    for _ in range(iters):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, 1 << 60):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    assert got == dist, (edges, iters)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 10), st.integers(1, 10)), min_size=1, max_size=25
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """The oriented wedge join == brute-force triangle enumeration on
+    random undirected graphs (per-node participation counts)."""
+    from itertools import combinations
+
+    from osmdatapy_spark.suite.analytics import osm_triangle_count  # noqa: F401
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not und:
+        return
+    # brute force
+    nodes = sorted({n for e in und for n in e})
+    counts: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if ((a, b) in und) and ((b, c) in und) and ((a, c) in und):
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+
+    # replicate the suite's oriented-wedge pipeline on this edge set
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    e = spark.createDataFrame(sorted(und), "a long, b long")
+    deg = (
+        e.select(col("a").alias("v"))
+        .unionAll(e.select(col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    k = deg.select("v", (col("d") * lit(1_000_000) + col("v")).alias("kk"))
+    ka = k.select(col("v").alias("a"), col("kk").alias("ka"))
+    kb = k.select(col("v").alias("b"), col("kk").alias("kb"))
+    o = (
+        e.join(ka, "a").join(kb, "b")
+        .select(
+            F.when(col("ka") < col("kb"), col("a")).otherwise(col("b")).alias("s"),
+            F.when(col("ka") < col("kb"), col("b")).otherwise(col("a")).alias("t"),
+            F.greatest("ka", "kb").alias("kt"),
+        )
+    )
+    o1 = o.select(col("s").alias("s1"), col("t").alias("y"), col("kt").alias("k1"))
+    o2 = o.select(col("s").alias("s1"), col("t").alias("z"), col("kt").alias("k2"))
+    wedges = o1.join(o2, "s1").filter(col("k1") < col("k2"))
+    closer = o.select(col("s").alias("y"), col("t").alias("z"))
+    tri = wedges.join(closer, ["y", "z"]).select(col("s1").alias("x"), "y", "z")
+    per_node = (
+        tri.select(col("x").alias("v"))
+        .unionAll(tri.select(col("y").alias("v")))
+        .unionAll(tri.select(col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["v"]: r["n"] for r in per_node.collect()}
+    assert got == counts, sorted(und)
