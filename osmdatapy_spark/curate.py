@@ -89,17 +89,32 @@ class Curate:
         shingle_n: int = 3,
         max_doc_freq: int = 20,
         min_shared: int = 3,
+        method: str = "jaccard",
+        num_perm: int = 8,
     ) -> "Curate":
-        """Near-duplicate removal by exact n-gram Jaccard over
-        inverted-index candidates (the llm_jaccard_pairs shape — bucketed
-        postings, chunk-split hot shingles, never O(n²)), dropping the
-        larger id of every pair at/above ``threshold`` (min-id keeper —
-        the llm_dedup_keep_best reduction; use
-        ``functions.dedup.connected_components`` downstream for full
-        transitive clustering)."""
+        """Near-duplicate removal with exact-Jaccard verification over one
+        of two candidate generators, dropping the larger id of every pair
+        at/above ``threshold`` (min-id keeper — the llm_dedup_keep_best
+        reduction; use ``functions.dedup.connected_components`` downstream
+        for full transitive clustering):
+
+        - ``method="jaccard"`` (default): inverted-index candidates (the
+          llm_jaccard_pairs shape — bucketed postings, chunk-split hot
+          shingles).  Exact recall at/above ``min_shared`` shared
+          shingles.
+        - ``method="minhash"``: MinHash signatures + LSH band collisions
+          (the llm_minhash_lsh shape) — fewer candidates at web scale
+          (one (docs x bands) shuffle instead of the full posting
+          explosion), probabilistic recall tuned by ``num_perm``/banding.
+
+        Both verify candidates by EXACT Jaccard, so precision is 100%
+        either way — the generators trade candidate-set cost vs recall.
+        """
         from osmdatapy_spark.functions.dedup import (
             jaccard_candidate_pairs,
             jaccard_similarity,
+            lsh_band_pairs,
+            minhash_signature,
         )
         from osmdatapy_spark.functions.text import shingle_sets
 
@@ -107,9 +122,16 @@ class Curate:
             self._df, text_col=self.text_col, id_col=self.id_col, n=shingle_n
         ).persist()
         shingled = sets.select(self.id_col, F.explode(col("s")).alias("s"))
-        cand = jaccard_candidate_pairs(
-            shingled, self.id_col, "s", max_doc_freq=max_doc_freq, min_shared=min_shared
-        )
+        if method == "jaccard":
+            cand = jaccard_candidate_pairs(
+                shingled, self.id_col, "s",
+                max_doc_freq=max_doc_freq, min_shared=min_shared,
+            )
+        elif method == "minhash":
+            sig = minhash_signature(shingled, self.id_col, "s", num_perm=num_perm)
+            cand = lsh_band_pairs(sig, self.id_col, num_perm=num_perm)
+        else:
+            raise ValueError(f"unknown fuzzy_dedup method {method!r} (jaccard|minhash)")
         sa = sets.select(col(self.id_col).alias("id_a"), col("s").alias("sa"))
         sb = sets.select(col(self.id_col).alias("id_b"), col("s").alias("sb"))
         dupes = (

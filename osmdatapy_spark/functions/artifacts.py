@@ -38,3 +38,30 @@ def train_once(key: Tuple, trainer: Callable[[], Any]) -> Any:
 def clear() -> None:
     """Drop all cached artifacts (tests / fresh-measurement hooks)."""
     _CACHE.clear()
+
+
+def save(path: str) -> None:
+    """Persist every cached artifact as JSON — the 'tiny parquet side
+    table' of a production deployment, minus the parquet (artifacts are
+    k×dim float lists; JSON round-trips them exactly via repr floats).
+    Keys serialize as their repr; ``load`` restores them with eval-free
+    parsing (ast.literal_eval)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({repr(k): v for k, v in _CACHE.items()}, f)
+
+
+def load(path: str) -> int:
+    """Restore artifacts saved by ``save`` into the session cache;
+    returns the number loaded.  Training after a restart then costs a
+    file read, not a corpus scan — the cross-session face of the
+    train/serve split."""
+    import ast
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    for k, v in data.items():
+        _CACHE[ast.literal_eval(k)] = v
+    return len(data)

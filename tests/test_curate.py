@@ -83,3 +83,38 @@ def test_paragraph_step_available(spark):
     assert "shared boilerplate header" in out[1]
     assert "shared boilerplate header" not in out[2]
     assert "unique body two" in out[2]
+
+
+def test_fuzzy_dedup_minhash_method(corpus):
+    """The LSH candidate generator must drop the same near-dup as the
+    inverted-index one on this corpus (identical docs collide on every
+    band, so recall is certain here)."""
+    got_j = sorted(
+        r["doc_id"]
+        for r in Curate(corpus).normalize().exact_dedup()
+        .fuzzy_dedup(method="jaccard").df().select("doc_id").collect()
+    )
+    got_m = sorted(
+        r["doc_id"]
+        for r in Curate(corpus).normalize().exact_dedup()
+        .fuzzy_dedup(method="minhash").df().select("doc_id").collect()
+    )
+    assert got_j == got_m, (got_j, got_m)
+
+
+def test_artifacts_save_load_roundtrip(tmp_path):
+    from osmdatapy_spark.functions import artifacts
+
+    artifacts.clear()
+    key = ("/some/sf", "ivf_centroids", 8, 1)
+    cents = [[0.125, -1.5], [2.25, 3.75]]
+    artifacts.train_once(key, lambda: cents)
+    p = str(tmp_path / "artifacts.json")
+    artifacts.save(p)
+    artifacts.clear()
+    n = artifacts.load(p)
+    assert n == 1
+    # cache hit now — the trainer must NOT run (it would raise)
+    got = artifacts.train_once(key, lambda: (_ for _ in ()).throw(RuntimeError))
+    assert got == cents
+    artifacts.clear()
