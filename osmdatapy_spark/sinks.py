@@ -108,15 +108,19 @@ def write_clustered(
     rel_zorder_layout / rel_hilbert_layout report as queries, applied to
     storage).
 
-    ``cols`` are two numeric columns; each is rank-bucketed into
-    2^``order`` quantile cells via ``ntile`` (making the curve
-    data-adaptive — raw value interleave degrades when one key is
-    skewed), then interleaved with the chosen ``curve``:
-    ``hilbert`` (tighter envelopes, operators/measures.hilbert_index) or
-    ``zorder`` (Morton bits).  One exchange for the rank windows + the
-    range partition — the same cost OPTIMIZE pays.
+    ``cols`` are two numeric columns; each is quantile-bucketed into
+    2^``order`` cells (making the curve data-adaptive — raw value
+    interleave degrades when one key is skewed), then interleaved with
+    the chosen ``curve``: ``hilbert`` (tighter envelopes,
+    operators/measures.hilbert_index) or ``zorder`` (Morton bits).
+
+    Bucketing uses ``approxQuantile`` boundaries broadcast back as a
+    literal ``width_bucket``-style expression — NOT a global ``ntile``
+    window, which moves the whole dataset through one partition (the
+    classic global-sort scale killer; layout keys don't need exact
+    ranks).  Cost: one approximate-quantile pass + the range partition —
+    the same shape OPTIMIZE pays.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from osmdatapy_spark.operators.measures import hilbert_index
@@ -124,8 +128,19 @@ def write_clustered(
     if len(cols) != 2:
         raise ValueError("write_clustered interleaves exactly two key columns")
     n = 1 << order
-    a = F.ntile(n).over(Window.orderBy(F.col(cols[0]))) - 1
-    b = F.ntile(n).over(Window.orderBy(F.col(cols[1]))) - 1
+    qs = [i / n for i in range(1, n)]
+    bounds_a, bounds_b = (
+        df.approxQuantile(c, qs, 0.001) for c in cols
+    )
+
+    def bucket(colname: str, bounds: "list[float]"):
+        # index of the first boundary > value == the quantile cell; a
+        # sorted-literal-array binary search via array + filter size
+        arr = F.array(*[F.lit(float(x)) for x in bounds])
+        return F.size(F.filter(arr, lambda x: x <= F.col(colname).cast("double")))
+
+    a = bucket(cols[0], bounds_a)
+    b = bucket(cols[1], bounds_b)
     if curve == "hilbert":
         key = hilbert_index(a, b, order)
     elif curve == "zorder":

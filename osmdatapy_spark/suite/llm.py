@@ -2408,8 +2408,11 @@ _MIX_TARGETS = {f"src{i}": 20_000 + 7_000 * (i % 5) for i in range(20)}
       FROM avail a JOIN targets t USING (source)
     )
     SELECT d.doc_id, d.source, d.nt AS n_tokens,
+           -- 60-bit hash (15 hex digits): avail_tokens can exceed 2^32 at
+           -- corpus scale, and a 32-bit hash mod avail would then bias
+           -- the extra-epoch probability (hash never reaches [2^32, avail))
            CAST(p.full_epochs
-                + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                             % p.avail_tokens < p.remainder_tokens
                        THEN 1 ELSE 0 END AS BIGINT) AS epochs
     FROM toks d JOIN plan p USING (source)
@@ -2426,8 +2429,6 @@ _MIX_TARGETS = {f"src{i}": 20_000 + 7_000 * (i % 5) for i in range(20)}
     "back onto the scan — the per-doc assignment never shuffles.",
 )
 def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.text import portable_hash32
-
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.size(tokens(col("text"))).cast("long").alias("n_tokens")
@@ -2446,7 +2447,11 @@ def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("target_tokens div avail_tokens").alias("full_epochs"),
         (col("target_tokens") % col("avail_tokens")).alias("remainder_tokens"),
     )
-    h = portable_hash32(col("doc_id").cast("string"))
+    # 60-bit portable hash: avail_tokens can exceed 2^32 at corpus scale
+    # (a 32-bit hash mod avail would bias the extra-epoch probability)
+    h = F.conv(
+        F.substring(F.md5(col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
     return toks.join(F.broadcast(plan), "source").select(
         "doc_id",
         "source",
