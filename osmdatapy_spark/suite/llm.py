@@ -2299,7 +2299,13 @@ def llm_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(word_ngrams(tokens(col("text")), 5)).alias("gs"),
     )
-    exploded = grams.select("doc_id", F.explode("gs").alias("g"))
+    # shuffle/join on the 8-byte xxhash64 of the gram, not the gram string
+    # — the same key compression the Jaccard inverted index uses (5-gram
+    # strings would inflate the exchange ~10x; a 64-bit collision merging
+    # two grams is vanishingly unlikely and only perturbs one docfreq)
+    exploded = grams.select(
+        "doc_id", F.explode(F.transform(col("gs"), lambda g: F.xxhash64(g))).alias("g")
+    )
     gdf = exploded.groupBy("g").agg(F.count("*").cast("long").alias("docfreq"))
     per_doc = (
         exploded.join(gdf, "g")
