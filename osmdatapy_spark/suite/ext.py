@@ -2320,3 +2320,75 @@ def rel_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q5_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Late-data audit (the watermark-tuning metric, batch face)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_late_events",
+    oracle="""
+    WITH arr AS (
+      SELECT user_id, event_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN high_water IS NOT NULL
+                   AND epoch_us(high_water) - epoch_us(ts) > 600000000
+                  THEN 1 ELSE 0 END AS is_late,
+             CASE WHEN high_water IS NOT NULL AND high_water > ts
+                  THEN epoch_us(high_water) - epoch_us(ts) ELSE 0 END AS lag_us
+      FROM arr
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Late-data audit — the measurement that SIZES a watermark before "
+    "anyone picks '10 minutes' by folklore: treating event_id as arrival "
+    "order, each event compares its event time against the stream's "
+    "high-water mark so far (a running MAX window over arrival order, "
+    "1-row lag so an event is never late against itself); events more "
+    "than 10 min behind are 'late', and the max observed lag bounds the "
+    "watermark any exactly-once pipeline needs.  ONE user_id exchange "
+    "serves the window and the rollup; exact BIGINT microseconds "
+    "throughout.  This is the batch face of the question every "
+    "withWatermark() call answers — run it on history BEFORE deploying "
+    "the stream.",
+)
+def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    hw = F.max("ts").over(w)
+    arr = ev.select(
+        "user_id",
+        "ts",
+        hw.alias("high_water"),
+    )
+    lag_us = F.unix_micros(col("high_water")) - F.unix_micros(col("ts"))
+    flagged = arr.select(
+        "user_id",
+        F.when(col("high_water").isNotNull() & (lag_us > 600_000_000), 1)
+        .otherwise(0)
+        .alias("is_late"),
+        F.when(col("high_water").isNotNull() & (col("high_water") > col("ts")), lag_us)
+        .otherwise(0)
+        .alias("lag_us"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_late").cast("long").alias("n_late"),
+        F.max("lag_us").cast("long").alias("max_lag_us"),
+    )

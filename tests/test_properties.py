@@ -460,3 +460,42 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     )
     got = {r["v"]: r["n"] for r in per_node.collect()}
     assert got == counts, sorted(und)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.integers(-500, 500).map(lambda v: v / 4.0), min_size=1, max_size=40
+    ),
+    target=st.integers(-20, 20).map(float),
+)
+def test_cusum_linearization_matches_recurrence(spark, values, target):
+    """The prefix identity s_i = cum_i - min(0, min_{j<=i} cum_j) must
+    equal Page's sequential recurrence s_i = max(0, s_{i-1} + x - target)
+    for ANY series — the window formulation rel_cusum_drift relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "i long, x double")
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(col("x").cast("decimal(19,4)") - target).over(w).cast("decimal(28,4)")
+    seq = df.select("i", cum.alias("cum"))
+    mn = F.min("cum").over(Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0))
+    out = {
+        r["i"]: float(r["s"])
+        for r in seq.select(
+            "i",
+            (
+                col("cum")
+                - F.least(F.lit(0).cast("decimal(28,4)"), mn)
+            ).alias("s"),
+        ).collect()
+    }
+    # sequential reference in exact quarter-unit integers
+    s, want = 0, {}
+    for i, v in enumerate(values):
+        s = max(0, s + round(v * 4) - round(target * 4))
+        want[i] = s / 4.0
+    assert out == want, (values, target)
