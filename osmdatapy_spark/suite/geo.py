@@ -1273,3 +1273,110 @@ def osm_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             lit("}}"),
         ).alias("feature"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial k-means (settlement clustering) — the ANN quantizer reused on geo
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "osm_settlement_clusters",
+    oracle="""
+    WITH v AS (
+      SELECT osmid AS vec_id, [CAST(lon AS DOUBLE), CAST(lat AS DOUBLE)] AS v
+      FROM (
+        SELECT p_partkey AS osmid,
+               CAST((p_partkey % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+               CAST((p_partkey % 170) - 85 + 0.25 AS DOUBLE) AS lat
+        FROM part
+      )
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM v ORDER BY vec_id LIMIT 6
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - s.v[i]) * (x.v[i] - s.v[i]))), 6), s.cell
+               ) AS rn
+        FROM v x CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a1.cell,
+             UNNEST(generate_series(1, len(x.v))) AS idx,
+             UNNEST(x.v) AS val
+      FROM v x JOIN a1 USING (vec_id)
+    ),
+    m AS (
+      SELECT cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY cell, idx
+    ),
+    cents AS (
+      SELECT s.cell,
+             CASE WHEN COUNT(m.cval) > 0 THEN list(m.cval ORDER BY m.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM seeds s LEFT JOIN m ON m.cell = s.cell
+      GROUP BY s.cell
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))), 6), c.cell
+               ) AS rn
+        FROM v x CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT a2.cell AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           round(CAST(SUM(CAST(x.v[1] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c_lon,
+           round(CAST(SUM(CAST(x.v[2] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS c_lat
+    FROM a2 JOIN v x USING (vec_id)
+    GROUP BY a2.cell
+    """,
+    doc="Spatial k-means settlement clustering — the ANN coarse quantizer "
+    "(functions/similarity.kmeans_centroids: deterministic seeded Lloyd, "
+    "rounded-L2 assignment, exact DECIMAL means) REUSED on 2-d lon/lat "
+    "vectors: cluster nodes into k=6 'settlements' and report each "
+    "cluster's population and exact-decimal centroid.  Same scale story "
+    "as IVF — training is k x 2 aggregates, assignment a zero-shuffle "
+    "literal-centroid projection, the report one partial-agg exchange.  "
+    "The oracle replays the whole Lloyd iteration bit-for-bit, proving "
+    "the quantizer is domain-agnostic (embeddings or coordinates).",
+)
+def osm_settlement_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.artifacts import train_once
+    from osmdatapy_spark.functions.similarity import kmeans_centroids, nearest_cell
+
+    nodes = derived_nodes(spark, sf_dir)
+    vecs = nodes.select(
+        col("osmid").alias("vec_id"),
+        F.array(col("lon").cast("double"), col("lat").cast("double")).alias("embedding"),
+    )
+    cents = train_once(
+        (sf_dir, "settlement_centroids", 6, 1),
+        lambda: kmeans_centroids(vecs, "vec_id", "embedding", k=6, iters=1),
+    )
+    assigned = vecs.select(
+        "vec_id",
+        col("embedding").alias("v"),
+        nearest_cell(col("embedding"), cents).alias("cluster"),
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.round(
+            F.sum(F.element_at("v", 1).cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("c_lon"),
+        F.round(
+            F.sum(F.element_at("v", 2).cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("c_lat"),
+    )
