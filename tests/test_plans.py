@@ -421,6 +421,12 @@ def test_round3_session_operator_plan_shapes(spark):
     assert_plan(q(spark, "rel_hll_registers"), max_exchanges=3, forbid_python=True)
     # Bloom words: key distinct + bit distinct + 32-row word agg
     assert_plan(q(spark, "rel_bloom_filter"), max_exchanges=3, forbid_python=True)
+    # late-data audit: the high-water window and the rollup share ONE
+    # user_id exchange
+    assert_plan(q(spark, "stream_late_events"), max_exchanges=1, forbid_python=True)
+    # settlement clustering: literal-centroid assignment is a projection;
+    # ONE partial-agg cluster exchange (training rides the artifact cache)
+    assert_plan(q(spark, "osm_settlement_clusters"), max_exchanges=1, forbid_python=True)
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
