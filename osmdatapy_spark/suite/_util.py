@@ -23,6 +23,26 @@ def TS(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spread(T(spark, sf_dir, name))
 
 
+def coords_lookup(
+    refs: DataFrame, nodes: DataFrame, node_col: str = "node_id", how: str = "inner"
+) -> DataFrame:
+    """J4 coordinate-lookup join (reference ``coords``, osmdata.py:81-84) —
+    deliberately UNHINTED.
+
+    The nodes table is OSM's *largest* relation (~1e9 rows at planet
+    scale); a forced ``broadcast()`` hint overrides Catalyst's size check
+    and becomes a driver OOM at 100x rather than a graceful sort-merge
+    fallback.  Left unhinted, AQE broadcasts when runtime stats fall under
+    ``autoBroadcastJoinThreshold`` (true at bench scale, so plans and
+    timings are unchanged locally) and shuffle-joins on the id key
+    otherwise — the ``operators/topology.attach_coords`` discipline
+    (SURVEY §1.5 J4: "broadcast if small, else sort-merge on bucketed
+    osmid").  ``tests/test_plans.py`` pins hint-absence by disabling
+    auto-broadcast and asserting no BroadcastHashJoin survives.
+    """
+    return refs.join(nodes, node_col, how)
+
+
 def dec(c: str | Column, prec: int = 18, scale: int = 4) -> Column:
     """Exact-decimal view of a float column.
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
-from osmdatapy_spark.suite._util import T, dec
+from osmdatapy_spark.suite._util import T, coords_lookup, dec
 from osmdatapy_spark.suite.osm import (
     NODES_CTE,
     WAYS_CTE,
@@ -381,7 +381,7 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def osm_way_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    pts = ways.join(broadcast(nodes), "node_id").select("way_id", "pos", "lon", "lat")
+    pts = coords_lookup(ways, nodes).select("way_id", "pos", "lon", "lat")
 
     w = Window.partitionBy("way_id").orderBy("pos")
     seg = (
@@ -1219,9 +1219,18 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
         .filter(col("dst").isNotNull() & (col("src") != col("dst")))
     )
-    e = hop.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    # e and o each feed the DAG at multiple forks (e: deg + the two key
+    # joins; o: o1/o2/closer) — without truncation the un-persisted
+    # lineage duplicates the whole edge pipeline ~9x and the parquet scan
+    # 45x (measured: 109 exchanges, zero ReusedExchange).  localCheckpoint
+    # at both forks — the same discipline as pagerank_integer /
+    # connected_components — collapses the plan to ~1 scan and single-digit
+    # exchanges; tests/test_plans.py pins max_exchanges.
+    e = (
+        hop.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = (
         e.select(col("a").alias("v"))
         .unionAll(e.select(col("b").alias("v")))
@@ -1239,6 +1248,7 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(col("ka") < col("kb"), col("b")).otherwise(col("a")).alias("t"),
             F.greatest("ka", "kb").alias("kt"),
         )
+        .localCheckpoint()
     )
     o1 = o.select(col("s").alias("s1"), col("t").alias("y"), col("kt").alias("k1"))
     o2 = o.select(col("s").alias("s1"), col("t").alias("z"), col("kt").alias("k2"))
@@ -1394,7 +1404,8 @@ def rel_bitmap_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Float discipline: atan2/degrees are 1-ulp libm calls, so the bearing "
     "carries a round-6 guard BEFORE the bin floor — the same pattern as "
     "the mercator tile fraction — making bin assignment engine-exact.  "
-    "Shape: the way_id window reuses one exchange, nodes broadcast, and "
+    "Shape: the way_id window reuses one exchange, the nodes attach is an "
+    "unhinted coords_lookup (AQE broadcasts when small), and "
     "the 36-row histogram is one partial-aggregated exchange.",
 )
 def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,10 +1418,8 @@ def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
     nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
-    vec = (
-        seg.join(broadcast(na), "src")
-        .join(broadcast(nb), "dst")
-        .filter(~((col("x1") == col("x2")) & (col("y1") == col("y2"))))
+    vec = coords_lookup(coords_lookup(seg, na, "src"), nb, "dst").filter(
+        ~((col("x1") == col("x2")) & (col("y1") == col("y2")))
     )
     raw = F.degrees(F.atan2(col("x2") - col("x1"), col("y2") - col("y1")))
     bearing = F.round(F.when(raw < 0, raw + 360.0).otherwise(raw), 6)
@@ -1467,6 +1476,34 @@ def _bellman_ford_oracle() -> str:
     """
 
 
+def _shortest_path_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted edge list for osm_shortest_path — factored out so
+    tests/test_plans.py can pin the unhinted nodes attach without running
+    the Bellman-Ford driver loop."""
+    refs = derived_way_refs(spark, sf_dir)
+    nodes = derived_nodes(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull())
+    )
+    sym = hop.unionAll(hop.select(col("dst").alias("src"), col("src").alias("dst")))
+    na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
+    nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
+    return (
+        coords_lookup(coords_lookup(sym, na, "src"), nb, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.abs(col("x1") - col("x2")) * 4 + F.abs(col("y1") - col("y2")) * 4)
+            .cast("long")
+            .alias("w"),
+        )
+        .distinct()
+    )
+
+
+
 @register(
     "osm_shortest_path",
     oracle=_bellman_ford_oracle(),
@@ -1486,28 +1523,8 @@ def _bellman_ford_oracle() -> str:
 def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.operators.graph import bellman_ford_integer
 
-    refs = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir)
-    w = Window.partitionBy("way_id").orderBy("pos")
-    hop = (
-        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
-        .filter(col("dst").isNotNull())
-    )
-    sym = hop.unionAll(hop.select(col("dst").alias("src"), col("src").alias("dst")))
-    na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
-    nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
-    edges = (
-        sym.join(broadcast(na), "src")
-        .join(broadcast(nb), "dst")
-        .select(
-            "src",
-            "dst",
-            (F.abs(col("x1") - col("x2")) * 4 + F.abs(col("y1") - col("y2")) * 4)
-            .cast("long")
-            .alias("w"),
-        )
-        .distinct()
-    )
+    edges = _shortest_path_edges(spark, sf_dir)
     seeds = nodes.filter(col("osmid") % 211 == 0).select(col("osmid").alias("node_id"))
     return bellman_ford_integer(edges, seeds, iters=_BF_ITERS)
 

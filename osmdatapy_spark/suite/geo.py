@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col, lit
+from pyspark.sql.functions import col, lit
+
+from osmdatapy_spark.suite._util import coords_lookup
 
 from osmdatapy_spark.operators.measures import (
     centroid,
@@ -50,7 +52,7 @@ coords AS (
 def _way_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    joined = ways.join(broadcast(nodes), "node_id")
+    joined = coords_lookup(ways, nodes)
     return joined.groupBy("way_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
@@ -262,7 +264,7 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
     cx = ((col("way_id") % 360) - 180 + 0.5).cast("double")
     cy = ((F.expr("way_id div 360") % 170) - 85 + 0.5).cast("double")
-    verts = ways.join(broadcast(nodes), "node_id").select(
+    verts = coords_lookup(ways, nodes).select(
         "way_id",
         "pos",
         (cx + col("lon") * 0.35 / 180).alias("vx"),
@@ -1072,7 +1074,7 @@ def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
     nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
-    segs = seg.join(broadcast(na), "src").join(broadcast(nb), "dst").drop("src", "dst")
+    segs = coords_lookup(coords_lookup(seg, na, "src"), nb, "dst").drop("src", "dst")
     cell = lambda x, y: F.struct(  # noqa: E731
         F.floor(x / 30.0).cast("long").alias("cx"), F.floor(y / 30.0).cast("long").alias("cy")
     )

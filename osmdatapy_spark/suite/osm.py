@@ -19,13 +19,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast, col, lit
+from pyspark.sql.functions import col, lit
 
 from osmdatapy_spark.operators.geometry import linestring_wkt, point_wkt, way_geom_type
 from osmdatapy_spark.operators.rings import ring_chains
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
 from osmdatapy_spark.query import Query
-from osmdatapy_spark.suite._util import T
+from osmdatapy_spark.suite._util import T, coords_lookup
 from osmdatapy_spark.suite.registry import register
 
 # ---------------------------------------------------------------------------
@@ -458,12 +458,13 @@ def osm_point_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     doc="Bulk linestring construction (ref G2 _geometry.py:25-41 + coords "
     "gather _frame.py:103-105): posexplode-join-recollect, then pure array→text. "
-    "The node join is the scale-defining shuffle; nodes table broadcast when small.",
+    "The node join is the scale-defining shuffle; unhinted coords_lookup "
+    "lets AQE broadcast the nodes table only when runtime stats say it fits.",
 )
 def osm_linestring_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ways = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    joined = ways.join(broadcast(nodes), "node_id")
+    joined = coords_lookup(ways, nodes)
     coords = joined.groupBy("way_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
@@ -627,7 +628,8 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Geometry/topology integrity report (the osmium check-refs / QA "
     "gate before publishing an extract): unresolvable node refs, "
     "degenerate <2-node ways, duplicate consecutive refs, area-tagged "
-    "ways that don't close. Each check is a broadcast-dim anti-join or a "
+    "ways that don't close. Each check is an unhinted coords_lookup "
+    "anti-join (AQE picks broadcast only when nodes fit) or a "
     "fold inside the ONE way_id exchange the checks share; the report is "
     "a union of tiny aggregates — the same distributed-QA shape as "
     "rel_data_contract_audit, applied to the OSM data model.",
@@ -648,8 +650,8 @@ def osm_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("n_checked").cast("bigint"),
         )
 
-    unresolved = refs.join(
-        broadcast(nodes.select(col("osmid").alias("node_id"))), "node_id", "left_anti"
+    unresolved = coords_lookup(
+        refs, nodes.select(col("osmid").alias("node_id")), how="left_anti"
     )
     # ONE way_id pass feeds every per-way check AND the row totals: the
     # lag window and the per-way rollup share the same exchange (the

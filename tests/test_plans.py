@@ -378,10 +378,16 @@ def test_round3_session_operator_plan_shapes(spark):
     # int8 quantization: pure projection — zero shuffle at any corpus size
     assert_plan(q(spark, "llm_embed_quantize"), max_exchanges=0, forbid_python=True)
     # triangle counting: oriented wedge join — equi-joins only, no
-    # cartesian/BNL anywhere, no Python
+    # cartesian/BNL anywhere, no Python.  e and o are localCheckpointed at
+    # their DAG forks (each fans out 2-3 ways), so the final plan must NOT
+    # duplicate the upstream edge pipeline: before the fix it held 109
+    # exchanges / 45 parquet scans with zero ReusedExchange; now the
+    # checkpointed tables are built once and the residual plan is the
+    # wedge join + closure probe + count only.
     s = plan_summary(q(spark, "osm_triangle_count"))
     assert "Cartesian" not in s.text and "BroadcastNestedLoop" not in s.text, s.text
     assert s.n_python_evals == 0, s.text
+    assert s.n_exchanges <= 8, s.text
     # curation recipe: the whole default chain is Column algebra + the
     # pinned dedup shapes — no Python anywhere
     s = plan_summary(q(spark, "llm_curation_recipe"))
@@ -427,6 +433,57 @@ def test_round3_session_operator_plan_shapes(spark):
     # settlement clustering: literal-centroid assignment is a projection;
     # ONE partial-agg cluster exchange (training rides the artifact cache)
     assert_plan(q(spark, "osm_settlement_clusters"), max_exchanges=1, forbid_python=True)
+
+
+# every suite query that attaches coordinates from the nodes table — OSM's
+# LARGEST relation (~1e9 rows at planet scale).  A forced broadcast() hint
+# on it overrides Catalyst's size check and is a driver OOM at 100x, so
+# these must all route through the unhinted suite._util.coords_lookup and
+# let AQE pick broadcast only when runtime stats say the table fits.
+_NODES_FACT_QUERIES = [
+    "osm_way_length",
+    "osm_way_area",
+    "osm_way_centroid",
+    "osm_way_compactness",
+    "osm_simplify_radial",
+    "osm_length_by_class",
+    "osm_bbox_clip",
+    "osm_geojson_lines",
+    "osm_point_in_polygon",
+    "osm_map_match",
+    "osm_way_interpolate",
+    "osm_bearing_histogram",
+    "osm_linestring_wkt",
+    "osm_integrity_report",
+]
+
+
+def test_no_forced_broadcast_on_nodes_fact(spark):
+    """No unconditional broadcast hint may appear on a nodes-fact join.
+
+    broadcast() hints survive into the optimized logical plan as
+    ``strategy=broadcast`` join-hint annotations regardless of size
+    configs, so hint-absence is checkable without executing anything —
+    and without depending on what AQE chooses at this scale (it is free
+    to broadcast; the point is that the *choice* stays Catalyst's)."""
+    offenders = {}
+    for name in _NODES_FACT_QUERIES:
+        df = q(spark, name)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        if "strategy=broadcast" in opt:
+            offenders[name] = opt.count("strategy=broadcast")
+    assert not offenders, f"forced broadcast hints on nodes-fact joins: {offenders}"
+
+
+def test_shortest_path_edges_unhinted(spark):
+    """osm_shortest_path runs a driver-side Bellman-Ford loop at build
+    time, so pin the hint-absence on its edge-build stage the same way —
+    the edges DataFrame is the part that joins the nodes fact."""
+    from osmdatapy_spark.suite.analytics import _shortest_path_edges
+
+    edges = _shortest_path_edges(spark, SF_DIR)
+    opt = edges._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt, opt
 
 
 def test_dsir_corpus_never_shuffles_for_scoring(spark):
