@@ -664,7 +664,7 @@ def osm_way_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "osm_bearing_histogram",
+    "osm_bearing_rose",
     oracle=f"""
     WITH {COORDS_CTE.strip()},
     segs AS (
@@ -682,15 +682,18 @@ def osm_way_compactness(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(w) AS DOUBLE) AS total_len
     FROM scored GROUP BY bin
     """,
-    doc="Street-bearing histogram (the osmnx city-orientation rose): "
-    "per-segment compass bearings binned at 10 degrees, weighted by "
-    "segment length — 36 rows summarizing the whole network's grid "
-    "orientation. atan2 is a 1-ulp library, so the bearing carries a "
-    "round-6 guard BEFORE the bin floor (the haversine discipline); "
-    "lengths are exactly-rounded sqrt, summed in DECIMAL. Segment "
-    "explode is narrow; ONE partial-agg exchange on 36 keys.",
+    doc="LENGTH-WEIGHTED street-bearing rose (the osmnx city-orientation "
+    "diagram) — the weighted companion to osm_bearing_histogram's plain "
+    "segment counts: per-segment compass bearings binned at 10 degrees "
+    "with total segment length per bin. (Round 3 registered both under "
+    "one name; the dict overwrite silently shadowed this one — round 4 "
+    "renamed it and made register() reject duplicates.) atan2 is a 1-ulp "
+    "library, so the bearing carries a round-6 guard BEFORE the bin floor "
+    "(the haversine discipline); lengths are exactly-rounded sqrt, summed "
+    "in DECIMAL. Segment explode is narrow; ONE partial-agg exchange on "
+    "36 keys.",
 )
-def osm_bearing_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def osm_bearing_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
     coords = _way_coords(spark, sf_dir)
     seg = coords.select(
         F.explode(

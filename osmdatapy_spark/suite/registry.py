@@ -41,6 +41,10 @@ def register(
     doc: str = "",
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        # a silent dict overwrite shadows the earlier query — round 3
+        # shipped a dead osm_bearing_histogram in suite/geo.py this way
+        if name in QUERY_REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERY_REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, bench=bench, doc=doc or (fn.__doc__ or ""))
         return fn
 

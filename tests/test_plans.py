@@ -453,6 +453,7 @@ _NODES_FACT_QUERIES = [
     "osm_map_match",
     "osm_way_interpolate",
     "osm_bearing_histogram",
+    "osm_bearing_rose",
     "osm_linestring_wkt",
     "osm_integrity_report",
 ]
