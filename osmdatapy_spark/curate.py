@@ -144,6 +144,15 @@ class Curate:
             .select(col("id_b").alias(self.id_col))
             .distinct()
         )
+        # Materialize the (small: duplicate ids only) drop-set NOW so the
+        # shingle-set cache — corpus-sized, read 3x by the candidate +
+        # verify pipeline — can be freed immediately instead of leaking
+        # for the session's lifetime (round-3 finding; mirrors
+        # similarity.py's train-then-unpersist discipline).  The eager
+        # checkpoint also truncates lineage, so the final anti-join never
+        # re-derives the shingle pipeline.
+        dupes = dupes.localCheckpoint()
+        sets.unpersist()
         self._df = self._df.join(dupes, self.id_col, "left_anti")
         self.steps.append("fuzzy_dedup")
         return self

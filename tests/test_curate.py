@@ -118,3 +118,24 @@ def test_artifacts_save_load_roundtrip(tmp_path):
     got = artifacts.train_once(key, lambda: (_ for _ in ()).throw(RuntimeError))
     assert got == cents
     artifacts.clear()
+
+
+def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
+    """Long-session hygiene (round-3 finding): the corpus-sized shingle-set
+    cache must be unpersisted once the duplicate-id set materializes —
+    only the tiny checkpointed drop-set may remain registered, and it is
+    released with the pipeline DataFrame."""
+    def persistent_ids():
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
+    cur = Curate(corpus).normalize().exact_dedup().fuzzy_dedup()
+    cur.df().count()
+    leaked = persistent_ids() - before
+    # the shingle persist + the dupes localCheckpoint would be 2+ new
+    # entries; with the unpersist in place at most the checkpoint remains
+    assert len(leaked) <= 1, f"orphaned cached RDDs: {leaked}"
