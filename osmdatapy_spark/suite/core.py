@@ -640,18 +640,19 @@ def rel_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rel_approx_sketches",
-    oracle=None,  # approximate by design: HLL++/t-digest differ across
-    # engines, so the driver's rows-only check applies; accuracy vs exact
-    # values is asserted in tests/test_suite_contract.py
-    doc="Approximate aggregates — the 100 TB substitutes for exact distinct "
-    "and quantiles: approx_count_distinct (HyperLogLog++, one partial-agg "
-    "shuffle of fixed-size sketches regardless of cardinality) and "
-    "approx_percentile (t-digest). Exact counterparts: rel_agg_stats, "
-    "rel_quantiles.",
-)
-def rel_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for exact distinct
+    and quantiles: approx_count_distinct (HyperLogLog++, one partial-agg
+    shuffle of fixed-size sketches regardless of cardinality) and
+    approx_percentile (t-digest).  Exact counterparts: rel_agg_stats,
+    rel_quantiles; deterministic sketch-register faces with exact oracles:
+    rel_hll_registers, rel_cms_heavy_hitters, rel_bloom_filter.
+
+    Deliberately NOT a registered query: HLL++/t-digest internals differ
+    across engines, so no cross-engine value oracle can exist — its
+    accuracy contract (HLL within rsd bounds, t-digest median within 1%)
+    is pinned by tests/test_suite_contract.py::test_approx_sketches_accuracy
+    instead of a weaker rows-only driver check (round-3 ask #5)."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

@@ -13,15 +13,13 @@ from osmdatapy_spark.tables import TABLE_NAMES
 SF_DIR = "/root/testdata/sf0.001"
 
 
-# approximate-by-design queries: the driver records a rows-only check;
-# value accuracy is asserted by dedicated tests instead
-ROWS_ONLY_OK = {"rel_approx_sketches"}
-
-
 def test_registry_complete():
     assert len(QUERY_REGISTRY) >= 43
+    # every registered query is value-oracled — approximate-by-design
+    # sketches (suite/core.py::approx_sketches) stay OUT of the registry
+    # and are accuracy-pinned by test_approx_sketches_accuracy instead
     missing_oracle = [n for n, qd in QUERY_REGISTRY.items() if qd.oracle is None]
-    assert set(missing_oracle) <= ROWS_ONLY_OK, f"queries without oracle: {missing_oracle}"
+    assert not missing_oracle, f"queries without oracle: {missing_oracle}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERY_REGISTRY))
@@ -43,16 +41,15 @@ def test_oracles_parse_in_duckdb():
 
 
 def test_approx_sketches_accuracy(spark):
-    """The rows-only query must still be NEAR-correct: HLL++ within its
-    2% rsd (5x margin), t-digest median within 1% of exact."""
-    from osmdatapy_spark.suite import QUERY_REGISTRY
+    """The unregistered approximate face must still be NEAR-correct: HLL++
+    within its 2% rsd (5x margin), t-digest median within 1% of exact."""
+    from osmdatapy_spark.suite.core import approx_sketches
     from osmdatapy_spark.tables import load_table
     from pyspark.sql import functions as F
 
     sf = "/root/testdata/sf0.01"
     approx = {
-        r["l_returnflag"]: r
-        for r in QUERY_REGISTRY["rel_approx_sketches"].fn(spark, sf).collect()
+        r["l_returnflag"]: r for r in approx_sketches(spark, sf).collect()
     }
     exact = {
         r["l_returnflag"]: r
