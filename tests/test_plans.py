@@ -91,10 +91,13 @@ def test_ring_assembly_python_is_scoped(spark):
 
 
 def test_embed_neardup_plan(spark):
-    # LSH blocking: bucket groupBy + candidate-pair distinct are the only
-    # shuffles; the per-pair vector lookups broadcast at this size and the
-    # plane projections are pure Column algebra (no Python anywhere)
-    s = assert_plan(q(spark, "llm_embed_neardup"), max_exchanges=2, forbid_python=True)
+    # LSH blocking: bucket groupBy + chunk-window redistribution (sign
+    # buckets are structurally low-cardinality, so the quadratic pair
+    # expansion must not collapse into one AQE-coalesced task — see
+    # dedup._bucket_pairs spread=True) + candidate-pair distinct are the
+    # only shuffles; the per-pair vector lookups broadcast at this size
+    # and the plane projections are pure Column algebra (no Python)
+    s = assert_plan(q(spark, "llm_embed_neardup"), max_exchanges=3, forbid_python=True)
     assert s.n_broadcasts >= 1, s.text
 
 

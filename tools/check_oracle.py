@@ -65,6 +65,17 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
 
+    # Warm the engine ONCE so per-query walls measure steady-state speed,
+    # not container spin-up: the first Spark job pays JVM task-codegen
+    # warmup and the first Arrow-batched kernel pays Python-worker
+    # process forks (~3-5s, unrelated to any query's plan).  bench.py
+    # applies the same discipline (warm JVM, best-of-2).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    n_slots = spark.sparkContext.defaultParallelism
+    spark.range(n_slots).repartition(n_slots).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).collect()
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
