@@ -296,9 +296,20 @@ class OSM:
         spark, path = self._pbf_meta
         from osmdatapy_spark.sources.pbf import read_pbf
 
-        return read_pbf(spark, path, osmtypes=wanted).select(
-            "osmid", "osmtype", "tags", "refs", "members", "version", "timestamp", "changeset"
-        )
+        # field-decode pruning rides the same relation options: a query
+        # without metadata=True never parses Info blobs, a nodes-less
+        # query never delta-accumulates refs, etc. (the 'columns' option —
+        # a .select() above a Python-DS scan cannot prune, see read_pbf)
+        cols = ["osmid", "osmtype", "tags"]
+        if 0 in wanted:
+            cols += ["lon", "lat"]
+        if 1 in wanted:
+            cols.append("refs")
+        if 2 in wanted:
+            cols.append("members")
+        if q.metadata:
+            cols += ["version", "timestamp", "changeset"]
+        return read_pbf(spark, path, osmtypes=wanted, columns=cols)
 
     def query(self, q: Query, wkb: bool = False) -> DataFrame:
         """Execute a composable Query → element DataFrame.
@@ -412,13 +423,20 @@ class OSM:
                 "left",
             ).drop("way_id")
         if q.nodes:
-            pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
-            # node points (reference J6/G1, _frame.py:44-52); osmid is NOT
-            # unique across element kinds, so the join is osmtype-gated — a
-            # way whose id collides with a node id must not pick up coords
-            out = out.join(
-                pts, (out.osmid == pts["_nid"]) & (col("osmtype") == 0), "left"
-            ).drop("_nid")
+            if "lon" in out.columns:
+                # PBF scans carry node coords inline (the pruned elements
+                # relation includes lon/lat when nodes are selected) — no
+                # J6 join needed at all
+                pass
+            else:
+                pts = nodes.select(col("osmid").alias("_nid"), "lon", "lat")
+                # node points (reference J6/G1, _frame.py:44-52); osmid is
+                # NOT unique across element kinds, so the join is
+                # osmtype-gated — a way whose id collides with a node id
+                # must not pick up coords
+                out = out.join(
+                    pts, (out.osmid == pts["_nid"]) & (col("osmtype") == 0), "left"
+                ).drop("_nid")
             point = point_wkt(col("lon"), col("lat"))
         else:
             point = lit(None).cast("string")

@@ -67,7 +67,6 @@ from pyspark.sql.types import (
 
 from osmdatapy_spark.sources.pbf_codec import (
     BlobSpan,
-    decode_primitive_block,
     parse_header_block,
     read_blob,
     scan_blob_spans,
@@ -172,23 +171,40 @@ class PbfDataSourceReader(DataSourceReader):
         JVM, no per-row pickling (the Python-DS fast path).  Only the
         fields present in the (possibly pruned) schema are materialized —
         metadata wire fields are not even decoded unless asked for
-        (reference field-decode pruning, primitives.py:23-29)."""
+        (reference field-decode pruning, primitives.py:23-29).
+
+        Dense-node groups (~90% of a planet file) arrive as columnar
+        ``DenseColumns`` segments — numpy arrays become Arrow arrays
+        zero-copy and tags build via ``MapArray.from_arrays`` offsets, so
+        no per-node Python object ever exists (round-4 decode speedup;
+        the pre-columnar path profiled ~70% of CPU in Element churn)."""
+        import numpy as np
         import pyarrow as pa
+
+        from osmdatapy_spark.sources.pbf_codec import (
+            DenseColumns,
+            WayColumns,
+            decode_block_segments,
+        )
 
         fields = [f.name for f in self.schema.fields]
         want_meta = any(f in ("version", "timestamp", "changeset") for f in fields)
+        want_tags = "tags" in fields
+        want_refs = "refs" in fields
         wanted = self.wanted_types
-        els = [
-            el
+        segments = [
+            seg
             for offset, size in partition.spans
-            for el in decode_primitive_block(
+            # kind restriction applied INSIDE the block decoder: an
+            # unselected primitive group is skipped before any varint
+            # work (dense nodes dominate planet files, so a ways-only
+            # scan drops most decode CPU here)
+            for seg in decode_block_segments(
                 read_blob(partition.path, BlobSpan("OSMData", offset, size)),
                 with_metadata=want_meta,
-                # kind restriction applied INSIDE the block decoder: an
-                # unselected primitive group is skipped before any varint
-                # work (dense nodes dominate planet files, so a ways-only
-                # scan drops most decode CPU here)
                 wanted_types=wanted,
+                with_tags=want_tags,
+                with_refs=want_refs,
             )
         ]
 
@@ -212,20 +228,85 @@ class PbfDataSourceReader(DataSourceReader):
             "timestamp": pa.int64(),
             "changeset": pa.int64(),
         }
-        # one python-level pass per requested column, plain attribute reads
-        def column(name: str) -> list:
+
+        def dense_array(name: str, dc: DenseColumns) -> "pa.Array":
+            t = arrow_types[name]
+            if name == "osmid":
+                return pa.array(dc.ids, type=t)
+            if name == "osmtype":
+                return pa.array(np.zeros(dc.n, dtype=np.int32), type=t)
+            if name == "lon":
+                return pa.array(dc.lons, type=t)
+            if name == "lat":
+                return pa.array(dc.lats, type=t)
             if name == "tags":
-                return [list(e.tags.items()) for e in els]
-            if name == "members":
-                return [
+                return pa.MapArray.from_arrays(
+                    pa.array(dc.tag_offsets, type=pa.int32()),
+                    pa.array(dc.tag_keys, type=pa.string()),
+                    pa.array(dc.tag_vals, type=pa.string()),
+                ).cast(t)
+            if name == "version" and dc.versions is not None:
+                return pa.array(dc.versions, type=t)
+            if name == "timestamp" and dc.timestamps is not None:
+                return pa.array(dc.timestamps, type=t)
+            if name == "changeset" and dc.changesets is not None:
+                return pa.array(dc.changesets, type=t)
+            return pa.nulls(dc.n, type=t)
+
+        def way_array(name: str, wc: WayColumns) -> "pa.Array":
+            t = arrow_types[name]
+            if name == "osmid":
+                return pa.array(wc.ids, type=t)
+            if name == "osmtype":
+                return pa.array(np.ones(wc.n, dtype=np.int32), type=t)
+            if name == "tags":
+                return pa.MapArray.from_arrays(
+                    pa.array(wc.tag_offsets, type=pa.int32()),
+                    pa.array(wc.tag_keys, type=pa.string()),
+                    pa.array(wc.tag_vals, type=pa.string()),
+                ).cast(t)
+            if name == "refs":
+                return pa.ListArray.from_arrays(
+                    pa.array(wc.ref_offsets, type=pa.int32()),
+                    pa.array(wc.refs, type=pa.int64()),
+                ).cast(t)
+            if name == "version" and wc.versions:
+                return pa.array(wc.versions, type=t)
+            if name == "timestamp" and wc.timestamps:
+                return pa.array(wc.timestamps, type=t)
+            if name == "changeset" and wc.changesets:
+                return pa.array(wc.changesets, type=t)
+            return pa.nulls(wc.n, type=t)
+
+        # one python-level pass per requested column, plain attribute reads
+        def element_array(name: str, els: list) -> "pa.Array":
+            if name == "tags":
+                vals = [list(e.tags.items()) for e in els]
+            elif name == "members":
+                vals = [
                     [{"ref": m[0], "type": m[1], "role": m[2]} for m in e.members]
                     if e.members is not None
                     else None
                     for e in els
                 ]
-            return [getattr(e, name) for e in els]
+            else:
+                vals = [getattr(e, name) for e in els]
+            return pa.array(vals, type=arrow_types[name])
 
-        arrays = [pa.array(column(name), type=arrow_types[name]) for name in fields]
+        def column(name: str) -> "pa.Array":
+            chunks = [
+                dense_array(name, seg)
+                if isinstance(seg, DenseColumns)
+                else way_array(name, seg)
+                if isinstance(seg, WayColumns)
+                else element_array(name, seg)
+                for seg in segments
+            ]
+            if not chunks:
+                return pa.nulls(0, type=arrow_types[name])
+            return chunks[0] if len(chunks) == 1 else pa.concat_arrays(chunks)
+
+        arrays = [column(name) for name in fields]
         yield pa.RecordBatch.from_arrays(arrays, names=fields)
 
 
@@ -237,6 +318,21 @@ class PbfDataSource(DataSource):
         return "osmpbf"
 
     def schema(self) -> StructType:
+        # the 'columns' option is the relation-level projection: Spark's
+        # Python DataSource API (4.1) has no column-pruning pushdown, so a
+        # .select() above the scan still decodes and ships every wire
+        # field.  Passing the needed subset here makes the pruning REAL —
+        # the reader skips the packed tag/ref payload decode and never
+        # builds the dropped Arrow arrays (reference field-decode pruning,
+        # primitives.py:23-29, end-to-end).
+        raw = self.options.get("columns")
+        if raw:
+            wanted = [c.strip() for c in str(raw).split(",") if c.strip()]
+            by_name = {f.name: f for f in PBF_SCHEMA.fields}
+            unknown = [c for c in wanted if c not in by_name]
+            if unknown:
+                raise ValueError(f"unknown pbf columns: {unknown}")
+            return StructType([by_name[f.name] for f in PBF_SCHEMA.fields if f.name in wanted])
         return PBF_SCHEMA
 
     def reader(self, schema: StructType) -> PbfDataSourceReader:
@@ -258,14 +354,22 @@ def register(spark: SparkSession) -> None:
 
 
 def read_pbf(
-    spark: SparkSession, path: str, osmtypes: set[int] | None = None
+    spark: SparkSession,
+    path: str,
+    osmtypes: set[int] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Open a .pbf as a DataFrame; ``osmtypes`` restricts decoded element
-    kinds at the source (per-relation static pruning)."""
+    kinds at the source (per-relation static pruning) and ``columns``
+    restricts decoded wire FIELDS (relation-level projection — the Python
+    DS API has no pruning pushdown, so a .select() above the scan would
+    still decode everything)."""
     register(spark)
     reader = spark.read.format("osmpbf")
     if osmtypes is not None:
         reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
+    if columns is not None:
+        reader = reader.option("columns", ",".join(columns))
     return reader.load(path)
 
 
@@ -288,14 +392,16 @@ def read_pbf_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     elements = read_pbf(spark, path).select(
         "osmid", "osmtype", "tags", "refs", "members", "version", "timestamp", "changeset"
     )
-    nodes = read_pbf(spark, path, osmtypes={0}).select("osmid", "lon", "lat")
+    nodes = read_pbf(
+        spark, path, osmtypes={0}, columns=["osmid", "lon", "lat"]
+    )
     way_refs = (
-        read_pbf(spark, path, osmtypes={1})
+        read_pbf(spark, path, osmtypes={1}, columns=["osmid", "refs"])
         .select("osmid", F.posexplode("refs").alias("pos", "node_id"))
         .select(col("osmid").alias("way_id"), "pos", "node_id")
     )
     rel_members = (
-        read_pbf(spark, path, osmtypes={2})
+        read_pbf(spark, path, osmtypes={2}, columns=["osmid", "members"])
         .select("osmid", F.posexplode("members").alias("pos", "m"))
         .select(
             col("osmid").alias("rel_id"),

@@ -563,7 +563,13 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hyperplane_lsh_buckets.",
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = TS(spark, sf_dir, "embeddings")
+    # plain T, not TS: the cosine fold is whole-stage-codegen Column
+    # algebra, where the spread repartition's shuffle costs more than the
+    # extra cores win (measured: the r2->r3 +45% on this query WAS the
+    # spread exchange — 0.65s spread vs 0.60s plain at sf0.1, plus the
+    # probe branch re-paying it).  spread() stays for Arrow-kernel
+    # queries whose per-row cost is ~100x a codegen expression.
+    emb = T(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") < 10)
     out = brute_force_topk(emb, probes, "vec_id", "embedding", k=5, decimals=4)
     return out.select("probe_id", "nbr_id", "cos", col("rank").cast("long").alias("rank"))

@@ -370,3 +370,79 @@ def test_corrupt_pbf_fails_cleanly(spark, fixture_pbf, tmp_path):
     junk.write_bytes(b"\x00\x01parquet-not-pbf" * 100)
     with _pytest.raises(ValueError):
         list(scan_blob_spans(str(junk)))
+
+
+def test_segment_decode_parity_with_element_decode(fixture_pbf):
+    """The columnar scan path (decode_block_segments: DenseColumns /
+    WayColumns) must produce EXACTLY the rows of decode_primitive_block,
+    in the same order — metadata included."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        DenseColumns,
+        WayColumns,
+        decode_block_segments,
+    )
+
+    spans = [s for s in scan_blob_spans(fixture_pbf) if s.blob_type == "OSMData"]
+    for with_meta in (False, True):
+        flat = []
+        for s in spans:
+            block = read_blob(fixture_pbf, s)
+            for seg in decode_block_segments(block, with_metadata=with_meta):
+                if isinstance(seg, DenseColumns):
+                    for i in range(seg.n):
+                        lo, hi = seg.tag_offsets[i], seg.tag_offsets[i + 1]
+                        flat.append((
+                            int(seg.ids[i]), 0,
+                            dict(zip(seg.tag_keys[lo:hi], seg.tag_vals[lo:hi])),
+                            float(seg.lons[i]), float(seg.lats[i]), None, None,
+                            int(seg.versions[i]) if seg.versions is not None else None,
+                            int(seg.timestamps[i]) if seg.timestamps is not None else None,
+                            int(seg.changesets[i]) if seg.changesets is not None else None,
+                        ))
+                elif isinstance(seg, WayColumns):
+                    for i in range(len(seg.ids)):
+                        lo, hi = seg.tag_offsets[i], seg.tag_offsets[i + 1]
+                        rlo, rhi = seg.ref_offsets[i], seg.ref_offsets[i + 1]
+                        flat.append((
+                            seg.ids[i], 1,
+                            dict(zip(seg.tag_keys[lo:hi], seg.tag_vals[lo:hi])),
+                            None, None, seg.refs[rlo:rhi], None,
+                            seg.versions[i] if seg.versions else None,
+                            seg.timestamps[i] if seg.timestamps else None,
+                            seg.changesets[i] if seg.changesets else None,
+                        ))
+                else:
+                    for e in seg:
+                        flat.append((
+                            e.osmid, e.osmtype, e.tags, e.lon, e.lat, e.refs,
+                            e.members, e.version, e.timestamp, e.changeset,
+                        ))
+        expect = [
+            (e.osmid, e.osmtype, e.tags, e.lon, e.lat, e.refs, e.members,
+             e.version, e.timestamp, e.changeset)
+            for s in spans
+            for e in decode_primitive_block(read_blob(fixture_pbf, s), with_metadata=with_meta)
+        ]
+        assert flat == expect, f"with_metadata={with_meta}"
+
+
+def test_columns_option_prunes_relation_schema(spark, fixture_pbf):
+    """The 'columns' read option IS the column pruning (the Python DS API
+    has no pruning pushdown): the relation schema shrinks, the scan's
+    ReadSchema shows only the requested fields, and values match the
+    full-schema read."""
+    pruned = read_pbf(spark, fixture_pbf, osmtypes={0}, columns=["osmid", "lon", "lat"])
+    assert pruned.columns == ["osmid", "lon", "lat"]
+    full = read_pbf(spark, fixture_pbf, osmtypes={0}).select("osmid", "lon", "lat")
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+    # ways with refs but no tag decode
+    refs = read_pbf(spark, fixture_pbf, osmtypes={1}, columns=["osmid", "refs"])
+    assert refs.columns == ["osmid", "refs"]
+    full_refs = read_pbf(spark, fixture_pbf, osmtypes={1}).select("osmid", "refs")
+    assert sorted(map(tuple, ((r[0], tuple(r[1])) for r in refs.collect()))) == sorted(
+        map(tuple, ((r[0], tuple(r[1])) for r in full_refs.collect()))
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="unknown pbf columns"):
+        read_pbf(spark, fixture_pbf, columns=["osmid", "nope"]).count()
