@@ -914,3 +914,27 @@ def test_hll_registers_merge_across_epochs(spark):
         for r in e1.unionByName(e2).groupBy("bucket").agg(F.max("register").alias("register")).collect()
     }
     assert merged == full
+
+
+def test_bucket_pairs_spread_pair_set_identity(spark):
+    """spread=True (chunk-window redistribution before expansion) must
+    emit EXACTLY the stride formula's pair set — windows overlap by one
+    element and expand fully, proven disjoint — across bucket sizes
+    around the chunk boundaries (n = m-1, m, m+1, 2m-2, 2m-1, ...)."""
+    from osmdatapy_spark.functions.dedup import _bucket_pairs
+
+    m = 5
+    for n in (2, 3, m - 1, m, m + 1, 2 * m - 2, 2 * m - 1, 2 * m, 17):
+        ids = sorted({(i * 37) % 1000 for i in range(n)})
+        buckets = spark.createDataFrame([(ids,)], "ids array<long>")
+        base = {
+            (r["id_a"], r["id_b"])
+            for r in _bucket_pairs(buckets, max_bucket=m).collect()
+        }
+        spread = {
+            (r["id_a"], r["id_b"])
+            for r in _bucket_pairs(buckets, max_bucket=m, spread=True).collect()
+        }
+        assert spread == base, f"n={len(ids)}"
+        # every consecutive pair present -> bucket stays one component
+        assert all((ids[i], ids[i + 1]) in base for i in range(len(ids) - 1))
