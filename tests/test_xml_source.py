@@ -1,0 +1,205 @@
+"""OSM XML / osmChange data source (sources/xml.py): parse semantics,
+compression, PBF row parity via write-read round-trip, the .osc action
+column, and the changefile -> CDC-apply composition."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.functions import col
+
+from osmdatapy_spark.sources.xml import iter_osm_xml, read_osm_xml, write_osm_xml
+
+OSM_DOC = """<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6" generator="test">
+  <node id="1" lat="50.0" lon="10.0" version="3" timestamp="2013-09-05T22:15:24Z" changeset="77"/>
+  <node id="2" lat="50.001" lon="10.0">
+    <tag k="amenity" v="cafe"/>
+    <tag k="name" v="O&#39;Brien &amp; Sons"/>
+  </node>
+  <way id="101" version="2">
+    <nd ref="1"/>
+    <nd ref="2"/>
+    <tag k="highway" v="primary"/>
+  </way>
+  <relation id="201">
+    <member type="way" ref="101" role="outer"/>
+    <member type="node" ref="1" role=""/>
+    <tag k="type" v="multipolygon"/>
+  </relation>
+</osm>
+"""
+
+OSC_DOC = """<?xml version='1.0' encoding='UTF-8'?>
+<osmChange version="0.6" generator="test">
+  <create>
+    <node id="10" lat="51.0" lon="11.0"/>
+  </create>
+  <modify>
+    <node id="1" lat="50.5" lon="10.5" version="4">
+      <tag k="fixme" v="moved"/>
+    </node>
+    <way id="101">
+      <nd ref="1"/>
+      <nd ref="10"/>
+    </way>
+  </modify>
+  <delete>
+    <node id="2"/>
+  </delete>
+</osmChange>
+"""
+
+
+def test_iter_osm_xml_semantics(tmp_path):
+    p = tmp_path / "a.osm"
+    p.write_text(OSM_DOC)
+    rows = list(iter_osm_xml(str(p)))
+    assert [r["osmid"] for _, r in rows] == [1, 2, 101, 201]
+    assert all(a == "" for a, _ in rows)
+    n1 = rows[0][1]
+    assert n1["lat"] == 50.0 and n1["lon"] == 10.0
+    assert n1["version"] == 3 and n1["changeset"] == 77
+    assert n1["timestamp"] == 1378419324000  # 2013-09-05T22:15:24Z in millis
+    assert rows[1][1]["tags"] == {"amenity": "cafe", "name": "O'Brien & Sons"}
+    way = rows[2][1]
+    assert way["refs"] == [1, 2] and way["tags"] == {"highway": "primary"}
+    rel = rows[3][1]
+    assert rel["members"] == [(101, 1, "outer"), (1, 0, "")]
+
+
+def test_spark_read_osm_and_gz(spark, tmp_path):
+    (tmp_path / "a.osm").write_text(OSM_DOC)
+    with gzip.open(tmp_path / "b.osm.gz", "wt") as f:
+        f.write(OSM_DOC)
+    plain = read_osm_xml(spark, str(tmp_path / "a.osm"))
+    assert plain.count() == 4
+    assert plain.columns[0:3] == ["osmid", "osmtype", "tags"]
+    # directory read: one partition per file, rows from both
+    both = read_osm_xml(spark, str(tmp_path))
+    assert both.count() == 8
+    assert both.rdd.getNumPartitions() == 2
+    got = {r["osmid"]: r for r in plain.collect()}
+    assert got[101]["refs"] == [1, 2]
+    assert [tuple(m) for m in got[201]["members"]] == [(101, 1, "outer"), (1, 0, "")]
+    assert dict(got[2]["tags"]) == {"amenity": "cafe", "name": "O'Brien & Sons"}
+
+
+def test_osc_actions_column(spark, tmp_path):
+    (tmp_path / "diff.osc").write_text(OSC_DOC)
+    df = read_osm_xml(spark, str(tmp_path / "diff.osc"), osc=True)
+    rows = {(r["osmid"], r["osmtype"]): r for r in df.collect()}
+    assert rows[(10, 0)]["action"] == "create"
+    assert rows[(1, 0)]["action"] == "modify" and dict(rows[(1, 0)]["tags"]) == {"fixme": "moved"}
+    assert rows[(101, 1)]["action"] == "modify" and rows[(101, 1)]["refs"] == [1, 10]
+    assert rows[(2, 0)]["action"] == "delete"
+
+
+def test_xml_roundtrip_matches_pbf_rows(spark, tmp_path, fixture_pbf):
+    """PBF fixture -> XML text -> osmxml scan must reproduce the PBF
+    scan's rows exactly (the two sources share one row contract)."""
+    import io
+
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    pbf_rows = read_pbf(spark, fixture_pbf).collect()
+    buf = io.StringIO()
+    write_osm_xml(
+        (
+            {
+                "osmid": r["osmid"],
+                "osmtype": r["osmtype"],
+                "tags": dict(r["tags"]),
+                "lon": r["lon"],
+                "lat": r["lat"],
+                "refs": list(r["refs"]) if r["refs"] is not None else None,
+                "members": [tuple(m) for m in r["members"]] if r["members"] is not None else None,
+                "version": r["version"],
+                "changeset": r["changeset"],
+            }
+            for r in pbf_rows
+        ),
+        buf,
+    )
+    (tmp_path / "grid.osm").write_text(buf.getvalue())
+    xml_rows = read_osm_xml(spark, str(tmp_path / "grid.osm")).collect()
+
+    def key(r):
+        return (r["osmtype"], r["osmid"])
+
+    def canon(r):
+        return (
+            r["osmid"], r["osmtype"], dict(r["tags"]),
+            round(r["lon"], 7) if r["lon"] is not None else None,
+            round(r["lat"], 7) if r["lat"] is not None else None,
+            list(r["refs"]) if r["refs"] is not None else None,
+            [tuple(m) for m in r["members"]] if r["members"] is not None else None,
+        )
+    assert sorted(map(canon, xml_rows), key=lambda t: (t[1], t[0])) == sorted(
+        map(canon, pbf_rows), key=lambda t: (t[1], t[0])
+    )
+
+
+def test_osc_feeds_cdc_apply(spark, tmp_path):
+    """Changefile composition: base snapshot + .osc actions -> upserted
+    snapshot via the keep-latest election (the osm_apply_changes /
+    stream_upsert_latest discipline)."""
+    (tmp_path / "a.osm").write_text(OSM_DOC)
+    (tmp_path / "diff.osc").write_text(OSC_DOC)
+    base = read_osm_xml(spark, str(tmp_path / "a.osm")).withColumn("seq", F.lit(0))
+    chg = read_osm_xml(spark, str(tmp_path / "diff.osc"), osc=True).withColumn("seq", F.lit(1))
+    allrows = base.withColumn("action", F.lit("base")).unionByName(chg)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("osmtype", "osmid").orderBy(col("seq").desc())
+    latest = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") == 1)
+        .filter(col("action") != "delete")
+    )
+    got = {(r["osmtype"], r["osmid"]): r for r in latest.collect()}
+    assert (0, 2) not in got  # deleted
+    assert got[(0, 10)]["action"] == "create"
+    assert got[(0, 1)]["lat"] == 50.5  # modified wins over base
+    assert got[(1, 101)]["refs"] == [1, 10]
+    assert (2, 201) in got  # untouched base row survives
+
+
+def test_missing_path_raises(spark, tmp_path):
+    with pytest.raises(Exception):
+        read_osm_xml(spark, str(tmp_path / "nope")).count()
+
+
+def test_geoparquet_sink_roundtrip(spark, tmp_path, fixture_pbf):
+    """Query(wkb=True) output -> GeoParquet dataset: footer carries the
+    spec's 'geo' metadata, geometry bytes survive, Spark re-reads the
+    files, and DuckDB's parquet reader sees the same rows."""
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+    from osmdatapy_spark.sinks import read_geoparquet_meta, write_geoparquet
+
+    osm = OSM.from_pbf(spark, fixture_pbf)
+    out = osm.query(Query(nodes=True, ways=False, relations=False, geometry=True), wkb=True)
+    cols = ["osmid"] + (["lon", "lat"] if "lon" in out.columns else []) + ["geometry_wkb"]
+    sel = out.select(*cols).filter(col("geometry_wkb").isNotNull())
+    dest = str(tmp_path / "geo.parquet")
+    write_geoparquet(sel, dest, geometry_col="geometry_wkb")
+    meta = read_geoparquet_meta(dest)
+    assert meta["primary_column"] == "geometry_wkb"
+    assert meta["columns"]["geometry_wkb"]["encoding"] == "WKB"
+    assert meta["columns"]["geometry_wkb"]["crs"] == "EPSG:4326"
+    back = spark.read.parquet(dest)
+    assert back.count() == sel.count()
+    # byte-identical geometry round trip
+    a = sorted((r["osmid"], bytes(r["geometry_wkb"])) for r in sel.collect())
+    b = sorted((r["osmid"], bytes(r["geometry_wkb"])) for r in back.collect())
+    assert a == b
+    # cross-engine: DuckDB reads the same rows
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{dest}/*.parquet')"
+    ).fetchone()[0]
+    assert n == len(a)
