@@ -356,10 +356,15 @@ def embed_neardup_pairs(
     # sign buckets are structurally low-cardinality (bands x 2^bits), so
     # redistribute chunk windows before the quadratic expansion+verify
     cand = _bucket_pairs(buckets, max_bucket=max_bucket, spread=True).distinct()
+    # shuffle_hash hint on the vector lookups: NEITHER side of the verify
+    # join is ever small at corpus scale (candidates and vectors both grow
+    # with the corpus), and locally the broadcast builds Catalyst's size
+    # estimates would pick serialize the whole verify on one thread
+    # (measured 2x: 3.4s broadcast vs 1.7s shuffled at sf0.01)
     vecs = corpus.select(col(id_col), as_double(col(vec_col)).alias("v"))
     return (
-        cand.join(vecs.select(col(id_col).alias("id_a"), col("v").alias("va")), "id_a")
-        .join(vecs.select(col(id_col).alias("id_b"), col("v").alias("vb")), "id_b")
+        cand.join(vecs.select(col(id_col).alias("id_a"), col("v").alias("va")).hint("shuffle_hash"), "id_a")
+        .join(vecs.select(col(id_col).alias("id_b"), col("v").alias("vb")).hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -643,7 +643,10 @@ def _embed_neardup_oracle(
     "(band,bucket,id) triples shuffle.",
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = TS(spark, sf_dir, "embeddings")
+    # plain T (see llm_cosine_topk): the plane projections are codegen
+    # folds; the spread shuffle costs more than the cores it recruits,
+    # and the vector-lookup branches would re-pay it twice
+    emb = T(spark, sf_dir, "embeddings")
     return embed_neardup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, planes_per_band=2, dim=64
     )
