@@ -105,6 +105,40 @@ class OSM:
         osm._pbf_meta = (spark, path)
         return osm
 
+    @classmethod
+    def from_xml(cls, spark: SparkSession, path: str) -> "OSM":
+        """Open ``.osm`` XML (JOSM/iD exports, Overpass responses) through
+        the osmxml data source — the same unified schema as ``from_pbf``,
+        split into the four bronze tables post-scan (XML has no per-kind
+        wire pruning; it is the interchange format, so files are small —
+        bulk data belongs in PBF or bronze parquet)."""
+        from pyspark.sql import functions as F
+
+        from osmdatapy_spark.sources.xml import read_osm_xml
+
+        df = read_osm_xml(spark, path)
+        elements = df.select(
+            "osmid", "osmtype", "tags", "refs", "members", "version", "timestamp", "changeset"
+        )
+        nodes = df.filter(col("osmtype") == 0).select("osmid", "lon", "lat")
+        way_refs = (
+            df.filter(col("osmtype") == 1)
+            .select("osmid", F.posexplode("refs").alias("pos", "node_id"))
+            .select(col("osmid").alias("way_id"), "pos", "node_id")
+        )
+        rel_members = (
+            df.filter(col("osmtype") == 2)
+            .select("osmid", F.posexplode("members").alias("pos", "m"))
+            .select(
+                col("osmid").alias("rel_id"),
+                "pos",
+                col("m.ref").alias("member_id"),
+                col("m.type").alias("member_type"),
+                col("m.role").alias("role"),
+            )
+        )
+        return cls(elements, nodes, way_refs, rel_members)
+
     # -- bronze persistence (SCALE.md: "what would change first") ----------
 
     def to_bronze(self, path: str, buckets: int = 0) -> None:

@@ -203,3 +203,38 @@ def test_geoparquet_sink_roundtrip(spark, tmp_path, fixture_pbf):
         f"SELECT count(*) FROM read_parquet('{dest}/*.parquet')"
     ).fetchone()[0]
     assert n == len(a)
+
+
+def test_osm_facade_from_xml(spark, tmp_path, fixture_pbf):
+    """OSM.from_xml runs the SAME engine query pipeline as from_pbf on the
+    XML serialization of the grid fixture — identical query results."""
+    import io
+
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    buf = io.StringIO()
+    write_osm_xml(
+        (
+            {
+                "osmid": r["osmid"], "osmtype": r["osmtype"], "tags": dict(r["tags"]),
+                "lon": r["lon"], "lat": r["lat"],
+                "refs": list(r["refs"]) if r["refs"] is not None else None,
+                "members": [tuple(m) for m in r["members"]] if r["members"] is not None else None,
+                "version": r["version"], "changeset": r["changeset"],
+            }
+            for r in read_pbf(spark, fixture_pbf).collect()
+        ),
+        buf,
+    )
+    (tmp_path / "grid.osm").write_text(buf.getvalue())
+
+    q = Query(ways=True, nodes=False, relations=False, keep={"highway": []}, geometry=True)
+    from_xml = {
+        r["osmid"]: r["geometry"] for r in OSM.from_xml(spark, str(tmp_path / "grid.osm")).query(q).collect()
+    }
+    from_pbf_rows = {
+        r["osmid"]: r["geometry"] for r in OSM.from_pbf(spark, fixture_pbf).query(q).collect()
+    }
+    assert from_xml == from_pbf_rows and len(from_xml) >= 3
