@@ -72,9 +72,16 @@ def main() -> int:
     # applies the same discipline (warm JVM, best-of-2).
     spark.range(1000).selectExpr("sum(id)").collect()
     n_slots = spark.sparkContext.defaultParallelism
-    spark.range(n_slots).repartition(n_slots).mapInPandas(
-        lambda it: (b for b in it), "id long"
-    ).collect()
+
+    def _warm(it):
+        # the Arrow kernels' closures import the package on each worker's
+        # first task (~1-2s of pyspark import chain per worker) — pay it
+        # here, across all workers at once, not inside a timed query
+        import osmdatapy_spark.functions.text  # noqa: F401
+
+        yield from it
+
+    spark.range(n_slots).repartition(n_slots).mapInPandas(_warm, "id long").collect()
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
