@@ -2392,3 +2392,128 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_late").cast("long").alias("n_late"),
         F.max("lag_us").cast("long").alias("max_lag_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: interchange-format roundtrips as oracled queries — the XML
+# source and GeoParquet sink get DRIVER-visible hard signals, not just
+# pytest coverage.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic per-(sf, kind) scratch dir for roundtrip fixtures —
+    rewritten on every call (cheap: the element sets are %-sampled and
+    bounded), so stale files can never leak between scale factors."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:{kind}".encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"osmdatapy_rt_{kind}_{key}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@register(
+    "osm_xml_roundtrip",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    n AS (
+      SELECT osmid, 0 AS osmtype, lon, lat, 0 AS n_refs
+      FROM nodes WHERE osmid % 50 = 0
+    ),
+    w AS (
+      SELECT way_id AS osmid, 1 AS osmtype,
+             CAST(NULL AS DOUBLE) AS lon, CAST(NULL AS DOUBLE) AS lat,
+             COUNT(*) AS n_refs
+      FROM ways WHERE way_id % 40 = 0 GROUP BY way_id
+    )
+    SELECT osmid, CAST(osmtype AS INTEGER) AS osmtype, lon, lat,
+           CAST(n_refs AS INTEGER) AS n_refs
+    FROM (SELECT * FROM n UNION ALL SELECT * FROM w)
+    """,
+    doc="OSM XML interchange roundtrip (sources/xml.py): a %-sampled "
+    "element set serializes to .osm XML (driver-side, bounded — the "
+    "interchange format's realistic size) and scans back through the "
+    "osmxml data source; ids, 7-decimal coordinates, and ref counts "
+    "must survive the text encoding EXACTLY — the oracle states them "
+    "straight from the source tables, so any parse/format drift "
+    "hash-fails.  Partition unit is the file (XML has no framing to "
+    "split on); bulk data rides PBF/parquet — see SCALE.md.",
+)
+def osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osmdatapy_spark.sources.xml import read_osm_xml, write_osm_xml
+
+    nodes = derived_nodes(spark, sf_dir).filter(col("osmid") % 50 == 0)
+    refs = (
+        derived_way_refs(spark, sf_dir)
+        .filter(col("way_id") % 40 == 0)
+        .groupBy("way_id")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("pos", "node_id"))), lambda s: s["node_id"]).alias("refs"))
+    )
+    # bounded driver materialization (= the size class XML exists for)
+    n_rows = [
+        {"osmid": r["osmid"], "osmtype": 0, "tags": {}, "lon": r["lon"], "lat": r["lat"],
+         "refs": None, "members": None, "version": None, "changeset": None}
+        for r in nodes.collect()
+    ]
+    w_rows = [
+        {"osmid": r["way_id"], "osmtype": 1, "tags": {}, "lon": None, "lat": None,
+         "refs": list(r["refs"]), "members": None, "version": None, "changeset": None}
+        for r in refs.collect()
+    ]
+    d = _roundtrip_dir(sf_dir, "xml")
+    path = os.path.join(d, "roundtrip.osm")
+    with open(path, "w") as f:
+        write_osm_xml(iter(n_rows + w_rows), f)
+    df = read_osm_xml(spark, path)
+    return df.select(
+        "osmid",
+        "osmtype",
+        "lon",
+        "lat",
+        F.coalesce(F.size("refs"), lit(0)).alias("n_refs"),
+    )
+
+
+@register(
+    "osm_geoparquet_roundtrip",
+    oracle=f"""
+    WITH {NODES_CTE.strip()}
+    SELECT osmid, CAST(1 AS INTEGER) AS gtype, lon AS x, lat AS y
+    FROM nodes WHERE osmid % 50 = 0
+    """,
+    doc="GeoParquet sink roundtrip (sinks.write_geoparquet): sampled node "
+    "points encode to ISO WKB, write as a GeoParquet 1.0 dataset "
+    "(footer geo metadata + bbox), read back through the plain parquet "
+    "scanner, and decode via wkb_info — geometry type and both "
+    "coordinates must match the source table bit-exactly, pinning the "
+    "full encode -> footer -> decode chain in the driver's hard signal.  "
+    "The wkb decode is a declared Arrow kernel (operators/wkb.py).",
+)
+def osm_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osmdatapy_spark.operators.wkb import point_wkb, wkb_info
+    from osmdatapy_spark.sinks import read_geoparquet_meta, write_geoparquet
+
+    nodes = derived_nodes(spark, sf_dir).filter(col("osmid") % 50 == 0)
+    pts = nodes.select(
+        "osmid", "lon", "lat", point_wkb(col("lon"), col("lat")).alias("geometry_wkb")
+    )
+    d = _roundtrip_dir(sf_dir, "geopq")
+    write_geoparquet(pts, d, geometry_col="geometry_wkb")
+    # the footer handshake is part of the roundtrip contract
+    meta = read_geoparquet_meta(d)
+    assert meta["columns"]["geometry_wkb"]["encoding"] == "WKB"
+    back = spark.read.parquet(d)
+    info = wkb_info(col("geometry_wkb"))
+    return back.select(
+        "osmid",
+        info["gtype"].alias("gtype"),
+        info["x1"].alias("x"),
+        info["y1"].alias("y"),
+    )

@@ -121,6 +121,7 @@ _PYTHON_OK = {
     "llm_frame_sample",       # mapInPandas flatMap expansion
     "llm_feature_extract",    # mapInPandas feature stub
     "osm_wkb_roundtrip",      # WKB encode/decode pandas UDFs (binary surface)
+    "osm_geoparquet_roundtrip",  # wkb_info decode kernel over the sink's files
     "llm_vocab_tokenize",     # mapInPandas greedy longest-match tokenizer
 }
 
