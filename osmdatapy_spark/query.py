@@ -286,3 +286,70 @@ class Query:
             keep_cols += [c for c in ("version", "timestamp", "changeset") if c in out.columns]
         extra = [c for c in ("refs", "members", "lon", "lat") if c in out.columns]
         return out.select(*keep_cols, *extra)
+
+
+def parse_filter(expr: str, **kwargs) -> Query:
+    """Osmium-style tags-filter string → ``Query`` (the ``osmium
+    tags-filter`` expression syntax, the lingua franca of OSM CLI
+    pipelines — beyond-reference API parity with the wider ecosystem).
+
+    Grammar (one or more whitespace-separated terms OR-ed together, as in
+    osmium):
+
+    - each term is ``TYPES/KEY``, ``TYPES/KEY=VALUE`` or
+      ``TYPES/KEY=V1,V2``; bare ``KEY``/``KEY=VALUE`` applies to all
+      three element types
+    - TYPES is any subset of ``n`` (nodes), ``w`` (ways), ``r``
+      (relations): ``nw/amenity``, ``w/highway=primary,residential``
+    - a term of just ``n``/``w``/``r``/``nwr`` selects the kind with no
+      tag condition
+
+    Terms select kinds cumulatively; tag conditions merge into ``keep``
+    (key → value-list, empty list = any value — Query's existing
+    semantics).  Extra ``kwargs`` (geometry=True, metadata=True, ...)
+    pass through to the Query constructor.
+
+    Example::
+
+        parse_filter("w/highway=primary,secondary nwr/amenity")
+        # == Query(ways=True, nodes=True, relations=True,
+        #          keep={"highway": ["primary", "secondary"], "amenity": []})
+    """
+    kinds = {"n": False, "w": False, "r": False}
+    keep: dict[str, list[str]] = {}
+    terms = expr.split()
+    if not terms:
+        raise ValueError("empty filter expression")
+    for term in terms:
+        if "/" in term:
+            tpart, cond = term.split("/", 1)
+            if not tpart or set(tpart) - set("nwr"):
+                raise ValueError(f"bad element-type prefix in {term!r} (use n, w, r)")
+        else:
+            if set(term) <= set("nwr") and term:
+                tpart, cond = term, ""
+            else:
+                tpart, cond = "nwr", term
+        for t in tpart:
+            kinds[t] = True
+        if not cond:
+            continue
+        if "=" in cond:
+            key, vals = cond.split("=", 1)
+            values = [v for v in vals.split(",") if v != ""]
+        else:
+            key, values = cond, []
+        if not key:
+            raise ValueError(f"missing tag key in {term!r}")
+        # repeated keys union their value lists; any-value absorbs all
+        if key in keep and (not keep[key] or not values):
+            keep[key] = []
+        else:
+            keep.setdefault(key, []).extend(v for v in values if v not in keep.get(key, []))
+    return Query(
+        nodes=kinds["n"],
+        ways=kinds["w"],
+        relations=kinds["r"],
+        keep=keep or None,
+        **kwargs,
+    )

@@ -30,6 +30,10 @@ CRITICAL = [
     "rel_hilbert_layout",       # integer curve fold + bucket agg
     "llm_mixture_epochs",       # md5-mod integer sampling
     "osm_triangle_count",       # oriented wedge join
+    "llm_embed_neardup",        # chunk-spread pair expansion + shuffled verify (r4)
+    "osm_grid_clusters",        # driver union-find over the collected cell grid (r4)
+    "osm_network_components",   # pointer-jumping min-label propagation (r4)
+    "osm_bearing_rose",         # length-weighted DECIMAL bins (r4, unshadowed)
 ]
 
 

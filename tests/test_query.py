@@ -149,3 +149,44 @@ def test_validators():
         Query(topology=True)  # topology requires ways+geometry
     with pytest.raises(ValueError):
         Query("no_such_default")
+
+
+def test_parse_filter_osmium_syntax(spark):
+    """Osmium tags-filter strings compile to the same Query semantics as
+    the kwargs constructor."""
+    from osmdatapy_spark.query import Query, parse_filter
+
+    q = parse_filter("w/highway=primary,secondary nwr/amenity")
+    assert (q.nodes, q.ways, q.relations) == (True, True, True)
+    assert q.keep == {"highway": ["primary", "secondary"], "amenity": []}
+
+    # kind-only terms, bare keys, repeated-key union, any-value absorption
+    q2 = parse_filter("n w/building=yes w/building=no")
+    assert (q2.nodes, q2.ways, q2.relations) == (True, True, False)
+    assert q2.keep == {"building": ["yes", "no"]}
+    q3 = parse_filter("w/highway w/highway=primary")
+    assert q3.keep == {"highway": []}  # any-value absorbs the narrower term
+
+    # kwargs pass through
+    q4 = parse_filter("w/highway", geometry=True)
+    assert q4.geometry and q4.ways and not q4.nodes
+
+    import pytest
+
+    for bad in ("", "x/highway", "w/=primary"):
+        with pytest.raises(ValueError):
+            parse_filter(bad)
+    # trailing slash degrades to kind-only selection (lenient, like a
+    # condition-less osmium term)
+    assert parse_filter("w/").ways and parse_filter("w/").keep is None
+
+    # end-to-end: string face == kwargs face on real rows
+    from osmdatapy_spark.suite.osm import derived_way_elements
+
+    els = derived_way_elements(spark, "/root/testdata/sf0.001")
+    a = sorted(r["osmid"] for r in parse_filter("w/highway=primary").apply(els).collect())
+    b = sorted(
+        r["osmid"]
+        for r in Query(ways=True, keep={"highway": ["primary"]}).apply(els).collect()
+    )
+    assert a == b and len(a) > 0
