@@ -832,54 +832,65 @@ def _cms_bucket_col():
            CAST((SELECT count(*) FROM lineitem) AS BIGINT)
     """,
     doc="Data-contract audit (the dbt-test suite as ONE distributed "
-    "report): primary-key uniqueness, two referential-integrity checks "
-    "(anti-join shape, dimension side broadcast), not-null and range "
-    "constraints — each row is (check, violations, population). The gate "
-    "a 100 TB ingest runs BEFORE publishing a partition; every check is "
-    "a partial-aggregated scan or a broadcast anti-join, so the whole "
-    "report is one pass over each fact table.",
+    "report): primary-key uniqueness, two referential-integrity checks, "
+    "not-null and range constraints — each row is (check, violations, "
+    "population). The gate a 100 TB ingest runs BEFORE publishing a "
+    "partition.  Shape: ONE aggregate pass per fact table — each table "
+    "left-joins its FK target (UNHINTED: both sides are fact-sized at "
+    "scale, so broadcast is Catalyst's call, not a forced hint — round 4 "
+    "removed two forced fact broadcasts here) and folds every check into "
+    "a single multi-aggregate row: pk-duplicate count as n - "
+    "count_distinct(pk), orphans as null-FK matches, null/range checks "
+    "as conditional sums.  The report rows are literal projections of "
+    "the two 1-row stats — no per-check re-scan (was 12 scans / 11 "
+    "exchanges; now 4 scans).",
 )
 def rel_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import broadcast
-
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
     cust = T(spark, sf_dir, "customer")
 
-    def report(name, viol_df, checked_df):
-        return viol_df.agg(F.count("*").alias("n_violations")).crossJoin(
-            checked_df.agg(F.count("*").alias("n_checked"))
-        ).select(
+    o = orders.join(
+        cust.select(col("c_custkey").alias("_ck")),
+        orders["o_custkey"] == col("_ck"),
+        "left",
+    )
+    o_stats = o.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(col("o_orderkey")).alias("d"),
+        F.sum(col("_ck").isNull().cast("long")).alias("orphans"),
+        F.sum(col("o_orderstatus").isNull().cast("long")).alias("nulls"),
+    )
+    l = li.join(
+        orders.select(col("o_orderkey").alias("_ok")),
+        li["l_orderkey"] == col("_ok"),
+        "left",
+    )
+    l_stats = l.agg(
+        F.count("*").alias("n"),
+        F.sum(col("_ok").isNull().cast("long")).alias("orphans"),
+        F.sum((col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+    )
+    # each 1-row stats table feeds several report rows — checkpoint at the
+    # fork (the triangle-count discipline) or every union branch re-runs
+    # the whole scan+join+aggregate chain
+    o_stats = o_stats.localCheckpoint()
+    l_stats = l_stats.localCheckpoint()
+
+    def row(stats, name, viol):
+        return stats.select(
             lit(name).alias("check_name"),
-            col("n_violations").cast("bigint"),
-            col("n_checked").cast("bigint"),
+            viol.cast("bigint").alias("n_violations"),
+            col("n").cast("bigint").alias("n_checked"),
         )
 
-    dup_pk = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("c"))
-        .filter(col("c") > 1)
-        .agg(F.coalesce(F.sum(col("c") - 1), lit(0)).alias("n_violations"))
-        .crossJoin(orders.agg(F.count("*").alias("n_checked")))
-        .select(
-            lit("orders_pk_unique").alias("check_name"),
-            col("n_violations").cast("bigint"),
-            col("n_checked").cast("bigint"),
-        )
+    return (
+        row(o_stats, "orders_pk_unique", col("n") - col("d"))
+        .unionByName(row(l_stats, "lineitem_fk_orders", col("orphans")))
+        .unionByName(row(o_stats, "orders_fk_customer", col("orphans")))
+        .unionByName(row(o_stats, "orderstatus_not_null", col("nulls")))
+        .unionByName(row(l_stats, "quantity_positive", col("bad_qty")))
     )
-    orphan_li = report(
-        "lineitem_fk_orders",
-        li.join(broadcast(orders.select("o_orderkey")), li["l_orderkey"] == col("o_orderkey"), "left_anti"),
-        li,
-    )
-    orphan_o = report(
-        "orders_fk_customer",
-        orders.join(broadcast(cust.select("c_custkey")), orders["o_custkey"] == col("c_custkey"), "left_anti"),
-        orders,
-    )
-    null_status = report("orderstatus_not_null", orders.filter(col("o_orderstatus").isNull()), orders)
-    qty = report("quantity_positive", li.filter(col("l_quantity") <= 0), li)
-    return dup_pk.unionByName(orphan_li).unionByName(orphan_o).unionByName(null_status).unionByName(qty)
 
 
 @register(

@@ -306,6 +306,18 @@ def test_session3c_operator_plan_shapes(spark):
     assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
 
 
+def test_data_contract_audit_one_pass_per_table(spark):
+    # the dbt-suite report folds every check into ONE aggregate pass per
+    # fact table (pk dupes = n - count_distinct, orphans = null-FK,
+    # null/range = conditional sums), checkpointed at the fork — the
+    # round-3 shape re-ran 12 scans / 11 exchanges and force-broadcast
+    # two fact tables.  Final plan: only the checkpointed 1-row stats.
+    s = assert_plan(q(spark, "rel_data_contract_audit"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts == 0, s.text
+    opt = q(spark, "rel_data_contract_audit")._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+
+
 def test_cusum_single_user_exchange(spark):
     # prefix-sum + prefix-min windows + rollup all share the ONE user_id
     # shuffle — the linearization must not pay a second exchange
