@@ -643,56 +643,57 @@ def osm_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("osmid").alias("way_id"), F.element_at("tags", "building").alias("building")
     )
 
-    def report(name: str, viol, total) -> DataFrame:
-        return viol.crossJoin(total).select(
-            lit(name).alias("check_name"),
-            col("n_violations").cast("bigint"),
-            col("n_checked").cast("bigint"),
-        )
-
-    unresolved = coords_lookup(
-        refs, nodes.select(col("osmid").alias("node_id")), how="left_anti"
+    # ONE ref-level pass feeds EVERY check (the rel_data_contract_audit
+    # discipline, round 4): the unresolved-ref probe rides the refs scan
+    # as an unhinted left join (null hit = violation — no separate
+    # anti-join branch re-scanning refs), the lag window and the per-way
+    # rollup share the way_id exchange, the tag attach joins once, and
+    # the whole report collapses to one multi-aggregate row that is
+    # checkpointed at the fork — report rows are literal projections.
+    probed = coords_lookup(
+        refs, nodes.select(col("osmid").alias("node_id"), lit(1).alias("_hit")), how="left"
     )
-    # ONE way_id pass feeds every per-way check AND the row totals: the
-    # lag window and the per-way rollup share the same exchange (the
-    # window already partitions by way_id), and per_way is persisted —
-    # ~n_ways tiny rows — so the four report branches read the cache
-    # instead of re-running the scan+window lineage four times
     w = Window.partitionBy("way_id").orderBy("pos")
     per_way = (
-        refs.withColumn("prev", F.lag("node_id").over(w))
+        probed.withColumn("prev", F.lag("node_id").over(w))
         .groupBy("way_id")
         .agg(
             F.count("*").alias("n"),
             F.sum((col("node_id") == col("prev")).cast("int")).alias("dups"),
+            F.sum(col("_hit").isNull().cast("int")).alias("missing"),
             F.min_by("node_id", "pos").alias("src"),
             F.max_by("node_id", "pos").alias("dst"),
         )
-        .persist()
     )
-    c1 = report(
-        "way_refs_resolve",
-        unresolved.agg(F.count("*").alias("n_violations")),
-        per_way.agg(F.coalesce(F.sum("n"), lit(0)).alias("n_checked")),
-    )
-    c2 = report(
-        "degenerate_ways",
-        per_way.filter(col("n") < 2).agg(F.count("*").alias("n_violations")),
-        per_way.agg(F.count("*").alias("n_checked")),
-    )
-    c3 = report(
-        "duplicate_consecutive_refs",
-        per_way.agg(F.coalesce(F.sum("dups"), lit(0)).alias("n_violations")),
-        per_way.agg(F.coalesce(F.sum("n"), lit(0)).alias("n_checked")),
-    )
-    area_ends = per_way.join(tags.filter(col("building").isNotNull()), "way_id")
-    c4 = report(
-        "unclosed_area_ways",
-        area_ends.filter(col("src") != col("dst")).agg(F.count("*").alias("n_violations")),
-        area_ends.agg(F.count("*").alias("n_checked")),
+    stats = (
+        per_way.join(tags, "way_id", "left")
+        .agg(
+            F.coalesce(F.sum("n"), lit(0)).alias("n_refs"),
+            F.count("*").alias("n_ways"),
+            F.coalesce(F.sum("missing"), lit(0)).alias("unresolved"),
+            F.sum((col("n") < 2).cast("long")).alias("degenerate"),
+            F.coalesce(F.sum("dups"), lit(0)).alias("dup_refs"),
+            F.sum(col("building").isNotNull().cast("long")).alias("area_n"),
+            F.sum(
+                (col("building").isNotNull() & (col("src") != col("dst"))).cast("long")
+            ).alias("area_unclosed"),
+        )
+        .localCheckpoint()
     )
 
-    return c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    def row(name: str, viol, total) -> DataFrame:
+        return stats.select(
+            lit(name).alias("check_name"),
+            viol.cast("bigint").alias("n_violations"),
+            total.cast("bigint").alias("n_checked"),
+        )
+
+    return (
+        row("way_refs_resolve", col("unresolved"), col("n_refs"))
+        .unionByName(row("degenerate_ways", col("degenerate"), col("n_ways")))
+        .unionByName(row("duplicate_consecutive_refs", col("dup_refs"), col("n_refs")))
+        .unionByName(row("unclosed_area_ways", col("area_unclosed"), col("area_n")))
+    )
 
 
 @register(

@@ -301,9 +301,13 @@ def test_session3c_operator_plan_shapes(spark):
     # degree histogram: pair-dedup + per-node count + tiny rollup — the
     # inherent two-phase distinct plus the ~10-group histogram exchange
     assert_plan(q(spark, "osm_node_degree_histogram"), max_exchanges=3, forbid_python=True)
-    # integrity report: the per-way checks share ONE persisted pass
-    s = plan_summary(q(spark, "osm_integrity_report"))
-    assert s.n_python_evals == 0 and "Cartesian" not in s.text, s.text
+    # integrity report: every check folds into ONE ref-level pass (the
+    # unresolved probe rides the refs scan as a left join, window +
+    # per-way rollup share the way_id exchange, one tag attach, one
+    # checkpointed stats row) — report rows are projections, so the
+    # final plan holds no re-scan branches at all
+    s = assert_plan(q(spark, "osm_integrity_report"), max_exchanges=1, forbid_python=True)
+    assert "Cartesian" not in s.text, s.text
 
 
 def test_data_contract_audit_one_pass_per_table(spark):
