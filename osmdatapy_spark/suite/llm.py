@@ -2478,3 +2478,95 @@ def llm_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: exact duplicate-SPAN coverage — the suffix-array dedup family
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better") expressed Spark-first.
+# ---------------------------------------------------------------------------
+
+_SPAN_L = 20  # minimum duplicated-substring length, in characters
+
+
+@register(
+    "llm_dup_span_coverage",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, strlen(text) AS doc_len FROM documents),
+    g AS (
+      SELECT doc_id, i AS p, substr(text, i, {_SPAN_L}) AS gram
+      FROM d, UNNEST(generate_series(1, doc_len - {_SPAN_L - 1})) AS t(i)
+      WHERE doc_len >= {_SPAN_L}
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    m AS (SELECT doc_id, p FROM g JOIN dup USING (gram)),
+    np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions FROM m GROUP BY doc_id),
+    cv AS (
+      SELECT doc_id, CAST(count(DISTINCT x) AS BIGINT) AS dup_covered_chars
+      FROM m, UNNEST(generate_series(p, p + {_SPAN_L - 1})) AS c(x)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.doc_len AS BIGINT) AS doc_len,
+           CAST(greatest(d.doc_len - {_SPAN_L - 1}, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(np.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(cv.dup_covered_chars, 0) AS BIGINT) AS dup_covered_chars
+    FROM d LEFT JOIN np USING (doc_id) LEFT JOIN cv USING (doc_id)
+    """,
+    doc=f"Exact duplicate-SPAN coverage per document — the suffix-array "
+    f"dedup family (Lee et al. 'Deduplicating Training Data Makes "
+    f"Language Models Better') as DataFrame algebra: every char "
+    f"{_SPAN_L}-gram at every position is a key; a gram occurring >=2 "
+    f"times ANYWHERE in the corpus marks a duplicated span of length "
+    f">={_SPAN_L} (exactly the substrings the suffix-array method "
+    f"finds), and per document the UNION of marked [p, p+{_SPAN_L}) "
+    f"intervals is folded into covered-character counts — the signal "
+    f"used to trim memorized boilerplate before training.  Shape: the "
+    f"gram explode is in-row; ONE partial-agg exchange on the gram key "
+    f"(ship xxhash64 of the gram at planet scale — here the raw string "
+    f"keeps the oracle engine-exact), a left-semi mark-back, and the "
+    f"interval-union fold is an F.aggregate over each doc's sorted "
+    f"position array (exact BIGINT interval merging, no window, no "
+    f"Python).  The oracle cross-checks the union as count(DISTINCT "
+    f"covered index) — two independent formulations of the same number.",
+)
+def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = _SPAN_L
+    # TS (spread): the in-row gram expansion is ~doc_len rows per doc off
+    # a small-file scan — the per-row-CPU case the spread repartition
+    # exists for (a 2-partition scan serialized the explode; measured
+    # 13s -> ~2s at sf0.1)
+    d = TS(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.char_length("text").cast("long").alias("doc_len")
+    )
+    ge = d.filter(col("doc_len") >= L).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, char_length(text) - {L - 1}), "
+                f"i -> struct(CAST(i AS BIGINT) AS p, substring(text, i, {L}) AS gram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", col("g.p").alias("p"), col("g.gram").alias("gram"))
+    dup = ge.groupBy("gram").agg(F.count("*").alias("c")).filter(col("c") >= 2)
+    marked = ge.join(dup.select("gram"), "gram", "left_semi")
+    acc0 = F.struct(lit(0).cast("long").alias("e"), lit(0).cast("long").alias("t"))
+    cov = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_positions"),
+        F.aggregate(
+            F.array_sort(F.collect_list("p")),
+            acc0,
+            lambda acc, p: F.struct(
+                F.greatest(acc["e"], p + lit(L)).alias("e"),
+                (acc["t"] + F.greatest(p + lit(L) - F.greatest(acc["e"], p), lit(0).cast("long"))).alias("t"),
+            ),
+            lambda acc: acc["t"],
+        ).alias("dup_covered_chars"),
+    )
+    return d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "doc_len",
+        F.greatest(col("doc_len") - lit(L - 1), lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("n_dup_positions", lit(0).cast("long")).alias("n_dup_positions"),
+        F.coalesce("dup_covered_chars", lit(0).cast("long")).alias("dup_covered_chars"),
+    )
