@@ -754,3 +754,53 @@ def osm_node_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = li.groupBy("node_id").agg(F.countDistinct("way_id").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@register(
+    "osm_renumber",
+    oracle=f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    nmap AS (
+      SELECT osmid, CAST(ROW_NUMBER() OVER (ORDER BY osmid) AS BIGINT) AS new_id
+      FROM nodes
+    ),
+    wmap AS (
+      SELECT way_id, CAST(ROW_NUMBER() OVER (ORDER BY way_id) AS BIGINT) AS new_way_id
+      FROM (SELECT DISTINCT way_id FROM ways)
+    )
+    SELECT wm.new_way_id, w.pos, nm.new_id AS new_node_id
+    FROM ways w
+    JOIN wmap wm ON wm.way_id = w.way_id
+    JOIN nmap nm ON nm.osmid = w.node_id
+    WHERE w.way_id % 20 = 0
+    """,
+    doc="Dense-id renumbering (the `osmium renumber` maintenance tool, "
+    "absent from the reference): nodes and ways each get 1-based dense "
+    "ids in ascending old-id order, and way membership rewrites through "
+    "the node mapping — the full extract-renumber contract on a sampled "
+    "way set.  Scalable shape (operators/enumerate.py): NO global "
+    "window — approxQuantile bucket boundaries become a literal "
+    "assignment expression, per-bucket counts (<= n_buckets driver "
+    "rows) cumulate into broadcast start offsets, and ranks are "
+    "bucket-local row_numbers plus the offset; the remap joins are "
+    "plain unhinted equi-joins.  Deterministic under any partitioning "
+    "(buckets/offsets are pure functions of the data).",
+)
+def osm_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.enumerate import dense_ids
+
+    nodes = derived_nodes(spark, sf_dir)
+    refs = derived_way_refs(spark, sf_dir).filter(col("way_id") % 20 == 0)
+    nmap = dense_ids(nodes.select("osmid"), "osmid", out_col="new_id").select(
+        col("osmid").alias("node_id"), "new_id"
+    )
+    wmap = dense_ids(
+        derived_way_refs(spark, sf_dir).select("way_id").distinct(),
+        "way_id",
+        out_col="new_way_id",
+    )
+    return (
+        refs.join(wmap, "way_id")
+        .join(nmap, "node_id")
+        .select("new_way_id", "pos", col("new_id").alias("new_node_id"))
+    )

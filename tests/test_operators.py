@@ -379,3 +379,28 @@ def test_geojson_features_are_valid_json(spark):
         assert len(f["geometry"]["coordinates"]) >= 2
         assert all(len(p) == 2 for p in f["geometry"]["coordinates"])
         assert f["properties"]["way_id"] == r["way_id"]
+
+
+def test_dense_ids_matches_global_row_number(spark):
+    """operators/enumerate.dense_ids: bucketed enumeration == the global
+    window's ids, including under adversarial skew and few distinct
+    quantile boundaries; stable across partitionings."""
+    from osmdatapy_spark.operators.enumerate import dense_ids
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # skewed keys: dense cluster + sparse tail
+    vals = list(range(1000, 1100)) + [5, 7, 900000, 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "k long").repartition(7)
+    got = {r["k"]: r["new_id"] for r in dense_ids(df, "k").collect()}
+    expect = {
+        r["k"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("k"))).collect()
+    }
+    assert got == expect
+    # start offset + invariance under a different partitioning
+    got2 = {
+        r["k"]: r["new_id"]
+        for r in dense_ids(df.repartition(2), "k", start=100).collect()
+    }
+    assert got2 == {k: v + 99 for k, v in expect.items()}

@@ -34,6 +34,8 @@ CRITICAL = [
     "osm_grid_clusters",        # driver union-find over the collected cell grid (r4)
     "osm_network_components",   # pointer-jumping min-label propagation (r4)
     "osm_bearing_rose",         # length-weighted DECIMAL bins (r4, unshadowed)
+    "osm_renumber",             # bucketed global enumeration + remap joins (r4)
+    "llm_dup_span_coverage",    # gram-key marking + interval-union fold (r4)
 ]
 
 
