@@ -1379,3 +1379,84 @@ def osm_settlement_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.element_at("v", 2).cast("decimal(18,6)")).cast("double") / F.count("*"), 6
         ).alias("c_lat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: polygon extract (osmium extract --polygon parity)
+# ---------------------------------------------------------------------------
+
+# concave 8-point star-ish clip region over the derived coordinate plane —
+# literal in BOTH engines, so containment is bit-identical
+_CLIP_POLY = [
+    (-150.0, -60.0), (0.0, -70.0), (150.0, -60.0), (60.0, 0.0),
+    (150.0, 60.0), (0.0, 30.0), (-150.0, 60.0), (-60.0, 0.0),
+]
+
+
+def _clip_oracle() -> str:
+    ring = _CLIP_POLY + [_CLIP_POLY[0]]
+    cases = []
+    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+        cmp_op = "<" if by > ay else ">"
+        cases.append(
+            f"CASE WHEN (({ay!r} > lat) != ({by!r} > lat)) AND "
+            f"((lon - {ax!r}) * ({by!r} - {ay!r}) {cmp_op} ({bx!r} - {ax!r}) * (lat - {ay!r})) "
+            f"THEN 1 ELSE 0 END"
+        )
+    crossings = " + ".join(cases)
+    return f"""
+    WITH {WAYS_CTE.strip()}, {NODES_CTE.strip()},
+    inside AS (
+      SELECT osmid FROM nodes WHERE ({crossings}) % 2 = 1
+    ),
+    kept_ways AS (
+      SELECT w.way_id AS osmid, CAST(1 AS INTEGER) AS osmtype,
+             CAST(count(i.osmid) AS BIGINT) AS n_inside
+      FROM ways w LEFT JOIN inside i ON i.osmid = w.node_id
+      GROUP BY w.way_id HAVING count(i.osmid) >= 1
+    )
+    SELECT osmid, CAST(0 AS INTEGER) AS osmtype, CAST(1 AS BIGINT) AS n_inside
+    FROM inside
+    UNION ALL
+    SELECT * FROM kept_ways
+    """
+
+
+@register(
+    "osm_polygon_extract",
+    oracle=_clip_oracle(),
+    doc="Polygon extract (`osmium extract --polygon` parity; the "
+    "reference clips by nothing — bbox clipping exists as osm_bbox_clip, "
+    "this is the arbitrary-polygon upgrade): nodes keep when inside a "
+    "CONCAVE literal clip ring (division-free even-odd ray cast, "
+    "operators/measures.point_in_ring — exactly-rounded IEEE ops, "
+    "bit-identical cross-engine), and ways keep when >=1 member node "
+    "survives (the simple extract strategy), reporting the surviving "
+    "member count.  Shape: node containment is a SCAN-STAGE filter "
+    "(the ring is a literal — zero shuffle at any scale), the way keep "
+    "is one unhinted semi-ish left join + partial-agg count on way_id.",
+)
+def osm_polygon_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import point_in_ring
+    from osmdatapy_spark.suite.osm import derived_way_refs as _refs
+
+    ring = F.array(
+        *[
+            F.struct(lit(x).alias("lon"), lit(y).alias("lat"))
+            for x, y in _CLIP_POLY
+        ]
+    )
+    nodes = derived_nodes(spark, sf_dir)
+    inside = nodes.filter(point_in_ring(ring, col("lon"), col("lat"))).select("osmid")
+    kept_nodes = inside.select(
+        "osmid", lit(0).cast("int").alias("osmtype"), lit(1).cast("long").alias("n_inside")
+    )
+    refs = _refs(spark, sf_dir)
+    kept_ways = (
+        coords_lookup(refs, inside.select(col("osmid").alias("node_id"), lit(1).alias("_in")), how="left")
+        .groupBy("way_id")
+        .agg(F.sum(F.coalesce(col("_in"), lit(0))).cast("long").alias("n_inside"))
+        .filter(col("n_inside") >= 1)
+        .select(col("way_id").alias("osmid"), lit(1).cast("int").alias("osmtype"), "n_inside")
+    )
+    return kept_nodes.unionByName(kept_ways)
