@@ -238,3 +238,63 @@ def test_osm_facade_from_xml(spark, tmp_path, fixture_pbf):
         r["osmid"]: r["geometry"] for r in OSM.from_pbf(spark, fixture_pbf).query(q).collect()
     }
     assert from_xml == from_pbf_rows and len(from_xml) >= 3
+
+
+def test_xml_roundtrip_fuzz_unicode_tags(spark, tmp_path):
+    """Property fuzz: adversarial ids/coords/unicode tags/refs/members
+    survive write_osm_xml -> osmxml scan byte-exactly (the XML entity
+    escaping + attribute quoting path)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # XML 1.0 forbids most control chars; OSM tag text in the wild is
+    # printable unicode — generate exactly that class
+    text = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc", "Co"), min_codepoint=32
+        ),
+        min_size=0,
+        max_size=24,
+    )
+    elements = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**48),                      # osmid
+            st.sampled_from([0, 1, 2]),                                     # osmtype
+            st.dictionaries(text.filter(lambda s: s.strip() != ""), text, max_size=4),
+            st.lists(st.integers(min_value=1, max_value=2**48), max_size=5),  # refs
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[1], t[0]),
+    )
+
+    from osmdatapy_spark.sources.xml import iter_osm_xml, write_osm_xml
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(elements)
+    def run(els):
+        rows = []
+        for osmid, t, tags, refs in els:
+            rows.append({
+                "osmid": osmid, "osmtype": t, "tags": tags,
+                "lon": (osmid % 360) - 180 + 0.5 if t == 0 else None,
+                "lat": (osmid % 170) - 85 + 0.25 if t == 0 else None,
+                "refs": refs if t == 1 else None,
+                "members": [(r, 0, "role") for r in refs] if t == 2 else None,
+                "version": None, "changeset": None,
+            })
+        p = tmp_path / "fuzz.osm"
+        with open(p, "w", encoding="utf-8") as f:
+            write_osm_xml(iter(rows), f)
+        got = [r for _, r in iter_osm_xml(str(p))]
+        assert len(got) == len(rows)
+        for want, have in zip(rows, got):
+            assert have["osmid"] == want["osmid"] and have["osmtype"] == want["osmtype"]
+            assert have["tags"] == want["tags"], (want["tags"], have["tags"])
+            assert (have["refs"] or None) == (want["refs"] if want["osmtype"] == 1 else None) or (
+                want["osmtype"] == 1 and want["refs"] == [] and have["refs"] == []
+            )
+            if want["osmtype"] == 2:
+                assert have["members"] == want["members"]
+
+    run()
