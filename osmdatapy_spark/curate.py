@@ -7,7 +7,11 @@ the north-star scope USABLE as one object: a ``Curate`` wraps a corpus
 DataFrame and chains curation steps lazily (every step is ordinary
 DataFrame algebra — nothing executes until an action), mirroring how the
 reference's ``Query`` composes predicates before ``osm.query`` runs
-(reference osmquery.py:165-209).
+(reference osmquery.py:165-209).  ONE deliberate exception:
+``fuzzy_dedup`` materializes its (small) duplicate-id drop-set when the
+step is CHAINED, not when the pipeline runs — the price of releasing
+the corpus-sized shingle cache immediately instead of leaking it for
+the session (see the method docstring).
 
 Default recipe (``Curate.default_recipe``): normalize → exact dedup →
 fuzzy (n-gram Jaccard) dedup → quality gate → per-domain cap.  Every
@@ -109,6 +113,12 @@ class Curate:
 
         Both verify candidates by EXACT Jaccard, so precision is 100%
         either way — the generators trade candidate-set cost vs recall.
+
+        NOTE: unlike every other step this one runs its candidate+verify
+        pipeline EAGERLY when chained (the drop-set localCheckpoint
+        below) — that is what lets the corpus-sized shingle cache be
+        unpersisted immediately instead of living until session end.
+        The materialized unit is the duplicate-id set only.
         """
         from osmdatapy_spark.functions.dedup import (
             jaccard_candidate_pairs,
