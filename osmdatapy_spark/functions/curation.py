@@ -278,15 +278,17 @@ def tfidf_pairs(
     # The tf/dfreq/norms frames each feed multiple join branches below, and
     # Catalyst does NOT dedupe identical subtrees across branches (no
     # ReusedExchange for re-derived lineage: measured 7 re-executions of
-    # the shingle-explode+agg pipeline, 16 exchanges).  Lazy
-    # localCheckpoint materializes each ONCE (MEMORY_AND_DISK) and every
-    # branch reads the checkpoint — at 100 TB this is the difference
-    # between one and seven passes over the doc×term table.
-    tf = tf.localCheckpoint(eager=False)
+    # the shingle-explode+agg pipeline, 16 exchanges).  persist(), NOT
+    # localCheckpoint (round-4 finding, see bigram_lm_scores): nothing
+    # here is iterative, and an evicted checkpoint block is fatal while
+    # an evicted persisted block recomputes from lineage.  Every branch
+    # reads the cache — at 100 TB this is the difference between one and
+    # seven passes over the doc×term table.
+    tf = tf.persist()
     dfreq = tf.groupBy("tok").agg(
         F.count("*").alias("df"), F.array_sort(F.collect_list("id")).alias("ids")
     )
-    dfreq = dfreq.localCheckpoint(eager=False)
+    dfreq = dfreq.persist()
     # norm²·FP per doc over ALL its tokens: Σ tf²·FP // df²
     tf_df = tf.join(dfreq.select("tok", "df"), "tok")
     norms = (
@@ -296,7 +298,7 @@ def tfidf_pairs(
         )
         .groupBy("id")
         .agg(F.sum("c").alias("norm_fp"))
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     cand = (
         _bucket_pairs(
@@ -509,10 +511,15 @@ def bigram_lm_scores(
     # join, and c12 feeds both the join and the c1 roll-up — Catalyst does
     # not dedupe re-derived lineage across branches (same measured hazard
     # as tfidf_pairs above: each branch would re-run the tokenize+explode
-    # pass over the corpus). Lazy localCheckpoint materializes each once.
-    stream = stream.localCheckpoint(eager=False)
+    # pass over the corpus).  persist(), NOT localCheckpoint: these are
+    # not iterative (no lineage growth to truncate), and a checkpointed
+    # block evicted under memory pressure is UNRECOVERABLE — at 500k docs
+    # the 19M-row bigram cache got evicted mid-join and the job died with
+    # 'Block rdd_N does not exist' (round-4 finding); a persisted block
+    # just recomputes from lineage.
+    stream = stream.persist()
     c12 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c12 = c12.localCheckpoint(eager=False)
+    c12 = c12.persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(tokens(col(text_col))).alias("w"))

@@ -1755,13 +1755,15 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.dedup import jaccard_similarity
 
     # shingled feeds the signature pipeline AND the set-gather; sets feeds
-    # both sides of the pair join — lazy localCheckpoint materializes each
-    # once instead of re-running the tokenize+shingle pass per branch
-    shingled = _shingled(spark, sf_dir).localCheckpoint(eager=False)
+    # both sides of the pair join — persist() materializes each once
+    # instead of re-running the tokenize+shingle pass per branch (NOT
+    # localCheckpoint: an evicted checkpoint block is unrecoverable,
+    # see functions/curation.py round-4 note)
+    shingled = _shingled(spark, sf_dir).persist()
     sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
     pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
     sets = shingled.groupBy("doc_id").agg(F.collect_set("s").alias("gs"))
-    sets = sets.localCheckpoint(eager=False)
+    sets = sets.persist()
     sa = sets.select(col("doc_id").alias("id_a"), col("gs").alias("ga"))
     sb = sets.select(col("doc_id").alias("id_b"), col("gs").alias("gb"))
     j = jaccard_similarity(col("ga"), col("gb"))
