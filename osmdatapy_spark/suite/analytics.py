@@ -1225,7 +1225,10 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 45x (measured: 109 exchanges, zero ReusedExchange).  localCheckpoint
     # at both forks — the same discipline as pagerank_integer /
     # connected_components — collapses the plan to ~1 scan and single-digit
-    # exchanges; tests/test_plans.py pins max_exchanges.
+    # exchanges; tests/test_plans.py pins max_exchanges.  (persist() was
+    # A/B'd for eviction resilience and is 3.5x slower here — the
+    # InMemoryTableScan path loses to ExistingRDD reads; at planet scale
+    # a triangle-count job sizes executors for its edge table regardless.)
     e = (
         hop.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
