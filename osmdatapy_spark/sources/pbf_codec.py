@@ -539,9 +539,19 @@ def _decode_dense_columns(
         vers = np.asarray(versions, dtype=np.int32)
         if len(vers) != n:
             return None
-        ts_arr = np.cumsum(np.asarray(timestamps, dtype=np.int64)) if len(timestamps) == n else np.zeros(n, dtype=np.int64)
-        ts = ts_arr * date_gran // 1000
-        cs = np.cumsum(np.asarray(changesets, dtype=np.int64)) if len(changesets) == n else np.zeros(n, dtype=np.int64)
+
+        def _padded_cumsum(deltas: list) -> "np.ndarray":
+            # short delta streams behave as trailing zero deltas (the
+            # per-element decoder's `deltas[i] if i < len else 0`), so
+            # pad BEFORE the cumsum — zero-filling the whole array would
+            # diverge on the prefix that IS present
+            arr = np.zeros(n, dtype=np.int64)
+            k = min(len(deltas), n)
+            arr[:k] = deltas[:k]
+            return np.cumsum(arr)
+
+        ts = _padded_cumsum(timestamps) * date_gran // 1000
+        cs = _padded_cumsum(changesets)
     return DenseColumns(n, abs_ids, abs_lons, abs_lats, tag_offsets, tag_keys, tag_vals, vers, ts, cs)
 
 

@@ -446,3 +446,44 @@ def test_columns_option_prunes_relation_schema(spark, fixture_pbf):
 
     with pytest.raises(Exception, match="unknown pbf columns"):
         read_pbf(spark, fixture_pbf, columns=["osmid", "nope"]).count()
+
+
+def test_dense_columns_partial_metadata_parity():
+    """Partial-length DenseInfo delta streams (fewer timestamps/changesets
+    than nodes) must decode identically on both paths: the per-element
+    decoder treats missing deltas as 0, so the columnar cumsum pads
+    BEFORE accumulating — the prefix that IS present must survive."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        DenseColumns,
+        decode_block_segments,
+        decode_primitive_block,
+        enc_bytes_field,
+        enc_packed_deltas,
+        enc_packed_field,
+    )
+
+    # hand-assemble a DenseNodes message with 4 nodes but only 2
+    # timestamp deltas and 1 changeset delta
+    dense = (
+        enc_packed_deltas(1, [10, 11, 12, 13])        # ids
+        + enc_bytes_field(
+            5,
+            enc_packed_field(1, [1, 1, 1, 1])          # versions (4)
+            + enc_packed_deltas(2, [100, 5])           # timestamps (2 < 4)
+            + enc_packed_deltas(3, [7]),               # changesets (1 < 4)
+        )
+        + enc_packed_deltas(8, [500000000, 0, 0, 0])   # lats
+        + enc_packed_deltas(9, [100000000, 0, 0, 0])   # lons
+    )
+    group = enc_bytes_field(2, dense)
+    block = enc_bytes_field(2, group)  # PrimitiveBlock.primitivegroup
+
+    els = decode_primitive_block(block, with_metadata=True)
+    segs = decode_block_segments(block, with_metadata=True)
+    (dc,) = [s for s in segs if isinstance(s, DenseColumns)]
+    assert [int(x) for x in dc.timestamps] == [e.timestamp for e in els]
+    assert [int(x) for x in dc.changesets] == [e.changeset for e in els]
+    # enc_packed_deltas takes ABSOLUTE values; missing trailing deltas
+    # hold the last accumulated value
+    assert [e.timestamp for e in els] == [100, 5, 5, 5]
+    assert [e.changeset for e in els] == [7, 7, 7, 7]

@@ -122,6 +122,11 @@ def main() -> int:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # bench.py's discipline: queries must not lean on (or pay the
+            # memory pressure of) caches leaked by earlier queries —
+            # self-persisting pipelines re-register these per call
+            spark.catalog.clearCache()
         if qd.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
