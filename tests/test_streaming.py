@@ -477,3 +477,73 @@ def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch, {k: (got.get(k), batch.get(k)) for k in set(got) | set(batch) if got.get(k) != batch.get(k)}
+
+
+def test_transform_with_state_running_totals_matches_batch(spark, tmp_path):
+    """The NEW transformWithStateInPandas API (typed ValueState on the
+    RocksDB store): per-user running totals under availableNow with
+    multi-file micro-batches must converge to the batch aggregate
+    EXACTLY (integer micro-unit accumulation — no float drift across
+    batch splits)."""
+    import pytest
+
+    # the transformWithState wire protocol needs the protobuf python
+    # package (absent in this container — same env-gating as the PIL
+    # pixel path); the operator itself is real and the gate is the
+    # import, not the logic
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — transformWithState wire protocol needs it")
+
+    from osmdatapy_spark.streaming.stateful_v2 import running_totals_tws
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "value", "event_id")
+    batch = {
+        r["user_id"]: (r["n"], r["micro"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10_000).cast("long")).alias("micro"),
+        )
+        .collect()
+    }
+
+    staged = str(tmp_path / "ev_tws")
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(staged)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(staged).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        try:
+            q = (
+                running_totals_tws(stream)
+                .writeStream.format("memory")
+                .queryName("t_tws")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        except Exception as e:  # pragma: no cover - env-dependent store support
+            if "RocksDB" in str(e) or "stateStore" in str(e):
+                pytest.skip(f"RocksDB state store unavailable: {e}")
+            raise
+        rows = spark.sql("SELECT * FROM t_tws").collect()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    # update mode re-emits touched keys per micro-batch; totals are
+    # MONOTONE, so the max emission per key is the converged total
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"], (0, 0))
+        final[r["user_id"]] = max(cur, (r["n_events"], r["total_micro"]))
+    assert final == batch
