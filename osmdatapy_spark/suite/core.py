@@ -8,9 +8,11 @@ verify it.  Reference citations are per-operator in the docstrings.
 Scale notes (100 TB mindset), applied throughout:
 - dimension joins (`nation`, `region`, `supplier`, small `part` subsets)
   are explicitly `broadcast()` — no shuffle of the fact table;
-- fact-fact joins (orders ⋈ lineitem) are plain equi-joins: Catalyst
-  picks SMJ and AQE handles skew; at scale these tables would be
-  co-bucketed on the join key to eliminate the exchange entirely;
+- fact-fact joins (orders ⋈ lineitem, and every FK probe against
+  orders/customer in the contract audit) are plain UNHINTED equi-joins:
+  Catalyst picks SMJ and AQE handles skew; at scale these tables would
+  be co-bucketed on the join key to eliminate the exchange entirely
+  (round 4 removed the audit's forced fact broadcasts);
 - aggregations are expressed as single groupBy so Spark plans
   partial (map-side) + final aggregation — never collect-then-reduce;
 - windows partition on high-cardinality keys (user_id, orderkey) so the
