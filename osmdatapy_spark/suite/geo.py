@@ -1006,17 +1006,17 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     segcells AS (
       SELECT DISTINCT way_id, seg, x1, y1, x2, y2, cx, cy FROM (
-        SELECT *, CAST(floor(x1 / 30.0) AS BIGINT) AS cx,
-                  CAST(floor(y1 / 30.0) AS BIGINT) AS cy FROM seg
+        SELECT *, CAST(floor(x1 / 15.0) AS BIGINT) AS cx,
+                  CAST(floor(y1 / 15.0) AS BIGINT) AS cy FROM seg
         UNION
-        SELECT *, CAST(floor(x2 / 30.0) AS BIGINT),
-                  CAST(floor(y2 / 30.0) AS BIGINT) FROM seg
+        SELECT *, CAST(floor(x2 / 15.0) AS BIGINT),
+                  CAST(floor(y2 / 15.0) AS BIGINT) FROM seg
       )
     ),
     gps AS (
       SELECT osmid AS probe_id, lon AS px, lat AS py,
-             CAST(floor(lon / 30.0) AS BIGINT) AS cx,
-             CAST(floor(lat / 30.0) AS BIGINT) AS cy
+             CAST(floor(lon / 15.0) AS BIGINT) AS cx,
+             CAST(floor(lat / 15.0) AS BIGINT) AS cy
       FROM nodes WHERE osmid % 97 = 0
     ),
     scored AS (
@@ -1079,7 +1079,7 @@ def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
     segs = coords_lookup(coords_lookup(seg, na, "src"), nb, "dst").drop("src", "dst")
     cell = lambda x, y: F.struct(  # noqa: E731
-        F.floor(x / 30.0).cast("long").alias("cx"), F.floor(y / 30.0).cast("long").alias("cy")
+        F.floor(x / 15.0).cast("long").alias("cx"), F.floor(y / 15.0).cast("long").alias("cy")
     )
     segcells = (
         segs.select(
