@@ -203,11 +203,14 @@ def rel_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market share by year (TPC-H Q8 shape — the widest join tree in "
     "the suite): what fraction of ECONOMY-part revenue delivered to "
-    "ASIA-region customers came from NATION_3 suppliers?  Seven joins, "
-    "but only ONE wide shuffle: part/supplier/customer/nation/region are "
-    "dimensions (broadcast — lineitem never moves for them; the part "
+    "ASIA-region customers came from NATION_3 suppliers?  Seven joins: "
+    "nation/region broadcast by forced hint (fixed 25/5 rows); "
+    "part/supplier/customer joins are UNHINTED because those tables "
+    "scale with sf (part is lineitem/30 — a forced hint is a driver OOM "
+    "at 100 TB, where AQE's size check degrades gracefully to SMJ; at "
+    "this sf AQE still broadcasts them).  The part "
     "filter prunes lineitem EARLY, before the orders join, which Catalyst "
-    "orders for us), and lineitem⋈orders shuffles on orderkey — "
+    "orders for us, and lineitem⋈orders shuffles on orderkey — "
     "co-bucketable at 100 TB.  Numerator and denominator accumulate as "
     "exact DECIMAL in the SAME aggregate pass (conditional sum, no "
     "second scan); the share division happens once per year under a "
@@ -230,11 +233,11 @@ def rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n_nationkey").alias("cn_key"), col("n_regionkey").alias("cn_region")
     )
     joined = (
-        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
-        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        li.join(part, col("l_partkey") == col("p_partkey"))
+        .join(supp, col("l_suppkey") == col("s_suppkey"))
         .join(broadcast(sn), col("s_nationkey") == col("sn_key"))
         .join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(cust, col("o_custkey") == col("c_custkey"))
         .join(broadcast(cn), col("c_nationkey") == col("cn_key"))
         .join(broadcast(region), col("cn_region") == col("r_regionkey"))
     )

@@ -6,13 +6,18 @@ re-expressed on the driver's synthetic tables so the DuckDB oracle can
 verify it.  Reference citations are per-operator in the docstrings.
 
 Scale notes (100 TB mindset), applied throughout:
-- dimension joins (`nation`, `region`, `supplier`, small `part` subsets)
+- FIXED-cardinality dimension joins (`nation` 25 rows, `region` 5 rows)
   are explicitly `broadcast()` — no shuffle of the fact table;
-- fact-fact joins (orders ⋈ lineitem, and every FK probe against
-  orders/customer in the contract audit) are plain UNHINTED equi-joins:
-  Catalyst picks SMJ and AQE handles skew; at scale these tables would
-  be co-bucketed on the join key to eliminate the exchange entirely
-  (round 4 removed the audit's forced fact broadcasts);
+- every relation whose cardinality GROWS with sf (customer, supplier,
+  part, orders, lineitem, events, documents, embeddings, and any
+  per-user/per-key aggregate of them) joins UNHINTED: a forced hint
+  overrides Catalyst's size check and is a driver OOM at 100×, while
+  AQE still broadcasts at small sf and degrades gracefully to SMJ at
+  large (round 4 removed the audit's forced fact broadcasts; round 5
+  removed the last dim hints on customer/supplier/part and pinned the
+  class in tests/test_plans.py::test_no_forced_broadcast_on_scaling_tables);
+  at scale fact-fact joins would be co-bucketed on the join key to
+  eliminate the exchange entirely;
 - aggregations are expressed as single groupBy so Spark plans
   partial (map-side) + final aggregation — never collect-then-reduce;
 - windows partition on high-cardinality keys (user_id, orderkey) so the
@@ -237,7 +242,9 @@ def rel_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     bench=True,
     doc="Fact-fact + dimension joins (ref J1/J4 pandas merges, _frame.py:33-40, "
-    "osmdata.py:81-84). nation/customer are broadcast (no fact shuffle for dims); "
+    "osmdata.py:81-84). nation is broadcast (25 rows, fixed cardinality); customer "
+    "SCALES with sf (≈lineitem/40 — billions of rows at 100 TB) so its join is "
+    "unhinted and AQE picks broadcast only when runtime stats say it fits; "
     "lineitem⋈orders shuffles on orderkey — at 100 TB both sides co-bucketed on it.",
 )
 def rel_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,7 +255,7 @@ def rel_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice", 12, 4) * (lit(1) - dec("l_discount", 8, 4))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), col("o_custkey") == cust.c_custkey)
+        .join(cust, col("o_custkey") == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"), F.count("*").alias("n_items"))
@@ -1354,8 +1361,10 @@ def rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Ratio-to-report (share-of-parent window): each nation's revenue "
     "as a fraction of its region's total.  The fact stream aggregates "
-    "FIRST (exact decimal, one partial-agg exchange after two broadcast "
-    "dimension joins); the window then runs over the 25-row nation "
+    "FIRST (exact decimal, one partial-agg exchange; nation broadcasts — "
+    "fixed 25 rows — while the customer join is unhinted, since customer "
+    "scales with sf and a forced hint is a driver OOM at 100×); the "
+    "window then runs over the 25-row nation "
     "rollup — the share never touches fact-table cardinality, which is "
     "what makes percent-of-total safe at 100 TB.  Division is one "
     "exactly-rounded double op per row; round-6 for display symmetry.",
@@ -1365,7 +1374,7 @@ def rel_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nt = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     rev = (
-        o.join(broadcast(c), col("o_custkey") == col("c_custkey"))
+        o.join(c, col("o_custkey") == col("c_custkey"))
         .join(broadcast(nt), col("c_nationkey") == col("n_nationkey"))
         .groupBy(col("n_regionkey").alias("region"), col("c_nationkey").alias("nation"))
         .agg(F.sum(dec("o_totalprice", 19, 4)).alias("nation_rev"))

@@ -522,7 +522,9 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="ROLLUP revenue by region/nation with grouping-id (absent from the "
     "reference, §2.11). Spark expands grouping sets before the exchange — "
-    "partial aggregation still applies, so the rollup costs one shuffle.",
+    "partial aggregation still applies, so the rollup costs one shuffle. "
+    "nation/region broadcast by hint (fixed cardinality); supplier scales "
+    "with sf, so its join is unhinted — AQE's size check decides.",
 )
 def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
@@ -530,7 +532,7 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     joined = (
-        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
     )

