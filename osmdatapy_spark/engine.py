@@ -358,14 +358,19 @@ class OSM:
 
     def coords(self, ids: DataFrame | Iterable[int]) -> DataFrame:
         """Point lookup (reference ``osm.coords``, osmdata.py:81-84 —
-        searchsorted on a driver array).  Here: a join, broadcast when the
-        probe side is a literal list."""
+        searchsorted on a driver array).  Here: a join — broadcast-hinted
+        only when the probe side is a literal list (already
+        driver-resident, so the hint is free and bounded); a DataFrame
+        probe set can scale with the data, so it joins unhinted and AQE
+        decides."""
         if isinstance(ids, DataFrame):
             probe = ids
         else:
             spark = self.nodes.sparkSession
-            probe = spark.createDataFrame([(int(i),) for i in ids], "osmid long")
-        return broadcast(probe).join(self.nodes, "osmid", "left").select("osmid", "lon", "lat")
+            probe = broadcast(
+                spark.createDataFrame([(int(i),) for i in ids], "osmid long")
+            )
+        return probe.join(self.nodes, "osmid", "left").select("osmid", "lon", "lat")
 
     # -- the main query path (reference osmdata.py:183-206) ----------------
 

@@ -1,11 +1,14 @@
 """Similarity search over embedding columns (north-star scope).
 
-Baseline: brute-force cosine top-k — probe set broadcast against the
+Baseline: brute-force cosine top-k — probe set joined against the
 corpus, dot products as `zip_with` + `aggregate` folds (JVM-side,
 sequential fold order ⇒ deterministic doubles).  Scale path: LSH bucketing
 (random-hyperplane signs → band join, reusing dedup.lsh machinery) or IVF
 (k-means coarse quantizer as a groupBy assignment, probe only nearest
-cells).  At 100 TB the corpus side stays partitioned; only probes move.
+cells).  At 100 TB the corpus side stays partitioned; only probes move —
+probe joins are UNHINTED (probes derive from the sf-scaling embeddings
+table), so AQE broadcasts small probe batches at runtime and degrades to
+a shuffle join when they grow, instead of a forced hint OOMing the driver.
 """
 
 from __future__ import annotations
@@ -50,12 +53,15 @@ def brute_force_topk(
     """Exact top-k neighbors per probe by cosine.
 
     Ranking uses the ROUNDED cosine plus the neighbor id as tiebreaker so
-    the order is total and engine-portable.  The probe side is broadcast —
-    the corpus never shuffles; cost is one pass over the corpus per batch
-    of probes (batch probes together at scale)."""
+    the order is total and engine-portable.  The probe side joins
+    UNHINTED: probes derive from the embeddings table, so they scale with
+    the corpus — a forced ``broadcast()`` would OOM the driver at the
+    100 TB design point, whereas AQE's runtime size check broadcasts small
+    probe batches and degrades gracefully otherwise (batch probes together
+    at scale)."""
     c = corpus.select(col(id_col).alias("nbr_id"), as_double(col(vec_col)).alias("cvec"))
     p = probes.select(col(id_col).alias("probe_id"), as_double(col(vec_col)).alias("pvec"))
-    scored = c.join(broadcast(p), col("probe_id") != col("nbr_id")).select(
+    scored = c.join(p, col("probe_id") != col("nbr_id")).select(
         "probe_id",
         "nbr_id",
         F.round(cosine(col("pvec"), col("cvec")), decimals).alias("cos"),
@@ -91,7 +97,9 @@ def grid_topk(
     """ANN top-k restricted to the probe's grid cell: the scale path next
     to ``brute_force_topk``.  The corpus is scanned once and shuffled by
     cell (16 buckets here; a production IVF uses k-means cells);
-    candidate scoring touches ~1/cells of the corpus per probe."""
+    candidate scoring touches ~1/cells of the corpus per probe.  The
+    cell join is unhinted — probes scale with the corpus, so AQE decides
+    between broadcast and shuffle at runtime."""
     c = corpus.select(
         col(id_col).alias("nbr_id"),
         as_double(col(vec_col)).alias("cvec"),
@@ -102,7 +110,7 @@ def grid_topk(
         as_double(col(vec_col)).alias("pvec"),
         sign_grid_cell(col(vec_col), n_dims).alias("cell"),
     )
-    scored = c.join(broadcast(p), "cell").filter(col("probe_id") != col("nbr_id")).select(
+    scored = c.join(p, "cell").filter(col("probe_id") != col("nbr_id")).select(
         "probe_id",
         "nbr_id",
         F.round(cosine(col("pvec"), col("cvec")), decimals).alias("cos"),
@@ -231,8 +239,9 @@ def ivf_topk(
 
     Scale shape: the corpus is scanned once, learns its cell via a
     literal-centroid projection, and shuffles once by cell; probes (with
-    their ``n_probe`` cell keys exploded) broadcast.  Raising ``n_probe``
-    trades work for recall, the standard IVF dial.
+    their ``n_probe`` cell keys exploded) join unhinted — AQE broadcasts
+    them while small.  Raising ``n_probe`` trades work for recall, the
+    standard IVF dial.
 
     Pass ``centroids`` (from ``kmeans_centroids``, usually via
     ``artifacts.train_once``) to SERVE against a pre-trained quantizer —
@@ -260,7 +269,7 @@ def ivf_topk(
         ).alias("cell"),
     )
     scored = (
-        c.join(broadcast(p), "cell")
+        c.join(p, "cell")
         .filter(col("probe_id") != col("nbr_id"))
         .select(
             "probe_id",
@@ -524,8 +533,9 @@ def pq_topk(
     (m small ints per vector — RAM-resident at billions of vectors), the
     full vectors stay in cold storage and are fetched for
     ``rerank × probes`` rows, not the corpus.  Probes (and their distance
-    tables) broadcast; the corpus never shuffles in stage 1; stage 2 is a
-    semi-join-sized shuffle on candidate ids.
+    tables) join unhinted — AQE broadcasts them while they fit; the corpus
+    never shuffles in stage 1; stage 2 is a semi-join-sized shuffle on
+    candidate ids.
 
     Pass ``codebooks`` (from ``pq_codebooks``, usually via
     ``artifacts.train_once``) to serve against pre-trained quantizers —
@@ -564,7 +574,7 @@ def pq_topk(
         lambda acc: acc.cast("double"),
     )
     stage1 = (
-        c.join(broadcast(p), col("probe_id") != col("nbr_id"))
+        c.join(p, col("probe_id") != col("nbr_id"))
         .select("probe_id", "nbr_id", adist.alias("adist"))
     )
     w1 = Window.partitionBy("probe_id").orderBy("adist", "nbr_id")
@@ -575,7 +585,7 @@ def pq_topk(
     pvecs = probes.select(col(id_col).alias("probe_id"), v.alias("pvec"))
     exact = (
         cand.join(cvecs, "nbr_id")
-        .join(broadcast(pvecs), "probe_id")
+        .join(pvecs, "probe_id")
         .select(
             "probe_id",
             "nbr_id",

@@ -186,34 +186,58 @@ def write_geoparquet(
     ``operators/wkb.py``); this writes that binary column as a
     spec-compliant GeoParquet dataset.  Spark's parquet writer cannot
     attach custom file metadata, so each task writes its own footer via
-    pyarrow inside ``mapInPartitions`` — one file per partition, written
-    directly (same discipline as ``engine.to_pbf``); at scale partition
-    count is the file-size knob, exactly like any parquet sink.
+    pyarrow inside ``mapInArrow`` — the rows arrive as Arrow
+    RecordBatches straight off the JVM (no Python Row materialization;
+    round 5's per-row ``Row.asDict`` → ``from_pylist`` loop was ~10× the
+    memory and the CPU) — one file per partition, written directly (same
+    discipline as ``engine.to_pbf``); at scale partition count is the
+    file-size knob, exactly like any parquet sink.  A task buffers its
+    partition's batches (zero-copy) before the single footer write — the
+    spec's bbox lives in the footer, so O(partition) is inherent; size
+    partitions like any parquet file target.
 
     Bounding boxes per file are computed from the rows actually written
     (the spec's optional ``bbox``), driven off lon/lat columns when
     present — file-level pruning for spatial readers.
+
+    Modes: ``overwrite`` (replace the dataset) or ``error`` /
+    ``errorifexists``.  ``append`` is rejected: part files are named by
+    partition id, so appending a second write would silently mix or
+    clobber datasets (the round-5 defect).
     """
     import json
     import os
 
-    os.makedirs(path, exist_ok=True)
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"write_geoparquet mode {mode!r} unsupported: use 'overwrite' or "
+            "'error' ('append' would mix datasets under fixed part-file names)"
+        )
     if geometry_col not in df.columns:
         raise ValueError(f"missing geometry column {geometry_col!r}")
+    existing = (
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else []
+    )
+    if mode in ("error", "errorifexists") and existing:
+        raise FileExistsError(f"{path} already holds a parquet dataset ({len(existing)} files)")
+    os.makedirs(path, exist_ok=True)
     gtypes = geometry_types if geometry_types is not None else []
     cols = df.columns
     has_ll = "lon" in cols and "lat" in cols
 
-    def write_partition(it):
+    def write_partition(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        rows = list(it)
-        pid = TaskContext.get().partitionId()
-        if not rows:
+        got = list(batches)  # Arrow buffers, zero-copy — NOT Python rows
+        if not got:
             return iter(())
-        tbl = pa.Table.from_pylist([r.asDict(recursive=True) for r in rows])
+        pid = TaskContext.get().partitionId()
+        tbl = pa.Table.from_batches(got)
         geo = {
             "version": "1.0.0",
             "primary_column": geometry_col,
@@ -226,11 +250,12 @@ def write_geoparquet(
             },
         }
         if has_ll:
-            lons = [r["lon"] for r in rows if r["lon"] is not None]
-            lats = [r["lat"] for r in rows if r["lat"] is not None]
-            if lons and lats:
+            lon_mm = pc.min_max(tbl.column("lon"))
+            lat_mm = pc.min_max(tbl.column("lat"))
+            if lon_mm["min"].is_valid and lat_mm["min"].is_valid:
                 geo["columns"][geometry_col]["bbox"] = [
-                    min(lons), min(lats), max(lons), max(lats)
+                    lon_mm["min"].as_py(), lat_mm["min"].as_py(),
+                    lon_mm["max"].as_py(), lat_mm["max"].as_py(),
                 ]
         meta = dict(tbl.schema.metadata or {})
         meta[b"geo"] = json.dumps(geo).encode("utf-8")
@@ -239,12 +264,11 @@ def write_geoparquet(
         return iter(())
 
     if mode == "overwrite":
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                os.remove(os.path.join(path, f))
-    # foreachPartition would re-serialize rows anyway; rdd mapPartitions
-    # with an empty return is the zero-copy-out no-op action
-    df.rdd.mapPartitions(write_partition).count()
+        for f in existing:
+            os.remove(os.path.join(path, f))
+    # mapInArrow with an empty yield is the zero-copy-out no-op action;
+    # the 1-column dummy schema never materializes (no batches returned)
+    df.mapInArrow(write_partition, "files long").count()
 
 
 def read_geoparquet_meta(path: str) -> dict:

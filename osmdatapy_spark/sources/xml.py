@@ -48,8 +48,12 @@ def _open(path: str):
 
 
 def _parse_ts(ts: str | None) -> int | None:
-    """ISO-8601 ``2013-09-05T22:15:24Z`` → epoch MILLIS (the PBF decode's
-    timestamp unit: ``ts * date_granularity // 1000``)."""
+    """ISO-8601 ``2013-09-05T22:15:24Z`` → epoch SECONDS — the PBF
+    decode's timestamp unit (``ts * date_granularity // 1000`` with
+    date_granularity in millis, ``pbf_codec.py``), so PBF-base +
+    ``.osc``-changefile pipelines compare and order timestamps in one
+    unit.  Round 5 shipped millis here — a 1000× cross-source mismatch
+    on the CDC path; ``test_xml_source.py`` now pins the parity."""
     if not ts:
         return None
     from datetime import datetime, timezone
@@ -58,7 +62,19 @@ def _parse_ts(ts: str | None) -> int | None:
     dt = datetime.fromisoformat(s)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1000)
+    return int(dt.timestamp())
+
+
+def _format_ts(ts: int | None) -> str | None:
+    """Epoch seconds → ISO-8601 Zulu (inverse of ``_parse_ts``)."""
+    if ts is None:
+        return None
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(int(ts), tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
 
 
 def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
@@ -71,17 +87,24 @@ def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
     import xml.etree.ElementTree as ET
 
     action = ""
+    root = None
+    wrapper = None
     with _open(path) as f:
         # events on start gives the wrapper context; elements complete on end
         for event, el in ET.iterparse(f, events=("start", "end")):
             tag = el.tag
             if event == "start":
+                if root is None:
+                    root = el  # first start event is the document root
                 if tag in _ACTIONS:
                     action = tag
+                    wrapper = el
                 continue
             if tag in _ACTIONS:
                 action = ""
+                wrapper = None
                 el.clear()
+                root.clear()
                 continue
             if tag not in _TYPE_CODE:
                 continue
@@ -111,7 +134,14 @@ def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
                 "changeset": int(a["changeset"]) if "changeset" in a else None,
             }
             yield action, row
-            el.clear()  # iterparse keeps the tree otherwise — bound memory
+            # el.clear() alone leaves an O(elements) list of empty Element
+            # shells in the enclosing container's child list (the round-5
+            # leak) — clear the container too: the root for plain .osm,
+            # the open create/modify/delete wrapper for .osc.  Both are
+            # safe mid-parse: the expat TreeBuilder appends to its own
+            # open-element stack, not via the parent's child list.
+            el.clear()
+            (wrapper if wrapper is not None else root).clear()
 
 
 class _XmlPartition(InputPartition):
@@ -246,6 +276,8 @@ def write_osm_xml(rows: Iterator, out) -> None:
             attrs.append(f'lat="{r["lat"]:.7f}" lon="{r["lon"]:.7f}"')
         if r.get("version") is not None:
             attrs.append(f'version="{r["version"]}"')
+        if r.get("timestamp") is not None:
+            attrs.append(f'timestamp="{_format_ts(r["timestamp"])}"')
         if r.get("changeset") is not None:
             attrs.append(f'changeset="{r["changeset"]}"')
         body = []

@@ -845,9 +845,11 @@ def _cms_bucket_col():
     "not-null and range constraints — each row is (check, violations, "
     "population). The gate a 100 TB ingest runs BEFORE publishing a "
     "partition.  Shape: ONE aggregate pass per fact table — each table "
-    "left-joins its FK target (UNHINTED: both sides are fact-sized at "
-    "scale, so broadcast is Catalyst's call, not a forced hint — round 4 "
-    "removed two forced fact broadcasts here) and folds every check into "
+    "left-joins its FK target's DISTINCT key set (dedup first, or a "
+    "duplicate target key — the very violation an audit catches — fans "
+    "out fact rows and corrupts every count; UNHINTED: both sides are "
+    "fact-sized at scale, so broadcast is Catalyst's call) and folds "
+    "every check into "
     "a single multi-aggregate row: pk-duplicate count as n - "
     "count_distinct(pk), orphans as null-FK matches, null/range checks "
     "as conditional sums.  The report rows are literal projections of "
@@ -859,8 +861,13 @@ def rel_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     cust = T(spark, sf_dir, "customer")
 
+    # FK targets join as DISTINCT key sets: a duplicate c_custkey /
+    # o_orderkey (exactly the violation class this audit exists to catch)
+    # would otherwise fan out the fact rows and corrupt n_checked, the
+    # pk-uniqueness count, and the orphan counts (round-5 defect).  The
+    # distinct's exchange is the price of EXISTS semantics.
     o = orders.join(
-        cust.select(col("c_custkey").alias("_ck")),
+        cust.select(col("c_custkey").alias("_ck")).distinct(),
         orders["o_custkey"] == col("_ck"),
         "left",
     )
@@ -871,7 +878,7 @@ def rel_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(col("o_orderstatus").isNull().cast("long")).alias("nulls"),
     )
     l = li.join(
-        orders.select(col("o_orderkey").alias("_ok")),
+        orders.select(col("o_orderkey").alias("_ok")).distinct(),
         li["l_orderkey"] == col("_ok"),
         "left",
     )

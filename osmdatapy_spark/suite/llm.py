@@ -557,9 +557,10 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_id, nbr_id, cos, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= 5
     """,
     bench=True,
-    doc="Brute-force cosine top-k (ANN baseline): probes broadcast, corpus "
-    "never shuffles; ranking on rounded cosine + id tiebreak for a total "
-    "order. The LSH-bucketed scale path is functions/similarity.py:"
+    doc="Brute-force cosine top-k (ANN baseline): probes join unhinted "
+    "(they scale with the corpus — AQE broadcasts while small, degrades "
+    "gracefully at scale); ranking on rounded cosine + id tiebreak for a "
+    "total order. The LSH-bucketed scale path is functions/similarity.py:"
     "hyperplane_lsh_buckets.",
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,8 +1853,8 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="k-NN majority-vote labeling (weak supervision / label "
     "propagation): each unlabeled probe takes the majority label of its "
     "k=5 exact-cosine neighbors, ties broken (votes desc, label) for a "
-    "total order.  Composes brute_force_topk (probes broadcast, corpus "
-    "never shuffles) with an UNHINTED label attach (both sides scale — "
+    "total order.  Composes brute_force_topk (probes unhinted — AQE "
+    "decides) with an UNHINTED label attach (both sides scale — "
     "the label projection with the corpus, the neighbor table with "
     "k×probes — so AQE decides the build side; a forced hint on either "
     "is a driver OOM at 100×) and a probes-sized vote aggregation.  At "
@@ -2059,8 +2060,10 @@ def llm_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("label").alias("probe_label"),
         as_double(col("embedding")).alias("pvec"),
     )
+    # unhinted: p is a 1/25 slice of embeddings, so it scales with sf —
+    # AQE broadcasts it while small, degrades gracefully at scale
     scored = c.join(
-        F.broadcast(p),
+        p,
         (col("probe_id") != col("neg_id")) & (col("probe_label") != col("neg_label")),
     ).select(
         "probe_id",
@@ -2503,7 +2506,7 @@ _SPAN_L = 20  # minimum duplicated-substring length, in characters
 @register(
     "llm_dup_span_coverage",
     oracle=f"""
-    WITH d AS (SELECT doc_id, text, strlen(text) AS doc_len FROM documents),
+    WITH d AS (SELECT doc_id, text, length(text) AS doc_len FROM documents),
     g AS (
       SELECT doc_id, i AS p, substr(text, i, {_SPAN_L}) AS gram
       FROM d, UNNEST(generate_series(1, doc_len - {_SPAN_L - 1})) AS t(i)

@@ -509,10 +509,17 @@ def test_no_forced_broadcast_on_nodes_fact(spark):
 # size check (which degrades gracefully to SMJ) makes the call.  A forced
 # hint on a scaling table is a driver OOM at the 100 TB design point.
 #
-# Detection: broadcast() hints survive into the optimized logical plan as
-# ResolvedHint(strategy=broadcast) nodes.  We walk the JVM plan tree, take
-# each broadcast-hinted SUBTREE's string, and flag it if a signature column
-# of any scaling base table appears in it — signature columns are unique to
+# Detection: broadcast() hints are resolved during analysis into
+# ResolvedHint(strategy=broadcast) nodes, which exist in the ANALYZED plan
+# only — the optimizer's EliminateResolvedHint (Finish Analysis batch) folds
+# them into Join nodes' leftHint/rightHint before the optimized plan, so a
+# ResolvedHint walk over optimizedPlan() finds nothing (verified empirically
+# on Spark 4.1.2; the whole-string check in
+# test_no_forced_broadcast_on_nodes_fact still works on the optimized plan
+# because Join.toString prints its hint fields).  We walk the analyzed JVM
+# plan tree, take each broadcast-hinted SUBTREE's string, and flag it if a
+# signature column of any scaling base table appears in it — signature
+# columns are unique to
 # their table, and attribute names persist through projections/renames, so
 # this catches hints on derived tables (e.g. a per-user aggregate of events)
 # as well as raw scans.  Queries whose hinted subtrees are legitimately
@@ -545,6 +552,14 @@ _NO_SCALING_BROADCAST_QUERIES = [
     "rel_topk_orders",
     "rel_sql_tpch_q5",
     "rel_data_contract_audit",
+    # ANN family (round 6): probe projections derive from embeddings and
+    # scale with sf — their broadcast() hints were dropped alongside the
+    # detector fix (functions/similarity.py, suite/llm.py)
+    "llm_cosine_topk",
+    "llm_ann_grid_topk",
+    "llm_ann_ivf_topk",
+    "llm_ann_pq_topk",
+    "llm_hard_negative_mine",
 ]
 
 
@@ -557,8 +572,8 @@ def _iter_jvm_plan(node):
 
 def _scaling_broadcast_hits(df):
     hits = []
-    opt = df._jdf.queryExecution().optimizedPlan()
-    for node in _iter_jvm_plan(opt):
+    analyzed = df._jdf.queryExecution().analyzed()
+    for node in _iter_jvm_plan(analyzed):
         if node.nodeName() != "ResolvedHint":
             continue
         sub = node.toString()
@@ -568,6 +583,25 @@ def _scaling_broadcast_hits(df):
             if sig in sub:
                 hits.append(tbl)
     return hits
+
+
+def test_scaling_broadcast_detector_not_vacuous(spark, tmp_path):
+    """Canary for the detector itself: a deliberately hinted join on an
+    embeddings-derived projection MUST be flagged.  Round 5 shipped a
+    version of this detector that walked optimizedPlan() for ResolvedHint
+    nodes — which never exist there (EliminateResolvedHint folds them into
+    Join hints before optimization), so the pin silently passed on real
+    offenders.  This test fails if that regression ever returns."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select("vec_id")
+    bad = emb.join(F.broadcast(probes.withColumnRenamed("vec_id", "pid")),
+                   F.col("vec_id") != F.col("pid"))
+    assert _scaling_broadcast_hits(bad) == ["embeddings"]
+    good = emb.join(probes.withColumnRenamed("vec_id", "pid"),
+                    F.col("vec_id") != F.col("pid"))
+    assert _scaling_broadcast_hits(good) == []
 
 
 def test_no_forced_broadcast_on_scaling_tables(spark):

@@ -62,7 +62,10 @@ def test_iter_osm_xml_semantics(tmp_path):
     n1 = rows[0][1]
     assert n1["lat"] == 50.0 and n1["lon"] == 10.0
     assert n1["version"] == 3 and n1["changeset"] == 77
-    assert n1["timestamp"] == 1378419324000  # 2013-09-05T22:15:24Z in millis
+    # epoch SECONDS — the PBF decoder's unit (pbf_codec: ts*date_gran//1000
+    # with date_granularity in ms).  Millis here would skew PBF+osc CDC
+    # pipelines by 1000x (the round-5 defect).
+    assert n1["timestamp"] == 1378419324  # 2013-09-05T22:15:24Z
     assert rows[1][1]["tags"] == {"amenity": "cafe", "name": "O'Brien & Sons"}
     way = rows[2][1]
     assert way["refs"] == [1, 2] and way["tags"] == {"highway": "primary"}
@@ -117,6 +120,7 @@ def test_xml_roundtrip_matches_pbf_rows(spark, tmp_path, fixture_pbf):
                 "refs": list(r["refs"]) if r["refs"] is not None else None,
                 "members": [tuple(m) for m in r["members"]] if r["members"] is not None else None,
                 "version": r["version"],
+                "timestamp": r["timestamp"],
                 "changeset": r["changeset"],
             }
             for r in pbf_rows
@@ -136,6 +140,9 @@ def test_xml_roundtrip_matches_pbf_rows(spark, tmp_path, fixture_pbf):
             round(r["lat"], 7) if r["lat"] is not None else None,
             list(r["refs"]) if r["refs"] is not None else None,
             [tuple(m) for m in r["members"]] if r["members"] is not None else None,
+            # cross-source unit parity: both sources must yield epoch
+            # SECONDS, equal for the same element (round-5 1000x defect)
+            r["timestamp"],
         )
     assert sorted(map(canon, xml_rows), key=lambda t: (t[1], t[0])) == sorted(
         map(canon, pbf_rows), key=lambda t: (t[1], t[0])
@@ -298,3 +305,26 @@ def test_xml_roundtrip_fuzz_unicode_tags(spark, tmp_path):
                 assert have["members"] == want["members"]
 
     run()
+
+
+def test_geoparquet_mode_contract(spark, tmp_path):
+    """Unsupported modes raise (round-5 defect: anything non-overwrite
+    silently appended under fixed part-file names — a second write with a
+    different partition count produced a corrupt mixed dataset), and
+    error/errorifexists refuses to clobber an existing dataset."""
+    import pytest as _pytest
+
+    from osmdatapy_spark.sinks import write_geoparquet
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 50.0, bytearray(b"\x01"))],
+        "osmid long, lon double, lat double, geometry_wkb binary",
+    )
+    dest = str(tmp_path / "geo.parquet")
+    with _pytest.raises(ValueError, match="append"):
+        write_geoparquet(df, dest, mode="append")
+    write_geoparquet(df, dest, mode="error")          # fresh dir: fine
+    with _pytest.raises(FileExistsError):
+        write_geoparquet(df, dest, mode="errorifexists")
+    write_geoparquet(df, dest, mode="overwrite")      # replace: fine
+    assert spark.read.parquet(dest).count() == 1
