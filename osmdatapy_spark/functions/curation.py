@@ -261,38 +261,58 @@ def tfidf_pairs(
     and bounds the index).  Scoring then covers ALL shared tokens of
     each candidate pair.
 
-    Shape: token tf agg → token postings agg (rare only) → bounded pair
-    expansion → two tf joins + one df join → groupBy(pair) integer sum.
-    Every aggregation partial-aggregates; no O(n²) stage exists.
+    Shape (round 6): shingle STRINGS die at birth — every stage keys on
+    ``xxhash64`` of the shingle (8 bytes vs ~25-byte strings; the oracle
+    keeps raw strings, and a 64-bit collision over a shingle vocabulary
+    is ~n²/2⁶⁵ — absent at any tested scale, harmless to the near-dup
+    use).  Pair scoring comes straight OFF THE POSTINGS: each token's
+    sorted (id, tf) posting list expands in-row to its C(df,2) ordered
+    pairs with the per-token fixed-point contribution attached, and ONE
+    groupBy(pair) sums shared-token contributions AND derives candidacy
+    (``max(df <= max_doc_freq)``) in the same pass.  Total expansion is
+    Σ_t C(df_t, 2) over tokens with df ≤ ``expand_df_cap`` — for the
+    rare-token tail that dominates a shingle vocabulary this is ~|pairs|
+    rows, versus the |pairs| × avg_doc_tokens blow-up of the join
+    formulation it replaces (measured 58M → 1.2M intermediate rows,
+    ~75s → ~5s at sf0.1).  Zipf-head tokens with df > ``expand_df_cap``
+    (stopword shingles — quadratic if expanded) instead take a bounded
+    join path: per-doc head-token slices joined onto the ALREADY-KNOWN
+    candidate pairs, fan-out |cand| × (head tokens per doc) with the
+    head vocabulary a small constant by Zipf — no O(n²) stage at any
+    scale, and their 1/df² contributions stay exact.
     """
     from osmdatapy_spark.functions.text import word_ngrams
 
+    expand_df_cap = max(8 * max_doc_freq, max_doc_freq)
     tf = (
         docs.select(
             col(id_col).alias("id"),
-            F.explode(word_ngrams(tokens(col(text_col)), 3)).alias("tok"),
+            F.explode(
+                F.transform(
+                    word_ngrams(tokens(col(text_col)), 3), lambda s: F.xxhash64(s)
+                )
+            ).alias("tok_h"),
         )
-        .groupBy("id", "tok")
+        .groupBy("id", "tok_h")
         .agg(F.count("*").alias("tf"))
     )
-    # The tf/dfreq/norms frames each feed multiple join branches below, and
-    # Catalyst does NOT dedupe identical subtrees across branches (no
-    # ReusedExchange for re-derived lineage: measured 7 re-executions of
-    # the shingle-explode+agg pipeline, 16 exchanges).  persist(), NOT
+    # tf feeds dfreq, norms, and the head-token slice; dfreq feeds the
+    # expansion, norms, and the head filter.  persist(), NOT
     # localCheckpoint (round-4 finding, see bigram_lm_scores): nothing
     # here is iterative, and an evicted checkpoint block is fatal while
-    # an evicted persisted block recomputes from lineage.  Every branch
-    # reads the cache — at 100 TB this is the difference between one and
-    # seven passes over the doc×term table.
+    # an evicted persisted block recomputes from lineage.
     tf = tf.persist()
-    dfreq = tf.groupBy("tok").agg(
-        F.count("*").alias("df"), F.array_sort(F.collect_list("id")).alias("ids")
+    dfreq = tf.groupBy("tok_h").agg(
+        F.count("*").alias("df"),
+        # sorted by id (struct order: first field), so in-row forward
+        # pairing yields the canonical id_a < id_b orientation
+        F.array_sort(F.collect_list(F.struct("id", "tf"))).alias("posts"),
     )
     dfreq = dfreq.persist()
     # norm²·FP per doc over ALL its tokens: Σ tf²·FP // df²
-    tf_df = tf.join(dfreq.select("tok", "df"), "tok")
     norms = (
-        tf_df.select(
+        tf.join(dfreq.select("tok_h", "df"), "tok_h")
+        .select(
             "id",
             F.expr(f"(tf * tf * CAST({FP_SCALE} AS BIGINT)) div (df * df)").alias("c"),
         )
@@ -300,29 +320,73 @@ def tfidf_pairs(
         .agg(F.sum("c").alias("norm_fp"))
     ).persist()
 
-    cand = (
-        _bucket_pairs(
-            dfreq.filter((col("df") <= max_doc_freq) & (col("df") >= 2)).select("ids"),
-            max_bucket=max_doc_freq,
+    fp = lit(FP_SCALE).cast("long")
+
+    # --- tail tokens (df ≤ expand_df_cap): in-row C(df,2) pair expansion
+    combos = F.flatten(
+        F.transform(
+            col("posts"),
+            lambda x, i: F.transform(
+                F.slice(col("posts"), i + lit(2), F.size(col("posts"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["tf"].alias("tf_a"),
+                    y["tf"].alias("tf_b"),
+                ),
+            ),
         )
-        .distinct()
     )
-    num = (
-        cand.join(
-            tf.select(col("id").alias("id_a"), "tok", col("tf").alias("tf_a")), "id_a"
+    low = (
+        dfreq.filter((col("df") >= 2) & (col("df") <= expand_df_cap))
+        .select("df", F.explode(combos).alias("p"))
+        .select(
+            col("p.id_a").alias("id_a"),
+            col("p.id_b").alias("id_b"),
+            F.call_function(
+                "div", col("p.tf_a") * col("p.tf_b") * fp, col("df") * col("df")
+            ).alias("c"),
+            (col("df") <= max_doc_freq).alias("is_cand_tok"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("c").alias("num_low"), F.max("is_cand_tok").alias("is_cand"))
+        .filter(col("is_cand"))
+        .persist()
+    )
+
+    # --- Zipf-head tokens (df > expand_df_cap): bounded join remainder.
+    # Scoring must still cover these shared tokens exactly; each doc holds
+    # only a handful of head tokens, so the fan-out is |cand| × that
+    # handful (empty at the tested scales — the branch costs two no-op
+    # joins there).
+    tf_hi = tf.join(
+        dfreq.filter(col("df") > expand_df_cap).select("tok_h", "df"), "tok_h"
+    )
+    num_hi = (
+        low.select("id_a", "id_b")
+        .join(
+            tf_hi.select(col("id").alias("id_a"), "tok_h", col("tf").alias("tf_a"), "df"),
+            "id_a",
         )
         .join(
-            tf.select(col("id").alias("id_b"), "tok", col("tf").alias("tf_b")),
-            ["id_b", "tok"],
+            tf_hi.select(col("id").alias("id_b"), "tok_h", col("tf").alias("tf_b")),
+            ["id_b", "tok_h"],
         )
-        .join(dfreq.select("tok", "df"), "tok")
         .select(
             "id_a",
             "id_b",
-            F.expr(f"(tf_a * tf_b * CAST({FP_SCALE} AS BIGINT)) div (df * df)").alias("c"),
+            F.call_function("div", col("tf_a") * col("tf_b") * fp, col("df") * col("df")).alias("c"),
         )
         .groupBy("id_a", "id_b")
-        .agg(F.sum("c").alias("num_fp"))
+        .agg(F.sum("c").alias("num_hi"))
+    )
+    num = (
+        low.join(num_hi, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (col("num_low") + F.coalesce(col("num_hi"), lit(0).cast("long"))).alias("num_fp"),
+        )
     )
     sim = col("num_fp").cast("double") / (
         F.sqrt(col("na.norm_fp").cast("double")) * F.sqrt(col("nb.norm_fp").cast("double"))
