@@ -1874,6 +1874,32 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_user_totals_tws",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_micro
+    FROM events GROUP BY user_id
+    """,
+    doc="transformWithStateInPandas batch-parity face (round 6, closing "
+    "the only shipped-but-never-executed path): runs the REAL "
+    "streaming/stateful_v2.RunningTotals StatefulProcessor — init, "
+    "ValueState protocol, handleInputRows — under applyInPandas, feeding "
+    "each user's rows in 3 successive micro-batch-shaped calls against "
+    "one state handle and keeping the last (update-mode) emission.  The "
+    "oracle is a plain GROUP BY because the processor's exact micro-unit "
+    "integer state makes the result independent of batching — the very "
+    "property the streaming twin relies on.  Scale: state is two longs "
+    "per user, keys partition horizontally like any groupBy.",
+)
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.streaming.stateful_v2 import running_totals_tws_batch
+
+    ev = T(spark, sf_dir, "events")
+    return running_totals_tws_batch(ev)
+
+
 # ---------------------------------------------------------------------------
 # Turn-restriction relation parsing (router ingest; beyond the reference's
 # generic member expansion — reference relations carry roles through

@@ -547,3 +547,32 @@ def test_transform_with_state_running_totals_matches_batch(spark, tmp_path):
         cur = final.get(r["user_id"], (0, 0))
         final[r["user_id"]] = max(cur, (r["n_events"], r["total_micro"]))
     assert final == batch
+
+
+def test_tws_batch_face_batching_invariance(spark):
+    """The batch-parity face (suite stream_user_totals_tws) executes the
+    REAL stateful_v2 processor with no protobuf/RocksDB gate — and its
+    result must be independent of how the per-user rows are split into
+    handleInputRows calls (the exact-integer-state property the
+    streaming twin relies on).  chunks=1 (one batch) and chunks=7 (many
+    micro-batch-shaped calls) must agree with each other and with the
+    plain aggregate."""
+    from osmdatapy_spark.streaming.stateful_v2 import running_totals_tws_batch
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "value")
+
+    def as_map(df):
+        return {r["user_id"]: (r["n_events"], r["total_micro"]) for r in df.collect()}
+
+    one = as_map(running_totals_tws_batch(events, chunks=1))
+    many = as_map(running_totals_tws_batch(events, chunks=7))
+    agg = {
+        r["user_id"]: (r["n"], r["micro"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10_000).cast("long")).alias("micro"),
+        )
+        .collect()
+    }
+    assert one == many == agg and len(agg) > 0
