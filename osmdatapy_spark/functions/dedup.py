@@ -256,59 +256,125 @@ def jaccard_candidate_pairs(
 def connected_components(
     edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 30
 ) -> DataFrame:
-    """Connected components over a near-dup pair graph by min-label
-    propagation to a fixpoint: every node ends labeled with the smallest id
-    reachable from it — the canonical cluster id for transitive dedup.
+    """Connected components over a near-dup pair graph: every node ends
+    labeled with the smallest id reachable from it — the canonical
+    cluster id for transitive dedup.
 
-    Shape per iteration: one join (labels onto the symmetrized edge list)
-    + one groupBy(min) + one pointer-jumping join (``l(v) <- l(l(v))`` —
-    label doubling).  The jump halves every label chain each round, so
-    convergence is O(log diameter) rounds instead of O(diameter): a
-    60-cell snake that took ~36 propagation rounds closes in ~7 (measured
-    — cut osm_grid_clusters/osm_network_components cold time roughly in
-    half at sf0.01).  ``localCheckpoint`` truncates lineage so the plan
-    doesn't grow with iterations.  This is the Shiloach-Vishkin shortcut
-    the large-star/small-star MapReduce algorithm also builds on — same
-    join primitives, and the driver-side loop itself is how
-    GraphFrames/GraphX iterate too.
+    Algorithm (round 6): two-phase partition-local union-find with
+    geometric contraction, replacing the join+groupBy(min) label
+    propagation loop.  Each level, every partition runs an in-memory
+    union-find over ITS slice of the edge list (one Arrow-batched kernel
+    — the per-partition imperative case mapInPandas exists for) and
+    emits (id, partition-local min root).  A node split across
+    partitions carries several roots; the (root → node's min root) star
+    edges — the boundary spanning forest, orders of magnitude smaller
+    than the edge set — become the next level's graph.  Levels repeat
+    until no cross-partition disagreement remains, then the per-level
+    maps compose back down with left joins.
+
+    Why this shape: the propagation loop costs O(graph diameter) rounds
+    of ~5 scheduled stages each — on a small-SF graph that is pure
+    scheduling overhead (measured 10 rounds / 7.0s cold for 333 edges),
+    and at 100 TB it re-ships the full label frontier every round.
+    Union-find contraction is O(levels) stages TOTAL with levels ~2-3 at
+    any scale (each level shrinks the graph to its partition-boundary
+    forest), and the shuffled volume DROPS geometrically per level.
+
+    Determinism: the component's global-min id is its own root at every
+    level, and labels are consistent along every edge at convergence, so
+    the fixpoint label is exactly the component minimum under ANY
+    partitioning (test_partitioning_invariance pins this; the label
+    contract is identical to the propagation loop's).
 
     Returns (id, cluster); only nodes that appear in ``edges`` are
     returned — callers left-join and coalesce to default singletons."""
-    sym = edges.select(col(id_a).alias("src"), col(id_b).alias("dst")).union(
-        edges.select(col(id_b).alias("src"), col(id_a).alias("dst"))
-    )
-    sym = sym.localCheckpoint()
-    labels = sym.select(col("src").alias("id")).distinct().withColumn("lbl", col("id"))
+
+    def _uf_partition(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                a = int(a)
+                b = int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra < rb:
+                    parent[rb] = ra
+                elif rb < ra:
+                    parent[ra] = rb
+        if parent:
+            ids = list(parent)
+            yield pd.DataFrame(
+                {"id": ids, "root": [find(x) for x in ids]}
+            ).astype("int64")
+
+    # union-find is direction-blind — no symmetrization needed (the
+    # propagation loop doubled the edge list; this reads it once).  The
+    # EAGER checkpoint matters: the caller's candidate pipeline (often a
+    # full shingle+verify chain) must run once, not once per consumer of
+    # `local` below — Catalyst does not dedupe re-derived lineage.
+    cur = edges.select(
+        col(id_a).cast("long").alias("src"), col(id_b).cast("long").alias("dst")
+    ).localCheckpoint()
+    # size the kernel's partition count to the data: each union-find task
+    # comfortably holds ~500k edges; a tiny graph scattered over the
+    # session's default partitions would otherwise contract SLOWLY (every
+    # near-empty partition manufactures boundary nodes) and pay a task per
+    # empty slice.  coalesce() is narrow — no shuffle — and the count is a
+    # cheap RDD count on the just-materialized checkpoint; at scale
+    # target ≥ current and this is a no-op.
+    n_edges = cur.count()
+    target = max(1, min(cur.rdd.getNumPartitions(), n_edges // 500_000 + 1))
+    if target < cur.rdd.getNumPartitions():
+        cur = cur.coalesce(target)
+    maps: list[DataFrame] = []
     for _ in range(max_iter):
-        neigh = sym.join(labels, sym["src"] == labels["id"]).select(
-            col("dst").alias("id"), col("lbl")
+        local = cur.mapInPandas(_uf_partition, "id long, root long").localCheckpoint(
+            eager=False
         )
-        prop = (
-            labels.select("id", "lbl")
-            .union(neigh)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        # pointer jump: every label is itself a node id, so one self-join
-        # rewrites l(v) to l(l(v)) — chains halve, rounds go logarithmic
-        jump = prop.select(col("id").alias("lbl"), col("lbl").alias("lbl2"))
-        # LAZY checkpoint: the convergence count below is the action that
-        # materializes it — one Spark job per round instead of two
-        new_labels = (
-            prop.join(jump, "lbl", "left")
-            .select("id", F.coalesce("lbl2", "lbl").alias("lbl"))
+        rep = (
+            local.groupBy("id")
+            .agg(F.min("root").alias("rep"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(col("n.lbl") != col("o.lbl"))
-            .count()
+        maps.append(rep)
+        # no distinct: duplicate boundary edges are free to the next
+        # level's union-find, and dropping the dedup drops a shuffle
+        nxt = (
+            local.join(rep, "id")
+            .select(col("root").alias("src"), col("rep").alias("dst"))
+            .filter(col("src") != col("dst"))
+            .localCheckpoint(eager=False)
         )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("id", col("lbl").alias("cluster"))
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        if nxt.isEmpty():
+            cluster = maps[-1].select("id", col("rep").alias("cluster"))
+            for m in reversed(maps[:-1]):
+                cluster = (
+                    m.join(
+                        cluster.withColumnRenamed("id", "rep_id"),
+                        m["rep"] == col("rep_id"),
+                        "left",
+                    )
+                    .select(m["id"], F.coalesce("cluster", m["rep"]).alias("cluster"))
+                )
+            # checkpoint: downstream plans see a materialized relation, not
+            # the kernel lineage (plan hygiene + reuse across consumers)
+            return cluster.localCheckpoint(eager=False)
+        cur = nxt
+    raise RuntimeError(f"connected_components did not converge in {max_iter} levels")
 
 
 def jaccard_similarity(sets_a: Column, sets_b: Column) -> Column:

@@ -98,11 +98,18 @@ def pagerank_integer(
     base = (100 - damping_pct) * scale // 100
     # checkpoint=False exists ONLY for plan-shape audits (test_plans.py
     # pins the per-iteration data movement): localCheckpoint is eager and
-    # replaces lineage with an RDD scan, hiding the joins it executes
+    # replaces lineage with an RDD scan, hiding the joins it executes.
+    # Per-round checkpoints are LAZY (round 6): a fixed-iteration loop
+    # needs no per-round action, so all rounds build into one chain and a
+    # single action materializes it — eager rounds paid one scheduled job
+    # each for pure lineage truncation.
     ckpt = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    lazy = (
+        (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
+    )
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     e = ckpt(edges.join(deg, src))
-    ranks = ckpt(nodes.select(col(id_col), lit(scale).cast("long").alias("r")))
+    ranks = lazy(nodes.select(col(id_col), lit(scale).cast("long").alias("r")))
     for _ in range(iters):
         contrib = (
             ranks.join(e, ranks[id_col] == e[src])
@@ -121,7 +128,7 @@ def pagerank_integer(
                 ).alias("r"),
             )
         )
-        ranks = ckpt(ranks)
+        ranks = lazy(ranks)
     return ranks
 
 
@@ -148,23 +155,36 @@ def bellman_ford_integer(
     Per round: one join of the current distance table onto the edge list
     keyed by source + one partial-aggregated ``min`` per destination —
     the same GraphX/Pregel data movement as ``pagerank_integer``, with
-    ``localCheckpoint`` truncating lineage per round.  Unlike BFS, a
-    node may improve in a later round (re-relaxation is the point);
-    convergence-before-``iters`` exits early via the same driver probe.
+    LAZY ``localCheckpoint`` truncating lineage per round.  Unlike BFS, a
+    node may improve in a later round (re-relaxation is the point).
+
+    Convergence probing is ADAPTIVE (round 6): for a long horizon
+    (``iters`` > 6) each round pays a driver probe and exits as soon as
+    a round improves nothing; for the bounded few-round contract the
+    probes themselves dominate (2 scheduled jobs per round against a
+    possible saving of ≤ ``iters`` cheap rounds — measured ~2s of pure
+    scheduling at sf0.01), so all rounds build lazily and ONE action
+    materializes the chain.  Early exit never changes the result —
+    a converged table is a fixpoint of further relaxation — so the two
+    regimes are result-identical.
     """
     ckpt = (lambda df: df.localCheckpoint()) if checkpoint else (lambda df: df)
+    lazy = (
+        (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
+    )
+    probe = checkpoint and iters > 6
     e = ckpt(edges.select(col(src).alias("s"), col(dst).alias("d"), col(w).alias("w")))
-    dist = ckpt(seeds.select(col(id_col), lit(0).cast("long").alias("dist")))
+    dist = lazy(seeds.select(col(id_col), lit(0).cast("long").alias("dist")))
     for _ in range(iters):
         relaxed = (
             dist.join(e, dist[id_col] == e["s"])
             .select(col("d").alias(id_col), (col("dist") + col("w")).alias("dist"))
         )
-        new_dist = ckpt(
+        new_dist = lazy(
             dist.unionByName(relaxed).groupBy(id_col).agg(F.min("dist").alias("dist"))
         )
         # converged when no node improved this round (exact integer equality)
-        if checkpoint:
+        if probe:
             improved = (
                 new_dist.join(dist.withColumnRenamed("dist", "old"), id_col, "left")
                 .filter(col("old").isNull() | (col("dist") < col("old")))

@@ -1493,7 +1493,13 @@ def _shortest_path_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
         .filter(col("dst").isNotNull())
     )
-    sym = hop.unionAll(hop.select(col("dst").alias("src"), col("src").alias("dst")))
+    # dedupe (src, dst) BEFORE the coords attach: the weight is a pure
+    # function of the endpoints, so distinct-first is result-identical and
+    # the two coords joins move the deduped pair set, not every repeated
+    # adjacency (shared segments across ways)
+    sym = hop.unionAll(
+        hop.select(col("dst").alias("src"), col("src").alias("dst"))
+    ).distinct()
     na = nodes.select(col("osmid").alias("src"), col("lon").alias("x1"), col("lat").alias("y1"))
     nb = nodes.select(col("osmid").alias("dst"), col("lon").alias("x2"), col("lat").alias("y2"))
     return (
@@ -1505,7 +1511,6 @@ def _shortest_path_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w"),
         )
-        .distinct()
     )
 
 
@@ -1574,13 +1579,14 @@ def osm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM all_lbl GROUP BY cluster
     """,
     doc="Connected components of a sparsified road network (ways with "
-    "way_id % 9 = 0) — the OSM face of the min-label CC operator the "
-    "dedup pipeline uses, answering 'how many disconnected islands does "
+    "way_id % 9 = 0) — the OSM face of the CC operator the dedup "
+    "pipeline uses, answering 'how many disconnected islands does "
     "this network have and how big are they' (the first integrity check "
-    "run on any routing graph).  Spark side: min-label propagation to a "
-    "fixpoint (one join + one partial-agg min + one pointer-jumping "
-    "self-join per round, localCheckpoint lineage truncation, converges "
-    "in O(log diameter) rounds — see functions/dedup.py); nodes "
+    "run on any routing graph).  Spark side: partition-local union-find "
+    "with geometric contraction (each level an Arrow kernel per "
+    "partition, boundary spanning forest as the next level's graph — "
+    "O(levels~2-3) stages, not O(diameter) rounds; see "
+    "functions/dedup.py:connected_components); nodes "
     "touching no edge default to singleton components via left join + "
     "coalesce.  The oracle derives the same labels by recursive "
     "transitive closure + min — a formulation that only works at "
