@@ -183,6 +183,7 @@ class PbfDataSourceReader(DataSourceReader):
 
         from osmdatapy_spark.sources.pbf_codec import (
             DenseColumns,
+            RelationColumns,
             WayColumns,
             decode_block_segments,
         )
@@ -191,6 +192,7 @@ class PbfDataSourceReader(DataSourceReader):
         want_meta = any(f in ("version", "timestamp", "changeset") for f in fields)
         want_tags = "tags" in fields
         want_refs = "refs" in fields
+        want_members = "members" in fields
         wanted = self.wanted_types
         segments = [
             seg
@@ -205,6 +207,7 @@ class PbfDataSourceReader(DataSourceReader):
                 wanted_types=wanted,
                 with_tags=want_tags,
                 with_refs=want_refs,
+                with_members=want_members,
             )
         ]
 
@@ -278,6 +281,45 @@ class PbfDataSourceReader(DataSourceReader):
                 return pa.array(wc.changesets, type=t)
             return pa.nulls(wc.n, type=t)
 
+        def relation_array(name: str, rc: RelationColumns) -> "pa.Array":
+            t = arrow_types[name]
+            if name == "osmid":
+                return pa.array(rc.ids, type=t)
+            if name == "osmtype":
+                return pa.array(np.full(rc.n, 2, dtype=np.int32), type=t)
+            if name == "tags":
+                return pa.MapArray.from_arrays(
+                    pa.array(rc.tag_offsets, type=pa.int32()),
+                    pa.array(rc.tag_keys, type=pa.string()),
+                    pa.array(rc.tag_vals, type=pa.string()),
+                ).cast(t)
+            if name == "members":
+                struct = pa.StructArray.from_arrays(
+                    [
+                        pa.array(rc.mem_refs, type=pa.int64()),
+                        pa.array(rc.mem_types, type=pa.int32()),
+                        pa.array(rc.mem_roles, type=pa.string()),
+                    ],
+                    # explicit non-nullable ref/type fields: from_arrays
+                    # defaults to nullable and Arrow refuses the
+                    # nullable→non-nullable cast to the schema type
+                    fields=[
+                        pa.field("ref", pa.int64(), nullable=False),
+                        pa.field("type", pa.int32(), nullable=False),
+                        pa.field("role", pa.string()),
+                    ],
+                )
+                return pa.ListArray.from_arrays(
+                    pa.array(rc.mem_offsets, type=pa.int32()), struct
+                ).cast(t)
+            if name == "version" and rc.versions:
+                return pa.array(rc.versions, type=t)
+            if name == "timestamp" and rc.timestamps:
+                return pa.array(rc.timestamps, type=t)
+            if name == "changeset" and rc.changesets:
+                return pa.array(rc.changesets, type=t)
+            return pa.nulls(rc.n, type=t)
+
         # one python-level pass per requested column, plain attribute reads
         def element_array(name: str, els: list) -> "pa.Array":
             if name == "tags":
@@ -299,6 +341,8 @@ class PbfDataSourceReader(DataSourceReader):
                 if isinstance(seg, DenseColumns)
                 else way_array(name, seg)
                 if isinstance(seg, WayColumns)
+                else relation_array(name, seg)
+                if isinstance(seg, RelationColumns)
                 else element_array(name, seg)
                 for seg in segments
             ]

@@ -631,22 +631,116 @@ def _decode_way_into(
             wb.changesets.append(None)
 
 
+class RelationColumns:
+    """Columnar relation segment builder (Arrow scan fast path for
+    relations — round 6, completing the ``DenseColumns``/``WayColumns``
+    trio; reference per-element anchor primitives.py:93-147).  Member
+    triples flatten into parallel (refs, types, roles) arrays + one
+    offsets array, ready for ``ListArray.from_arrays`` over a
+    ``StructArray`` — no per-relation Element object, no per-member
+    tuple."""
+
+    __slots__ = (
+        "ids", "tag_offsets", "tag_keys", "tag_vals",
+        "mem_offsets", "mem_refs", "mem_types", "mem_roles",
+        "versions", "timestamps", "changesets",
+    )
+
+    def __init__(self) -> None:
+        self.ids: list[int] = []
+        self.tag_offsets: list[int] = [0]
+        self.tag_keys: list[str] = []
+        self.tag_vals: list[str] = []
+        self.mem_offsets: list[int] = [0]
+        self.mem_refs: list[int] = []
+        self.mem_types: list[int] = []
+        self.mem_roles: list[str] = []
+        self.versions: list[Optional[int]] = []
+        self.timestamps: list[Optional[int]] = []
+        self.changesets: list[Optional[int]] = []
+
+    @property
+    def n(self) -> int:
+        return len(self.ids)
+
+
+def _decode_relation_into(
+    data: bytes, strings, rb: RelationColumns, with_metadata, date_gran,
+    with_tags: bool = True, with_members: bool = True,
+) -> None:
+    """One relation → columnar append (same wire walk as
+    ``_decode_relation``).  ``with_tags``/``with_members`` gate the packed
+    payload decodes for pruned scans (an id-only projection never
+    delta-accumulates member ids or touches role strings)."""
+    osmid = 0
+    keys: list[int] = []
+    vals: list[int] = []
+    roles: list[int] = []
+    memids: list[int] = []
+    types: list[int] = []
+    info = None
+    for field, _, val in iter_fields(data, 0, len(data)):
+        if field == 1:
+            osmid = val
+        elif field == 2:
+            if with_tags:
+                keys = read_packed_varints(val, 0, len(val))
+        elif field == 3:
+            if with_tags:
+                vals = read_packed_varints(val, 0, len(val))
+        elif field == 4:
+            info = bytes(val)
+        elif field == 8:
+            if with_members:
+                roles = read_packed_varints(val, 0, len(val))
+        elif field == 9:
+            if with_members:
+                memids = list(accumulate(read_packed_signed(val, 0, len(val))))
+        elif field == 10:
+            if with_members:
+                types = read_packed_varints(val, 0, len(val))
+    rb.ids.append(osmid)
+    if keys:
+        rb.tag_keys += [strings[k] for k in keys]
+        rb.tag_vals += [strings[v] for v in vals]
+    rb.tag_offsets.append(rb.tag_offsets[-1] + len(keys))
+    if memids:
+        rb.mem_refs += memids
+        rb.mem_types += types
+        rb.mem_roles += [
+            strings[roles[i]] if i < len(roles) else "" for i in range(len(memids))
+        ]
+    rb.mem_offsets.append(rb.mem_offsets[-1] + len(memids))
+    if with_metadata:
+        if info is not None:
+            v, ts, cs = _decode_info(info)
+            rb.versions.append(v)
+            rb.timestamps.append(ts * date_gran // 1000 if ts is not None else None)
+            rb.changesets.append(cs)
+        else:
+            rb.versions.append(None)
+            rb.timestamps.append(None)
+            rb.changesets.append(None)
+
+
 def decode_block_segments(
     block: bytes,
     with_metadata: bool = False,
     wanted_types: "set[int] | None" = None,
     with_tags: bool = True,
     with_refs: bool = True,
+    with_members: bool = True,
 ) -> list:
     """Segment-structured block decode for the Arrow scan path: dense-node
-    groups come back as ``DenseColumns`` and way runs as ``WayColumns``
-    (columnar, no per-element objects), everything else as ``Element``
-    lists, in wire encounter order — so row order is identical to
-    ``decode_primitive_block``.  Semantics parity is pinned by
-    tests/test_pbf_source.py (same rows either path).  ``with_tags`` /
-    ``with_refs`` skip the packed tag/ref payload decode for pruned scans
-    (the 'columns' read option — reference field-decode pruning,
-    primitives.py:23-29, now end-to-end)."""
+    groups come back as ``DenseColumns``, way runs as ``WayColumns``, and
+    relation runs as ``RelationColumns`` (columnar, no per-element
+    objects — round 6 completes the trio); non-dense Nodes remain
+    ``Element`` lists (rare in real files), in wire encounter order — so
+    row order is identical to ``decode_primitive_block``.  Semantics
+    parity is pinned by tests/test_pbf_source.py (same rows either path).
+    ``with_tags`` / ``with_refs`` / ``with_members`` skip the packed
+    payload decodes for pruned scans (the 'columns' read option —
+    reference field-decode pruning, primitives.py:23-29, end-to-end)."""
     strings: list[str] = []
     groups: list[bytes] = []
     granularity = 100
@@ -674,6 +768,7 @@ def decode_block_segments(
     segments: list = []
     els: list[Element] = []
     wb: Optional[WayColumns] = None
+    rb: Optional[RelationColumns] = None
 
     def flush_els():
         nonlocal els
@@ -687,33 +782,47 @@ def decode_block_segments(
             segments.append(wb)
             wb = None
 
+    def flush_rels():
+        nonlocal rb
+        if rb is not None and rb.ids:
+            segments.append(rb)
+            rb = None
+
     for group in groups:
         for field, _, val in iter_fields(group, 0, len(group)):
             if field == 1:
                 if nodes_on:
                     flush_ways()
+                    flush_rels()
                     els.append(_decode_node(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
             elif field == 2:
                 if nodes_on:
                     dc = _decode_dense_columns(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran, with_tags)
                     if dc is None:
                         flush_ways()
+                        flush_rels()
                         els.extend(_decode_dense(val, strings, granularity, lat_off, lon_off, scale, with_metadata, date_gran))
                     else:
                         flush_els()
                         flush_ways()
+                        flush_rels()
                         segments.append(dc)
             elif field == 3:
                 if ways_on:
                     flush_els()
+                    flush_rels()
                     if wb is None:
                         wb = WayColumns()
                     _decode_way_into(val, strings, wb, with_metadata, date_gran, with_tags, with_refs)
             elif field == 4:
                 if rels_on:
+                    flush_els()
                     flush_ways()
-                    els.append(_decode_relation(val, strings, with_metadata, date_gran))
+                    if rb is None:
+                        rb = RelationColumns()
+                    _decode_relation_into(val, strings, rb, with_metadata, date_gran, with_tags, with_members)
     flush_ways()
+    flush_rels()
     flush_els()
     return segments
 

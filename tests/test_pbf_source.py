@@ -378,6 +378,7 @@ def test_segment_decode_parity_with_element_decode(fixture_pbf):
     in the same order — metadata included."""
     from osmdatapy_spark.sources.pbf_codec import (
         DenseColumns,
+        RelationColumns,
         WayColumns,
         decode_block_segments,
     )
@@ -407,6 +408,22 @@ def test_segment_decode_parity_with_element_decode(fixture_pbf):
                             seg.ids[i], 1,
                             dict(zip(seg.tag_keys[lo:hi], seg.tag_vals[lo:hi])),
                             None, None, seg.refs[rlo:rhi], None,
+                            seg.versions[i] if seg.versions else None,
+                            seg.timestamps[i] if seg.timestamps else None,
+                            seg.changesets[i] if seg.changesets else None,
+                        ))
+                elif isinstance(seg, RelationColumns):
+                    for i in range(seg.n):
+                        lo, hi = seg.tag_offsets[i], seg.tag_offsets[i + 1]
+                        mlo, mhi = seg.mem_offsets[i], seg.mem_offsets[i + 1]
+                        flat.append((
+                            seg.ids[i], 2,
+                            dict(zip(seg.tag_keys[lo:hi], seg.tag_vals[lo:hi])),
+                            None, None, None,
+                            [
+                                (seg.mem_refs[j], seg.mem_types[j], seg.mem_roles[j])
+                                for j in range(mlo, mhi)
+                            ],
                             seg.versions[i] if seg.versions else None,
                             seg.timestamps[i] if seg.timestamps else None,
                             seg.changesets[i] if seg.changesets else None,
