@@ -77,14 +77,35 @@ def _format_ts(ts: int | None) -> str | None:
     )
 
 
-def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
+def iter_osm_xml(
+    path: str,
+    osmtypes: "set[int] | None" = None,
+    columns: "Sequence[str] | None" = None,
+) -> Iterator[tuple[str, dict]]:
     """Stream (action, element-dict) pairs from an ``.osm``/``.osc`` file.
 
     For plain ``.osm`` the action is ``""``; for osmChange it is the
     enclosing ``create``/``modify``/``delete`` wrapper.  Element dicts
     carry the unified-schema fields; ``<delete>`` entries are typically
-    skeleton elements (id only) and come through with empty tags."""
+    skeleton elements (id only) and come through with empty tags.
+
+    ``osmtypes`` / ``columns`` are the PBF source's pruning contract
+    (sources/pbf.py read options) on the XML side: non-requested element
+    KINDS are skipped before any child walk or dict build, and dropped
+    COLUMNS skip their parse work (the tag/nd/member child scans and the
+    int/float attribute conversions — iterparse must still stream the
+    raw XML, there is no framing to seek over, but the Python-side work
+    per element prunes).  ``columns=None`` builds every field."""
     import xml.etree.ElementTree as ET
+
+    need = None if columns is None else set(columns)
+
+    def want(f: str) -> bool:
+        return need is None or f in need
+
+    w_tags, w_lon, w_lat = want("tags"), want("lon"), want("lat")
+    w_refs, w_members = want("refs"), want("members")
+    w_version, w_ts, w_cs = want("version"), want("timestamp"), want("changeset")
 
     action = ""
     root = None
@@ -108,15 +129,24 @@ def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
                 continue
             if tag not in _TYPE_CODE:
                 continue
+            tc = _TYPE_CODE[tag]
+            if osmtypes is not None and tc not in osmtypes:
+                el.clear()
+                (wrapper if wrapper is not None else root).clear()
+                continue
             a = el.attrib
             row = {
                 "osmid": int(a["id"]),
-                "osmtype": _TYPE_CODE[tag],
-                "tags": {t.attrib["k"]: t.attrib["v"] for t in el if t.tag == "tag"},
-                "lon": float(a["lon"]) if "lon" in a else None,
-                "lat": float(a["lat"]) if "lat" in a else None,
+                "osmtype": tc,
+                "tags": (
+                    {t.attrib["k"]: t.attrib["v"] for t in el if t.tag == "tag"}
+                    if w_tags
+                    else {}
+                ),
+                "lon": float(a["lon"]) if w_lon and "lon" in a else None,
+                "lat": float(a["lat"]) if w_lat and "lat" in a else None,
                 "refs": [int(nd.attrib["ref"]) for nd in el if nd.tag == "nd"]
-                if tag == "way"
+                if w_refs and tag == "way"
                 else None,
                 "members": [
                     (
@@ -127,11 +157,11 @@ def iter_osm_xml(path: str) -> Iterator[tuple[str, dict]]:
                     for m in el
                     if m.tag == "member"
                 ]
-                if tag == "relation"
+                if w_members and tag == "relation"
                 else None,
-                "version": int(a["version"]) if "version" in a else None,
-                "timestamp": _parse_ts(a.get("timestamp")),
-                "changeset": int(a["changeset"]) if "changeset" in a else None,
+                "version": int(a["version"]) if w_version and "version" in a else None,
+                "timestamp": _parse_ts(a.get("timestamp")) if w_ts else None,
+                "changeset": int(a["changeset"]) if w_cs and "changeset" in a else None,
             }
             yield action, row
             # el.clear() alone leaves an O(elements) list of empty Element
@@ -157,6 +187,7 @@ class OsmXmlDataSourceReader(DataSourceReader):
             raise ValueError("osmxml source requires a path")
         self.batch_rows = int(options.get("batch_rows", 20_000))
         self.is_osc = options.get("osc", "false").lower() == "true"
+        self.osmtypes = _parse_osmtypes(options.get("osmtypes"))
 
     def partitions(self) -> Sequence[_XmlPartition]:
         import glob
@@ -221,7 +252,12 @@ class OsmXmlDataSourceReader(DataSourceReader):
             )
 
         buf: list[tuple[str, dict]] = []
-        for action, row in iter_osm_xml(partition.path):
+        # fields IS the pruned column set: schema() already dropped the
+        # unrequested columns, so the parse skips their work and to_batch
+        # never builds their Arrow arrays — PBF-source contract parity
+        for action, row in iter_osm_xml(
+            partition.path, osmtypes=self.osmtypes, columns=fields
+        ):
             buf.append((action, row))
             if len(buf) >= self.batch_rows:
                 yield to_batch(buf)
@@ -238,25 +274,63 @@ class OsmXmlDataSource(DataSource):
         return "osmxml"
 
     def schema(self) -> StructType:
-        if self.options.get("osc", "false").lower() == "true":
-            return OSC_SCHEMA
-        return PBF_SCHEMA
+        base = (
+            OSC_SCHEMA
+            if self.options.get("osc", "false").lower() == "true"
+            else PBF_SCHEMA
+        )
+        # the 'columns' option is the relation-level projection — same
+        # contract as the PBF source (sources/pbf.py schema()): the Python
+        # DataSource API has no pruning pushdown, so a .select() above the
+        # scan would still parse and ship every field; pruning HERE makes
+        # the reader skip the per-element tag/ref/member child walks and
+        # never build the dropped Arrow arrays.
+        raw = self.options.get("columns")
+        if raw:
+            wanted = [c.strip() for c in str(raw).split(",") if c.strip()]
+            by_name = {f.name: f for f in base.fields}
+            unknown = [c for c in wanted if c not in by_name]
+            if unknown:
+                raise ValueError(f"unknown osmxml columns: {unknown}")
+            return StructType([by_name[f.name] for f in base.fields if f.name in wanted])
+        return base
 
     def reader(self, schema: StructType) -> OsmXmlDataSourceReader:
         return OsmXmlDataSourceReader(schema, dict(self.options))
+
+
+def _parse_osmtypes(raw) -> "set[int] | None":
+    if raw is None or raw == "":
+        return None
+    return {int(t) for t in str(raw).split(",") if t.strip() != ""}
 
 
 def register(spark: SparkSession) -> None:
     spark.dataSource.register(OsmXmlDataSource)
 
 
-def read_osm_xml(spark: SparkSession, path: str, osc: bool = False) -> DataFrame:
+def read_osm_xml(
+    spark: SparkSession,
+    path: str,
+    osc: bool = False,
+    osmtypes: "set[int] | None" = None,
+    columns: "list[str] | None" = None,
+) -> DataFrame:
     """Open ``.osm`` XML (or ``.osc`` changefiles with ``osc=True``, adding
-    the ``action`` column) as a DataFrame in the unified element schema."""
+    the ``action`` column) as a DataFrame in the unified element schema.
+
+    ``osmtypes`` restricts parsed element kinds at the source and
+    ``columns`` restricts built fields — the same pruning contract as
+    ``read_pbf`` (a ``.select()`` above a Python DataSource scan cannot
+    push down, so the options are where pruning becomes real)."""
     register(spark)
     reader = spark.read.format("osmxml")
     if osc:
         reader = reader.option("osc", "true")
+    if osmtypes is not None:
+        reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
+    if columns is not None:
+        reader = reader.option("columns", ",".join(columns))
     return reader.load(path)
 
 

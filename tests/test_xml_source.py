@@ -328,3 +328,39 @@ def test_geoparquet_mode_contract(spark, tmp_path):
         write_geoparquet(df, dest, mode="errorifexists")
     write_geoparquet(df, dest, mode="overwrite")      # replace: fine
     assert spark.read.parquet(dest).count() == 1
+
+
+def test_xml_source_pruning_options(spark, tmp_path):
+    """osmtypes/columns read options — PBF-source contract parity (the
+    Python DataSource API has no pruning pushdown, so the options are
+    where kind- and field-pruning become real)."""
+    (tmp_path / "a.osm").write_text(OSM_DOC)
+    p = str(tmp_path / "a.osm")
+
+    # kind pruning: ways only
+    ways = read_osm_xml(spark, p, osmtypes={1}).collect()
+    assert [r["osmid"] for r in ways] == [101]
+
+    # column pruning: schema shrinks, parse skips dropped fields
+    df = read_osm_xml(spark, p, osmtypes={0}, columns=["osmid", "lon", "lat"])
+    assert df.columns == ["osmid", "lon", "lat"]
+    got = {r["osmid"]: (r["lon"], r["lat"]) for r in df.collect()}
+    assert got == {1: (10.0, 50.0), 2: (10.0, 50.001)}
+
+    # the iterator itself skips the un-requested parse work (tags stay
+    # empty even though the XML carries them)
+    rows = [r for _, r in iter_osm_xml(p, columns=["osmid", "osmtype"])]
+    assert all(r["tags"] == {} and r["refs"] is None and r["members"] is None for r in rows)
+    assert [r["osmid"] for r in rows] == [1, 2, 101, 201]
+
+    # unknown column is an error, same as the PBF source
+    with pytest.raises(Exception, match="unknown osmxml columns"):
+        read_osm_xml(spark, p, columns=["osmid", "nope"]).collect()
+
+    # pruning composes with .osc (action survives unless dropped)
+    (tmp_path / "d.osc").write_text(OSC_DOC)
+    osc = read_osm_xml(spark, str(tmp_path / "d.osc"), osc=True,
+                       osmtypes={0}, columns=["osmid", "action"])
+    assert osc.columns == ["osmid", "action"]
+    acts = {r["osmid"]: r["action"] for r in osc.collect()}
+    assert acts == {10: "create", 1: "modify", 2: "delete"}
