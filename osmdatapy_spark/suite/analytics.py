@@ -1232,10 +1232,14 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A/B'd for eviction resilience and is 3.5x slower here — the
     # InMemoryTableScan path loses to ExistingRDD reads; at planet scale
     # a triangle-count job sizes executors for its edge table regardless.)
+    # LAZY checkpoints (round 6): no loop needs a convergence probe here,
+    # so the single collecting action materializes both — stage dedup
+    # computes each shared RDD once per job, and skipping the two eager
+    # build-time jobs is ~2-4s cold (A/B'd both ways, identical results).
     e = (
         hop.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(col("a").alias("v"))
@@ -1254,7 +1258,7 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(col("ka") < col("kb"), col("b")).otherwise(col("a")).alias("t"),
             F.greatest("ka", "kb").alias("kt"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     o1 = o.select(col("s").alias("s1"), col("t").alias("y"), col("kt").alias("k1"))
     o2 = o.select(col("s").alias("s1"), col("t").alias("z"), col("kt").alias("k2"))
