@@ -238,6 +238,29 @@ def main() -> None:
         return f"{survived} docs survive (all {planted} planted dups removed)"
 
     timed("curate recipe", check_curate_recipe)
+
+    def check_connected_components():
+        # union-find contraction at scale, on its adversarial case: path
+        # graphs (diameter 100 — the shape that made label propagation
+        # pay O(diameter) rounds).  Every block of 100 consecutive ids is
+        # a chain; scattered over 64 partitions each chain crosses many
+        # partition boundaries, so convergence NEEDS the multi-level
+        # contraction (a single local pass cannot see a whole chain).
+        # Verified exactly: every node's label must equal its block head.
+        from osmdatapy_spark.functions.dedup import connected_components
+
+        chain = spark.range(n).select(col("id").alias("id_a"), (col("id") + 1).alias("id_b"))
+        edges = chain.filter((col("id_a") % 100 != 99) & (col("id_b") < n)).repartition(64)
+        labels = connected_components(edges).persist()
+        n_nodes = labels.count()
+        wrong = labels.filter(col("cluster") != (col("id") - col("id") % 100)).count()
+        assert wrong == 0, f"{wrong} nodes labeled off their block head"
+        n_comp = labels.select("cluster").distinct().count()
+        exp_comp = (n + 99) // 100
+        assert n_comp == exp_comp, (n_comp, exp_comp)
+        return f"{n_nodes} nodes -> {n_comp} chain components, labels exact"
+
+    timed("connected components", check_connected_components)
     spark.stop()
 
 
