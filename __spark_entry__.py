@@ -18,7 +18,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from osmdatapy_spark.suite import QUERY_REGISTRY  # noqa: E402
+from osmdatapy_spark.suite import QUERY_REGISTRY, ordered_registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,10 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: qd.fn for name, qd in QUERY_REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Family-interleaved order (osm/llm/rel/stream showcase heads first) so
+    any prefix sample of this dict spans the whole engine, not one family.
+    """
+    return {name: qd.fn for name, qd in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops)."""
-    return {name: qd.oracle for name, qd in QUERY_REGISTRY.items() if qd.oracle is not None}
+    return {name: qd.oracle for name, qd in ordered_registry().items() if qd.oracle is not None}

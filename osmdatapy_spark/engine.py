@@ -826,12 +826,28 @@ class OSM:
 
     def _assemble_areas(self, ring_coords: DataFrame) -> DataFrame:
         """Closed-ring coords → POLYGON/MULTIPOLYGON WKT: classify rings by
-        the first member's role, drop inner rings of unsupported complex
-        relations (G8, _frame.py:234-244), group rings into polygons (G9,
-        _frame.py:251-256), assemble WKT (G3).  The role windows and
-        polygon grouping are all keyed by rel_id, so everything after the
-        shared coordinate gather rides a single rel_id exchange."""
+        the first member's role, group rings into polygons (G9,
+        _frame.py:251-256), assemble WKT (G3).
+
+        Complex relations (>1 inner AND >1 outer) go BEYOND the reference,
+        which drops their inner rings outright (G8, _frame.py:234-244,
+        README.md:27 — real planet data has thousands of such relations:
+        lakes with islands inside multi-ring boundaries).  Here each inner
+        ring is assigned to the outer ring that CONTAINS its first vertex
+        (even-odd ray cast, ``point_in_ring``), choosing the smallest
+        containing outer so holes nest correctly even when outers nest
+        (pond on an island in a lake).  Inners contained by no outer fall
+        back to the reference's drop — the truly-broken-relation case.
+
+        Everything stays keyed by rel_id: the containment join pairs each
+        inner with its own relation's outers only (ring counts are bounded
+        per OSM entity, independent of corpus size, so the pair fan-out
+        does not grow with data scale), a bbox prefilter skips the ray
+        cast for non-overlapping pairs, and the role windows / polygon
+        grouping all ride the single rel_id exchange after the shared
+        coordinate gather."""
         from osmdatapy_spark.operators.geometry import polygon_wkt
+        from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
         from pyspark.sql import Window as W
 
         rings = ring_coords.select(
@@ -841,23 +857,23 @@ class OSM:
             F.coalesce(col("ring_role"), F.lit("outer")).alias("role"),
         )
 
-        # G8: drop inner rings when >1 inner AND >1 outer (documented
-        # unsupported case, reference _frame.py:234-244)
         w_rel = W.partitionBy("rel_id")
         counted = rings.select(
             "*",
             F.sum(F.when(col("role") == "inner", 1).otherwise(0)).over(w_rel).alias("n_in"),
             F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_rel).alias("n_out"),
         )
-        kept = counted.filter(
-            ~((col("n_in") > 1) & (col("n_out") > 1) & (col("role") == "inner"))
-        )
+        is_complex = (col("n_in") > 1) & (col("n_out") > 1)
+        simple = counted.filter(~is_complex)
+        cmplx = counted.filter(is_complex)
 
-        # G9: polygon index = running count of outer rings
+        # G9 (simple relations): polygon index = running count of outer
+        # rings — positional attachment, matching the reference when the
+        # relation has a single outer or at most one inner
         w_run = W.partitionBy("rel_id").orderBy("ring").rowsBetween(
             W.unboundedPreceding, W.currentRow
         )
-        indexed = kept.select(
+        indexed_simple = simple.select(
             "rel_id",
             "ring",
             "role",
@@ -866,6 +882,60 @@ class OSM:
                 "poly"
             ),
         )
+
+        # Complex relations: containment-based nesting.  Outer rings keep
+        # their ring-order polygon index; each inner joins its relation's
+        # outers, keeps containing candidates (bbox gate, then exact
+        # even-odd test on the first vertex), and attaches to the smallest
+        # containing outer (tie → lowest ring id).
+        outers_c = cmplx.filter(col("role") != "inner").select(
+            "rel_id",
+            col("ring").alias("o_ring"),
+            col("coords").alias("o_coords"),
+            (F.row_number().over(w_rel.orderBy("ring")) - 1).alias("o_poly"),
+            F.abs(shoelace_area_deg2(col("coords"))).alias("o_area"),
+            F.array_min(F.transform(col("coords"), lambda s: s["lon"])).alias("o_x0"),
+            F.array_max(F.transform(col("coords"), lambda s: s["lon"])).alias("o_x1"),
+            F.array_min(F.transform(col("coords"), lambda s: s["lat"])).alias("o_y0"),
+            F.array_max(F.transform(col("coords"), lambda s: s["lat"])).alias("o_y1"),
+        )
+        inners_c = cmplx.filter(col("role") == "inner").select(
+            "rel_id",
+            "ring",
+            "coords",
+            F.element_at("coords", 1)["lon"].alias("px"),
+            F.element_at("coords", 1)["lat"].alias("py"),
+        )
+        contained = (
+            inners_c.join(outers_c, "rel_id")
+            .filter(
+                col("px").between(col("o_x0"), col("o_x1"))
+                & col("py").between(col("o_y0"), col("o_y1"))
+            )
+            .filter(point_in_ring(col("o_coords"), col("px"), col("py")))
+        )
+        # inners with NO containing outer drop out here — the reference-G8
+        # fallback for broken relations.  coords is constant per
+        # (rel_id, ring), so first() recovers it without grouping on the
+        # array column.
+        assigned_inners = contained.groupBy("rel_id", "ring").agg(
+            F.min(F.struct(col("o_area"), col("o_ring"), col("o_poly")))["o_poly"].alias(
+                "poly"
+            ),
+            F.first("coords").alias("coords"),
+        )
+        indexed_complex = outers_c.select(
+            "rel_id",
+            col("o_ring").alias("ring"),
+            F.lit("outer").alias("role"),
+            col("o_coords").alias("coords"),
+            col("o_poly").alias("poly"),
+        ).unionByName(
+            assigned_inners.select(
+                "rel_id", "ring", F.lit("inner").alias("role"), "coords", "poly"
+            )
+        )
+        indexed = indexed_simple.unionByName(indexed_complex)
 
         # G3: rings → polygons (outer first, then holes), polygons → WKT
         polys = indexed.groupBy("rel_id", "poly").agg(

@@ -44,6 +44,14 @@ WAY_REFS: dict[int, list[int]] = {
     14: [160, 161, 162, 160],
     # r4 unclosed ring: single open way 170-171-172 (closure appends 170)
     15: [170, 171, 172],
+    # r8 complex multipolygon with TRUE nesting: two outer squares, each
+    # geometrically containing one inner square (grid rows 5-8, cols 0-8;
+    # the reference drops both inners here — _frame.py:234-244 — the
+    # engine's containment-based nesting keeps them as holes)
+    16: [200, 203, 323, 320, 200],  # outer A: cols 0-3 × rows 5-8
+    17: [205, 208, 328, 325, 205],  # outer B: cols 5-8 × rows 5-8
+    18: [241, 242, 282, 281, 241],  # inner A: inside outer A
+    19: [246, 247, 287, 286, 246],  # inner B: inside outer B
 }
 
 # --- B1 element tags --------------------------------------------------------
@@ -56,6 +64,7 @@ WAY_TAGS: dict[int, dict[str, str]] = {
     5: {"highway": "residential"},
     6: {"highway": "residential", "access": "private"},  # keep+exclude collision
     7: {}, 8: {}, 9: {}, 10: {}, 11: {}, 12: {}, 13: {}, 14: {}, 15: {},
+    16: {}, 17: {}, 18: {}, 19: {},
 }
 
 NODE_TAGS: dict[int, dict[str, str]] = {
@@ -77,6 +86,7 @@ REL_TAGS: dict[int, dict[str, str]] = {
     5: {"type": "route", "route": "bus"},
     6: {"type": "multipolygon"},  # node+relation members: unsupported (G5)
     7: {"type": "multipolygon"},  # dangling member way 999
+    8: {"type": "multipolygon", "natural": "water"},  # nested 2-outer/2-inner
 }
 
 # --- B4 rel_members: (rel_id, pos, member_id, member_type, role) ------------
@@ -90,6 +100,10 @@ REL_MEMBERS: list[tuple[int, int, int, int, str]] = [
     (5, 0, 1, 1, ""), (5, 1, 5, 1, ""),
     (6, 0, 1, 0, ""), (6, 1, 1, 2, ""),
     (7, 0, 999, 1, "outer"),
+    # r8: member order outer,outer,inner,inner — positional G9 attachment
+    # would hang inner A on outer B; containment nesting assigns correctly
+    (8, 0, 16, 1, "outer"), (8, 1, 17, 1, "outer"),
+    (8, 2, 18, 1, "inner"), (8, 3, 19, 1, "inner"),
 ]
 
 

@@ -283,7 +283,20 @@ def tfidf_pairs(
     """
     from osmdatapy_spark.functions.text import word_ngrams
 
-    expand_df_cap = max(8 * max_doc_freq, max_doc_freq)
+    # per-row C(df,2) expansion must stay bounded regardless of the user
+    # parameter: 8× slack over the candidacy threshold, but an absolute
+    # ceiling of 2000 (C(2000,2) ≈ 2M structs — the most one row may
+    # materialize before explode).  Tokens above the cap take the join
+    # path; candidacy tokens (df ≤ max_doc_freq) must always expand
+    # in-row, so the cap never drops below max_doc_freq.
+    expand_df_cap = max(min(8 * max_doc_freq, 2000), max_doc_freq)
+    # tf is capped at 3000 so every fixed-point product stays inside
+    # int64: tf_a·tf_b·10^12 ≤ 9e6·10^12 < 2^63 (uncapped, a doc
+    # repeating one shingle a few thousand times would silently WRAP the
+    # sum in non-ANSI Spark).  The cap only binds on such degenerate
+    # repetition, where the near-dup score is saturated anyway; the
+    # registered oracle applies the same LEAST().
+    tf_cap = 3000
     tf = (
         docs.select(
             col(id_col).alias("id"),
@@ -294,7 +307,7 @@ def tfidf_pairs(
             ).alias("tok_h"),
         )
         .groupBy("id", "tok_h")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.least(F.count("*"), lit(tf_cap)).alias("tf"))
     )
     # tf feeds dfreq, norms, and the head-token slice; dfreq feeds the
     # expansion, norms, and the head filter.  persist(), NOT

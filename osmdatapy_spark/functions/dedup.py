@@ -322,13 +322,19 @@ def connected_components(
             ).astype("int64")
 
     # union-find is direction-blind — no symmetrization needed (the
-    # propagation loop doubled the edge list; this reads it once).  The
-    # EAGER checkpoint matters: the caller's candidate pipeline (often a
-    # full shingle+verify chain) must run once, not once per consumer of
-    # `local` below — Catalyst does not dedupe re-derived lineage.
-    cur = edges.select(
-        col(id_a).cast("long").alias("src"), col(id_b).cast("long").alias("dst")
-    ).localCheckpoint()
+    # propagation loop doubled the edge list; this reads it once).  Null
+    # ids are dropped up front: inside the Arrow kernel a null becomes
+    # NaN and int() raises an opaque ValueError mid-task (the old
+    # propagation loop degraded silently on them — neither is a label).
+    # The EAGER checkpoint matters: the caller's candidate pipeline
+    # (often a full shingle+verify chain) must run once, not once per
+    # consumer of `local` below — Catalyst does not dedupe re-derived
+    # lineage.
+    cur = (
+        edges.where(col(id_a).isNotNull() & col(id_b).isNotNull())
+        .select(col(id_a).cast("long").alias("src"), col(id_b).cast("long").alias("dst"))
+        .localCheckpoint()
+    )
     # size the kernel's partition count to the data: each union-find task
     # comfortably holds ~500k edges; a tiny graph scattered over the
     # session's default partitions would otherwise contract SLOWLY (every

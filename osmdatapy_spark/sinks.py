@@ -10,6 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# in-progress part-file suffix for the non-destructive overwrite protocol
+# (write temps → job succeeds → delete old parts → rename temps)
+_TMP_SUFFIX = ".inprogress"
+
 
 def write_corpus(
     df: DataFrame,
@@ -260,15 +264,28 @@ def write_geoparquet(
         meta = dict(tbl.schema.metadata or {})
         meta[b"geo"] = json.dumps(geo).encode("utf-8")
         tbl = tbl.replace_schema_metadata(meta)
-        pq.write_table(tbl, os.path.join(path, f"part-{pid:05d}.parquet"))
+        pq.write_table(tbl, os.path.join(path, f"part-{pid:05d}.parquet{_TMP_SUFFIX}"))
         return iter(())
 
-    if mode == "overwrite":
-        for f in existing:
-            os.remove(os.path.join(path, f))
+    # overwrite is non-destructive until the job succeeds: parts land
+    # under temp names (ignored by readers — they list *.parquet only),
+    # old files are removed and temps renamed only AFTER the write job
+    # completes.  A mid-job failure leaves the existing dataset intact
+    # instead of destroyed-and-empty (the driver-side pre-delete).
+    for f in os.listdir(path):
+        if f.endswith(_TMP_SUFFIX):
+            os.remove(os.path.join(path, f))  # stale temps of a failed run
     # mapInArrow with an empty yield is the zero-copy-out no-op action;
     # the 1-column dummy schema never materializes (no batches returned)
     df.mapInArrow(write_partition, "files long").count()
+    if mode == "overwrite":
+        for f in existing:
+            os.remove(os.path.join(path, f))
+    for f in sorted(os.listdir(path)):
+        if f.endswith(_TMP_SUFFIX):
+            os.replace(
+                os.path.join(path, f), os.path.join(path, f[: -len(_TMP_SUFFIX)])
+            )
 
 
 def read_geoparquet_meta(path: str) -> dict:

@@ -55,13 +55,21 @@ def _make_processor():
             else:
                 n, micro = 0, 0
             for pdf in rows:
+                import numpy as np
+
                 n += len(pdf)
-                # exact integer accumulation: values are 4-dp decimals in
-                # the synthetic data, so PER-ROW micro-unit conversion is
-                # lossless and the int64 sum is order-independent (a
-                # float batch-sum could drift past the rounding guard on
-                # large batches)
-                micro += int((pdf["value"] * 10_000).round().astype("int64").sum())
+                # exact integer accumulation: PER-ROW micro-unit
+                # conversion, then an int64 sum that is order-independent
+                # (a float batch-sum could drift past the rounding guard
+                # on large batches).  Rounding is explicit HALF-UP
+                # (away from zero) to match Spark F.round and DuckDB
+                # round — pandas .round() is half-EVEN, which agrees on
+                # 4-dp data only because exact .5 micro-units never occur
+                # there; 5+-dp inputs would silently break parity.
+                v = pdf["value"].to_numpy()
+                micro += int(
+                    (np.sign(v) * np.floor(np.abs(v) * 10_000 + 0.5)).astype("int64").sum()
+                )
             self._totals.update((n, micro))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "total_micro": [micro]}

@@ -194,7 +194,9 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
     ),
     tfc AS (
-      SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+      -- tf capped at 3000 (engine contract: keeps tf_a*tf_b*1e12 inside
+      -- int64 on degenerate single-shingle repetition)
+      SELECT doc_id AS id, tok, CAST(LEAST(count(*), 3000) AS BIGINT) AS tf
       FROM (SELECT doc_id,
                    UNNEST(list_transform(generate_series(1, len(t) - 2),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok

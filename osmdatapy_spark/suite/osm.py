@@ -588,6 +588,91 @@ def osm_ring_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# G8-beyond: TRUE multipolygon ring nesting (containment-based hole
+# assignment for complex relations the reference drops)
+# ---------------------------------------------------------------------------
+
+_NEST_N_RELS = 12
+_NEST_RING_FMT = "%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f"
+
+
+def _nest_fixture_osm(spark: SparkSession):
+    """Relations with 2 outer squares + 2 inner squares each, member order
+    outer,outer,inner,inner: the reference's G8 rule (_frame.py:234-244)
+    drops both inners; positional G9 attachment would hang inner A on
+    outer B.  Only containment-based nesting produces the right holes.
+    Relation r lives at lon offset 10r: outer A [x,x+4]², hole A
+    [x+1,x+2]², outer B [x+5,x+9]², hole B [x+6,x+7]² (lat 0-4 / 1-2)."""
+    from osmdatapy_spark.engine import OSM
+
+    nodes_rows, refs_rows, mem_rows, elem_rows = [], [], [], []
+    for r in range(_NEST_N_RELS):
+        x = 10.0 * r
+        squares = [
+            (x, 0.0, 4.0),        # outer A
+            (x + 5.0, 0.0, 4.0),  # outer B
+            (x + 1.0, 1.0, 1.0),  # inner A (hole in outer A)
+            (x + 6.0, 1.0, 1.0),  # inner B (hole in outer B)
+        ]
+        for s, (bx, by, d) in enumerate(squares):
+            corners = [(bx, by), (bx + d, by), (bx + d, by + d), (bx, by + d)]
+            nid = [r * 100 + 4 * s + c for c in range(4)]
+            for c in range(4):
+                nodes_rows.append((nid[c], corners[c][0], corners[c][1]))
+            wid = r * 10 + s + 1
+            for p, n in enumerate(nid + [nid[0]]):  # each ring = one closed way
+                refs_rows.append((wid, p, n))
+            mem_rows.append((r, s, wid, 1, "outer" if s < 2 else "inner"))
+        elem_rows.append((r, 2, {"type": "multipolygon"}))
+    elements = spark.createDataFrame(elem_rows, "osmid long, osmtype int, tags map<string,string>")
+    nodes = spark.createDataFrame(nodes_rows, "osmid long, lon double, lat double")
+    way_refs = spark.createDataFrame(refs_rows, "way_id long, pos int, node_id long")
+    rel_members = spark.createDataFrame(
+        mem_rows, "rel_id long, pos int, member_id long, member_type int, role string"
+    )
+    return OSM.from_tables(elements, nodes, way_refs, rel_members)
+
+
+def _nest_ring_sql(cs: list[tuple[str, str]]) -> str:
+    """Closed-ring WKT text '(x0 y0, …, x0 y0)' via DuckDB printf."""
+    pts = cs + [cs[0]]
+    args = ", ".join(f"{x}, {y}" for x, y in pts)
+    return f"'(' || printf('{_NEST_RING_FMT}', {args}) || ')'"
+
+
+@register(
+    "osm_ring_nesting",
+    oracle=f"""
+    WITH rels AS (SELECT UNNEST(generate_series(0, {_NEST_N_RELS - 1})) AS rel_id),
+    sq AS (SELECT rel_id, rel_id * 10.0 AS x FROM rels)
+    SELECT rel_id,
+      'MULTIPOLYGON ((' ||
+        {_nest_ring_sql([("x", "0.0"), ("x+4", "0.0"), ("x+4", "4.0"), ("x", "4.0")])} || ', ' ||
+        {_nest_ring_sql([("x+1", "1.0"), ("x+2", "1.0"), ("x+2", "2.0"), ("x+1", "2.0")])} ||
+      '), (' ||
+        {_nest_ring_sql([("x+5", "0.0"), ("x+9", "0.0"), ("x+9", "4.0"), ("x+5", "4.0")])} || ', ' ||
+        {_nest_ring_sql([("x+6", "1.0"), ("x+7", "1.0"), ("x+7", "2.0"), ("x+6", "2.0")])} ||
+      '))' AS wkt
+    FROM sq
+    """,
+    doc="TRUE multipolygon ring nesting, beyond the reference: complex "
+    "relations (>1 inner AND >1 outer) assign each inner ring to the outer "
+    "ring containing its first vertex (even-odd ray cast, bbox-gated), "
+    "instead of dropping inners (reference G8 _frame.py:234-244, "
+    "README.md:27). End-to-end through the full relation pipeline "
+    "(member chaining → coordinate gather → containment join → WKT); the "
+    "containment join is keyed by rel_id, pair fan-out bounded per entity. "
+    "Oracle states the expected MULTIPOLYGON WKT in closed form.",
+)
+def osm_ring_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    osm = _nest_fixture_osm(spark)
+    return osm.relation_areas().select("rel_id", "wkt")
+
+
 @register(
     "osm_integrity_report",
     oracle=f"""

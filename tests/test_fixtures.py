@@ -94,6 +94,17 @@ def test_relation_shapes(osm):
     assert 5 not in areas and 6 not in areas
     # r7: dangling way member 999 → no ring output, no crash
     assert 7 not in areas
+    # r8: TRUE nesting (beyond-reference) — two outers, two inners, member
+    # order outer,outer,inner,inner; each inner becomes a hole in the
+    # outer that geometrically contains it (the reference drops both,
+    # _frame.py:234-244; positional G9 would hang inner A on outer B)
+    assert areas[8].startswith("MULTIPOLYGON") and areas[8].count("(") == 7
+    poly_a, poly_b = areas[8].split(")), ((")
+    # outer A (col 0 → lon -179.75) must share its polygon with inner A
+    # (col 1 → lon -170.75); same for B (cols 5/6 → -134.75/-125.75)
+    assert "-179.75" in poly_a and "-170.75" in poly_a
+    assert "-134.75" in poly_b and "-125.75" in poly_b
+    assert "-170.75" not in poly_b and "-125.75" not in poly_a
 
 
 def test_ring_direction_flip(osm):
