@@ -80,6 +80,9 @@ class OSM:
         # persisted once by cache_relation_geometry() — the reusable
         # bronze step behind relation_areas()/relation_lines()/query()
         self._rel_coords_cache: Optional[DataFrame] = None
+        # memoized probe: does rel_members contain relation-type members
+        # (relation-of-relations geometry)?  None = not yet probed
+        self._has_nested_members: Optional[bool] = None
 
     # -- lazy bronze relations (pbf-backed OSMs build on first access) -----
 
@@ -709,24 +712,110 @@ class OSM:
             self._rel_coords_cache = coords.persist()
         return self
 
+    def _flatten_way_members(self, kinds: DataFrame, max_depth: int = 8) -> DataFrame:
+        """(rel_id, way_id, member_pos, role, kind) way membership of each
+        geometry-bearing relation, with RELATION-type members flattened to
+        their ways (relation-of-relations geometry: e.g. a type=boundary
+        relation whose members are sub-relations — the reference's depth-1
+        TODO at osmdata.py:192 leaves these without geometry).
+
+        The common case (no nested relation members among the requested
+        relations) is detected with one cheap limit-1 probe and returns
+        the direct-way membership untouched — identical plan to before.
+        When nesting exists, membership is iterated to a depth-capped
+        fixpoint (the ``expand_members`` recipe) carrying the hierarchical
+        position PATH; the flattened member order is the lexicographic
+        path order (sub-relation members sort where their parent sat), and
+        each leaf way keeps ITS OWN role — outer/inner live on the leaf
+        members in real boundary hierarchies.  The cap also terminates
+        membership cycles (legal-if-broken OSM data)."""
+        mem = self.rel_members.join(kinds, "rel_id")
+        direct = mem.filter(col("member_type") == OSMTYPE_WAY).select(
+            "rel_id",
+            col("member_id").alias("way_id"),
+            col("pos").alias("member_pos"),
+            "role",
+            "kind",
+        )
+        # cheapest sufficient probe, memoized per OSM: scan rel_members
+        # alone (no kinds join — one narrow limit-1 job; Catalyst folds it
+        # to a no-op when member_type is a literal) and take the flatten
+        # path only when ANY relation-type member exists in the data
+        if self._has_nested_members is None:
+            self._has_nested_members = not (
+                self.rel_members.filter(col("member_type") == OSMTYPE_RELATION)
+                .limit(1)
+                .isEmpty()
+            )
+        if not self._has_nested_members:
+            return direct
+        nested = mem.filter(col("member_type") == OSMTYPE_RELATION)
+
+        from pyspark.sql import Window as W
+
+        ways_lv = mem.filter(col("member_type") == OSMTYPE_WAY).select(
+            "rel_id",
+            col("member_id").alias("way_id"),
+            F.array(col("pos").cast("int")).alias("path"),
+            "role",
+            "kind",
+        )
+        frontier = nested.select(
+            "rel_id",
+            col("member_id").alias("sub_rel"),
+            F.array(col("pos").cast("int")).alias("path"),
+            "kind",
+        )
+        sub = self.rel_members.select(
+            col("rel_id").alias("_sr"),
+            col("member_id").alias("_mid"),
+            col("member_type").alias("_mt"),
+            col("pos").alias("_mp"),
+            col("role").alias("_mrole"),
+        )
+        levels = [ways_lv]
+        for _ in range(1, max_depth):
+            j = frontier.join(sub, frontier.sub_rel == sub._sr).localCheckpoint()
+            levels.append(
+                j.filter(col("_mt") == OSMTYPE_WAY).select(
+                    "rel_id",
+                    col("_mid").alias("way_id"),
+                    F.concat("path", F.array(col("_mp").cast("int"))).alias("path"),
+                    col("_mrole").alias("role"),
+                    "kind",
+                )
+            )
+            frontier = j.filter(col("_mt") == OSMTYPE_RELATION).select(
+                "rel_id",
+                col("_mid").alias("sub_rel"),
+                F.concat("path", F.array(col("_mp").cast("int"))).alias("path"),
+                "kind",
+            )
+            if frontier.isEmpty():
+                break
+        flat = levels[0]
+        for lv in levels[1:]:
+            flat = flat.unionByName(lv)
+        w = W.partitionBy("rel_id").orderBy("path")
+        return flat.select(
+            "rel_id",
+            "way_id",
+            F.row_number().over(w).alias("member_pos"),
+            "role",
+            "kind",
+        )
+
     def _build_ring_coords(self, kinds: DataFrame) -> DataFrame:
         """The shared chain/gather pipeline: ONE refs aggregation + ONE
         way_id join feed the fused chain kernel (``ring_chains`` — refs
         ride the rel_id exchange through Arrow); ONE node-coordinate
         gather serves both geometry branches (the node join is the
         expensive step — per-branch gathers would scan and shuffle the
-        nodes table twice); everything after stays keyed by rel_id."""
-        members = (
-            self.rel_members.join(kinds, "rel_id")
-            .filter(col("member_type") == OSMTYPE_WAY)
-            .select(
-                "rel_id",
-                col("member_id").alias("way_id"),
-                col("pos").alias("member_pos"),
-                "role",
-                "kind",
-            )
-            .join(self._way_ref_arrays(), "way_id")
+        nodes table twice); everything after stays keyed by rel_id.
+        Relation-type members are flattened to their leaf ways first
+        (``_flatten_way_members`` — a no-op probe when no nesting)."""
+        members = self._flatten_way_members(kinds).join(
+            self._way_ref_arrays(), "way_id"
         )
         # role + kind travel through the fused chaining kernel's schema
         # (rings.CHAIN_SCHEMA) — no re-join to recover them
@@ -757,15 +846,20 @@ class OSM:
             coords = self._rel_coords_cache.join(
                 kinds.select("rel_id"), "rel_id", "left_semi"
             )
-        else:
-            # one-shot path: persist the shared gather for THIS query only.
-            # The split must be PHYSICAL, not just logical: Spark does not
-            # share subtrees across union branches, so without persist each
-            # branch would re-run the whole upstream (chain kernel + node
-            # join).  The persisted unit is per-ring coordinate arrays —
-            # relation rings only, a sliver of the corpus even at planet
-            # scale
+        elif len(branches) > 1:
+            # one-shot two-branch path: persist the shared gather for THIS
+            # query only.  The split must be PHYSICAL, not just logical:
+            # Spark does not share subtrees across union branches, so
+            # without persist each branch would re-run the whole upstream
+            # (chain kernel + node join).  The persisted unit is per-ring
+            # coordinate arrays — relation rings only, a sliver of the
+            # corpus even at planet scale
             coords = self._build_ring_coords(kinds).persist()
+        else:
+            # single-branch callers (relation_areas / relation_lines) have
+            # exactly one consumer — a persist would only add a cache
+            # barrier (blocks AQE across it) and memory pressure
+            coords = self._build_ring_coords(kinds)
         # build only the requested branches: a lines-only caller must not
         # pay the (empty) polygon ring algebra's aggregations in its plan
         parts = []
@@ -839,103 +933,18 @@ class OSM:
         (pond on an island in a lake).  Inners contained by no outer fall
         back to the reference's drop — the truly-broken-relation case.
 
-        Everything stays keyed by rel_id: the containment join pairs each
-        inner with its own relation's outers only (ring counts are bounded
-        per OSM entity, independent of corpus size, so the pair fan-out
-        does not grow with data scale), a bbox prefilter skips the ray
-        cast for non-overlapping pairs, and the role windows / polygon
-        grouping all ride the single rel_id exchange after the shared
-        coordinate gather."""
+        The classification runs as ONE per-relation Arrow kernel
+        (``rings.assign_polygons`` — the same per-group-sequential shape
+        as the G6 chain kernel): ring counts are bounded per OSM entity,
+        independent of corpus size, and the single rel_id exchange it
+        costs is reused by every polygon/WKT groupBy below (subset rule) —
+        the window/join/union formulation of the same algebra cost ~6
+        extra exchanges and a 4-way DAG fan-out re-running the coordinate
+        gather per branch."""
         from osmdatapy_spark.operators.geometry import polygon_wkt
-        from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
-        from pyspark.sql import Window as W
+        from osmdatapy_spark.operators.rings import assign_polygons
 
-        rings = ring_coords.select(
-            "rel_id",
-            "ring",
-            "coords",
-            F.coalesce(col("ring_role"), F.lit("outer")).alias("role"),
-        )
-
-        w_rel = W.partitionBy("rel_id")
-        counted = rings.select(
-            "*",
-            F.sum(F.when(col("role") == "inner", 1).otherwise(0)).over(w_rel).alias("n_in"),
-            F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_rel).alias("n_out"),
-        )
-        is_complex = (col("n_in") > 1) & (col("n_out") > 1)
-        simple = counted.filter(~is_complex)
-        cmplx = counted.filter(is_complex)
-
-        # G9 (simple relations): polygon index = running count of outer
-        # rings — positional attachment, matching the reference when the
-        # relation has a single outer or at most one inner
-        w_run = W.partitionBy("rel_id").orderBy("ring").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-        indexed_simple = simple.select(
-            "rel_id",
-            "ring",
-            "role",
-            "coords",
-            (F.sum(F.when(col("role") != "inner", 1).otherwise(0)).over(w_run) - 1).alias(
-                "poly"
-            ),
-        )
-
-        # Complex relations: containment-based nesting.  Outer rings keep
-        # their ring-order polygon index; each inner joins its relation's
-        # outers, keeps containing candidates (bbox gate, then exact
-        # even-odd test on the first vertex), and attaches to the smallest
-        # containing outer (tie → lowest ring id).
-        outers_c = cmplx.filter(col("role") != "inner").select(
-            "rel_id",
-            col("ring").alias("o_ring"),
-            col("coords").alias("o_coords"),
-            (F.row_number().over(w_rel.orderBy("ring")) - 1).alias("o_poly"),
-            F.abs(shoelace_area_deg2(col("coords"))).alias("o_area"),
-            F.array_min(F.transform(col("coords"), lambda s: s["lon"])).alias("o_x0"),
-            F.array_max(F.transform(col("coords"), lambda s: s["lon"])).alias("o_x1"),
-            F.array_min(F.transform(col("coords"), lambda s: s["lat"])).alias("o_y0"),
-            F.array_max(F.transform(col("coords"), lambda s: s["lat"])).alias("o_y1"),
-        )
-        inners_c = cmplx.filter(col("role") == "inner").select(
-            "rel_id",
-            "ring",
-            "coords",
-            F.element_at("coords", 1)["lon"].alias("px"),
-            F.element_at("coords", 1)["lat"].alias("py"),
-        )
-        contained = (
-            inners_c.join(outers_c, "rel_id")
-            .filter(
-                col("px").between(col("o_x0"), col("o_x1"))
-                & col("py").between(col("o_y0"), col("o_y1"))
-            )
-            .filter(point_in_ring(col("o_coords"), col("px"), col("py")))
-        )
-        # inners with NO containing outer drop out here — the reference-G8
-        # fallback for broken relations.  coords is constant per
-        # (rel_id, ring), so first() recovers it without grouping on the
-        # array column.
-        assigned_inners = contained.groupBy("rel_id", "ring").agg(
-            F.min(F.struct(col("o_area"), col("o_ring"), col("o_poly")))["o_poly"].alias(
-                "poly"
-            ),
-            F.first("coords").alias("coords"),
-        )
-        indexed_complex = outers_c.select(
-            "rel_id",
-            col("o_ring").alias("ring"),
-            F.lit("outer").alias("role"),
-            col("o_coords").alias("coords"),
-            col("o_poly").alias("poly"),
-        ).unionByName(
-            assigned_inners.select(
-                "rel_id", "ring", F.lit("inner").alias("role"), "coords", "poly"
-            )
-        )
-        indexed = indexed_simple.unionByName(indexed_complex)
+        indexed = assign_polygons(ring_coords)
 
         # G3: rings → polygons (outer first, then holes), polygons → WKT
         polys = indexed.groupBy("rel_id", "poly").agg(

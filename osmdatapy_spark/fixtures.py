@@ -84,7 +84,8 @@ REL_TAGS: dict[int, dict[str, str]] = {
     3: {"type": "multipolygon"},
     4: {"type": "multipolygon"},
     5: {"type": "route", "route": "bus"},
-    6: {"type": "multipolygon"},  # node+relation members: unsupported (G5)
+    6: {"type": "multipolygon"},  # node member ignored; relation member
+    # FLATTENS to its ways (relation-of-relations geometry, round 7)
     7: {"type": "multipolygon"},  # dangling member way 999
     8: {"type": "multipolygon", "natural": "water"},  # nested 2-outer/2-inner
 }

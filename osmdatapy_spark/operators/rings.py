@@ -166,6 +166,127 @@ def ring_chains(members: DataFrame) -> DataFrame:
     return members.select(*cols).groupBy("rel_id").applyInPandas(_chain_one, schema=CHAIN_SCHEMA)
 
 
+ASSIGN_SCHEMA = (
+    "rel_id long, ring int, role string, poly int, "
+    "coords array<struct<lon:double,lat:double>>"
+)
+
+
+def _point_in_ring_py(coords, px: float, py: float) -> bool:
+    """Even-odd containment, the exact Python twin of
+    ``measures.ray_cast_crossings`` (same division-free IEEE ops on
+    float64 — bit-identical verdicts): odd crossings ⇒ inside."""
+    closed = list(coords) + [coords[0]]
+    cnt = 0
+    for a, b in zip(closed[:-1], closed[1:]):
+        ax, ay = a["lon"], a["lat"]
+        bx, by = b["lon"], b["lat"]
+        if (ay > py) != (by > py):
+            lhs = (px - ax) * (by - ay)
+            rhs = (bx - ax) * (py - ay)
+            if (lhs < rhs) if by > ay else (lhs > rhs):
+                cnt += 1
+    return cnt % 2 == 1
+
+
+def _assign_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-relation polygon-index assignment (G8/G9 + containment
+    nesting) — the per-group sequential companion of ``_chain_one``.
+
+    Simple relations (≤1 inner OR ≤1 outer): the reference's positional
+    G9 — poly = running count of outer rings (ring order) − 1.  Complex
+    relations (>1 inner AND >1 outer, which the reference G8-drops,
+    _frame.py:234-244): each inner attaches to the outer ring containing
+    its first vertex (bbox gate + even-odd ray cast), choosing the
+    smallest containing outer (tie → lowest ring id); uncontained inners
+    drop — the reference fallback for truly broken relations.
+
+    Folding this into ONE Arrow kernel replaces the window/join/union
+    algebra (2 windows + containment join + groupBy + union ≈ 6 extra
+    exchanges and a 4-way DAG fan-out re-running the gather per branch);
+    ring counts are bounded per OSM entity, so per-group work is O(rings²)
+    worst case on tiny n — the same scale contract as the chain kernel."""
+    pdf = pdf.sort_values("ring", kind="stable").reset_index(drop=True)
+    roles = [r if r is not None else "outer" for r in pdf["ring_role"]]
+    is_inner = [r == "inner" for r in roles]
+    n_in = sum(is_inner)
+    n_out = len(roles) - n_in
+    coords = list(pdf["coords"])
+    rel_id = pdf["rel_id"].iloc[0] if len(pdf) else None
+    rows = []  # (ring, role, poly, coords)
+    if n_in > 1 and n_out > 1:
+        outers = []  # (ring, poly, coords, |area|, bbox)
+        poly = 0
+        for i in range(len(pdf)):
+            if is_inner[i]:
+                continue
+            cs = coords[i]
+            xs = [c["lon"] for c in cs]
+            ys = [c["lat"] for c in cs]
+            area = abs(
+                sum(
+                    cs[j]["lon"] * cs[(j + 1) % len(cs)]["lat"]
+                    - cs[(j + 1) % len(cs)]["lon"] * cs[j]["lat"]
+                    for j in range(len(cs))
+                )
+                / 2.0
+            )
+            outers.append(
+                (int(pdf["ring"].iloc[i]), poly, cs, area, (min(xs), max(xs), min(ys), max(ys)))
+            )
+            rows.append((int(pdf["ring"].iloc[i]), "outer", poly, cs))
+            poly += 1
+        for i in range(len(pdf)):
+            if not is_inner[i]:
+                continue
+            p = coords[i][0]
+            px, py = p["lon"], p["lat"]
+            best = None  # (|area|, ring, poly)
+            for ring, pl, ocs, area, (x0, x1, y0, y1) in outers:
+                if x0 <= px <= x1 and y0 <= py <= y1 and _point_in_ring_py(ocs, px, py):
+                    k = (area, ring, pl)
+                    if best is None or k < best:
+                        best = k
+            if best is not None:
+                rows.append((int(pdf["ring"].iloc[i]), "inner", best[2], coords[i]))
+    else:
+        run = 0
+        for i in range(len(pdf)):
+            if not is_inner[i]:
+                run += 1
+            rows.append(
+                (int(pdf["ring"].iloc[i]), "inner" if is_inner[i] else "outer", run - 1, coords[i])
+            )
+    return pd.DataFrame(
+        {
+            "rel_id": pd.array([rel_id] * len(rows), dtype="int64"),
+            "ring": pd.array([r[0] for r in rows], dtype="int32"),
+            "role": [r[1] for r in rows],
+            "poly": pd.array([r[2] for r in rows], dtype="int32"),
+            "coords": [r[3] for r in rows],
+        }
+    )
+
+
+def assign_polygons(ring_coords: DataFrame) -> DataFrame:
+    """Classify closed rings into polygons per relation (G8/G9 +
+    containment nesting) in ONE ``groupBy(rel_id).applyInPandas`` pass.
+
+    Input: ``(rel_id, ring, ring_role, coords ARRAY<STRUCT<lon,lat>>)``
+    (extra columns ignored).  Output: ``(rel_id, ring, role, poly,
+    coords)`` — poly is the 0-based polygon index within the relation;
+    dropped inner rings (reference-G8 fallback) are absent.
+
+    Scale: ONE shuffle by rel_id; coordinate arrays ride the exchange
+    through Arrow; downstream polygon/WKT groupBys reuse the rel_id
+    partitioning (subset rule) — zero further exchanges."""
+    return (
+        ring_coords.select("rel_id", "ring", "ring_role", "coords")
+        .groupBy("rel_id")
+        .applyInPandas(_assign_one, schema=ASSIGN_SCHEMA)
+    )
+
+
 def reorder_rings(members: DataFrame) -> DataFrame:
     """Chain each relation's member ways into ordered rings.
 

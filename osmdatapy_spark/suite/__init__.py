@@ -31,12 +31,12 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # every test keyed on it) is unchanged.
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_ring_assembly", "osm_ring_nesting", "osm_polygon_rings",
-        "osm_relation_expand", "osm_linestring_wkt", "osm_polygon_wkt",
-        "osm_point_wkt", "osm_area_heuristic", "osm_tag_pivot",
-        "osm_way_endpoints", "osm_topology_segments",
-        "osm_tag_filter_keep_first", "osm_tag_filter_keep_last",
-        "osm_must_tags", "osm_route_linestring",
+        "osm_ring_assembly", "osm_ring_nesting", "osm_boundary_nested",
+        "osm_pbf_roundtrip", "osm_polygon_rings", "osm_relation_expand",
+        "osm_linestring_wkt", "osm_polygon_wkt", "osm_point_wkt",
+        "osm_area_heuristic", "osm_tag_pivot", "osm_way_endpoints",
+        "osm_topology_segments", "osm_tag_filter_keep_first",
+        "osm_route_linestring",
     ],
     "llm": [
         "llm_minhash_lsh", "llm_dedup_clusters", "llm_curation_recipe",

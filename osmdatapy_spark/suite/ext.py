@@ -2443,6 +2443,138 @@ def _roundtrip_dir(sf_dir: str, kind: str) -> str:
     return d
 
 
+# PBF end-to-end: the binary source gets DRIVER-visible hard signals too —
+# lineage starts at an .osm.pbf file written from closed-form formulas, so
+# the oracle can state the expected decode output exactly.
+_PBF_E2E = (2000, 300, 20)  # nodes, ways, relations
+
+
+def _pbf_e2e_path() -> str:
+    """Deterministic fixture .osm.pbf (~2.3k elements) written once per
+    machine: node i+1 at (-90 + (i%360)·0.5, -45 + ((i//360)%180)·0.5),
+    tagged amenity=cafe every 50th; way i+1 over refs (i·7+j)%2000+1
+    (j<12), tagged highway every 3rd else building; relation i+1 over 4
+    way members, type=multipolygon."""
+    import os
+    import tempfile
+
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    n_nodes, n_ways, n_rels = _PBF_E2E
+    path = os.path.join(tempfile.gettempdir(), "osmdatapy_e2e_v1.osm.pbf")
+    if os.path.exists(path):
+        return path
+    w = PbfWriter(codec="zlib")
+    w.add_dense_nodes(
+        [
+            (
+                i + 1,
+                -90.0 + (i % 360) * 0.5,
+                -45.0 + ((i // 360) % 180) * 0.5,
+                {"amenity": "cafe"} if i % 50 == 0 else {},
+            )
+            for i in range(n_nodes)
+        ]
+    )
+    w.add_ways(
+        [
+            (
+                i + 1,
+                [(i * 7 + j) % n_nodes + 1 for j in range(12)],
+                {"highway": "residential"} if i % 3 == 0 else {"building": "yes"},
+            )
+            for i in range(n_ways)
+        ]
+    )
+    w.add_relations(
+        [
+            (
+                i + 1,
+                [((i * 5 + j) % n_ways + 1, 1, "outer") for j in range(4)],
+                {"type": "multipolygon"},
+            )
+            for i in range(n_rels)
+        ]
+    )
+    tmp = path + ".tmp"
+    w.write(tmp, groups_per_block=1)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "osm_pbf_roundtrip",
+    oracle=f"""
+    WITH n AS (SELECT UNNEST(generate_series(0, {_PBF_E2E[0] - 1})) AS i),
+         w AS (SELECT UNNEST(generate_series(0, {_PBF_E2E[1] - 1})) AS i),
+         r AS (SELECT UNNEST(generate_series(0, {_PBF_E2E[2] - 1})) AS i)
+    SELECT CAST(0 AS INTEGER) AS osmtype, COUNT(*) AS n_elements,
+           CAST(SUM(i + 1) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN i % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+           CAST(SUM(-9000 + (i % 360) * 50) AS BIGINT) AS lon_cdeg_sum,
+           CAST(SUM(-4500 + ((i // 360) % 180) * 50) AS BIGINT) AS lat_cdeg_sum
+    FROM n
+    UNION ALL
+    SELECT 1, COUNT(*), CAST(SUM(i + 1) AS BIGINT), COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM w
+    UNION ALL
+    SELECT 2, COUNT(*), CAST(SUM(i + 1) AS BIGINT), COUNT(*),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM r
+    """,
+    doc="PBF source end-to-end in the driver's hard signal (S1-S11: "
+    "framing scan → blob decompress → string table → dense-node/way/"
+    "relation decode): a fixture .osm.pbf written from closed-form "
+    "formulas scans back through the osmpbf data source; per-kind "
+    "counts, id sums, tagged counts, and centidegree coordinate sums "
+    "must equal the generating formulas exactly (coordinates pinned at "
+    "the granularity-safe 0.01° resolution; full nanodegree decode is "
+    "pytest-pinned in the codec spec fixtures).",
+)
+def osm_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    df = read_pbf(spark, _pbf_e2e_path())
+    return df.groupBy("osmtype").agg(
+        F.count("*").alias("n_elements"),
+        F.sum("osmid").alias("id_sum"),
+        F.sum((F.size("tags") > 0).cast("long")).alias("n_tagged"),
+        F.sum(F.round(col("lon") * 100).cast("long")).alias("lon_cdeg_sum"),
+        F.sum(F.round(col("lat") * 100).cast("long")).alias("lat_cdeg_sum"),
+    )
+
+
+@register(
+    "osm_pbf_tag_query",
+    oracle=f"""
+    WITH w AS (SELECT UNNEST(generate_series(0, {_PBF_E2E[1] - 1})) AS i),
+         j AS (SELECT UNNEST(generate_series(0, 11)) AS j)
+    SELECT w.i + 1 AS osmid,
+           CAST(COUNT(*) AS INTEGER) AS n_refs,
+           CAST(MIN(CASE WHEN j.j = 0 THEN (w.i * 7 + j.j) % {_PBF_E2E[0]} + 1 END) AS BIGINT) AS first_ref,
+           CAST(MIN(CASE WHEN j.j = 11 THEN (w.i * 7 + j.j) % {_PBF_E2E[0]} + 1 END) AS BIGINT) AS last_ref,
+           CAST(SUM((w.i * 7 + j.j) % {_PBF_E2E[0]} + 1) AS BIGINT) AS ref_sum
+    FROM w CROSS JOIN j WHERE w.i % 3 = 0
+    GROUP BY w.i
+    """,
+    doc="Tag query straight off a .osm.pbf (P1 osm-type selection + P2 "
+    "osmtypes/columns source pruning + P4 keep filter + S9/S11 way "
+    "decode): ways-only pruned scan, keep highway ways, per-way ref "
+    "facts (count, endpoints, sum) against the generating formula — the "
+    "reference's core query loop with the driver's value hash on it.",
+)
+def osm_pbf_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    ways = read_pbf(spark, _pbf_e2e_path(), osmtypes={1}, columns=["osmid", "tags", "refs"])
+    return ways.filter(F.element_at("tags", "highway").isNotNull()).select(
+        "osmid",
+        F.size("refs").alias("n_refs"),
+        F.element_at("refs", 1).alias("first_ref"),
+        F.element_at("refs", -1).alias("last_ref"),
+        F.aggregate("refs", lit(0).cast("long"), lambda a, x: a + x).alias("ref_sum"),
+    )
+
+
 @register(
     "osm_xml_roundtrip",
     oracle=f"""

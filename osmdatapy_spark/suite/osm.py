@@ -597,13 +597,19 @@ _NEST_N_RELS = 12
 _NEST_RING_FMT = "%.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f, %.7f %.7f"
 
 
-def _nest_fixture_osm(spark: SparkSession):
+def _nest_fixture_osm(spark: SparkSession, nested: bool = False):
     """Relations with 2 outer squares + 2 inner squares each, member order
     outer,outer,inner,inner: the reference's G8 rule (_frame.py:234-244)
     drops both inners; positional G9 attachment would hang inner A on
     outer B.  Only containment-based nesting produces the right holes.
     Relation r lives at lon offset 10r: outer A [x,x+4]², hole A
-    [x+1,x+2]², outer B [x+5,x+9]², hole B [x+6,x+7]² (lat 0-4 / 1-2)."""
+    [x+1,x+2]², outer B [x+5,x+9]², hole B [x+6,x+7]² (lat 0-4 / 1-2).
+
+    ``nested=True`` routes the SAME rings through sub-relations instead:
+    a type=boundary super-relation whose two members are non-geometry
+    sub-relations, each holding (outer way, inner way) — the
+    relation-of-relations case the reference's depth-1 membership cannot
+    reach.  Expected geometry is identical to the direct layout."""
     from osmdatapy_spark.engine import OSM
 
     nodes_rows, refs_rows, mem_rows, elem_rows = [], [], [], []
@@ -615,16 +621,28 @@ def _nest_fixture_osm(spark: SparkSession):
             (x + 1.0, 1.0, 1.0),  # inner A (hole in outer A)
             (x + 6.0, 1.0, 1.0),  # inner B (hole in outer B)
         ]
+        wids = {}
         for s, (bx, by, d) in enumerate(squares):
             corners = [(bx, by), (bx + d, by), (bx + d, by + d), (bx, by + d)]
             nid = [r * 100 + 4 * s + c for c in range(4)]
             for c in range(4):
                 nodes_rows.append((nid[c], corners[c][0], corners[c][1]))
             wid = r * 10 + s + 1
+            wids[s] = wid
             for p, n in enumerate(nid + [nid[0]]):  # each ring = one closed way
                 refs_rows.append((wid, p, n))
-            mem_rows.append((r, s, wid, 1, "outer" if s < 2 else "inner"))
-        elem_rows.append((r, 2, {"type": "multipolygon"}))
+            if not nested:
+                mem_rows.append((r, s, wid, 1, "outer" if s < 2 else "inner"))
+        if nested:
+            # super r → sub-rels (A: outer 0 + inner 2, B: outer 1 + inner 3)
+            sub_a, sub_b = 10_000 + 2 * r, 10_001 + 2 * r
+            mem_rows += [(r, 0, sub_a, 2, ""), (r, 1, sub_b, 2, "")]
+            mem_rows += [(sub_a, 0, wids[0], 1, "outer"), (sub_a, 1, wids[2], 1, "inner")]
+            mem_rows += [(sub_b, 0, wids[1], 1, "outer"), (sub_b, 1, wids[3], 1, "inner")]
+            elem_rows += [(sub_a, 2, {}), (sub_b, 2, {})]  # not geometry-bearing
+            elem_rows.append((r, 2, {"type": "boundary"}))
+        else:
+            elem_rows.append((r, 2, {"type": "multipolygon"}))
     elements = spark.createDataFrame(elem_rows, "osmid long, osmtype int, tags map<string,string>")
     nodes = spark.createDataFrame(nodes_rows, "osmid long, lon double, lat double")
     way_refs = spark.createDataFrame(refs_rows, "way_id long, pos int, node_id long")
@@ -641,9 +659,11 @@ def _nest_ring_sql(cs: list[tuple[str, str]]) -> str:
     return f"'(' || printf('{_NEST_RING_FMT}', {args}) || ')'"
 
 
-@register(
-    "osm_ring_nesting",
-    oracle=f"""
+# expected WKT of the nested-squares layout in closed form — shared by
+# osm_ring_nesting (direct way members) and osm_boundary_nested (the same
+# rings reached through sub-relations): flattening nested membership must
+# produce the SAME geometry as direct membership
+_NEST_ORACLE = f"""
     WITH rels AS (SELECT UNNEST(generate_series(0, {_NEST_N_RELS - 1})) AS rel_id),
     sq AS (SELECT rel_id, rel_id * 10.0 AS x FROM rels)
     SELECT rel_id,
@@ -655,7 +675,12 @@ def _nest_ring_sql(cs: list[tuple[str, str]]) -> str:
         {_nest_ring_sql([("x+6", "1.0"), ("x+7", "1.0"), ("x+7", "2.0"), ("x+6", "2.0")])} ||
       '))' AS wkt
     FROM sq
-    """,
+    """
+
+
+@register(
+    "osm_ring_nesting",
+    oracle=_NEST_ORACLE,
     doc="TRUE multipolygon ring nesting, beyond the reference: complex "
     "relations (>1 inner AND >1 outer) assign each inner ring to the outer "
     "ring containing its first vertex (even-odd ray cast, bbox-gated), "
@@ -670,6 +695,27 @@ def osm_ring_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune_session(spark)
     osm = _nest_fixture_osm(spark)
+    return osm.relation_areas().select("rel_id", "wkt")
+
+
+@register(
+    "osm_boundary_nested",
+    oracle=_NEST_ORACLE,
+    doc="Relation-of-relations geometry: a type=boundary relation whose "
+    "members are SUB-RELATIONS (each holding the leaf outer/inner ways) "
+    "assembles the same MULTIPOLYGON as direct way membership — the "
+    "reference's depth-1 membership TODO (osmdata.py:192) leaves these "
+    "without geometry.  Membership flattens to a depth-capped fixpoint "
+    "(one join + localCheckpoint per nesting level, frontier shrinks "
+    "geometrically), leaf ways keep their own roles, and flattened order "
+    "is the hierarchical position path.  Oracle = the identical "
+    "closed-form WKT as osm_ring_nesting.",
+)
+def osm_boundary_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    osm = _nest_fixture_osm(spark, nested=True)
     return osm.relation_areas().select("rel_id", "wkt")
 
 

@@ -90,8 +90,12 @@ def test_relation_shapes(osm):
     # r4: unclosed ring got closed (first node repeated)
     rings4 = [r for r in osm.relation_rings().collect() if r["rel_id"] == 4]
     assert rings4[0]["nodes"][0] == rings4[0]["nodes"][-1]
-    # r5 (route) and r6 (node/relation members) are not areas
-    assert 5 not in areas and 6 not in areas
+    # r5 (route) is not an area
+    assert 5 not in areas
+    # r6: the node member is ignored, but the RELATION member now flattens
+    # (relation-of-relations geometry, round 7) — r6 inherits relation 1's
+    # ways and assembles the identical polygon
+    assert areas[6] == areas[1]
     # r7: dangling way member 999 → no ring output, no crash
     assert 7 not in areas
     # r8: TRUE nesting (beyond-reference) — two outers, two inners, member

@@ -116,6 +116,8 @@ def test_minhash_two_shuffles(spark):
 _PYTHON_OK = {
     "osm_ring_assembly",      # applyInPandas ring chaining (G6)
     "osm_route_linestring",   # G6 kernel twice: area + line branches union
+    "osm_ring_nesting",       # G6 chain + polygon-assignment kernels
+    "osm_boundary_nested",    # same, through nested-relation flatten
     "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion
