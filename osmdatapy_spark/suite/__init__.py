@@ -43,7 +43,7 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "llm_exact_dedup", "llm_jaccard_pairs", "llm_tfidf_pairs",
         "llm_semantic_dedup", "llm_embed_neardup", "llm_cosine_topk",
         "llm_ann_ivf_topk", "llm_token_stats", "llm_langid",
-        "llm_quality_filter", "llm_vocab_tokenize", "llm_minhash_estimate",
+        "llm_quality_filter", "llm_vocab_tokenize", "llm_hybrid_rrf",
     ],
     "stream": ["stream_upsert_latest", "stream_user_totals_tws", "stream_tumbling_counts"],
     "rel": [],

@@ -2228,6 +2228,21 @@ _BM25_K = 10
     "— cross-engine exact (same ln/division behavior under rounding).",
 )
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    # top-k via orderBy+limit -> TakeOrdered HEAPS (never a global sort /
+    # single-partition window over the scored set, which is corpus-sized
+    # when the query terms are common); the rank column is then a window
+    # over the k surviving rows only
+    top = scored.orderBy(col("score").desc(), "doc_id").limit(_BM25_K)
+    w = Window.orderBy(col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "n_terms_hit", "rank"
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores per matching doc over the fixed query vocabulary —
+    shared by llm_bm25_topk and the hybrid-RRF fusion leg."""
     docs = TS(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(col("text")).alias("t"))
     dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
@@ -2272,15 +2287,139 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_terms_hit"),
         )
     )
-    # top-k via orderBy+limit -> TakeOrdered HEAPS (never a global sort /
-    # single-partition window over the scored set, which is corpus-sized
-    # when the query terms are common); the rank column is then a window
-    # over the k surviving rows only
-    top = scored.orderBy(col("score").desc(), "doc_id").limit(_BM25_K)
-    w = Window.orderBy(col("score").desc(), "doc_id")
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "doc_id", "score", "n_terms_hit", "rank"
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ embedding-cosine via reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60       # the standard RRF constant (Cormack et al.)
+_RRF_LEG_K = 100  # per-leg candidate depth
+_RRF_TOPK = 10
+_RRF_PROBE = 0    # query = document/vector id 0
+
+
+def _rrf_leg_sql(inner: str, order: str) -> str:
+    """Top-``_RRF_LEG_K`` ranked leg as a DuckDB CTE body."""
+    return f"""
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {order}) AS r
+      FROM ({inner}) QUALIFY r <= {_RRF_LEG_K}
+    """
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    idf AS (
+      SELECT term,
+             round(ln((s.n - df + 0.5) / (df + 0.5) + 1.0), 9) AS idf
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), stats s
+    ),
+    bm25 AS (
+      SELECT t.doc_id,
+             round(SUM(round(
+               i.idf * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * d.dl / s.avgdl)),
+               9)), 6) AS score
+      FROM tf t
+      JOIN idf i USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      WHERE t.doc_id <> {_RRF_PROBE}
+      GROUP BY t.doc_id
+    ),
+    lex AS ({_rrf_leg_sql("SELECT doc_id, score FROM bm25", "score DESC, doc_id")}),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    p AS (SELECT v AS pv FROM c WHERE vec_id = {_RRF_PROBE}),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(p.pv)), i -> p.pv[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.pv)), i -> p.pv[i] * p.pv[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+               4) AS cos
+      FROM c CROSS JOIN p
+      WHERE c.vec_id <> {_RRF_PROBE}
+    ),
+    vec AS ({_rrf_leg_sql("SELECT doc_id, cos FROM cos", "cos DESC, doc_id")}),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({_RRF_C} + l.r), 0)
+                   + COALESCE(1.0 / ({_RRF_C} + v.r), 0), 9) AS rrf,
+             l.r AS lex_rank, v.r AS vec_rank
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
     )
+    SELECT doc_id, rrf,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= {_RRF_TOPK}
+    """,
+    doc="Hybrid retrieval: BM25 lexical leg ⊕ embedding-cosine vector leg "
+    "fused by reciprocal rank fusion (1/(60+rank), Cormack et al. — the "
+    "standard hybrid-search recipe RAG corpus tooling uses).  Each leg "
+    "produces its top-100 via a TakeOrdered heap (never a global sort on "
+    "the corpus-sized scored set), ranks are assigned inside the bounded "
+    "candidate lists, and the fusion is a full outer join of two ≤100-row "
+    "frames — docs on one leg only contribute that leg's term (coalesce 0)."
+    "  Deterministic: both legs rank rounded scores with id tiebreakers, "
+    "RRF terms are exactly-rounded double divisions summed in fixed order.",
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import as_double, cosine
+
+    # lexical leg (shared BM25 scorer), probe doc excluded
+    lex_scored = _bm25_scored(spark, sf_dir).filter(col("doc_id") != _RRF_PROBE)
+    lex_top = lex_scored.orderBy(col("score").desc(), "doc_id").limit(_RRF_LEG_K)
+    w_lex = Window.orderBy(col("score").desc(), "doc_id")
+    lex = lex_top.select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+
+    # vector leg: cosine vs the probe embedding (1-row broadcast)
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", as_double(col("embedding")).alias("v"))
+    probe = emb.filter(col("vec_id") == _RRF_PROBE).select(col("v").alias("pv"))
+    cos = (
+        emb.filter(col("vec_id") != _RRF_PROBE)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            col("vec_id").alias("doc_id"),
+            F.round(cosine(col("pv"), col("v")), 4).alias("cos"),
+        )
+    )
+    vec_top = cos.orderBy(col("cos").desc(), "doc_id").limit(_RRF_LEG_K)
+    w_vec = Window.orderBy(col("cos").desc(), "doc_id")
+    vec = vec_top.select("doc_id", F.row_number().over(w_vec).alias("vec_rank"))
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(lit(1.0) / (_RRF_C + col("lex_rank")), lit(0.0))
+            + F.coalesce(lit(1.0) / (_RRF_C + col("vec_rank")), lit(0.0)),
+            9,
+        ).alias("rrf"),
+        col("lex_rank").cast("long").alias("lex_rank"),
+        col("vec_rank").cast("long").alias("vec_rank"),
+    )
+    top = fused.orderBy(col("rrf").desc(), "doc_id").limit(_RRF_TOPK)
+    w = Window.orderBy(col("rrf").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,69 @@ def test_ring_chains_matches_split_formulation(spark):
     assert fused[(11, 0)][1] == "outer" and fused[(11, 1)][1] == "inner"
 
 
+def _ring(pts):
+    return [{"lon": float(x), "lat": float(y)} for x, y in pts]
+
+
+def _sq(x0, y0, d):
+    """Closed square ring (first point repeated)."""
+    return _ring([(x0, y0), (x0 + d, y0), (x0 + d, y0 + d), (x0, y0 + d), (x0, y0)])
+
+
+def test_assign_polygons_edge_cases(spark):
+    """Polygon-assignment kernel (G8/G9 + containment nesting): positional
+    G9 for simple relations (incl. inner-before-outer → poly -1, matching
+    the reference's running count), containment nesting for complex ones
+    (smallest containing outer wins; uncontained inners drop)."""
+    from osmdatapy_spark.operators.rings import assign_polygons
+
+    rows = [
+        # rel 1 (simple: 1 outer + 2 inners): positional attach to poly 0
+        (1, 0, "outer", _sq(0, 0, 10)),
+        (1, 1, "inner", _sq(1, 1, 1)),
+        (1, 2, "inner", _sq(5, 5, 1)),
+        # rel 2 (simple, inner FIRST): reference running count → poly -1
+        (2, 0, "inner", _sq(1, 1, 1)),
+        (2, 1, "outer", _sq(0, 0, 10)),
+        # rel 3 (complex, member order outer,outer,inner,inner): containment;
+        # second inner sits inside NO outer → dropped; NESTED outers — the
+        # small outer (ring 1) sits inside the big one (ring 0), and the
+        # inner at (21,21) is inside BOTH → smallest containing outer wins
+        (3, 0, "outer", _sq(20, 20, 10)),
+        (3, 1, "outer", _sq(20.5, 20.5, 3)),
+        (3, 2, "inner", _sq(21, 21, 1)),
+        (3, 3, "inner", _sq(90, 90, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rel_id long, ring int, ring_role string, "
+        "coords array<struct<lon:double,lat:double>>",
+    )
+    out = {
+        (r["rel_id"], r["ring"]): (r["role"], r["poly"])
+        for r in assign_polygons(df).collect()
+    }
+    assert out[(1, 0)] == ("outer", 0)
+    assert out[(1, 1)] == ("inner", 0) and out[(1, 2)] == ("inner", 0)
+    assert out[(2, 0)] == ("inner", -1) and out[(2, 1)] == ("outer", 0)
+    assert out[(3, 0)] == ("outer", 0) and out[(3, 1)] == ("outer", 1)
+    assert out[(3, 2)] == ("inner", 1)  # smallest containing outer
+    assert (3, 3) not in out  # uncontained inner dropped (G8 fallback)
+
+
+def test_assign_polygons_matches_null_role_default(spark):
+    """NULL ring_role defaults to outer (reference behavior)."""
+    from osmdatapy_spark.operators.rings import assign_polygons
+
+    df = spark.createDataFrame(
+        [(7, 0, None, _sq(0, 0, 2))],
+        "rel_id long, ring int, ring_role string, "
+        "coords array<struct<lon:double,lat:double>>",
+    )
+    r = assign_polygons(df).collect()[0]
+    assert (r["role"], r["poly"]) == ("outer", 0)
+
+
 # --- J2 fixpoint: arbitrary-depth relation recursion ------------------------
 
 
