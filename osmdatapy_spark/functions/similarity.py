@@ -416,6 +416,115 @@ def hyperplane_lsh_buckets(
     return vectors.select(col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m_sub: int = 4,
+    k_cells: int = 4,
+    rerank: int = 10,
+    iters: int = 1,
+    decimals: int = 4,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the production FAISS index shape (IVF coarse
+    quantizer for candidate PRUNING × product quantization for candidate
+    MEMORY): each probe searches only its ``n_probe`` nearest k-means
+    cells, scores the cells' members by PQ asymmetric distance over the
+    compressed codes, and re-ranks the best ``rerank`` survivors by exact
+    cosine against the full vectors.
+
+    Scale story: stage 1 touches ``(cell, codes)`` only — one scan of the
+    corpus projecting against literal centroids+codebooks (zero-shuffle
+    assignment/encode), one shuffle by cell; of the corpus, only the
+    probed cells' code rows meet the probes (~n_probe/n_cells of it),
+    and only ``rerank × probes`` full vectors are ever fetched.  Codes
+    are encoded on the RAW vectors (IVFFlat-style), not FAISS's
+    residual-vs-centroid refinement — a documented simplification that
+    changes accuracy, not the join/partition shape.
+
+    Pass ``centroids``/``codebooks`` (via ``artifacts.train_once``) to
+    serve against pre-trained quantizers; training is deterministic so
+    the result is identical either way."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
+    v = as_double(col(vec_col))
+    sub = dim // m_sub
+    c = corpus.select(
+        col(id_col).alias("nbr_id"),
+        nearest_cell(v, centroids).alias("cell"),
+        pq_codes(v, codebooks, dim).alias("codes"),
+    )
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _l2_sq(F.slice(v, m * sub + 1, sub), codebooks[m][cell])
+                    for cell in range(len(codebooks[m]))
+                ]
+            )
+            for m in range(m_sub)
+        ]
+    )
+    p = probes.select(
+        col(id_col).alias("probe_id"),
+        dtab.alias("dtab"),
+        F.explode(
+            F.slice(
+                F.transform(_cell_ranking(v, centroids), lambda s: s["cell"]),
+                1,
+                n_probe,
+            )
+        ).alias("cell"),
+    )
+    adist = F.aggregate(
+        F.sequence(lit(0), lit(m_sub - 1)),
+        lit(0).cast("decimal(18,6)"),
+        lambda acc, m: (
+            acc
+            + F.element_at(
+                F.element_at(col("dtab"), m + 1), F.element_at(col("codes"), m + 1) + 1
+            ).cast("decimal(18,6)")
+        ).cast("decimal(18,6)"),
+        lambda acc: acc.cast("double"),
+    )
+    stage1 = (
+        c.join(p, "cell")
+        .filter(col("probe_id") != col("nbr_id"))
+        .select("probe_id", "nbr_id", adist.alias("adist"))
+    )
+    w1 = Window.partitionBy("probe_id").orderBy("adist", "nbr_id")
+    cand = stage1.withColumn("rank_pq", F.row_number().over(w1)).filter(
+        col("rank_pq") <= rerank
+    )
+    cvecs = corpus.select(col(id_col).alias("nbr_id"), v.alias("cvec"))
+    pvecs = probes.select(col(id_col).alias("probe_id"), v.alias("pvec"))
+    exact = (
+        cand.join(cvecs, "nbr_id")
+        .join(pvecs, "probe_id")
+        .select(
+            "probe_id",
+            "nbr_id",
+            "adist",
+            F.round(cosine(col("pvec"), col("cvec")), decimals).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(col("cos").desc(), col("nbr_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("probe_id", "nbr_id", "adist", "cos", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric-distance search
 # ---------------------------------------------------------------------------

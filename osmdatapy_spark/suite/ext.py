@@ -1361,6 +1361,181 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_ivfpq_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    -- coarse IVF quantizer (k=8, 1 Lloyd iteration), replayed bit-for-bit
+    cseeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+      FROM v ORDER BY vec_id LIMIT 8
+    ),
+    ca1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, s.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - s.v[i]) * (x.v[i] - s.v[i]))), 6), s.cell
+               ) AS rn
+        FROM v x CROSS JOIN cseeds s
+      ) WHERE rn = 1
+    ),
+    ccomps AS (
+      SELECT ca1.cell,
+             UNNEST(generate_series(1, len(x.v))) AS idx,
+             UNNEST(x.v) AS val
+      FROM v x JOIN ca1 USING (vec_id)
+    ),
+    cmeans AS (
+      SELECT cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM ccomps GROUP BY cell, idx
+    ),
+    ccents AS (
+      SELECT s.cell,
+             CASE WHEN COUNT(cm.cval) > 0 THEN list(cm.cval ORDER BY cm.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM cseeds s LEFT JOIN cmeans cm ON cm.cell = s.cell
+      GROUP BY s.cell
+    ),
+    ca2 AS (
+      SELECT vec_id, cell, rn FROM (
+        SELECT x.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.v)),
+                          i -> (x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))), 6), c.cell
+               ) AS rn
+        FROM v x CROSS JOIN ccents c
+      ) WHERE rn <= 2
+    ),
+    corpus_cell AS (SELECT vec_id, cell FROM ca2 WHERE rn = 1),
+    probe_cells AS (SELECT vec_id, cell FROM ca2 WHERE vec_id % 50 = 0),
+    -- PQ codebooks (m=4 subspaces x 4 cells, 1 iteration), replayed
+    subs AS (SELECT UNNEST(generate_series(0, 3)) AS m),
+    sv AS (
+      SELECT x.vec_id, s.m, list_slice(x.v, s.m * 16 + 1, s.m * 16 + 16) AS sv
+      FROM v x CROSS JOIN subs s
+    ),
+    seeds AS (
+      SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS cell, sv AS v
+      FROM sv QUALIFY ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) <= 4
+    ),
+    a1 AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT x.vec_id, x.m, s.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.sv)),
+                          i -> (x.sv[i] - s.v[i]) * (x.sv[i] - s.v[i]))), 6), s.cell) AS rn
+        FROM sv x JOIN seeds s USING (m)
+      ) WHERE rn = 1
+    ),
+    comps AS (
+      SELECT a1.m, a1.cell,
+             UNNEST(generate_series(1, len(x.sv))) AS idx, UNNEST(x.sv) AS val
+      FROM sv x JOIN a1 USING (vec_id, m)
+    ),
+    mm AS (
+      SELECT m, cell, idx,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS cval
+      FROM comps GROUP BY 1, 2, 3
+    ),
+    cents AS (
+      SELECT s.m, s.cell,
+             CASE WHEN COUNT(mm.cval) > 0 THEN list(mm.cval ORDER BY mm.idx)
+                  ELSE ANY_VALUE(s.v) END AS v
+      FROM seeds s LEFT JOIN mm ON mm.m = s.m AND mm.cell = s.cell
+      GROUP BY s.m, s.cell
+    ),
+    codes AS (
+      SELECT vec_id, m, cell AS code FROM (
+        SELECT x.vec_id, x.m, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, x.m
+                 ORDER BY round(list_sum(list_transform(generate_series(1, len(x.sv)),
+                          i -> (x.sv[i] - c.v[i]) * (x.sv[i] - c.v[i]))), 6), c.cell) AS rn
+        FROM sv x JOIN cents c USING (m)
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT p.vec_id AS probe_id, c.m, c.cell,
+             round(list_sum(list_transform(generate_series(1, len(p.sv)),
+                   i -> (p.sv[i] - c.v[i]) * (p.sv[i] - c.v[i]))), 6) AS d
+      FROM sv p JOIN cents c USING (m)
+      WHERE p.vec_id % 50 = 0
+    ),
+    -- ADC restricted to the probe's 2 nearest IVF cells
+    adist AS (
+      SELECT d.probe_id, k2.vec_id AS nbr_id,
+             CAST(SUM(CAST(d.d AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      FROM codes k2
+      JOIN corpus_cell cc ON cc.vec_id = k2.vec_id
+      JOIN probe_cells pc ON pc.cell = cc.cell
+      JOIN dtab d ON d.probe_id = pc.vec_id AND d.m = k2.m AND d.cell = k2.code
+      WHERE k2.vec_id <> d.probe_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT probe_id, nbr_id, adist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, nbr_id) AS rpq
+        FROM adist) WHERE rpq <= 10
+    ),
+    exact AS (
+      SELECT c.probe_id, c.nbr_id, c.adist,
+             round(list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * cv.v[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(pv.v)), i -> pv.v[i] * pv.v[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(cv.v)), i -> cv.v[i] * cv.v[i])))),
+               4) AS cos
+      FROM cand c
+      JOIN v pv ON pv.vec_id = c.probe_id
+      JOIN v cv ON cv.vec_id = c.nbr_id
+    )
+    SELECT probe_id, nbr_id, adist, cos, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rank
+      FROM exact) WHERE rank <= 3
+    """,
+    doc="IVF-PQ composite ANN — the production FAISS index shape, combining "
+    "the suite's two quantizers: the k-means IVF coarse quantizer PRUNES "
+    "(each probe searches its 2 nearest of 8 cells), product quantization "
+    "COMPRESSES (candidates score by DECIMAL-exact asymmetric distance "
+    "over 4 small ints per vector), and only the top-10 survivors fetch "
+    "full vectors for exact-cosine re-rank.  Codes encode raw vectors "
+    "(IVFFlat-style; FAISS's residual refinement changes accuracy, not "
+    "the join shape).  Both quantizers come from the train/serve artifact "
+    "cache (same artifacts as llm_ann_ivf_topk / llm_ann_pq_topk).  The "
+    "oracle replays coarse k-means, all 4 codebooks, code assignment, "
+    "cell-restricted ADC, and both ranking stages bit-for-bit.",
+)
+def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.artifacts import train_once
+    from osmdatapy_spark.functions.similarity import (
+        ivfpq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    emb = TS(spark, sf_dir, "embeddings")
+    probes = emb.filter(col("vec_id") % 50 == 0)
+    cents = train_once(
+        (sf_dir, "ivf_centroids", 8, 1),
+        lambda: kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=1),
+    )
+    books = train_once(
+        (sf_dir, "pq_codebooks", 64, 4, 4, 1),
+        lambda: pq_codebooks(emb, 64, "vec_id", "embedding", m_sub=4, k_cells=4, iters=1),
+    )
+    out = ivfpq_topk(
+        emb, probes, dim=64, k=3, n_cells=8, n_probe=2, m_sub=4, k_cells=4,
+        rerank=10, iters=1, centroids=cents, codebooks=books,
+    )
+    return out.select(
+        "probe_id", "nbr_id", "adist", "cos", col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
     "llm_semantic_dedup",
     oracle="""
     WITH v AS (

@@ -363,6 +363,34 @@ def test_kmeans_ivf_recall_vs_brute_force(spark):
     assert len(cents) == 4 and all(len(c) == 3 for c in cents)
 
 
+def test_ivfpq_recall_vs_brute_force(spark):
+    """IVF-PQ composite (IVF pruning × PQ compressed scoring × exact
+    re-rank) must recover a healthy share of the exact top-3 on clustered
+    data — with a generous rerank budget relative to cell population, the
+    exact re-rank stage repairs PQ's approximation inside the probed
+    cells, so recall tracks the IVF cell assignment."""
+    from osmdatapy_spark.functions.similarity import brute_force_topk, ivfpq_topk
+
+    base = [(1.0, 0.0, 0.0, 0.5), (0.0, 1.0, 0.0, -0.5), (0.0, 0.0, 1.0, 0.25), (-1.0, -1.0, 0.0, 0.0)]
+    vecs = []
+    for ci, b in enumerate(base):
+        for j in range(8):
+            e = 0.01 * (j + 1)
+            vecs.append((ci * 100 + j, [b[0] + e, b[1] + 2 * e, b[2] - e, b[3] + e]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    probes = corpus.filter(col("vec_id") % 100 == 3)
+
+    exact = brute_force_topk(corpus, probes, k=3)
+    approx = ivfpq_topk(
+        corpus, probes, dim=4, k=3, n_cells=4, n_probe=2,
+        m_sub=2, k_cells=4, rerank=8, iters=2,
+    )
+    exact_set = {(r["probe_id"], r["nbr_id"]) for r in exact.collect()}
+    approx_set = {(r["probe_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.75, f"IVF-PQ recall {recall:.2f} too low"
+
+
 def _mini_png(w, h):
     """A complete, spec-valid PNG built with stdlib only: signature, IHDR,
     one zlib IDAT of gray pixels, IEND — a real image file, not a stub."""

@@ -36,6 +36,9 @@ CRITICAL = [
     "osm_bearing_rose",         # length-weighted DECIMAL bins (r4, unshadowed)
     "osm_renumber",             # bucketed global enumeration + remap joins (r4)
     "llm_dup_span_coverage",    # gram-key marking + interval-union fold (r4)
+    "osm_ring_nesting",         # chain + polygon-assignment kernels (r7)
+    "osm_boundary_nested",      # nested-member flatten + same kernels (r7)
+    "llm_hybrid_rrf",           # two ranked legs + RRF fusion (r7)
 ]
 
 
