@@ -5,11 +5,15 @@ This is the one genuinely sequential-per-group algorithm in the reference
 (SURVEY.md §7 "what's hard" #1): ways of a multipolygon relation must be
 chained end-to-end, flipping direction when a way is stored reversed, and
 a new ring starts whenever the chain breaks.  Group sizes are small
-(a relation's member count), so the Spark shape is
-``groupBy(rel_id).applyInPandas`` — Arrow-batched, parallel across
-relations, sequential only within one relation.  At 100 TB this scales
-linearly: the shuffle key (rel_id) is high-cardinality and the per-group
-work is O(n²) worst-case on n = ways-per-relation (bounded, typically <1k).
+(a relation's member count), so the Spark shape is a JVM-side
+``groupBy(rel_id).agg(collect_list(...))`` — one partial-aggregated
+exchange carrying the member arrays through Arrow — followed by ONE
+``mapInPandas`` kernel that chains thousands of relations per Arrow
+batch (``groupBy().applyInPandas`` was measured at ~4-5 ms of per-GROUP
+plumbing; at one group per relation that dominated the pipeline).  At
+100 TB this scales linearly: the shuffle key (rel_id) is
+high-cardinality and the per-relation work is O(n²) worst-case on
+n = ways-per-relation (bounded, typically <1k).
 """
 
 from __future__ import annotations
@@ -106,64 +110,88 @@ def _reorder_one(pdf: pd.DataFrame) -> pd.DataFrame:
 CHAIN_SCHEMA = "rel_id long, ring int, nodes array<bigint>, ring_role string, kind string"
 
 
-def _chain_one(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-relation chain + node-sequence kernel: members arrive with their
-    full ``refs`` arrays, so chaining AND joint-node-deduped sequence
-    expansion happen in one pass — no post-kernel refs join, no trim
-    window, no flatten groupBy (three shuffles of the heaviest data in the
-    split formulation).  Output: one row per ring, nodes OPEN (callers
-    close area rings with ``close_rings``)."""
-    pdf = pdf.sort_values("member_pos", kind="stable").reset_index(drop=True)
-    n = len(pdf)
-    roles, kind = _member_meta(pdf)
-    refs = [list(r) for r in pdf["refs"]]
+def _chain_rel(rel_id, ms, kind):
+    """Chain + sequence ONE relation from its collected member structs
+    (sorted by member_pos) — the per-relation core of ``ring_chains``,
+    shared with the batched kernel.  Returns column lists."""
+    ms = sorted(ms, key=lambda m: m["member_pos"])
+    refs = [list(m["refs"]) if m["refs"] is not None else [] for m in ms]
+    roles = [m["role"] if "role" in m else None for m in ms]
     s = [r[0] if r else None for r in refs]
     t = [r[-1] if r else None for r in refs]
     pos, direction, ring, ring_roles = _chain(s, t, roles)
-
-    order = sorted(range(n), key=lambda i: pos[i])
+    order = sorted(range(len(ms)), key=lambda i: pos[i])
     seqs: dict[int, list] = {}
     for i in order:
         nodes = refs[i][::-1] if direction[i] == -1 else refs[i]
         r = ring[i]
         if r in seqs:
-            # consecutive ways share the joint node (reference dedup at
-            # _frame.py:162-163) — drop the new way's first node
             seqs[r].extend(nodes[1:])
         else:
             seqs[r] = list(nodes)
     rings = sorted(seqs)
-    return pd.DataFrame(
-        {
-            "rel_id": pdf["rel_id"].iloc[:1].repeat(len(rings)).reset_index(drop=True)
-            if n
-            else pd.Series([], dtype="int64"),
-            "ring": pd.array(rings, dtype="int32"),
-            "nodes": [seqs[r] for r in rings],
-            "ring_role": [ring_roles[r] for r in rings],
-            "kind": [kind] * len(rings),
-        }
+    return (
+        [rel_id] * len(rings),
+        rings,
+        [seqs[r] for r in rings],
+        [ring_roles[r] for r in rings],
+        [kind] * len(rings),
     )
 
 
 def ring_chains(members: DataFrame) -> DataFrame:
-    """Chain member ways into rings AND expand to ordered node sequences in
-    ONE ``applyInPandas`` pass (the fused form of ``reorder_rings`` +
-    ``ring_node_sequence`` — same semantics, pinned by
-    tests/test_operators.py parity test).
+    """Chain member ways into rings AND expand to ordered node sequences
+    (the fused form of ``reorder_rings`` + ``ring_node_sequence`` — same
+    semantics, pinned by tests/test_operators.py parity test).
 
     Input: ``(rel_id, way_id, member_pos, refs ARRAY<LONG>[, role, kind])``.
     Output: ``(rel_id, ring, nodes ARRAY<LONG>, ring_role, kind)`` with
     OPEN node sequences (area callers close via ``close_rings``).
 
-    Scale: ONE shuffle by rel_id; the refs arrays ride the same exchange
-    through Arrow instead of shuffling separately by way_id and flowing
-    through a join + window + second groupBy.  Per-group payload is the
+    Scale: ONE shuffle by rel_id (a JVM-side collect_list aggregation —
+    partial-aggregated, refs ride the exchange through Arrow), then ONE
+    ``mapInPandas`` kernel that chains THOUSANDS of relations per Arrow
+    batch.  The round-7 profiling found the previous
+    ``groupBy().applyInPandas`` shape paid ~4-5 ms of per-GROUP
+    pandas/serialization overhead — at one group per relation that was
+    ~40 s per 10k relations of pure plumbing; batching drops it to a
+    per-row Python loop (~0.1 ms/relation).  Per-relation payload is the
     relation's total member nodes — bounded by real-world relation sizes.
     """
-    cols = ["rel_id", "way_id", "member_pos", "refs"]
-    cols += [c for c in ("role", "kind") if c in members.columns]
-    return members.select(*cols).groupBy("rel_id").applyInPandas(_chain_one, schema=CHAIN_SCHEMA)
+    has_role = "role" in members.columns
+    has_kind = "kind" in members.columns
+    m_struct = F.struct(
+        F.col("member_pos"),
+        F.col("refs"),
+        *([F.col("role")] if has_role else []),
+    )
+    agg = members.groupBy("rel_id").agg(
+        F.collect_list(m_struct).alias("ms"),
+        *([F.min("kind").alias("kind")] if has_kind else []),
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            rel_l, ring_l, nodes_l, role_l, kind_l = [], [], [], [], []
+            kinds = pdf["kind"] if "kind" in pdf.columns else [None] * len(pdf)
+            for rel_id, ms, kind in zip(pdf["rel_id"], pdf["ms"], kinds):
+                a, b, c, d, e = _chain_rel(rel_id, ms, kind)
+                rel_l += a
+                ring_l += b
+                nodes_l += c
+                role_l += d
+                kind_l += e
+            yield pd.DataFrame(
+                {
+                    "rel_id": pd.array(rel_l, dtype="int64"),
+                    "ring": pd.array(ring_l, dtype="int32"),
+                    "nodes": nodes_l,
+                    "ring_role": role_l,
+                    "kind": kind_l,
+                }
+            )
+
+    return agg.mapInPandas(batch, schema=CHAIN_SCHEMA)
 
 
 ASSIGN_SCHEMA = (
@@ -189,9 +217,12 @@ def _point_in_ring_py(coords, px: float, py: float) -> bool:
     return cnt % 2 == 1
 
 
-def _assign_one(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-relation polygon-index assignment (G8/G9 + containment
-    nesting) — the per-group sequential companion of ``_chain_one``.
+def _assign_rel(rings):
+    """Polygon-index assignment for ONE relation's rings — the G8/G9 +
+    containment-nesting core shared by the batched kernel.
+
+    ``rings``: list of (ring, role-or-None, coords) sorted by ring.
+    Returns rows (ring, role, poly, coords).
 
     Simple relations (≤1 inner OR ≤1 outer): the reference's positional
     G9 — poly = running count of outer rings (ring order) − 1.  Complex
@@ -199,28 +230,20 @@ def _assign_one(pdf: pd.DataFrame) -> pd.DataFrame:
     _frame.py:234-244): each inner attaches to the outer ring containing
     its first vertex (bbox gate + even-odd ray cast), choosing the
     smallest containing outer (tie → lowest ring id); uncontained inners
-    drop — the reference fallback for truly broken relations.
-
-    Folding this into ONE Arrow kernel replaces the window/join/union
-    algebra (2 windows + containment join + groupBy + union ≈ 6 extra
-    exchanges and a 4-way DAG fan-out re-running the gather per branch);
-    ring counts are bounded per OSM entity, so per-group work is O(rings²)
+    drop — the reference fallback for truly broken relations.  Ring
+    counts are bounded per OSM entity, so per-relation work is O(rings²)
     worst case on tiny n — the same scale contract as the chain kernel."""
-    pdf = pdf.sort_values("ring", kind="stable").reset_index(drop=True)
-    roles = [r if r is not None else "outer" for r in pdf["ring_role"]]
+    roles = [r if r is not None else "outer" for _, r, _ in rings]
     is_inner = [r == "inner" for r in roles]
     n_in = sum(is_inner)
     n_out = len(roles) - n_in
-    coords = list(pdf["coords"])
-    rel_id = pdf["rel_id"].iloc[0] if len(pdf) else None
     rows = []  # (ring, role, poly, coords)
     if n_in > 1 and n_out > 1:
         outers = []  # (ring, poly, coords, |area|, bbox)
         poly = 0
-        for i in range(len(pdf)):
+        for i, (ring, _, cs) in enumerate(rings):
             if is_inner[i]:
                 continue
-            cs = coords[i]
             xs = [c["lon"] for c in cs]
             ys = [c["lat"] for c in cs]
             area = abs(
@@ -231,60 +254,77 @@ def _assign_one(pdf: pd.DataFrame) -> pd.DataFrame:
                 )
                 / 2.0
             )
-            outers.append(
-                (int(pdf["ring"].iloc[i]), poly, cs, area, (min(xs), max(xs), min(ys), max(ys)))
-            )
-            rows.append((int(pdf["ring"].iloc[i]), "outer", poly, cs))
+            outers.append((ring, poly, cs, area, (min(xs), max(xs), min(ys), max(ys))))
+            rows.append((ring, "outer", poly, cs))
             poly += 1
-        for i in range(len(pdf)):
+        for i, (ring, _, cs) in enumerate(rings):
             if not is_inner[i]:
                 continue
-            p = coords[i][0]
-            px, py = p["lon"], p["lat"]
+            px, py = cs[0]["lon"], cs[0]["lat"]
             best = None  # (|area|, ring, poly)
-            for ring, pl, ocs, area, (x0, x1, y0, y1) in outers:
+            for oring, pl, ocs, area, (x0, x1, y0, y1) in outers:
                 if x0 <= px <= x1 and y0 <= py <= y1 and _point_in_ring_py(ocs, px, py):
-                    k = (area, ring, pl)
+                    k = (area, oring, pl)
                     if best is None or k < best:
                         best = k
             if best is not None:
-                rows.append((int(pdf["ring"].iloc[i]), "inner", best[2], coords[i]))
+                rows.append((ring, "inner", best[2], cs))
     else:
         run = 0
-        for i in range(len(pdf)):
+        for i, (ring, _, cs) in enumerate(rings):
             if not is_inner[i]:
                 run += 1
-            rows.append(
-                (int(pdf["ring"].iloc[i]), "inner" if is_inner[i] else "outer", run - 1, coords[i])
-            )
-    return pd.DataFrame(
-        {
-            "rel_id": pd.array([rel_id] * len(rows), dtype="int64"),
-            "ring": pd.array([r[0] for r in rows], dtype="int32"),
-            "role": [r[1] for r in rows],
-            "poly": pd.array([r[2] for r in rows], dtype="int32"),
-            "coords": [r[3] for r in rows],
-        }
-    )
+            rows.append((ring, "inner" if is_inner[i] else "outer", run - 1, cs))
+    return rows
 
 
 def assign_polygons(ring_coords: DataFrame) -> DataFrame:
     """Classify closed rings into polygons per relation (G8/G9 +
-    containment nesting) in ONE ``groupBy(rel_id).applyInPandas`` pass.
+    containment nesting).
 
     Input: ``(rel_id, ring, ring_role, coords ARRAY<STRUCT<lon,lat>>)``
     (extra columns ignored).  Output: ``(rel_id, ring, role, poly,
     coords)`` — poly is the 0-based polygon index within the relation;
     dropped inner rings (reference-G8 fallback) are absent.
 
-    Scale: ONE shuffle by rel_id; coordinate arrays ride the exchange
-    through Arrow; downstream polygon/WKT groupBys reuse the rel_id
-    partitioning (subset rule) — zero further exchanges."""
-    return (
+    Scale: ONE shuffle by rel_id (JVM-side collect_list aggregation —
+    coordinate arrays ride the exchange through Arrow), then ONE
+    ``mapInPandas`` kernel classifying thousands of relations per Arrow
+    batch (the batched shape of ``ring_chains`` — per-GROUP
+    applyInPandas overhead was ~4-5 ms/relation of pure plumbing);
+    downstream polygon/WKT groupBys reuse the rel_id partitioning
+    (subset rule) — zero further exchanges."""
+    agg = (
         ring_coords.select("rel_id", "ring", "ring_role", "coords")
         .groupBy("rel_id")
-        .applyInPandas(_assign_one, schema=ASSIGN_SCHEMA)
+        .agg(F.collect_list(F.struct("ring", "ring_role", "coords")).alias("rs"))
     )
+
+    def batch(batches):
+        for pdf in batches:
+            rel_l, ring_l, role_l, poly_l, coords_l = [], [], [], [], []
+            for rel_id, rs in zip(pdf["rel_id"], pdf["rs"]):
+                rings = sorted(
+                    ((r["ring"], r["ring_role"], r["coords"]) for r in rs),
+                    key=lambda x: x[0],
+                )
+                for ring, role, poly, cs in _assign_rel(rings):
+                    rel_l.append(rel_id)
+                    ring_l.append(ring)
+                    role_l.append(role)
+                    poly_l.append(poly)
+                    coords_l.append(cs)
+            yield pd.DataFrame(
+                {
+                    "rel_id": pd.array(rel_l, dtype="int64"),
+                    "ring": pd.array(ring_l, dtype="int32"),
+                    "role": role_l,
+                    "poly": pd.array(poly_l, dtype="int32"),
+                    "coords": coords_l,
+                }
+            )
+
+    return agg.mapInPandas(batch, schema=ASSIGN_SCHEMA)
 
 
 def reorder_rings(members: DataFrame) -> DataFrame:

@@ -53,6 +53,45 @@ def build_pbf(path: str, n_nodes: int, n_ways: int) -> None:
     w.write(path, groups_per_block=1)
 
 
+NEST_NODE_BASE = 10_000_000
+NEST_WAY_BASE = 50_000_000
+NEST_REL_BASE = 90_000_000
+
+
+def build_nesting_pbf(path: str, n_rels: int) -> None:
+    """n_rels COMPLEX multipolygon relations (2 outers + 2 nested inners
+    each — the case the reference G8-drops and the round-7 containment
+    kernel resolves): 16 nodes / 4 closed ways / 1 relation per entity,
+    laid out on a 1000-wide grid so rings never overlap across relations."""
+    w = PbfWriter()
+    batch = 500  # 8000 nodes per dense group
+    for start in range(0, n_rels, batch):
+        rng = range(start, min(start + batch, n_rels))
+        nodes, ways, rels = [], [], []
+        for r in rng:
+            x0 = (r % 1000) * 0.02 - 10.0
+            y0 = (r // 1000) * 0.02
+            squares = [
+                (x0, y0, 0.008),                    # outer A
+                (x0 + 0.01, y0, 0.008),             # outer B
+                (x0 + 0.002, y0 + 0.002, 0.002),    # inner A (in outer A)
+                (x0 + 0.012, y0 + 0.002, 0.002),    # inner B (in outer B)
+            ]
+            members = []
+            for s, (bx, by, d) in enumerate(squares):
+                corners = [(bx, by), (bx + d, by), (bx + d, by + d), (bx, by + d)]
+                nid = [NEST_NODE_BASE + r * 16 + 4 * s + c for c in range(4)]
+                nodes += [(nid[c], corners[c][0], corners[c][1], {}) for c in range(4)]
+                wid = NEST_WAY_BASE + r * 4 + s
+                ways.append((wid, nid + [nid[0]], {}))
+                members.append((wid, 1, "outer" if s < 2 else "inner"))
+            rels.append((NEST_REL_BASE + r, members, {"type": "multipolygon"}))
+        w.add_dense_nodes(nodes)
+        w.add_ways(ways)
+        w.add_relations(rels)
+    w.write(path, groups_per_block=1)
+
+
 def timed(label: str, df) -> None:
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
@@ -83,6 +122,39 @@ def main() -> None:
     timed("geometry (points+lines)", osm.query(Query(nodes=True, ways=True, must_tags=["amenity", "highway"], geometry=True)))
     timed("topology segments", osm.topology())
     timed("info aggregate", osm.info())
+
+    # relation-geometry at scale: complex multipolygons through the chain
+    # + containment-nesting kernels (round 7), with exact assertions —
+    # every relation must survive as a MULTIPOLYGON of 2 holed polygons
+    # (7 opening parens), i.e. zero inners dropped by the G8 fallback
+    n_rels = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    nest_path = f"/tmp/scale_nest_{n_rels}.osm.pbf"
+    if not Path(nest_path).exists():
+        t0 = time.time()
+        build_nesting_pbf(nest_path, n_rels)
+        print(f"built {nest_path} ({Path(nest_path).stat().st_size/1e6:.1f} MB) in {time.time()-t0:.0f}s")
+    osm2 = OSM.from_pbf(spark, nest_path)
+    t0 = time.time()
+    areas = osm2.relation_areas()
+    from pyspark.sql import functions as F
+
+    stats = areas.select(
+        F.count("*").alias("n"),
+        F.sum(
+            (
+                F.col("wkt").startswith("MULTIPOLYGON")
+                & (F.length(F.regexp_replace("wkt", r"[^(]", "")) == 7)
+            ).cast("long")
+        ).alias("n_ok"),
+    ).collect()[0]
+    s = plan_summary(areas)
+    print(
+        f"{'relation nesting (' + str(n_rels) + ' rels)':28s} {time.time() - t0:6.1f}s  "
+        f"shuffles={s.n_exchanges} python={s.n_python_evals}"
+    )
+    assert stats["n"] == n_rels, f"expected {n_rels} areas, got {stats['n']}"
+    assert stats["n_ok"] == n_rels, f"only {stats['n_ok']}/{n_rels} correctly nested"
+    print(f"nesting assertions: {stats['n_ok']}/{n_rels} relations correctly holed")
 
 
 if __name__ == "__main__":
