@@ -1507,6 +1507,7 @@ def llm_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cache (same artifacts as llm_ann_ivf_topk / llm_ann_pq_topk).  The "
     "oracle replays coarse k-means, all 4 codebooks, code assignment, "
     "cell-restricted ADC, and both ranking stages bit-for-bit.",
+    bench=True,
 )
 def llm_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.artifacts import train_once

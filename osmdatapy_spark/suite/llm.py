@@ -2382,6 +2382,7 @@ def _rrf_leg_sql(inner: str, order: str) -> str:
     "frames — docs on one leg only contribute that leg's term (coalesce 0)."
     "  Deterministic: both legs rank rounded scores with id tiebreakers, "
     "RRF terms are exactly-rounded double divisions summed in fixed order.",
+    bench=True,
 )
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.similarity import as_double, cosine
