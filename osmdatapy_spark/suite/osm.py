@@ -699,6 +699,36 @@ def osm_ring_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osm_multipolygon_area",
+    oracle=f"""
+    WITH rels AS (SELECT UNNEST(generate_series(0, {_NEST_N_RELS - 1})) AS rel_id)
+    SELECT rel_id, CAST(30.0 AS DOUBLE) AS area_deg2 FROM rels
+    """,
+    doc="Holed-multipolygon area: Σ|outer ring| − Σ|assigned inner ring| "
+    "per relation, computed off the chain + containment-nesting kernels' "
+    "ring classification (shoelace on exact-integer-valued coordinates — "
+    "every intermediate product is an exact double, so the result is "
+    "bit-identical on any engine).  On the nesting fixture each relation "
+    "is two 4×4 outers minus two 1×1 holes = 30.0 deg² in closed form; "
+    "the reference cannot produce this number at all (its G8 drop loses "
+    "the holes, _frame.py:234-244).",
+)
+def osm_multipolygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import shoelace_area_deg2
+    from osmdatapy_spark.operators.rings import assign_polygons
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    osm = _nest_fixture_osm(spark)
+    coords = osm._build_ring_coords(osm._relation_kinds(line=False))
+    assigned = assign_polygons(coords.filter(col("kind") == "area"))
+    signed = F.when(
+        col("role") == "inner", -shoelace_area_deg2(col("coords"))
+    ).otherwise(shoelace_area_deg2(col("coords")))
+    return assigned.groupBy("rel_id").agg(F.sum(signed).alias("area_deg2"))
+
+
+@register(
     "osm_boundary_nested",
     oracle=_NEST_ORACLE,
     doc="Relation-of-relations geometry: a type=boundary relation whose "

@@ -118,6 +118,7 @@ _PYTHON_OK = {
     "osm_route_linestring",   # G6 kernel twice: area + line branches union
     "osm_ring_nesting",       # G6 chain + polygon-assignment kernels
     "osm_boundary_nested",    # same, through nested-relation flatten
+    "osm_multipolygon_area",  # same kernels, holed-area aggregation
     "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion

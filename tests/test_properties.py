@@ -499,3 +499,62 @@ def test_cusum_linearization_matches_recurrence(spark, values, target):
         s = max(0, s + round(v * 4) - round(target * 4))
         want[i] = s / 4.0
     assert out == want, (values, target)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    layout=st.lists(  # per outer: (cell index 0..15, number of inners 0..3)
+        st.tuples(st.integers(0, 15), st.integers(0, 3)),
+        min_size=2,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_assign_polygons_random_nesting(spark, layout):
+    """Containment nesting on randomly laid-out squares: outers on a
+    disjoint 4×4 cell grid (10° cells, 8° squares), each with 0-3 inner
+    squares strictly inside it.  Every inner must attach to exactly its
+    geometric parent regardless of ring order — the positional G9 rule
+    would mis-assign any inner that doesn't directly follow its outer."""
+    from osmdatapy_spark.operators.rings import assign_polygons
+
+    def sq(x0, y0, d):
+        return [
+            {"lon": float(x), "lat": float(y)}
+            for x, y in [(x0, y0), (x0 + d, y0), (x0 + d, y0 + d), (x0, y0 + d), (x0, y0)]
+        ]
+
+    rows, want = [], {}  # ring -> expected outer cell
+    ring = 0
+    outer_rings = {}
+    for cell, _ in layout:  # all outers first (worst case for positional)
+        x0, y0 = (cell % 4) * 10.0, (cell // 4) * 10.0
+        rows.append((1, ring, "outer", sq(x0 + 1.0, y0 + 1.0, 8.0)))
+        outer_rings[cell] = ring
+        ring += 1
+    n_inner = 0
+    for cell, k in layout:
+        x0, y0 = (cell % 4) * 10.0, (cell // 4) * 10.0
+        for j in range(k):
+            rows.append((1, ring, "inner", sq(x0 + 2.0 + j * 1.5, y0 + 2.0, 1.0)))
+            want[ring] = outer_rings[cell]
+            ring += 1
+            n_inner += 1
+    df = spark.createDataFrame(
+        rows,
+        "rel_id long, ring int, ring_role string, "
+        "coords array<struct<lon:double,lat:double>>",
+    )
+    out = {r["ring"]: (r["role"], r["poly"]) for r in assign_polygons(df).collect()}
+    # outer poly index = ring order among outers
+    polys = {}
+    for i, (cell, _) in enumerate(layout):
+        assert out[outer_rings[cell]] == ("outer", i)
+        polys[outer_rings[cell]] = i
+    if n_inner > 1:  # complex path: containment assignment
+        for inner_ring, outer_ring in want.items():
+            assert out[inner_ring] == ("inner", polys[outer_ring]), (layout, inner_ring)
+    else:  # ≤1 inner: reference positional path — inner trails ALL outers,
+        # so it positionally attaches to the LAST outer
+        for inner_ring in want:
+            assert out[inner_ring] == ("inner", len(layout) - 1)
