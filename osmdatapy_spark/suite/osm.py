@@ -838,6 +838,132 @@ def osm_boundary_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return osm.relation_areas().select("rel_id", "wkt")
 
 
+# ---------------------------------------------------------------------------
+# Cross-relation containment: admin-boundary hierarchy
+# ---------------------------------------------------------------------------
+
+_ADMIN_N_COUNTRIES = 4
+
+
+def _admin_fixture_osm(spark: SparkSession):
+    """Three-level admin-boundary hierarchy per 'country' c (x offset
+    1000c): one level-2 99×99 square, four level-4 20×20 squares strictly
+    inside it, four level-6 3×3 squares strictly inside each level-4 —
+    21 boundary relations per country, each one closed way.  All
+    coordinates are exact integers, so containment verdicts and the
+    formulaic parent assignment are engine-independent."""
+    from osmdatapy_spark.engine import OSM
+
+    nodes_rows, refs_rows, mem_rows, elem_rows = [], [], [], []
+
+    def add(rel_id: int, bx: float, by: float, d: float, level: int) -> None:
+        wid = rel_id + 10_000
+        corners = [(bx, by), (bx + d, by), (bx + d, by + d), (bx, by + d)]
+        nid = [rel_id * 10 + c for c in range(4)]
+        for c in range(4):
+            nodes_rows.append((nid[c], corners[c][0], corners[c][1]))
+        for p, n in enumerate(nid + [nid[0]]):
+            refs_rows.append((wid, p, n))
+        mem_rows.append((rel_id, 0, wid, 1, "outer"))
+        elem_rows.append((rel_id, 2, {"type": "boundary", "admin_level": str(level)}))
+
+    for c in range(_ADMIN_N_COUNTRIES):
+        x0 = 1000.0 * c
+        add(c * 100, x0, 0.0, 99.0, 2)
+        for i in range(4):
+            add(c * 100 + 1 + i, x0 + 5 + 24 * i, 5.0, 20.0, 4)
+            for j in range(4):
+                add(c * 100 + 5 + 4 * i + j, x0 + 5 + 24 * i + 1 + 4 * j, 6.0, 3.0, 6)
+
+    elements = spark.createDataFrame(elem_rows, "osmid long, osmtype int, tags map<string,string>")
+    nodes = spark.createDataFrame(nodes_rows, "osmid long, lon double, lat double")
+    way_refs = spark.createDataFrame(refs_rows, "way_id long, pos int, node_id long")
+    rel_members = spark.createDataFrame(
+        mem_rows, "rel_id long, pos int, member_id long, member_type int, role string"
+    )
+    return OSM.from_tables(elements, nodes, way_refs, rel_members)
+
+
+@register(
+    "osm_admin_hierarchy",
+    oracle=f"""
+    WITH c AS (SELECT UNNEST(generate_series(0, {_ADMIN_N_COUNTRIES - 1})) AS c),
+         i AS (SELECT UNNEST(generate_series(0, 3)) AS i),
+         j AS (SELECT UNNEST(generate_series(0, 3)) AS j)
+    SELECT c * 100 AS rel_id, '2' AS admin_level, CAST(NULL AS BIGINT) AS parent_rel
+    FROM c
+    UNION ALL
+    SELECT c * 100 + 1 + i, '4', CAST(c * 100 AS BIGINT)
+    FROM c CROSS JOIN i
+    UNION ALL
+    SELECT c * 100 + 5 + 4 * i + j, '6', CAST(c * 100 + 1 + i AS BIGINT)
+    FROM c CROSS JOIN i CROSS JOIN j
+    """,
+    doc="Admin-boundary hierarchy by CROSS-RELATION polygon containment — "
+    "'which admin area contains this one', the canonical OSM boundary "
+    "analytics workload (and a capability the reference lacks entirely): "
+    "each boundary's representative vertex joins candidate parents "
+    "blocked by a spatial grid key (no all-pairs stage — candidates are "
+    "only co-located polygons), a bbox gate skips the exact test, the "
+    "even-odd ray cast decides containment, and the SMALLEST containing "
+    "polygon (by |shoelace|, id tiebreak) wins — so counties attach to "
+    "states, states to countries, countries to NULL.  Rides the relation "
+    "chain pipeline for ring coordinates; all verdicts exact-integer "
+    "deterministic.",
+)
+def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    osm = _admin_fixture_osm(spark)
+    coords = osm._build_ring_coords(osm._relation_kinds(line=False))
+    lons = F.transform(col("coords"), lambda s: s["lon"])
+    lats = F.transform(col("coords"), lambda s: s["lat"])
+    rings = coords.select(
+        "rel_id",
+        "coords",
+        F.element_at("coords", 1)["lon"].alias("px"),
+        F.element_at("coords", 1)["lat"].alias("py"),
+        F.abs(shoelace_area_deg2(col("coords"))).alias("area"),
+        F.array_min(lons).alias("x0"),
+        F.array_max(lons).alias("x1"),
+        F.array_min(lats).alias("y0"),
+        F.array_max(lats).alias("y1"),
+        F.floor(F.element_at("coords", 1)["lon"] / 1000).alias("block"),
+    )
+    child = rings.select(
+        "block", col("rel_id").alias("c_rel"), col("px").alias("cx"), col("py").alias("cy")
+    )
+    cand = (
+        child.join(
+            rings.select(
+                "block",
+                col("rel_id").alias("p_rel"),
+                col("coords").alias("p_coords"),
+                col("area").alias("p_area"),
+                "x0", "x1", "y0", "y1",
+            ),
+            "block",
+        )
+        .filter(col("c_rel") != col("p_rel"))
+        .filter(col("cx").between(col("x0"), col("x1")) & col("cy").between(col("y0"), col("y1")))
+        .filter(point_in_ring(col("p_coords"), col("cx"), col("cy")))
+    )
+    parents = cand.groupBy("c_rel").agg(
+        F.min(F.struct(col("p_area"), col("p_rel")))["p_rel"].alias("parent_rel")
+    )
+    levels = osm.elements.filter(col("osmtype") == 2).select(
+        col("osmid").alias("rel_id"), F.element_at("tags", "admin_level").alias("admin_level")
+    )
+    return (
+        rings.select("rel_id")
+        .join(parents.withColumnRenamed("c_rel", "rel_id"), "rel_id", "left")
+        .join(levels, "rel_id")
+        .select("rel_id", "admin_level", "parent_rel")
+    )
+
+
 @register(
     "osm_integrity_report",
     oracle=f"""

@@ -120,6 +120,7 @@ _PYTHON_OK = {
     "osm_boundary_nested",    # same, through nested-relation flatten
     "osm_multipolygon_area",  # same kernels, holed-area aggregation
     "osm_geojson_polygons",   # same kernels, GeoJSON Feature formatting
+    "osm_admin_hierarchy",    # chain kernel + cross-relation containment
     "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion
