@@ -1160,6 +1160,96 @@ def osm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition (graph family: components/BFS/pagerank/SP/triangles)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 10  # peel converges in 6-9 rounds on this graph at every sf
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds as generated CTEs (the Bellman-Ford oracle
+    recipe): d_r = degrees of the symmetric edge set restricted to round
+    r-1 survivors on BOTH ends; a_r = nodes with d_r ≥ k."""
+    parts = [
+        f"""
+    WITH {WAYS_CTE.strip()},
+    hop AS (
+      SELECT a.node_id AS src, b.node_id AS dst
+      FROM ways a JOIN ways b ON a.way_id = b.way_id AND b.pos = a.pos + 1
+      WHERE a.way_id % 13 = 0 AND a.node_id <> b.node_id
+    ),
+    e AS (
+      SELECT DISTINCT src, dst
+      FROM (SELECT src, dst FROM hop UNION ALL SELECT dst AS src, src AS dst FROM hop)
+    )"""
+    ]
+    prev = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        if prev is None:
+            restricted = "e"
+        else:
+            restricted = (
+                f"(SELECT e.src, e.dst FROM e "
+                f"JOIN {prev} x ON e.src = x.v JOIN {prev} y ON e.dst = y.v)"
+            )
+        # MATERIALIZED is load-bearing: a_{{r-1}} is referenced twice per
+        # round, and DuckDB inlines plain CTEs — the expression tree would
+        # double per round (2^rounds blow-up)
+        parts.append(
+            f""",
+    d{r} AS MATERIALIZED (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM {restricted} GROUP BY src
+    ),
+    a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {_KCORE_K})"""
+        )
+        prev = f"a{r}"
+    parts.append(
+        f"""
+    SELECT v AS node_id, deg AS core_deg
+    FROM d{_KCORE_ROUNDS} WHERE deg >= {_KCORE_K}
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "osm_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition of the way-adjacency graph (k=3) — the "
+    "sixth graph operator (components/BFS/PageRank/shortest-path/"
+    "triangles), the standard densest-substructure screen (junction "
+    "importance, community cores, bot-net detection on contribution "
+    "graphs).  Iterated degree pruning with a FIXED round budget (10; "
+    "the peel converges in 6-9 rounds on this graph at every sf, and a "
+    "converged alive set is a fixpoint, so bounded rounds = exact "
+    "k-core): per round two equi-joins restricting the original edge "
+    "list to survivors + one partial-aggregated degree count, lazy "
+    "localCheckpoints, ONE action — no per-round driver probes (the "
+    "bellman_ford lesson).  The oracle unrolls the identical 10 rounds "
+    "as generated CTEs; set semantics only, so results are exact and "
+    "partitioning-independent.",
+)
+def osm_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.graph import kcore_peel
+
+    refs = derived_way_refs(spark, sf_dir)
+    w = Window.partitionBy("way_id").orderBy("pos")
+    hop = (
+        refs.filter(col("way_id") % 13 == 0)
+        .select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        .filter(col("dst").isNotNull() & (col("src") != col("dst")))
+    )
+    edges = (
+        hop.select("src", "dst")
+        .unionAll(hop.select(col("dst").alias("src"), col("src").alias("dst")))
+        .distinct()
+    )
+    return kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (graph family, next to pagerank/bfs/components)
 # ---------------------------------------------------------------------------
 
