@@ -142,28 +142,57 @@ class PbfDataSourceReader(DataSourceReader):
         reuse (see module docstring for the wrong-results hazard)."""
         yield from filters
 
+    def _expand_paths(self) -> list[str]:
+        """Multi-file inputs: a directory reads every ``*.pbf`` inside
+        (sorted — deterministic partition order), a glob pattern expands,
+        a plain path stays itself.  The multi-extract case is how real
+        deployments store regional downloads (one .osm.pbf per region);
+        ids are globally unique across OSM extracts, so a union-of-files
+        scan is semantically a bigger extract."""
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".pbf")
+            )
+            if not files:
+                raise ValueError(f"no .pbf files in directory {self.path}")
+            return files
+        if any(c in self.path for c in "*?["):
+            files = sorted(glob.glob(self.path))
+            if not files:
+                raise ValueError(f"glob {self.path!r} matched no files")
+            return files
+        return [self.path]
+
     def partitions(self) -> Sequence[PbfPartition]:
-        spans = scan_blob_spans(self.path)
-        if self.validate:
-            headers = [s for s in spans if s.blob_type == "OSMHeader"]
-            if headers:
-                req, _ = parse_header_block(read_blob(self.path, headers[0]))
-                unsupported = set(req) - {"OsmSchema-V0.6", "DenseNodes"}
-                if unsupported:
-                    raise ValueError(f"unsupported required PBF features: {unsupported}")
         out: list[PbfPartition] = []
-        run: list[tuple[int, int]] = []
-        run_bytes = 0
-        for s in spans:
-            if s.blob_type != "OSMData":
-                continue
-            run.append((s.offset, s.size))
-            run_bytes += s.size
-            if run_bytes >= self.partition_bytes or len(run) >= self.partition_blobs:
-                out.append(PbfPartition(self.path, run))
-                run, run_bytes = [], 0
-        if run:
-            out.append(PbfPartition(self.path, run))
+        for path in self._expand_paths():
+            spans = scan_blob_spans(path)
+            if self.validate:
+                headers = [s for s in spans if s.blob_type == "OSMHeader"]
+                if headers:
+                    req, _ = parse_header_block(read_blob(path, headers[0]))
+                    unsupported = set(req) - {"OsmSchema-V0.6", "DenseNodes"}
+                    if unsupported:
+                        raise ValueError(
+                            f"unsupported required PBF features in {path}: {unsupported}"
+                        )
+            run: list[tuple[int, int]] = []
+            run_bytes = 0
+            for s in spans:
+                if s.blob_type != "OSMData":
+                    continue
+                run.append((s.offset, s.size))
+                run_bytes += s.size
+                if run_bytes >= self.partition_bytes or len(run) >= self.partition_blobs:
+                    out.append(PbfPartition(path, run))
+                    run, run_bytes = [], 0
+            if run:
+                out.append(PbfPartition(path, run))
         return out
 
     def read(self, partition: PbfPartition) -> Iterator:

@@ -504,3 +504,38 @@ def test_dense_columns_partial_metadata_parity():
     # hold the last accumulated value
     assert [e.timestamp for e in els] == [100, 5, 5, 5]
     assert [e.changeset for e in els] == [7, 7, 7, 7]
+
+
+def test_multi_file_read(spark, tmp_path):
+    """A directory (or glob) of .pbf extracts scans as their union —
+    partitions are planned per file, deterministic sorted order."""
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    d = tmp_path / "extracts"
+    d.mkdir()
+    for part, base in (("a", 0), ("b", 100)):
+        w = PbfWriter()
+        w.add_dense_nodes(
+            [(base + i + 1, 10.0 + i, 50.0, {"amenity": "cafe"} if i == 0 else {}) for i in range(5)]
+        )
+        w.add_way(base + 50, [base + 1, base + 2], {"highway": "x"})
+        w.write(str(d / f"region_{part}.osm.pbf"))
+
+    df = read_pbf(spark, str(d))
+    assert df.count() == 12  # 2 files x (5 nodes + 1 way)
+    ids = {r["osmid"] for r in df.filter(col("osmtype") == 1).collect()}
+    assert ids == {50, 150}
+
+    # glob form selects a subset
+    df_a = read_pbf(spark, str(d / "region_a*.pbf"))
+    assert df_a.count() == 6
+
+    # empty dir / no-match glob fail loudly
+    import pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(Exception):
+        read_pbf(spark, str(empty)).count()
+    with pytest.raises(Exception):
+        read_pbf(spark, str(d / "nope_*.pbf")).count()
