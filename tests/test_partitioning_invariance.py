@@ -39,6 +39,9 @@ CRITICAL = [
     "osm_ring_nesting",         # chain + polygon-assignment kernels (r7)
     "osm_boundary_nested",      # nested-member flatten + same kernels (r7)
     "llm_hybrid_rrf",           # two ranked legs + RRF fusion (r7)
+    "osm_kcore",                # bounded peel loop, set semantics (r7)
+    "osm_admin_hierarchy",      # cross-relation containment join (r7)
+    "osm_multipolygon_area",    # holed-area shoelace aggregation (r7)
 ]
 
 

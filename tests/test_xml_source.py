@@ -364,3 +364,45 @@ def test_xml_source_pruning_options(spark, tmp_path):
     assert osc.columns == ["osmid", "action"]
     acts = {r["osmid"]: r["action"] for r in osc.collect()}
     assert acts == {10: "create", 1: "modify", 2: "delete"}
+
+
+def test_osc_sequence_apply(spark, tmp_path):
+    """Replication workflow: a SEQUENCE of .osc diffs applies in order —
+    later modifications win, a delete followed by a recreate resurrects
+    the element, and the keep-latest election is per (osmtype, osmid)."""
+    (tmp_path / "a.osm").write_text(OSM_DOC)
+    (tmp_path / "d1.osc").write_text(
+        """<?xml version='1.0'?><osmChange version="0.6">
+        <modify><node id="1" lat="50.1" lon="10.1"/></modify>
+        <delete><node id="2"/></delete>
+        </osmChange>"""
+    )
+    (tmp_path / "d2.osc").write_text(
+        """<?xml version='1.0'?><osmChange version="0.6">
+        <modify><node id="1" lat="50.2" lon="10.2"/></modify>
+        <create><node id="2" lat="99.0" lon="9.0"/></create>
+        </osmChange>"""
+    )
+    base = read_osm_xml(spark, str(tmp_path / "a.osm")).withColumn(
+        "seq", F.lit(0)
+    ).withColumn("action", F.lit("base"))
+    parts = [base]
+    for i, name in enumerate(("d1.osc", "d2.osc"), start=1):
+        parts.append(
+            read_osm_xml(spark, str(tmp_path / name), osc=True).withColumn("seq", F.lit(i))
+        )
+    allrows = parts[0]
+    for p in parts[1:]:
+        allrows = allrows.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("osmtype", "osmid").orderBy(col("seq").desc())
+    latest = (
+        allrows.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") == 1)
+        .filter(col("action") != "delete")
+    )
+    got = {(r["osmtype"], r["osmid"]): r for r in latest.collect()}
+    assert got[(0, 1)]["lat"] == 50.2  # LAST diff wins over both earlier states
+    assert got[(0, 2)]["lat"] == 99.0  # delete-then-recreate resurrects
+    assert (1, 101) in got and (2, 201) in got  # untouched rows survive
