@@ -965,6 +965,72 @@ def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osm_point_in_admin",
+    oracle=f"""
+    WITH c AS (SELECT UNNEST(generate_series(0, {_ADMIN_N_COUNTRIES - 1})) AS c)
+    SELECT c * 10 + 0 AS point_id, CAST(c * 100 + 11 AS BIGINT) AS admin_rel FROM c
+    UNION ALL
+    SELECT c * 10 + 1, CAST(c * 100 + 2 AS BIGINT) FROM c
+    UNION ALL
+    SELECT c * 10 + 2, CAST(c * 100 AS BIGINT) FROM c
+    UNION ALL
+    SELECT c * 10 + 3, CAST(NULL AS BIGINT) FROM c
+    """,
+    doc="Reverse geocoding: tag each point with its SMALLEST containing "
+    "admin polygon — the single most common OSM spatial-join workload "
+    "('which county is this POI in').  Same grid-blocked containment "
+    "join as osm_admin_hierarchy, probing one point per nesting depth "
+    "per country (inside a county → county; inside a state between "
+    "counties → state; inside the country between states → country; "
+    "open sea → NULL).  Candidates come only from the point's grid "
+    "cell, bbox-gated before the exact even-odd test; smallest |area| "
+    "wins with id tiebreak.",
+)
+def osm_point_in_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    osm = _admin_fixture_osm(spark)
+    pts_rows = []
+    for c in range(_ADMIN_N_COUNTRIES):
+        x0 = 1000.0 * c
+        pts_rows += [
+            (c * 10 + 0, x0 + 39.5, 7.5),   # in level-6 square (i=1, j=2)
+            (c * 10 + 1, x0 + 47.0, 22.0),  # in level-4 (i=1), between level-6s
+            (c * 10 + 2, x0 + 2.0, 50.0),   # in level-2 only
+            (c * 10 + 3, x0 + 500.0, 50.0), # contained by nothing
+        ]
+    pts = spark.createDataFrame(pts_rows, "point_id long, px double, py double")
+
+    coords = osm._build_ring_coords(osm._relation_kinds(line=False))
+    lons = F.transform(col("coords"), lambda s: s["lon"])
+    lats = F.transform(col("coords"), lambda s: s["lat"])
+    polys = coords.select(
+        col("rel_id").alias("p_rel"),
+        col("coords").alias("p_coords"),
+        F.abs(shoelace_area_deg2(col("coords"))).alias("p_area"),
+        F.array_min(lons).alias("x0"),
+        F.array_max(lons).alias("x1"),
+        F.array_min(lats).alias("y0"),
+        F.array_max(lats).alias("y1"),
+        F.floor(F.element_at("coords", 1)["lon"] / 1000).alias("block"),
+    )
+    cand = (
+        pts.withColumn("block", F.floor(col("px") / 1000))
+        .join(polys, "block")
+        .filter(col("px").between(col("x0"), col("x1")) & col("py").between(col("y0"), col("y1")))
+        .filter(point_in_ring(col("p_coords"), col("px"), col("py")))
+    )
+    hits = cand.groupBy("point_id").agg(
+        F.min(F.struct(col("p_area"), col("p_rel")))["p_rel"].alias("admin_rel")
+    )
+    return pts.select("point_id").join(hits, "point_id", "left").select(
+        "point_id", "admin_rel"
+    )
+
+
+@register(
     "osm_integrity_report",
     oracle=f"""
     WITH {WAYS_CTE}, {NODES_CTE}, {WAY_TAGS_CTE},

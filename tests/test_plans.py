@@ -121,6 +121,7 @@ _PYTHON_OK = {
     "osm_multipolygon_area",  # same kernels, holed-area aggregation
     "osm_geojson_polygons",   # same kernels, GeoJSON Feature formatting
     "osm_admin_hierarchy",    # chain kernel + cross-relation containment
+    "osm_point_in_admin",     # chain kernel + point→polygon containment
     "llm_text_normalize",     # NFC pandas UDF (no Spark builtin)
     "llm_multimodal_meta",    # mapInPandas binary decode
     "llm_frame_sample",       # mapInPandas flatMap expansion
