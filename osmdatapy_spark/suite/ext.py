@@ -2853,3 +2853,124 @@ def osm_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         info["x1"].alias("x"),
         info["y1"].alias("y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: recall of the approximate indexes vs brute
+# force, composed from the suite's own registered (and oracled) queries
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_recall_oracle() -> str:
+    """Compose the eval oracle from the already-registered hybrid and
+    IVF-PQ oracle texts (nested WITH in subqueries): the eval's ground
+    truth is the same brute-force ranking the verification tests use."""
+    from osmdatapy_spark.suite.registry import QUERY_REGISTRY
+
+    hybrid = QUERY_REGISTRY["llm_hybrid_rrf"].oracle
+    ivfpq = QUERY_REGISTRY["llm_ann_ivfpq_topk"].oracle
+    return f"""
+    WITH hy AS ({hybrid}),
+    ivfpq AS ({ivfpq}),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    bf0 AS (
+      SELECT nbr_id AS doc_id FROM (
+        SELECT c.vec_id AS nbr_id,
+               round(
+                 list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+                 4) AS cos
+        FROM c CROSS JOIN (SELECT v FROM c WHERE vec_id = 0) p
+        WHERE c.vec_id <> 0
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY cos DESC, nbr_id) <= 10
+    ),
+    bfp AS (
+      SELECT probe_id, nbr_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+               round(
+                 list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * p.v[i])))
+                    * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+                 4) AS cos
+        FROM c CROSS JOIN (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0) p
+        WHERE c.vec_id <> p.vec_id
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) <= 3
+    ),
+    r1 AS (
+      SELECT 'hybrid_rrf@10' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST((SELECT COUNT(*) FROM bf0) AS BIGINT) AS n_truth,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf0) AS recall
+      FROM hy JOIN bf0 USING (doc_id)
+    ),
+    r2 AS (
+      SELECT 'ivfpq@3' AS method,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST((SELECT COUNT(*) FROM bfp) AS BIGINT) AS n_truth,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bfp) AS recall
+      FROM ivfpq i JOIN bfp b ON b.probe_id = i.probe_id AND b.nbr_id = i.nbr_id
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """
+
+
+@register(
+    "llm_retrieval_recall",
+    oracle=_retrieval_recall_oracle(),
+    doc="Index-quality evaluation as a query: recall of the approximate "
+    "retrieval stack against exhaustive brute-force ground truth — the "
+    "pre-deployment check every production ANN/hybrid index gets.  Two "
+    "rows: hybrid-RRF's top-10 vs brute-force cosine top-10 for the "
+    "probe document (hybrid fuses a LEXICAL signal, so its vector-recall "
+    "is a diagnostic, not a target), and IVF-PQ's top-3 vs brute-force "
+    "top-3 over all probes.  Both the evaluated methods and the ground "
+    "truth reuse the suite's registered implementations/oracles, so the "
+    "eval itself is value-oracled end to end.  Scale shape: the brute "
+    "leg is the only corpus×probes stage (the eval runs on a sample in "
+    "production); everything else is joins of top-k row sets.",
+)
+def llm_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.similarity import brute_force_topk
+    from osmdatapy_spark.suite.registry import QUERY_REGISTRY
+
+    emb = T(spark, sf_dir, "embeddings")
+
+    hy = QUERY_REGISTRY["llm_hybrid_rrf"].fn(spark, sf_dir).select("doc_id")
+    bf0 = brute_force_topk(emb, emb.filter(col("vec_id") == 0), k=10).select(
+        col("nbr_id").alias("doc_id")
+    )
+    n_bf0 = bf0.agg(F.count("*").alias("n_truth"))
+    r1 = (
+        hy.join(bf0, "doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .crossJoin(broadcast(n_bf0))
+        .select(
+            lit("hybrid_rrf@10").alias("method"),
+            "n_hits",
+            "n_truth",
+            (col("n_hits").cast("double") / col("n_truth")).alias("recall"),
+        )
+    )
+
+    ivfpq = QUERY_REGISTRY["llm_ann_ivfpq_topk"].fn(spark, sf_dir).select(
+        "probe_id", "nbr_id"
+    )
+    bfp = brute_force_topk(emb, emb.filter(col("vec_id") % 50 == 0), k=3).select(
+        "probe_id", "nbr_id"
+    )
+    n_bfp = bfp.agg(F.count("*").alias("n_truth"))
+    r2 = (
+        ivfpq.join(bfp, ["probe_id", "nbr_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .crossJoin(broadcast(n_bfp))
+        .select(
+            lit("ivfpq@3").alias("method"),
+            "n_hits",
+            "n_truth",
+            (col("n_hits").cast("double") / col("n_truth")).alias("recall"),
+        )
+    )
+    return r1.unionByName(r2)
