@@ -210,6 +210,88 @@ def point_in_ring(coords: Column, px: Column, py: Column) -> Column:
     return ray_cast_crossings(coords, px, py) % 2 == 1
 
 
+def point_in_polygon_join(
+    points: DataFrame,
+    rings: DataFrame,
+    cell_deg: float,
+    point_x: str = "px",
+    point_y: str = "py",
+    ring_coords: str = "coords",
+    crossings_col: str | None = None,
+) -> DataFrame:
+    """Grid-blocked point-in-polygon containment join with BBOX-COVER cell
+    replication: each ring is replicated to EVERY grid cell its bounding
+    box overlaps (``explode(sequence(floor(x0/cell), floor(x1/cell)))`` ×
+    the same for lat), each point keys to its single cell, and the pair
+    stream is bbox-gated before the exact even-odd ray cast.  Because
+    floor is monotone, point-in-bbox ⇒ the point's cell is one of the
+    ring's cover cells — so the cell equi-join + bbox gate is EXACTLY the
+    bbox join, independent of ``cell_deg``: the cell size is purely a
+    performance knob, never a correctness knob.  (The single-cell
+    alternative — keying a ring to the one cell of its center or first
+    vertex — silently misses probes in the ring's other cells whenever a
+    polygon spans a cell boundary; this operator is the fix, mirroring
+    ``nearest_in_grid``'s neighborhood discipline from the probe side.)
+
+    ``points`` needs (``point_x``, ``point_y``) double columns; ``rings``
+    needs a ``ring_coords`` array<struct<lon,lat>> column.  All other
+    columns of both inputs pass through (caller keeps names disjoint).
+    Default output: the pairs where the point lies INSIDE the ring
+    (even-odd rule, implicit closure).  With ``crossings_col`` set, all
+    bbox-gated pairs survive and gain the raw crossing count (callers
+    that want the inside flag derive it as ``crossings % 2 = 1``).
+
+    Scale shape: one shuffle keyed by cell; replication factor per ring =
+    its bbox-cover cell count, so pick ``cell_deg`` at or above the
+    typical polygon diameter (a handful of replicas each) — a planet
+    admin-boundary layer at 1° replicates countries tens of times but
+    keeps the join an equi-join with bounded per-cell candidate lists.
+    A hot cell (dense metro) is ordinary AQE skew-join territory.  Every
+    op is exactly-rounded IEEE (divide by ``cell_deg``, floor, compares),
+    so verdicts are bit-identical cross-engine.
+    """
+    cell = lit(float(cell_deg))
+    lons = F.transform(col(ring_coords), lambda s: s["lon"])
+    lats = F.transform(col(ring_coords), lambda s: s["lat"])
+    r = (
+        rings.withColumn("__x0", F.array_min(lons))
+        .withColumn("__x1", F.array_max(lons))
+        .withColumn("__y0", F.array_min(lats))
+        .withColumn("__y1", F.array_max(lats))
+        .withColumn(
+            "__cellx",
+            F.explode(
+                F.sequence(
+                    F.floor(col("__x0") / cell).cast("long"),
+                    F.floor(col("__x1") / cell).cast("long"),
+                )
+            ),
+        )
+        .withColumn(
+            "__celly",
+            F.explode(
+                F.sequence(
+                    F.floor(col("__y0") / cell).cast("long"),
+                    F.floor(col("__y1") / cell).cast("long"),
+                )
+            ),
+        )
+    )
+    p = points.withColumn("__cellx", F.floor(col(point_x) / cell).cast("long")).withColumn(
+        "__celly", F.floor(col(point_y) / cell).cast("long")
+    )
+    pairs = p.join(r, ["__cellx", "__celly"]).filter(
+        col(point_x).between(col("__x0"), col("__x1"))
+        & col(point_y).between(col("__y0"), col("__y1"))
+    )
+    crossings = ray_cast_crossings(col(ring_coords), col(point_x), col(point_y))
+    if crossings_col is not None:
+        out = pairs.withColumn(crossings_col, crossings.cast("bigint"))
+    else:
+        out = pairs.filter(crossings % 2 == 1)
+    return out.drop("__cellx", "__celly", "__x0", "__x1", "__y0", "__y1")
+
+
 # ---------------------------------------------------------------------------
 # Radial-distance polyline simplification
 # ---------------------------------------------------------------------------

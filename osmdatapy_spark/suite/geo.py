@@ -184,9 +184,10 @@ def osm_nearest_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Point-in-polygon containment join
 # ---------------------------------------------------------------------------
 
-# way-derived polygon centers: pure integer arithmetic + 0.5, so every ring
-# sits strictly inside one 1° grid cell (vertex jitter <= 0.35°, point
-# jitter <= 0.3° — nothing ever lands on a cell boundary)
+# way-derived polygon centers: pure integer arithmetic + 0.5.  Ring vertex
+# jitter is <= 0.35° around the center, so against the 0.25° blocking grid
+# below nearly EVERY ring spans multiple cells — the fixture exercises the
+# bbox-cover replication path, not the ring-inside-one-cell special case
 _CENTERS_CTE = """
 centers AS (
   SELECT DISTINCT way_id,
@@ -208,13 +209,19 @@ centers AS (
       FROM ways w JOIN nodes n ON w.node_id = n.osmid JOIN centers c USING (way_id)
     ),
     rings AS (
-      SELECT way_id, list(struct_pack(lon := vx, lat := vy) ORDER BY pos) AS c
+      SELECT way_id, list(struct_pack(lon := vx, lat := vy) ORDER BY pos) AS c,
+             min(vx) AS x0, max(vx) AS x1, min(vy) AS y0, max(vy) AS y1
       FROM verts GROUP BY way_id HAVING count(*) >= 3
     ),
-    ringcells AS (
-      SELECT r.way_id, r.c,
-             CAST(floor(ct.cx) AS BIGINT) AS cellx, CAST(floor(ct.cy) AS BIGINT) AS celly
-      FROM rings r JOIN centers ct USING (way_id)
+    rc1 AS (
+      SELECT *, UNNEST(generate_series(CAST(floor(x0 / 0.25) AS BIGINT),
+                                       CAST(floor(x1 / 0.25) AS BIGINT))) AS cellx
+      FROM rings
+    ),
+    rc AS (
+      SELECT *, UNNEST(generate_series(CAST(floor(y0 / 0.25) AS BIGINT),
+                                       CAST(floor(y1 / 0.25) AS BIGINT))) AS celly
+      FROM rc1
     ),
     pts AS (
       SELECT o_orderkey AS point_id,
@@ -226,9 +233,11 @@ centers AS (
     ),
     pairs AS (
       SELECT p.point_id, r.way_id, p.px, p.py, list_append(r.c, r.c[1]) AS cc
-      FROM (SELECT *, CAST(floor(px) AS BIGINT) AS cellx, CAST(floor(py) AS BIGINT) AS celly
+      FROM (SELECT *, CAST(floor(px / 0.25) AS BIGINT) AS cellx,
+                      CAST(floor(py / 0.25) AS BIGINT) AS celly
             FROM pts) p
-      JOIN ringcells r USING (cellx, celly)
+      JOIN rc r USING (cellx, celly)
+      WHERE p.px BETWEEN r.x0 AND r.x1 AND p.py BETWEEN r.y0 AND r.y1
     ),
     crossed AS (
       SELECT point_id, way_id,
@@ -246,17 +255,22 @@ centers AS (
     """,
     bench=True,
     doc="Point-in-polygon containment join (even-odd ray cast): order-derived "
-    "probe points against way-derived rings, candidates blocked by 1° grid "
-    "cell — the join shuffles by cell key, never point × polygon; the exact "
-    "test is a division-free crossing fold over the ring edges (only "
-    "exactly-rounded IEEE ops — bit-identical cross-engine, no horizontal-"
-    "edge divide-by-zero). The shape GeoSpark/Sedona use for planet-scale "
-    "containment, expressed in pure Column algebra.",
+    "probe points against way-derived rings via the reusable bbox-cover "
+    "grid join (operators/measures.point_in_polygon_join) — each ring "
+    "replicates to EVERY 0.25° cell its bbox overlaps (nearly every "
+    "fixture ring spans several), points key to their single cell, and "
+    "the cell equi-join + bbox gate is provably the pure bbox join, "
+    "independent of cell size.  The join shuffles by cell key, never "
+    "point × polygon; the exact test is a division-free crossing fold "
+    "over the ring edges (only exactly-rounded IEEE ops — bit-identical "
+    "cross-engine, no horizontal-edge divide-by-zero). The shape "
+    "GeoSpark/Sedona use for planet-scale containment, in pure Column "
+    "algebra.",
 )
 def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit
 
-    from osmdatapy_spark.operators.measures import ray_cast_crossings
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
     from osmdatapy_spark.suite.osm import derived_nodes, derived_way_refs
     from osmdatapy_spark.suite._util import T
 
@@ -279,12 +293,6 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
         .filter(F.size("c") >= 3)
-        .select(
-            "way_id",
-            "c",
-            F.floor(cx).cast("long").alias("cellx"),
-            F.floor(cy).cast("long").alias("celly"),
-        )
     )
     o = T(spark, sf_dir, "orders")
     px = ((col("o_orderkey") % 360) - 180 + 0.5).cast("double") + (
@@ -297,20 +305,15 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("o_orderkey").alias("point_id"),
         px.alias("px"),
         py.alias("py"),
-    ).select(
-        "point_id",
-        "px",
-        "py",
-        F.floor(col("px")).cast("long").alias("cellx"),
-        F.floor(col("py")).cast("long").alias("celly"),
     )
-    pairs = pts.join(rings, ["cellx", "celly"])
-    crossings = ray_cast_crossings(col("c"), col("px"), col("py")).cast("bigint")
+    pairs = point_in_polygon_join(
+        pts, rings, 0.25, ring_coords="c", crossings_col="crossings"
+    )
     return pairs.select(
         "point_id",
         "way_id",
-        crossings.alias("crossings"),
-        (crossings % 2 == 1).alias("inside"),
+        "crossings",
+        (col("crossings") % 2 == 1).alias("inside"),
     )
 
 

@@ -902,54 +902,45 @@ def _admin_fixture_osm(spark: SparkSession):
     doc="Admin-boundary hierarchy by CROSS-RELATION polygon containment — "
     "'which admin area contains this one', the canonical OSM boundary "
     "analytics workload (and a capability the reference lacks entirely): "
-    "each boundary's representative vertex joins candidate parents "
-    "blocked by a spatial grid key (no all-pairs stage — candidates are "
-    "only co-located polygons), a bbox gate skips the exact test, the "
-    "even-odd ray cast decides containment, and the SMALLEST containing "
-    "polygon (by |shoelace|, id tiebreak) wins — so counties attach to "
-    "states, states to countries, countries to NULL.  Rides the relation "
-    "chain pipeline for ring coordinates; all verdicts exact-integer "
-    "deterministic.",
+    "each boundary's representative vertex probes candidate parents via "
+    "the reusable bbox-cover grid join (operators/measures."
+    "point_in_polygon_join, 64° cells — the 99°-wide country squares "
+    "span cell boundaries, so parents replicate to every cell their "
+    "bbox overlaps; no all-pairs stage, no fixture-tuned block key), "
+    "the even-odd ray cast decides containment, and the SMALLEST "
+    "containing polygon (by |shoelace|, id tiebreak) wins — so counties "
+    "attach to states, states to countries, countries to NULL.  Rides "
+    "the relation chain pipeline for ring coordinates; all verdicts "
+    "exact-integer deterministic.",
 )
 def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
+    from osmdatapy_spark.operators.measures import (
+        point_in_polygon_join,
+        shoelace_area_deg2,
+    )
     from osmdatapy_spark.session import tune_session
 
     tune_session(spark)
     osm = _admin_fixture_osm(spark)
     coords = osm._build_ring_coords(osm._relation_kinds(line=False))
-    lons = F.transform(col("coords"), lambda s: s["lon"])
-    lats = F.transform(col("coords"), lambda s: s["lat"])
     rings = coords.select(
         "rel_id",
         "coords",
         F.element_at("coords", 1)["lon"].alias("px"),
         F.element_at("coords", 1)["lat"].alias("py"),
         F.abs(shoelace_area_deg2(col("coords"))).alias("area"),
-        F.array_min(lons).alias("x0"),
-        F.array_max(lons).alias("x1"),
-        F.array_min(lats).alias("y0"),
-        F.array_max(lats).alias("y1"),
-        F.floor(F.element_at("coords", 1)["lon"] / 1000).alias("block"),
     )
     child = rings.select(
-        "block", col("rel_id").alias("c_rel"), col("px").alias("cx"), col("py").alias("cy")
+        col("rel_id").alias("c_rel"), col("px").alias("cpx"), col("py").alias("cpy")
     )
-    cand = (
-        child.join(
-            rings.select(
-                "block",
-                col("rel_id").alias("p_rel"),
-                col("coords").alias("p_coords"),
-                col("area").alias("p_area"),
-                "x0", "x1", "y0", "y1",
-            ),
-            "block",
-        )
-        .filter(col("c_rel") != col("p_rel"))
-        .filter(col("cx").between(col("x0"), col("x1")) & col("cy").between(col("y0"), col("y1")))
-        .filter(point_in_ring(col("p_coords"), col("cx"), col("cy")))
+    parents_in = rings.select(
+        col("rel_id").alias("p_rel"),
+        col("coords").alias("p_coords"),
+        col("area").alias("p_area"),
     )
+    cand = point_in_polygon_join(
+        child, parents_in, 64.0, point_x="cpx", point_y="cpy", ring_coords="p_coords"
+    ).filter(col("c_rel") != col("p_rel"))
     parents = cand.groupBy("c_rel").agg(
         F.min(F.struct(col("p_area"), col("p_rel")))["p_rel"].alias("parent_rel")
     )
@@ -978,16 +969,22 @@ def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Reverse geocoding: tag each point with its SMALLEST containing "
     "admin polygon — the single most common OSM spatial-join workload "
-    "('which county is this POI in').  Same grid-blocked containment "
-    "join as osm_admin_hierarchy, probing one point per nesting depth "
-    "per country (inside a county → county; inside a state between "
+    "('which county is this POI in').  Same reusable bbox-cover grid "
+    "join as osm_admin_hierarchy (operators/measures."
+    "point_in_polygon_join, 64° cells — polygons replicate to every "
+    "cell their bbox overlaps, so a probe in a DIFFERENT cell than the "
+    "polygon's first vertex still finds it; the single-cell keying this "
+    "replaced would miss it), probing one point per nesting depth per "
+    "country (inside a county → county; inside a state between "
     "counties → state; inside the country between states → country; "
-    "open sea → NULL).  Candidates come only from the point's grid "
-    "cell, bbox-gated before the exact even-odd test; smallest |area| "
-    "wins with id tiebreak.",
+    "open sea → NULL).  Bbox gate before the exact even-odd test; "
+    "smallest |area| wins with id tiebreak.",
 )
 def osm_point_in_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from osmdatapy_spark.operators.measures import point_in_ring, shoelace_area_deg2
+    from osmdatapy_spark.operators.measures import (
+        point_in_polygon_join,
+        shoelace_area_deg2,
+    )
     from osmdatapy_spark.session import tune_session
 
     tune_session(spark)
@@ -1004,24 +1001,12 @@ def osm_point_in_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spark.createDataFrame(pts_rows, "point_id long, px double, py double")
 
     coords = osm._build_ring_coords(osm._relation_kinds(line=False))
-    lons = F.transform(col("coords"), lambda s: s["lon"])
-    lats = F.transform(col("coords"), lambda s: s["lat"])
     polys = coords.select(
         col("rel_id").alias("p_rel"),
         col("coords").alias("p_coords"),
         F.abs(shoelace_area_deg2(col("coords"))).alias("p_area"),
-        F.array_min(lons).alias("x0"),
-        F.array_max(lons).alias("x1"),
-        F.array_min(lats).alias("y0"),
-        F.array_max(lats).alias("y1"),
-        F.floor(F.element_at("coords", 1)["lon"] / 1000).alias("block"),
     )
-    cand = (
-        pts.withColumn("block", F.floor(col("px") / 1000))
-        .join(polys, "block")
-        .filter(col("px").between(col("x0"), col("x1")) & col("py").between(col("y0"), col("y1")))
-        .filter(point_in_ring(col("p_coords"), col("px"), col("py")))
-    )
+    cand = point_in_polygon_join(pts, polys, 64.0, ring_coords="p_coords")
     hits = cand.groupBy("point_id").agg(
         F.min(F.struct(col("p_area"), col("p_rel")))["p_rel"].alias("admin_rel")
     )

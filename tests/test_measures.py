@@ -150,6 +150,99 @@ def test_ray_cast_horizontal_edges_no_division_blowup(spark):
 
 
 # ---------------------------------------------------------------------------
+# Bbox-cover point-in-polygon join
+# ---------------------------------------------------------------------------
+
+
+def _pip_fixture(spark):
+    """Three rings, one of which spans MULTIPLE 1° grid cells with its
+    first vertex in the leftmost one — the exact shape single-cell
+    blocking (key ring to its center's or first vertex's cell) silently
+    gets wrong; plus probes inside, outside-in-bbox, and off-bbox."""
+    rings = spark.createDataFrame(
+        [
+            # wide ring spanning cells x∈{0,1,2} at cell_deg=1; 1st vertex in cell 0
+            (1, [(0.6, 0.2), (2.4, 0.2), (2.4, 0.8), (0.6, 0.8)]),
+            # small ring inside one cell
+            (2, [(5.1, 5.1), (5.4, 5.1), (5.4, 5.4), (5.1, 5.4)]),
+            # concave U: pocket (7.5, 5.0) is in the bbox but OUTSIDE
+            (3, [(7.0, 4.0), (8.0, 4.0), (8.0, 6.0), (7.8, 6.0), (7.8, 4.5),
+                 (7.2, 4.5), (7.2, 6.0), (7.0, 6.0)]),
+        ],
+        "rid long, raw array<struct<lon double, lat double>>",
+    ).select("rid", col("raw").alias("coords"))
+    pts = spark.createDataFrame(
+        [
+            (10, 2.1, 0.5),   # inside ring 1, two cells away from its 1st vertex
+            (11, 0.7, 0.5),   # inside ring 1, same cell as its 1st vertex
+            (12, 5.2, 5.2),   # inside ring 2
+            (13, 7.5, 5.0),   # in ring 3's bbox but in the pocket (outside)
+            (14, 7.1, 4.2),   # inside ring 3's left arm
+            (15, 50.0, 50.0), # off every bbox
+        ],
+        "pid long, px double, py double",
+    )
+    return pts, rings
+
+
+def _pip_brute(spark, pts, rings):
+    from osmdatapy_spark.operators.measures import point_in_ring
+
+    return sorted(
+        (r.pid, r.rid)
+        for r in pts.crossJoin(rings)
+        .filter(point_in_ring(col("coords"), col("px"), col("py")))
+        .collect()
+    )
+
+
+def test_point_in_polygon_join_spanning_ring_found(spark):
+    """The regression single-cell keying had: a probe in a different cell
+    than the ring's first vertex must still match a spanning ring."""
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    pts, rings = _pip_fixture(spark)
+    out = sorted(
+        (r.pid, r.rid)
+        for r in point_in_polygon_join(pts, rings, 1.0).collect()
+    )
+    assert (10, 1) in out                      # the spanning-cell pair
+    assert out == _pip_brute(spark, pts, rings)
+
+
+def test_point_in_polygon_join_cell_size_is_not_a_correctness_knob(spark):
+    """Output must equal the blocking-free brute-force join for ANY cell
+    size — cell_deg only trades replication vs candidate-list length."""
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    pts, rings = _pip_fixture(spark)
+    want = _pip_brute(spark, pts, rings)
+    for cell in (0.25, 1.0, 3.0, 90.0):
+        got = sorted(
+            (r.pid, r.rid)
+            for r in point_in_polygon_join(pts, rings, cell).collect()
+        )
+        assert got == want, f"cell_deg={cell}"
+
+
+def test_point_in_polygon_join_crossings_mode_keeps_bbox_pairs(spark):
+    """crossings_col mode: all bbox-gated pairs survive with the raw
+    even-odd count — the pocket probe shows up with even crossings."""
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    pts, rings = _pip_fixture(spark)
+    out = {
+        (r.pid, r.rid): r.x
+        for r in point_in_polygon_join(
+            pts, rings, 1.0, crossings_col="x"
+        ).collect()
+    }
+    assert out[(13, 3)] % 2 == 0      # pocket probe: bbox pair, even crossings
+    assert out[(10, 1)] % 2 == 1
+    assert (15, 1) not in out and (15, 2) not in out and (15, 3) not in out
+
+
+# ---------------------------------------------------------------------------
 # Radial simplification
 # ---------------------------------------------------------------------------
 
