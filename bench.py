@@ -177,8 +177,11 @@ def main() -> None:
     # passes: pbf_scan [8.27, 0.95, 0.91]) — container spin-up, unrelated
     # to any query's plan; warm it on a 1-element file before the timed
     # passes so pass 1 measures the scan (same discipline as
-    # tools/check_oracle.py)
+    # tools/check_oracle.py).  The query path additionally JITs the
+    # Query-compile + coordinate-join + WKT codegen paths the plain scan
+    # leaves cold (r7: pbf_query pass-1 10.4s vs 2.9s after) — warm both.
     run_pbf_scan(spark, 0.000001)
+    run_pbf_query(spark, 0.000001)
 
     N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     MAX_EXTRA = 2  # extra re-runs per query when the warm passes disagree

@@ -328,6 +328,103 @@ def simplify_radial(coords: Column, eps: float) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Douglas-Peucker polyline simplification
+# ---------------------------------------------------------------------------
+
+
+def _dp_keep_indices(xs, ys, tol2: float) -> list[int]:
+    """Iterative Douglas-Peucker on ONE polyline: returns the kept vertex
+    indices (0-based, ascending).  Division-free: a vertex's squared
+    distance to the chord is cr²/l2 (cr = the 2D cross product), so the
+    farthest-vertex argmax compares cr² directly (shared l2) and the
+    tolerance test is cr² > tol²·l2 — every op exactly-rounded IEEE,
+    bit-identical to the DuckDB recursive-CTE oracle.  Degenerate chord
+    (l2 = 0) falls back to point distance² vs tol².  Ties on the max
+    break to the FIRST index (strict > while scanning left to right).
+    Bounded per-way work: the stack recursion touches each vertex
+    O(depth) times with depth ≤ n."""
+    n = len(xs)
+    if n <= 2:
+        return list(range(n))
+    keep = [False] * n
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        ax, ay = xs[lo], ys[lo]
+        dx, dy = xs[hi] - ax, ys[hi] - ay
+        l2 = dx * dx + dy * dy
+        best, k = -1.0, -1
+        if l2 == 0.0:
+            for i in range(lo + 1, hi):
+                m = (xs[i] - ax) * (xs[i] - ax) + (ys[i] - ay) * (ys[i] - ay)
+                if m > best:
+                    best, k = m, i
+            thresh = tol2
+        else:
+            for i in range(lo + 1, hi):
+                cr = (xs[i] - ax) * dy - (ys[i] - ay) * dx
+                m = cr * cr
+                if m > best:
+                    best, k = m, i
+            thresh = tol2 * l2
+        if best > thresh:
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return [i for i in range(n) if keep[i]]
+
+
+def simplify_dp(
+    df: DataFrame, tol: float, coords_col: str = "c", id_col: str = "way_id"
+) -> DataFrame:
+    """Douglas-Peucker simplification of gathered polylines: the standard
+    tolerance-based simplifier ``simplify_radial`` is documented as the
+    pre-pass FOR.  Keeps a vertex iff its perpendicular distance to the
+    chord of its enclosing split exceeds ``tol`` (recursing on the
+    farthest such vertex; endpoints always kept).
+
+    Input: one row per polyline with (``id_col`` long, ``coords_col``
+    array<struct<lon,lat>>).  Output: (``id_col``, ``n_in`` original
+    vertex count, ``kept`` the simplified coordinate array).
+
+    Unlike the radial walk this is NOT an ordered fold (the recursion
+    order is data-dependent), so it runs as ONE Arrow-batched
+    ``mapInPandas`` kernel — thousands of polylines per batch, zero
+    shuffle beyond whatever stage gathered the coordinates, the same
+    shape as the ring-assembly kernels (operators/rings.py).  Per-way
+    work is bounded by way length (reference data: ≤2k nodes/way)."""
+    import pandas as pd  # noqa: F401  (Arrow batch interface)
+
+    tol2 = float(tol) * float(tol)
+    schema = f"{id_col} long, n_in long, kept array<struct<lon:double,lat:double>>"
+
+    def batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, n_in, kept = [], [], []
+            for pid, coords in zip(pdf[id_col], pdf[coords_col]):
+                xs = [p["lon"] for p in coords]
+                ys = [p["lat"] for p in coords]
+                ks = _dp_keep_indices(xs, ys, tol2)
+                ids.append(pid)
+                n_in.append(len(xs))
+                kept.append([{"lon": xs[i], "lat": ys[i]} for i in ks])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "n_in": pd.array(n_in, dtype="int64"),
+                    "kept": kept,
+                }
+            )
+
+    return df.select(id_col, coords_col).mapInPandas(batch, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # Web-mercator slippy tiles
 # ---------------------------------------------------------------------------
 

@@ -25,28 +25,43 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # any prefix sample spans all four families — a 10-slot cycle of
 # 3 osm / 3 llm / 3 rel / 1 stream puts 15 osm, 15 llm, 15 rel and
 # 5 stream queries in the first 50.  Within each family a curated
-# showcase head (ring assembly, MinHash-LSH, dedup clustering, the
-# end-to-end curation recipe, …) goes first; the rest keep registration
-# order.  The ordering is presentation-only: the registry itself (and
-# every test keyed on it) is unchanged.
+# showcase head goes first; the rest keep registration order.  The
+# ordering is presentation-only: the registry itself (and every test
+# keyed on it) is unchanged.
+#
+# The heads ROTATE each round (round-7 verdict ask #7): every query below
+# is green in the local two-scale oracle sweep but has never appeared in
+# a driver-recorded CORRECTNESS_r*.json — rounds 1-7 recorded 90 distinct
+# queries, so this round's first-50 accumulates 50 more into the
+# externally verified record (multimodal, CDC/XML lineage, TPC-H SQL,
+# as-of/range joins, graph ops, the bbox-cover containment family, and
+# the sliding/session/dedup streaming faces, none recorded before).
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_ring_assembly", "osm_ring_nesting", "osm_boundary_nested",
-        "osm_pbf_roundtrip", "osm_polygon_rings", "osm_relation_expand",
-        "osm_linestring_wkt", "osm_polygon_wkt", "osm_point_wkt",
-        "osm_area_heuristic", "osm_tag_pivot", "osm_way_endpoints",
-        "osm_topology_segments", "osm_tag_filter_keep_first",
-        "osm_route_linestring",
+        "osm_multipolygon_area", "osm_admin_hierarchy", "osm_point_in_admin",
+        "osm_point_in_polygon", "osm_xml_roundtrip", "osm_apply_changes",
+        "osm_geoparquet_roundtrip", "osm_wkb_roundtrip", "osm_way_length",
+        "osm_tile_binning", "osm_nearest_node", "osm_map_match",
+        "osm_shortest_path", "osm_pagerank", "osm_turn_restrictions",
     ],
     "llm": [
-        "llm_minhash_lsh", "llm_dedup_clusters", "llm_curation_recipe",
-        "llm_exact_dedup", "llm_jaccard_pairs", "llm_tfidf_pairs",
-        "llm_semantic_dedup", "llm_embed_neardup", "llm_cosine_topk",
-        "llm_ann_ivf_topk", "llm_token_stats", "llm_langid",
-        "llm_quality_filter", "llm_vocab_tokenize", "llm_hybrid_rrf",
+        "llm_ann_ivfpq_topk", "llm_retrieval_recall", "llm_bm25_topk",
+        "llm_paragraph_dedup", "llm_url_dedup", "llm_simhash",
+        "llm_winnow_fingerprint", "llm_fuzzy_edit_pairs", "llm_contamination",
+        "llm_gopher_rules", "llm_lm_score", "llm_sequence_pack",
+        "llm_domain_mixture", "llm_multimodal_meta", "llm_frame_sample",
     ],
-    "stream": ["stream_upsert_latest", "stream_user_totals_tws", "stream_tumbling_counts"],
-    "rel": [],
+    "stream": [
+        "stream_sliding_counts", "stream_session_counts", "stream_exact_dedup",
+        "stream_heavy_hitters", "stream_late_events",
+    ],
+    "rel": [
+        "rel_sql_tpch_q3", "rel_sql_tpch_q5", "rel_asof_join",
+        "rel_range_join", "rel_sessionize_events", "rel_rollup_revenue",
+        "rel_intersect_except", "rel_rank_dense_ntile", "rel_interval_overlap",
+        "rel_ab_test", "rel_markov_transitions", "rel_mad_outliers",
+        "rel_cusum_drift", "rel_ntile_bands", "rel_bitmap_flags",
+    ],
 }
 # 10-slot cycle → first-50 composition 15/15/15/5 (osm/llm/rel/stream)
 _CYCLE = ["osm", "llm", "rel", "osm", "llm", "rel", "osm", "llm", "rel", "stream"]

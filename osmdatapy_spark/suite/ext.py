@@ -2933,15 +2933,46 @@ def _retrieval_recall_oracle() -> str:
     "production); everything else is joins of top-k row sets.",
 )
 def llm_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three expensive legs feed four tiny row sets, and each set is read
+    # 2x downstream (count + join).  Without materialization the lazy
+    # plan re-executed the hybrid/IVF-PQ/brute lineages up to 6x (~18s
+    # cold, the round-7 outlier).  Fix, per the round-7 verdict: ONE
+    # shared brute-force truth leg (probes vec_id%50==0 ⊇ probe 0, k=10;
+    # top-3 is its rank<=3 prefix — same total order, so the derivation
+    # is exact), localCheckpoint every leg down to its <=10·n_probes-row
+    # result, and materialize the three legs CONCURRENTLY (driver-side
+    # threads submitting independent Spark jobs — local[32] has idle
+    # slots; results are deterministic row sets, so execution overlap is
+    # invisible to semantics).  The final assembly is one trivial job
+    # over checkpointed rows.
+    from concurrent.futures import ThreadPoolExecutor
+
     from osmdatapy_spark.functions.similarity import brute_force_topk
     from osmdatapy_spark.suite.registry import QUERY_REGISTRY
 
     emb = T(spark, sf_dir, "embeddings")
 
-    hy = QUERY_REGISTRY["llm_hybrid_rrf"].fn(spark, sf_dir).select("doc_id")
-    bf0 = brute_force_topk(emb, emb.filter(col("vec_id") == 0), k=10).select(
-        col("nbr_id").alias("doc_id")
-    )
+    legs = {
+        "hy": lambda: QUERY_REGISTRY["llm_hybrid_rrf"].fn(spark, sf_dir).select("doc_id"),
+        "ivfpq": lambda: QUERY_REGISTRY["llm_ann_ivfpq_topk"].fn(spark, sf_dir).select(
+            "probe_id", "nbr_id"
+        ),
+        "bf": lambda: brute_force_topk(
+            emb, emb.filter(col("vec_id") % 50 == 0), k=10
+        ).select("probe_id", "nbr_id", "rank"),
+    }
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        done = {
+            name: fut.result()
+            for name, fut in [
+                (n, pool.submit(lambda f=f: f().localCheckpoint())) for n, f in legs.items()
+            ]
+        }
+    hy, ivfpq, bf = done["hy"], done["ivfpq"], done["bf"]
+
+    bf0 = bf.filter(col("probe_id") == 0).select(col("nbr_id").alias("doc_id"))
+    bfp = bf.filter(col("rank") <= 3).select("probe_id", "nbr_id")
+
     n_bf0 = bf0.agg(F.count("*").alias("n_truth"))
     r1 = (
         hy.join(bf0, "doc_id")
@@ -2953,13 +2984,6 @@ def llm_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             (col("n_hits").cast("double") / col("n_truth")).alias("recall"),
         )
-    )
-
-    ivfpq = QUERY_REGISTRY["llm_ann_ivfpq_topk"].fn(spark, sf_dir).select(
-        "probe_id", "nbr_id"
-    )
-    bfp = brute_force_topk(emb, emb.filter(col("vec_id") % 50 == 0), k=3).select(
-        "probe_id", "nbr_id"
     )
     n_bfp = bfp.agg(F.count("*").alias("n_truth"))
     r2 = (
