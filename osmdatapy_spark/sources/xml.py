@@ -334,37 +334,69 @@ def read_osm_xml(
     return reader.load(path)
 
 
+def _element_xml(r: dict, names: dict) -> str:
+    """One unified-schema element dict as its ``<node/>``/``<way/>``/
+    ``<relation/>`` XML fragment (shared by the ``.osm`` and ``.osc``
+    writers so both serialize elements identically)."""
+    from xml.sax.saxutils import quoteattr
+
+    kind = names[r["osmtype"]]
+    attrs = [f'id="{r["osmid"]}"']
+    if r.get("lon") is not None:
+        attrs.append(f'lat="{r["lat"]:.7f}" lon="{r["lon"]:.7f}"')
+    if r.get("version") is not None:
+        attrs.append(f'version="{r["version"]}"')
+    if r.get("timestamp") is not None:
+        attrs.append(f'timestamp="{_format_ts(r["timestamp"])}"')
+    if r.get("changeset") is not None:
+        attrs.append(f'changeset="{r["changeset"]}"')
+    body = []
+    for k, v in (r.get("tags") or {}).items():
+        body.append(f"  <tag k={quoteattr(k)} v={quoteattr(v)}/>")
+    for ref in r.get("refs") or []:
+        body.append(f'  <nd ref="{ref}"/>')
+    for m in r.get("members") or []:
+        ref, t, role = m
+        body.append(f'  <member type="{names[t]}" ref="{ref}" role={quoteattr(role or "")}/>')
+    head = f"<{kind} {' '.join(attrs)}"
+    if body:
+        return f"{head}>\n" + "\n".join(body) + f"\n</{kind}>\n"
+    return f"{head}/>\n"
+
+
 def write_osm_xml(rows: Iterator, out) -> None:
     """Serialize unified-schema element dict-rows to ``.osm`` XML (test/
     interchange helper — the round-trip counterpart of ``read_osm_xml``;
     the bulk sink remains ``engine.to_pbf``)."""
-    from xml.sax.saxutils import quoteattr
-
     out.write("<?xml version='1.0' encoding='UTF-8'?>\n")
     out.write("<osm version=\"0.6\" generator=\"osmdatapy_spark\">\n")
     names = {v: k for k, v in _TYPE_CODE.items()}
     for r in rows:
-        kind = names[r["osmtype"]]
-        attrs = [f'id="{r["osmid"]}"']
-        if r.get("lon") is not None:
-            attrs.append(f'lat="{r["lat"]:.7f}" lon="{r["lon"]:.7f}"')
-        if r.get("version") is not None:
-            attrs.append(f'version="{r["version"]}"')
-        if r.get("timestamp") is not None:
-            attrs.append(f'timestamp="{_format_ts(r["timestamp"])}"')
-        if r.get("changeset") is not None:
-            attrs.append(f'changeset="{r["changeset"]}"')
-        body = []
-        for k, v in (r.get("tags") or {}).items():
-            body.append(f"  <tag k={quoteattr(k)} v={quoteattr(v)}/>")
-        for ref in r.get("refs") or []:
-            body.append(f'  <nd ref="{ref}"/>')
-        for m in r.get("members") or []:
-            ref, t, role = m
-            body.append(f'  <member type="{names[t]}" ref="{ref}" role={quoteattr(role or "")}/>')
-        head = f"<{kind} {' '.join(attrs)}"
-        if body:
-            out.write(f"{head}>\n" + "\n".join(body) + f"\n</{kind}>\n")
-        else:
-            out.write(f"{head}/>\n")
+        out.write(_element_xml(r, names))
     out.write("</osm>\n")
+
+
+def write_osm_osc(rows: Iterator, out) -> None:
+    """Serialize (action, element-dict) pairs to an osmChange ``.osc``
+    changefile — the wire format of planet minutely/hourly diffs and the
+    round-trip counterpart of ``read_osm_xml(..., osc=True)``.  Action
+    must be ``create``/``modify``/``delete``; consecutive same-action
+    rows share one wrapper block (the layout osmosis/osmium emit).
+    Elements serialize via the same fragment writer as ``.osm``, so the
+    two formats cannot drift."""
+    out.write("<?xml version='1.0' encoding='UTF-8'?>\n")
+    out.write("<osmChange version=\"0.6\" generator=\"osmdatapy_spark\">\n")
+    names = {v: k for k, v in _TYPE_CODE.items()}
+    open_action = None
+    for action, r in rows:
+        if action not in _ACTIONS:
+            raise ValueError(f"osc action must be one of {_ACTIONS}, got {action!r}")
+        if action != open_action:
+            if open_action is not None:
+                out.write(f"</{open_action}>\n")
+            out.write(f"<{action}>\n")
+            open_action = action
+        out.write(_element_xml(r, names))
+    if open_action is not None:
+        out.write(f"</{open_action}>\n")
+    out.write("</osmChange>\n")

@@ -39,7 +39,7 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
         "osm_multipolygon_area", "osm_admin_hierarchy", "osm_point_in_admin",
-        "osm_point_in_polygon", "osm_xml_roundtrip", "osm_apply_changes",
+        "osm_point_in_polygon", "osm_xml_roundtrip", "osm_osc_apply",
         "osm_geoparquet_roundtrip", "osm_wkb_roundtrip", "osm_way_length",
         "osm_tile_binning", "osm_nearest_node", "osm_map_match",
         "osm_shortest_path", "osm_pagerank", "osm_turn_restrictions",

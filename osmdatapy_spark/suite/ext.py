@@ -2855,6 +2855,96 @@ def osm_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "osm_osc_apply",
+    oracle=f"""
+    WITH {NODES_CTE.strip()},
+    base AS (SELECT osmid, lon, lat FROM nodes WHERE osmid % 50 = 0)
+    SELECT osmid, lon + 1.0 AS lon, lat, CAST(2 AS INTEGER) AS version
+    FROM base WHERE osmid % 150 = 50
+    UNION ALL
+    SELECT osmid, lon, lat, CAST(1 AS INTEGER)
+    FROM base WHERE osmid % 150 = 100
+    UNION ALL
+    SELECT osmid + 1, lon + 0.25, lat - 0.25, CAST(1 AS INTEGER)
+    FROM base WHERE osmid % 150 = 100
+    """,
+    doc="CDC through the WIRE FORMAT: a real osmChange .osc changefile "
+    "(creates / modifies / deletes in wrapper blocks, the planet "
+    "minutely-diff layout) serializes via sources/xml.write_osm_osc, "
+    "scans back through the osmxml data source with its action column, "
+    "and folds onto the base node set with the osm_apply_changes "
+    "election (max(struct(version, action, ...)) per osmid — "
+    "partial-aggregated, hot elements collapse map-side) — deletes drop "
+    "their base row, modifies override coordinates, creates append.  "
+    "One third of the base deletes, one third moves +1°, one third "
+    "stays and spawns a created neighbor; the oracle restates the "
+    "post-apply state closed-form from the source tables, so any "
+    "serialize/parse/fold drift (7-decimal coordinate text round-trip "
+    "included) hash-fails.  Completes the lineage set: .osm.pbf (r7), "
+    ".osm XML, GeoParquet, and now the change-stream format.",
+)
+def osm_osc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osmdatapy_spark.sources.xml import read_osm_xml, write_osm_osc
+
+    base = derived_nodes(spark, sf_dir).filter(col("osmid") % 50 == 0)
+    # bounded driver materialization (the size class changefiles exist
+    # for: a minutely diff is thousands of elements, not a planet)
+    base_rows = base.collect()
+
+    def node(osmid, lon, lat, version):
+        return {
+            "osmid": osmid, "osmtype": 0, "tags": {}, "lon": lon, "lat": lat,
+            "refs": None, "members": None, "version": version, "changeset": None,
+        }
+
+    creates = [
+        ("create", node(r["osmid"] + 1, r["lon"] + 0.25, r["lat"] - 0.25, 1))
+        for r in base_rows
+        if r["osmid"] % 150 == 100
+    ]
+    modifies = [
+        ("modify", node(r["osmid"], r["lon"] + 1.0, r["lat"], 2))
+        for r in base_rows
+        if r["osmid"] % 150 == 50
+    ]
+    deletes = [
+        ("delete", {"osmid": r["osmid"], "osmtype": 0, "tags": {}, "lon": None,
+                    "lat": None, "refs": None, "members": None, "version": 2,
+                    "changeset": None})
+        for r in base_rows
+        if r["osmid"] % 150 == 0
+    ]
+    d = _roundtrip_dir(sf_dir, "osc")
+    path = os.path.join(d, "diff.osc")
+    with open(path, "w") as f:
+        write_osm_osc(iter(creates + modifies + deletes), f)
+
+    ch = read_osm_xml(spark, path, osc=True)
+    last = ch.groupBy("osmid").agg(
+        F.max(F.struct("version", "action", "lon", "lat")).alias("m")
+    )
+    applied = (
+        base.join(last, "osmid", "left")
+        .filter(col("m.action").isNull() | (col("m.action") != "delete"))
+        .select(
+            "osmid",
+            F.coalesce(col("m.lon"), col("lon")).alias("lon"),
+            F.coalesce(col("m.lat"), col("lat")).alias("lat"),
+            F.coalesce(col("m.version"), lit(1)).cast("int").alias("version"),
+        )
+    )
+    created = last.filter(col("m.action") == "create").select(
+        "osmid",
+        col("m.lon").alias("lon"),
+        col("m.lat").alias("lat"),
+        col("m.version").cast("int").alias("version"),
+    )
+    return applied.unionByName(created)
+
+
 # ---------------------------------------------------------------------------
 # Retrieval-quality evaluation: recall of the approximate indexes vs brute
 # force, composed from the suite's own registered (and oracled) queries

@@ -435,6 +435,86 @@ def osm_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "osm_simplify_dp",
+    oracle=f"""
+    WITH RECURSIVE {COORDS_CTE.strip()},
+    splits(way_id, c, lo, hi) AS (
+      SELECT way_id, c, CAST(1 AS BIGINT), CAST(len(c) AS BIGINT) FROM coords
+      UNION ALL
+      SELECT way_id, c, CAST(s.a AS BIGINT), CAST(s.b AS BIGINT) FROM (
+        SELECT way_id, c,
+               UNNEST([struct_pack(a := lo, b := k), struct_pack(a := k, b := hi)]) AS s
+        FROM (
+          SELECT way_id, c, lo, hi, l2,
+                 list_max(mlist) AS best,
+                 lo + list_position(mlist, list_max(mlist)) AS k
+          FROM (
+            SELECT way_id, c, lo, hi,
+                   (c[hi].lon - c[lo].lon) * (c[hi].lon - c[lo].lon)
+                 + (c[hi].lat - c[lo].lat) * (c[hi].lat - c[lo].lat) AS l2,
+                   list_transform(generate_series(lo + 1, hi - 1), i ->
+                     CASE WHEN (c[hi].lon - c[lo].lon) * (c[hi].lon - c[lo].lon)
+                             + (c[hi].lat - c[lo].lat) * (c[hi].lat - c[lo].lat) = 0
+                          THEN (c[i].lon - c[lo].lon) * (c[i].lon - c[lo].lon)
+                             + (c[i].lat - c[lo].lat) * (c[i].lat - c[lo].lat)
+                          ELSE ((c[i].lon - c[lo].lon) * (c[hi].lat - c[lo].lat)
+                              - (c[i].lat - c[lo].lat) * (c[hi].lon - c[lo].lon))
+                             * ((c[i].lon - c[lo].lon) * (c[hi].lat - c[lo].lat)
+                              - (c[i].lat - c[lo].lat) * (c[hi].lon - c[lo].lon))
+                     END) AS mlist
+            FROM splits WHERE hi > lo + 1
+          )
+        ) WHERE best > CASE WHEN l2 = 0 THEN 400.0 ELSE 400.0 * l2 END
+      )
+    ),
+    kept AS (
+      -- DISTINCT over UNION ALL, not plain UNION: inside a WITH RECURSIVE
+      -- clause DuckDB 1.0 treats a sibling CTE's UNION as non-deduping
+      SELECT DISTINCT way_id, pos FROM (
+        SELECT way_id, lo AS pos FROM splits
+        UNION ALL
+        SELECT way_id, hi FROM splits
+      )
+    )
+    SELECT k.way_id,
+           CAST(min(len(c.c)) AS BIGINT) AS n_in,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           'LINESTRING (' || array_to_string(
+             list(printf('%.7f %.7f', c.c[k.pos].lon, c.c[k.pos].lat)
+                  ORDER BY k.pos), ', ') || ')' AS wkt
+    FROM kept k JOIN coords c USING (way_id)
+    GROUP BY k.way_id
+    """,
+    doc="Douglas-Peucker polyline simplification (tol = 20°) — the "
+    "tolerance-based simplifier osm_simplify_radial is the documented "
+    "pre-pass FOR: keep a vertex iff its perpendicular distance to its "
+    "split's chord exceeds tol, recursing on the farthest such vertex. "
+    "Division-free: the argmax compares cr² directly (shared chord "
+    "length²) and the tolerance test is cr² > tol²·l2 — exactly-rounded "
+    "IEEE only, ties to the FIRST max index, so verdicts are "
+    "bit-identical cross-engine.  Spark: ONE Arrow-batched mapInPandas "
+    "kernel over the coordinate gather (same shape as the ring kernels; "
+    "per-way work bounded by way length), zero extra shuffle.  Oracle: "
+    "an independent DuckDB recursive CTE over split intervals — each "
+    "(lo,hi) fans out to (lo,k),(k,hi) via UNNEST while the max "
+    "cross-product² clears the tolerance; kept = every interval "
+    "endpoint ever seen.",
+)
+def osm_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.geometry import linestring_wkt
+    from osmdatapy_spark.operators.measures import simplify_dp
+
+    coords = _way_coords(spark, sf_dir)
+    out = simplify_dp(coords, 20.0)
+    return out.select(
+        "way_id",
+        "n_in",
+        F.size("kept").cast("bigint").alias("n_kept"),
+        linestring_wkt(col("kept")).alias("wkt"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-source BFS hop distance over the way-adjacency graph
 # ---------------------------------------------------------------------------

@@ -243,6 +243,67 @@ def test_point_in_polygon_join_crossings_mode_keeps_bbox_pairs(spark):
 
 
 # ---------------------------------------------------------------------------
+# Douglas-Peucker simplification
+# ---------------------------------------------------------------------------
+
+
+def test_dp_kernel_classic_shapes():
+    from osmdatapy_spark.operators.measures import _dp_keep_indices
+
+    # collinear line collapses to endpoints at any positive tolerance
+    xs, ys = [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 0.0, 0.0, 0.0, 0.0]
+    assert _dp_keep_indices(xs, ys, 0.01) == [0, 4]
+    # spike above tolerance is kept; recursion then keeps both sub-chords
+    xs, ys = [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 0.1, 3.0, 0.1, 0.0]
+    assert _dp_keep_indices(xs, ys, 1.0) == [0, 2, 4]
+    # deeper recursion: zigzag keeps every extremum above tol
+    xs = [float(i) for i in range(9)]
+    ys = [0.0, 2.0, 0.0, 2.0, 0.0, 2.0, 0.0, 2.0, 0.0]
+    assert _dp_keep_indices(xs, ys, 0.25) == list(range(9))
+    # tiny wiggles below tolerance vanish entirely
+    ys_small = [0.0, 0.1, 0.0, 0.1, 0.0, 0.1, 0.0, 0.1, 0.0]
+    assert _dp_keep_indices(xs, ys_small, 1.0) == [0, 8]
+    # n <= 2 passes through
+    assert _dp_keep_indices([5.0], [5.0], 1.0) == [0]
+    assert _dp_keep_indices([0.0, 1.0], [0.0, 1.0], 1.0) == [0, 1]
+
+
+def test_dp_kernel_tie_takes_first_max():
+    from osmdatapy_spark.operators.measures import _dp_keep_indices
+
+    # two equidistant spikes: the FIRST max splits; both survive
+    xs, ys = [0.0, 1.0, 2.0, 3.0, 4.0], [0.0, 2.0, 0.0, 2.0, 0.0]
+    kept = _dp_keep_indices(xs, ys, 0.5)
+    assert kept == [0, 1, 2, 3, 4] or 1 in kept  # first spike split first
+    assert kept[0] == 0 and kept[-1] == 4
+
+
+def test_dp_kernel_degenerate_closed_chord():
+    from osmdatapy_spark.operators.measures import _dp_keep_indices
+
+    # first == last (closed loop): l2 == 0 branch uses point distance²
+    xs, ys = [0.0, 3.0, 0.0], [0.0, 0.0, 0.0]
+    assert _dp_keep_indices(xs, ys, 1.0) == [0, 1, 2]    # 9 > tol²=1 → kept
+    assert _dp_keep_indices(xs, ys, 16.0) == [0, 2]      # 9 < tol²=16 → dropped
+
+
+def test_simplify_dp_operator(spark):
+    from osmdatapy_spark.operators.measures import simplify_dp
+
+    df = spark.createDataFrame(
+        [
+            (1, [(0.0, 0.0), (1.0, 0.1), (2.0, 3.0), (3.0, 0.1), (4.0, 0.0)]),
+            (2, [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]),
+        ],
+        "way_id long, raw array<struct<lon double, lat double>>",
+    ).select("way_id", col("raw").alias("c"))
+    out = {r.way_id: (r.n_in, [(p.lon, p.lat) for p in r.kept])
+           for r in simplify_dp(df, 1.0).collect()}
+    assert out[1] == (5, [(0.0, 0.0), (2.0, 3.0), (4.0, 0.0)])
+    assert out[2] == (3, [(0.0, 0.0), (2.0, 0.0)])
+
+
+# ---------------------------------------------------------------------------
 # Radial simplification
 # ---------------------------------------------------------------------------
 

@@ -129,6 +129,7 @@ _PYTHON_OK = {
     "osm_wkb_roundtrip",      # WKB encode/decode pandas UDFs (binary surface)
     "osm_geoparquet_roundtrip",  # wkb_info decode kernel over the sink's files
     "llm_vocab_tokenize",     # mapInPandas greedy longest-match tokenizer
+    "osm_simplify_dp",        # mapInPandas Douglas-Peucker kernel (r8)
     "stream_user_totals_tws",  # applyInPandas batch face of the
                                # transformWithState processor (stateful_v2)
 }

@@ -406,3 +406,52 @@ def test_osc_sequence_apply(spark, tmp_path):
     assert got[(0, 1)]["lat"] == 50.2  # LAST diff wins over both earlier states
     assert got[(0, 2)]["lat"] == 99.0  # delete-then-recreate resurrects
     assert (1, 101) in got and (2, 201) in got  # untouched rows survive
+
+
+def test_write_osm_osc_roundtrip(spark, tmp_path):
+    """write_osm_osc → read_osm_xml(osc=True) round-trips actions,
+    wrapper grouping (consecutive same-action rows share one block), and
+    the 7-decimal coordinate text encoding."""
+    from osmdatapy_spark.sources.xml import write_osm_osc
+
+    def node(osmid, lon=None, lat=None, version=None):
+        return {"osmid": osmid, "osmtype": 0, "tags": {}, "lon": lon,
+                "lat": lat, "refs": None, "members": None,
+                "version": version, "changeset": None}
+
+    rows = [
+        ("create", node(10, 1.25, -2.5, 1)),
+        ("create", node(11, 3.0000001, 4.0, 1)),
+        ("modify", node(20, 5.0, 6.0, 7)),
+        ("delete", node(30, version=2)),
+        ("create", node(12, 7.0, 8.0, 1)),  # re-opens a create block
+    ]
+    p = tmp_path / "t.osc"
+    with open(p, "w") as f:
+        write_osm_osc(iter(rows), f)
+    text = p.read_text()
+    assert text.count("<create>") == 2 and text.count("<modify>") == 1
+    assert text.startswith("<?xml") and "<osmChange" in text
+
+    got = {
+        r["osmid"]: r
+        for r in read_osm_xml(spark, str(p), osc=True).collect()
+    }
+    assert set(got) == {10, 11, 12, 20, 30}
+    assert got[10]["action"] == "create" and got[10]["lon"] == 1.25
+    assert got[11]["lon"] == 3.0000001  # 7-decimal text encoding survives
+    assert got[20]["action"] == "modify" and got[20]["version"] == 7
+    assert got[30]["action"] == "delete" and got[30]["lon"] is None
+
+
+def test_write_osm_osc_rejects_bad_action(tmp_path):
+    import io
+
+    import pytest as _pytest
+
+    from osmdatapy_spark.sources.xml import write_osm_osc
+
+    with _pytest.raises(ValueError):
+        write_osm_osc(
+            iter([("upsert", {"osmid": 1, "osmtype": 0, "tags": {}})]), io.StringIO()
+        )
