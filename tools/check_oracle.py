@@ -151,12 +151,13 @@ def main() -> int:
             n_fail += 1
             continue
         finally:
+            t_spark = time.time() - t0
             # bench.py's discipline: queries must not lean on (or pay the
             # memory pressure of) caches leaked by earlier queries —
             # self-persisting pipelines re-register these per call
             spark.catalog.clearCache()
         if qd.oracle is None:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
             n_rows_only += 1
             continue
         try:
@@ -190,7 +191,14 @@ def main() -> int:
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
-            print(f"PASS  {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+            # spark and oracle walls SEPARATELY: r7's verdict flagged that
+            # the combined wall reads as engine perf (llm_tfidf_pairs
+            # printed 108s at sf0.1 of which 71s was DuckDB re-deriving
+            # TF-IDF) — anyone scanning sweep logs needs the split
+            print(
+                f"PASS  {name}: {len(a)} rows "
+                f"[spark {t_spark:.1f}s | oracle {time.time()-t0-t_spark:.1f}s]"
+            )
             n_pass += 1
         except AssertionError as e:
             msg = str(e).split("\n")[0:4]
