@@ -1668,6 +1668,150 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Generated DuckDB oracle for the multi-round BPE trainer: per round,
+    pair counts over the (distinct word, frequency, symbol list) table,
+    the (cnt DESC, left, right) argmax, and the merge APPLIED via a
+    closed-form parity mask — an INDEPENDENT formulation of the greedy
+    left-to-right non-overlapping merge the Spark side does as an
+    ordered fold: candidate position i merges iff its offset inside its
+    maximal run of consecutive candidate positions is odd (for L≠R runs
+    have length 1 and all candidates merge; for L=R this is exactly the
+    pair-up-from-the-left semantics)."""
+    parts = [
+        r"""w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f,
+             list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""b{r} AS (
+      SELECT s[i] AS l, s[i + 1] AS r2, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM w{r - 1}, UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1, 2 ORDER BY cnt DESC, l, r2 LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""w{r} AS (
+      SELECT w, f,
+             list_filter(list_transform(generate_series(1, len(s)), i ->
+               CASE WHEN i < len(s) AND mk[i] THEN s[i] || s[i + 1]
+                    WHEN i > 1 AND mk[i - 1] THEN NULL
+                    ELSE s[i] END), x -> x IS NOT NULL) AS s
+      FROM (
+        SELECT w, f, s,
+               list_transform(generate_series(1, len(s) - 1), i ->
+                 s[i] = b.l AND s[i + 1] = b.r2
+                 AND ((i - coalesce(list_max(list_filter(generate_series(1, i - 1),
+                        j -> NOT (s[j] = b.l AND s[j + 1] = b.r2))), 0)) % 2 = 1)
+               ) AS mk
+        FROM w{r - 1}, b{r} b
+      )
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, l AS left_sym, r2 AS right_sym, cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + unions
+
+
+def _bpe_merge_apply(s, left: str, right: str):
+    """Greedy left-to-right non-overlapping application of ONE merge to a
+    symbol array, as a pure Column fold (zero shuffle, rides whatever
+    stage holds the word table): append each symbol, except when the
+    accumulator's last element is ``left`` and the incoming symbol is
+    ``right`` — then replace the last element with the merged symbol.
+    For runs (left = right) this pairs from the left, the Sennrich BPE
+    semantics; the oracle re-derives the same mask via run-offset parity
+    instead of a fold, so the two engines cannot share a bug."""
+    acc0 = F.slice(s, 1, 0)  # typed empty array<string>
+
+    def step(acc, x):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lit(left))
+            & (x == lit(right))
+        )
+        merged = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.concat(F.element_at(acc, -1), x)),
+        )
+        return F.when(can, merged).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(s, acc0, step)
+
+
+@register(
+    "llm_bpe_train",
+    oracle=_bpe_train_oracle(),
+    doc=f"BPE tokenizer TRAINING, {_BPE_ROUNDS} full merge rounds (the "
+    "iterative Sennrich et al. loop, not just round-1 candidates like "
+    "llm_bpe_merge_candidates): per round, corpus-weighted adjacent-"
+    "symbol pair counts over the DISTINCT-word table, the (cnt DESC, "
+    "left, right) argmax becomes the round's merge, and the merge is "
+    "APPLIED to every word's symbol list before the next round.  Scale "
+    "shape: the corpus collapses to (word, freq) ONCE (one partial-agg "
+    "exchange, vocabulary-sized output — at 100 TB the word table is "
+    "the small side and is persisted across rounds); each round is one "
+    "vocab-sized aggregation plus a 1-row driver election (bounded "
+    "collect, the kmeans-seed pattern), and merge application is a "
+    "pure-Column ordered fold, zero shuffle.  The oracle replays all "
+    f"{_BPE_ROUNDS} rounds with the merge mask derived via run-offset "
+    "parity — an independent closed-form of the greedy non-overlapping "
+    "left-to-right merge.",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = TS(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    base = words.select(
+        "w",
+        "f",
+        F.transform(
+            F.sequence(lit(1), F.length("w")),
+            lambda i: F.substring(col("w"), i, lit(1)),
+        ).alias("s"),
+    ).persist()
+    syms = base
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        n = F.size("s") - 1
+        pairs = syms.select(
+            "f",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(col("s"), 1, n).alias("l"),
+                    F.slice(col("s"), 2, n).alias("r2"),
+                )
+            ).alias("p"),
+        ).select(col("p.l").alias("l"), col("p.r2").alias("r2"), "f")
+        best = (
+            pairs.groupBy("l", "r2")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(col("cnt").desc(), "l", "r2")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, best["l"], best["r2"], int(best["cnt"])))
+        syms = syms.select(
+            "w", "f", _bpe_merge_apply(col("s"), best["l"], best["r2"]).alias("s")
+        )
+    base.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round bigint, left_sym string, right_sym string, cnt bigint"
+    )
+
+
 def _tokenizer_vocab_values() -> str:
     from osmdatapy_spark.functions.text import TOKENIZER_VOCAB
 

@@ -966,3 +966,60 @@ def test_bucket_pairs_spread_pair_set_identity(spark):
         assert spread == base, f"n={len(ids)}"
         # every consecutive pair present -> bucket stays one component
         assert all((ids[i], ids[i + 1]) in base for i in range(len(ids) - 1))
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer merge fold
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_py(syms, left, right):
+    """Reference greedy left-to-right non-overlapping merge."""
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    from pyspark.sql import functions as F
+
+    from osmdatapy_spark.suite.llm import _bpe_merge_apply
+
+    cases = [
+        (["a", "b", "c"], "a", "b"),
+        (["a", "a", "a"], "a", "a"),            # odd run pairs from the left
+        (["a", "a", "a", "a"], "a", "a"),       # even run pairs fully
+        (["b", "a", "a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "b"], "a", "b"),            # merged symbol must not re-pair
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["x"], "a", "b"),
+        (["ab", "ab", "c"], "ab", "ab"),        # multi-char symbols
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _, _) in enumerate(cases)], "i long, s array<string>"
+    )
+    for i, (syms, left, right) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_merge_apply(F.col("s"), left, right).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert list(got) == _bpe_merge_py(syms, left, right), (syms, left, right)
+
+
+def test_bpe_train_rounds_apply_merges(spark):
+    """The trainer's successive merges must be distinct (a merge, once
+    applied, consumes its pair occurrences and cannot win again)."""
+    from osmdatapy_spark.suite.registry import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["llm_bpe_train"].fn(spark, SF1).collect()
+    assert [r["merge_round"] for r in rows] == [1, 2, 3]
+    pairs = [(r["left_sym"], r["right_sym"]) for r in rows]
+    assert len(set(pairs)) == 3  # a merge, once applied, cannot win again

@@ -142,6 +142,7 @@ _SKIP_BUILD = {
     "llm_dedup_clusters",
     "llm_dedup_pipeline",
     "osm_relation_expand_depth3",
+    "llm_bpe_train",  # 3-round trainer: per-round 1-row merge elections
 }
 
 
