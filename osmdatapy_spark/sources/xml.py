@@ -28,7 +28,12 @@ import gzip
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 from osmdatapy_spark.sources.pbf import PBF_SCHEMA
@@ -266,6 +271,85 @@ class OsmXmlDataSourceReader(DataSourceReader):
             yield to_batch(buf)
 
 
+class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the osmxml source: watch a DIRECTORY of
+    ``.osc``/``.osm`` files and emit each file's elements exactly once —
+    the planet minutely/hourly-diff watcher (osmosis' replication
+    pipeline) as a Structured Streaming source, feeding the CDC fold
+    (``osm_osc_apply`` / ``stream_upsert_latest``) incrementally.
+
+    Offset = the last processed file NAME: replication diffs are
+    sequence-numbered (``000/123/456.osc.gz``), so lexicographic file
+    order IS the replication order, the offset is a single scalar, and
+    ``readBetweenOffsets`` replays any (start, end] window
+    deterministically for recovery.  Files must be appended with
+    ever-increasing names (the replication contract); a name ≤ the
+    offset is never re-read.  The unit of progress is the FILE — the
+    same non-splittable-XML positioning as the batch reader."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osmxml stream source requires a directory path")
+        self.osmtypes = _parse_osmtypes(options.get("osmtypes"))
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _all_files(self) -> "list[str]":
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(
+                f
+                for f in glob.glob(os.path.join(self.path, "*"))
+                if f.endswith(
+                    (".osm", ".osc", ".osm.gz", ".osc.gz", ".osm.bz2", ".osc.bz2")
+                )
+            )
+        return sorted(glob.glob(self.path))
+
+    def _rows(self, files: "list[str]") -> "list[tuple]":
+        # a LIST, not a generator: the simple-reader wrapper prefetches
+        # and PICKLES the batch to cache it against replay — bounded by
+        # per-microbatch diff size (replication diffs are small by
+        # contract; bulk loads go through the batch/PBF path)
+        has_action = "action" in self.fields
+        data_fields = [f for f in self.fields if f != "action"]
+        out = []
+        for path in files:
+            for action, row in iter_osm_xml(
+                path, osmtypes=self.osmtypes, columns=data_fields
+            ):
+                vals = [row.get(f) for f in data_fields]
+                if has_action:
+                    vals.append(action)
+                out.append(tuple(vals))
+        return out
+
+    def read(self, start: dict):
+        import os
+
+        new = [f for f in self._all_files() if os.path.basename(f) > start["last"]]
+        if not new:
+            return [], start
+        end = {"last": os.path.basename(new[-1])}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> "list[tuple]":
+        import os
+
+        files = [
+            f
+            for f in self._all_files()
+            if start["last"] < os.path.basename(f) <= end["last"]
+        ]
+        return self._rows(files)
+
+
 class OsmXmlDataSource(DataSource):
     """``spark.read.format("osmxml")`` — OSM XML / osmChange as a DataFrame."""
 
@@ -298,6 +382,9 @@ class OsmXmlDataSource(DataSource):
     def reader(self, schema: StructType) -> OsmXmlDataSourceReader:
         return OsmXmlDataSourceReader(schema, dict(self.options))
 
+    def simpleStreamReader(self, schema: StructType) -> OsmXmlSimpleStreamReader:
+        return OsmXmlSimpleStreamReader(schema, dict(self.options))
+
 
 def _parse_osmtypes(raw) -> "set[int] | None":
     if raw is None or raw == "":
@@ -325,6 +412,31 @@ def read_osm_xml(
     push down, so the options are where pruning becomes real)."""
     register(spark)
     reader = spark.read.format("osmxml")
+    if osc:
+        reader = reader.option("osc", "true")
+    if osmtypes is not None:
+        reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
+    if columns is not None:
+        reader = reader.option("columns", ",".join(columns))
+    return reader.load(path)
+
+
+def read_osm_xml_stream(
+    spark: SparkSession,
+    path: str,
+    osc: bool = True,
+    osmtypes: "set[int] | None" = None,
+    columns: "list[str] | None" = None,
+) -> DataFrame:
+    """``spark.readStream`` over a directory of ``.osc`` changefiles (or
+    ``.osm`` snapshots with ``osc=False``): each file that appears under
+    ``path`` with a lexicographically LATER name is emitted exactly once
+    — the replication-diff watcher as a streaming DataFrame, with the
+    same pruning options as the batch reader.  Downstream, the CDC fold
+    (latest version per osmid) runs per micro-batch via foreachBatch or
+    as a watermarked stateful aggregation."""
+    register(spark)
+    reader = spark.readStream.format("osmxml")
     if osc:
         reader = reader.option("osc", "true")
     if osmtypes is not None:
