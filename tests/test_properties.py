@@ -558,3 +558,52 @@ def test_assign_polygons_random_nesting(spark, layout):
         # so it positionally attaches to the LAST outer
         for inner_ring in want:
             assert out[inner_ring] == ("inner", len(layout) - 1)
+
+
+# ---------------------------------------------------------------------------
+# Bbox-cover containment join == brute force, for any cell size
+# ---------------------------------------------------------------------------
+
+_coord = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=32)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rings=st.lists(
+        st.lists(st.tuples(_coord, _coord), min_size=3, max_size=7),
+        min_size=1,
+        max_size=5,
+    ),
+    pts=st.lists(st.tuples(_coord, _coord), min_size=1, max_size=12),
+    cell=st.sampled_from([0.7, 3.0, 17.0, 200.0]),
+)
+def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
+    """The grid-blocked join must return EXACTLY the brute-force
+    containment pairs for arbitrary (possibly self-intersecting) rings,
+    arbitrary probe points, and any cell size — cell_deg is a
+    performance knob, never a correctness knob."""
+    from pyspark.sql import functions as F
+
+    from osmdatapy_spark.operators.measures import (
+        point_in_polygon_join,
+        point_in_ring,
+    )
+
+    rdf = spark.createDataFrame(
+        [(i, [{"lon": float(x), "lat": float(y)} for x, y in r]) for i, r in enumerate(rings)],
+        "rid long, coords array<struct<lon double, lat double>>",
+    )
+    pdf = spark.createDataFrame(
+        [(j, float(x), float(y)) for j, (x, y) in enumerate(pts)],
+        "pid long, px double, py double",
+    )
+    got = sorted(
+        (r.pid, r.rid) for r in point_in_polygon_join(pdf, rdf, cell).collect()
+    )
+    want = sorted(
+        (r.pid, r.rid)
+        for r in pdf.crossJoin(rdf)
+        .filter(point_in_ring(F.col("coords"), F.col("px"), F.col("py")))
+        .collect()
+    )
+    assert got == want
