@@ -437,6 +437,7 @@ def osm_simplify_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "osm_simplify_dp",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE {COORDS_CTE.strip()},
     splits(way_id, c, lo, hi) AS (

@@ -1750,6 +1750,7 @@ def _bpe_merge_apply(s, left: str, right: str):
 
 @register(
     "llm_bpe_train",
+    bench=True,
     oracle=_bpe_train_oracle(),
     doc=f"BPE tokenizer TRAINING, {_BPE_ROUNDS} full merge rounds (the "
     "iterative Sennrich et al. loop, not just round-1 candidates like "

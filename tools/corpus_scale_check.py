@@ -261,6 +261,31 @@ def main() -> None:
         return f"{n_nodes} nodes -> {n_comp} chain components, labels exact"
 
     timed("connected components", check_connected_components)
+
+    def check_bpe_train():
+        # the r8 multi-round trainer at corpus scale: the word table is
+        # vocabulary-sized however big the corpus, so 3 full merge rounds
+        # (pair count -> argmax -> fold-apply) must stay flat vs n.  The
+        # invariant: every round's winning pair is distinct (an applied
+        # merge consumes its occurrences), counts are corpus-consistent
+        # (> 0, and each subsequent round's argmax <= the unconstrained
+        # remaining maximum, trivially true if positive and the rows are
+        # well-formed).
+        from osmdatapy_spark.suite.registry import QUERY_REGISTRY
+
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bpe_scale_")
+        docs.select("doc_id", "text").write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        rows = QUERY_REGISTRY["llm_bpe_train"].fn(spark, d).collect()
+        assert [r["merge_round"] for r in rows] == [1, 2, 3]
+        pairs = {(r["left_sym"], r["right_sym"]) for r in rows}
+        assert len(pairs) == 3 and all(r["cnt"] > 0 for r in rows)
+        return f"3 distinct merges, top cnt {rows[0]['cnt']}"
+
+    timed("bpe train (3 rounds)", check_bpe_train)
     spark.stop()
 
 
