@@ -210,6 +210,23 @@ def point_in_ring(coords: Column, px: Column, py: Column) -> Column:
     return ray_cast_crossings(coords, px, py) % 2 == 1
 
 
+def rings_crossings(rings: Column, px: Column, py: Column) -> Column:
+    """Total crossing count over a MULTI-ring geometry
+    (array<array<struct<lon,lat>>>): the even-odd rule composes across
+    rings by summing crossings, so a point inside the outer but also
+    inside a hole counts 2 (outside), and inside an island ring nested
+    in the hole counts 3 (inside) — exactly shapely's semantics for
+    polygons with interiors."""
+    return F.aggregate(
+        rings, lit(0), lambda acc, ring: acc + ray_cast_crossings(ring, px, py)
+    )
+
+
+def point_in_rings(rings: Column, px: Column, py: Column) -> Column:
+    """Even-odd containment against a holed/multi-ring geometry."""
+    return rings_crossings(rings, px, py) % 2 == 1
+
+
 def point_in_polygon_join(
     points: DataFrame,
     rings: DataFrame,
@@ -218,6 +235,7 @@ def point_in_polygon_join(
     point_y: str = "py",
     ring_coords: str = "coords",
     crossings_col: str | None = None,
+    multi: bool = False,
 ) -> DataFrame:
     """Grid-blocked point-in-polygon containment join with BBOX-COVER cell
     replication: each ring is replicated to EVERY grid cell its bounding
@@ -234,12 +252,17 @@ def point_in_polygon_join(
     ``nearest_in_grid``'s neighborhood discipline from the probe side.)
 
     ``points`` needs (``point_x``, ``point_y``) double columns; ``rings``
-    needs a ``ring_coords`` array<struct<lon,lat>> column.  All other
-    columns of both inputs pass through (caller keeps names disjoint).
-    Default output: the pairs where the point lies INSIDE the ring
-    (even-odd rule, implicit closure).  With ``crossings_col`` set, all
-    bbox-gated pairs survive and gain the raw crossing count (callers
-    that want the inside flag derive it as ``crossings % 2 = 1``).
+    needs a ``ring_coords`` array<struct<lon,lat>> column — or, with
+    ``multi=True``, array<array<struct<lon,lat>>>: a HOLED/multi-ring
+    geometry (outer + interiors [+ islands]), where even-odd composes by
+    summing crossings across rings (a point in a hole is outside, in an
+    island inside the hole is inside — shapely's interior semantics; the
+    bbox covers all rings).  All other columns of both inputs pass
+    through (caller keeps names disjoint).  Default output: the pairs
+    where the point lies INSIDE the geometry (even-odd rule, implicit
+    closure).  With ``crossings_col`` set, all bbox-gated pairs survive
+    and gain the raw crossing count (callers that want the inside flag
+    derive it as ``crossings % 2 = 1``).
 
     Scale shape: one shuffle keyed by cell; replication factor per ring =
     its bbox-cover cell count, so pick ``cell_deg`` at or above the
@@ -251,8 +274,9 @@ def point_in_polygon_join(
     so verdicts are bit-identical cross-engine.
     """
     cell = lit(float(cell_deg))
-    lons = F.transform(col(ring_coords), lambda s: s["lon"])
-    lats = F.transform(col(ring_coords), lambda s: s["lat"])
+    flat = F.flatten(col(ring_coords)) if multi else col(ring_coords)
+    lons = F.transform(flat, lambda s: s["lon"])
+    lats = F.transform(flat, lambda s: s["lat"])
     r = (
         rings.withColumn("__x0", F.array_min(lons))
         .withColumn("__x1", F.array_max(lons))
@@ -284,7 +308,8 @@ def point_in_polygon_join(
         col(point_x).between(col("__x0"), col("__x1"))
         & col(point_y).between(col("__y0"), col("__y1"))
     )
-    crossings = ray_cast_crossings(col(ring_coords), col(point_x), col(point_y))
+    cross_fn = rings_crossings if multi else ray_cast_crossings
+    crossings = cross_fn(col(ring_coords), col(point_x), col(point_y))
     if crossings_col is not None:
         out = pairs.withColumn(crossings_col, crossings.cast("bigint"))
     else:

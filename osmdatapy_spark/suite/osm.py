@@ -1015,6 +1015,78 @@ def osm_point_in_admin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAKE_N = 4
+
+
+@register(
+    "osm_point_in_lake",
+    oracle=f"""
+    WITH c AS (SELECT UNNEST(generate_series(0, {_LAKE_N - 1})) AS c)
+    SELECT c * 10 + 0 AS point_id, CAST(c * 2 AS BIGINT) AS geom_id FROM c
+    UNION ALL
+    SELECT c * 10 + 1, CAST(NULL AS BIGINT) FROM c
+    UNION ALL
+    SELECT c * 10 + 2, CAST(c * 2 + 1 AS BIGINT) FROM c
+    UNION ALL
+    SELECT c * 10 + 3, CAST(NULL AS BIGINT) FROM c
+    """,
+    doc="Reverse geocoding against HOLED multipolygons — the "
+    "lake-with-an-island case single-ring containment gets wrong: each "
+    "water body is an (outer + interiors) ring SET, even-odd composes "
+    "by summing crossings across rings (operators/measures."
+    "point_in_rings), so a point in the lake's hole is OUTSIDE the "
+    "lake, and a point on the island (a separate geometry nested in "
+    "the hole) attaches to the island only.  Same bbox-cover grid join "
+    "(multi=True flattens rings for the bbox; 4° cells — every lake "
+    "spans several, and the hole probe sits in a different cell than "
+    "the outer's first vertex), smallest |outer|−Σ|holes| area wins "
+    "with id tiebreak.  All coordinates exact binary fractions — "
+    "verdicts engine-exact; the oracle states the closed-form "
+    "assignments.",
+)
+def osm_point_in_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import (
+        point_in_polygon_join,
+        shoelace_area_deg2,
+    )
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    geoms_rows, pts_rows = [], []
+    for c in range(_LAKE_N):
+        x0 = 100.0 * c
+        lake = [
+            [(x0, 0.0), (x0 + 10, 0.0), (x0 + 10, 10.0), (x0, 10.0)],
+            [(x0 + 4, 4.0), (x0 + 6, 4.0), (x0 + 6, 6.0), (x0 + 4, 6.0)],
+        ]
+        island = [[(x0 + 4.5, 4.5), (x0 + 5.5, 4.5), (x0 + 5.5, 5.5), (x0 + 4.5, 5.5)]]
+        geoms_rows += [(2 * c, lake), (2 * c + 1, island)]
+        pts_rows += [
+            (c * 10 + 0, x0 + 2.0, 2.0),   # in the lake's ring area
+            (c * 10 + 1, x0 + 4.25, 5.0),  # in the HOLE: outside everything
+            (c * 10 + 2, x0 + 5.0, 5.0),   # on the island (inside the hole)
+            (c * 10 + 3, x0 + 20.0, 5.0),  # open water: nothing
+        ]
+    geoms = spark.createDataFrame(
+        geoms_rows, "g_id long, rings array<array<struct<lon:double,lat:double>>>"
+    )
+    outer_area = F.abs(shoelace_area_deg2(F.element_at("rings", 1)))
+    holes_area = F.aggregate(
+        F.slice(col("rings"), 2, F.greatest(F.size("rings") - 1, F.lit(0))),
+        F.lit(0.0),
+        lambda acc, ring: acc + F.abs(shoelace_area_deg2(ring)),
+    )
+    geoms = geoms.select("g_id", "rings", (outer_area - holes_area).alias("g_area"))
+    pts = spark.createDataFrame(pts_rows, "point_id long, px double, py double")
+    cand = point_in_polygon_join(pts, geoms, 4.0, ring_coords="rings", multi=True)
+    hits = cand.groupBy("point_id").agg(
+        F.min(F.struct(col("g_area"), col("g_id")))["g_id"].alias("geom_id")
+    )
+    return pts.select("point_id").join(hits, "point_id", "left").select(
+        "point_id", "geom_id"
+    )
+
+
 @register(
     "osm_integrity_report",
     oracle=f"""

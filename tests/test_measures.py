@@ -225,6 +225,36 @@ def test_point_in_polygon_join_cell_size_is_not_a_correctness_knob(spark):
         assert got == want, f"cell_deg={cell}"
 
 
+def test_point_in_polygon_join_multi_ring_holes(spark):
+    """multi=True composes even-odd across rings: a point in the donut's
+    hole is OUTSIDE it, an island nested in the hole matches only the
+    island, and the hole probe sits in a different cell than the outer's
+    first vertex (spanning + replication exercised together)."""
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    donut = [
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0)],
+    ]
+    island = [[(4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5)]]
+    geoms = spark.createDataFrame(
+        [(1, donut), (2, island)],
+        "gid long, rings array<array<struct<lon double, lat double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(10, 2.0, 2.0), (11, 4.25, 5.0), (12, 5.0, 5.0), (13, 20.0, 5.0)],
+        "pid long, px double, py double",
+    )
+    for cell in (3.0, 50.0):
+        got = sorted(
+            (r.pid, r.gid)
+            for r in point_in_polygon_join(
+                pts, geoms, cell, ring_coords="rings", multi=True
+            ).collect()
+        )
+        assert got == [(10, 1), (12, 2)], f"cell={cell}: {got}"
+
+
 def test_point_in_polygon_join_crossings_mode_keeps_bbox_pairs(spark):
     """crossings_col mode: all bbox-gated pairs survive with the raw
     even-odd count — the pocket probe shows up with even crossings."""
