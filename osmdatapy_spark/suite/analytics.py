@@ -1709,3 +1709,110 @@ def osm_network_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node_id", F.coalesce("cluster", "node_id").alias("cluster"))
     )
     return all_lbl.groupBy("cluster").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (bounded-state count-distinct)
+# ---------------------------------------------------------------------------
+
+# m = 256 registers; alpha_256 = 0.7213 / (1 + 1.079/256) — written as the
+# same arithmetic expression on both engines so the doubles are identical
+_HLL_M = 256
+_HLL_W = 1 << 57  # scale: 2^-rho == 2^(57-rho) / 2^57, all-integer sums
+
+
+@register(
+    "rel_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14)) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, reg,
+             MAX(57 - list_sum(list_transform(generate_series(0, 55),
+                 i -> CASE WHEN v >= (CAST(1 AS BIGINT) << i) THEN 1 ELSE 0 END))) AS rho
+      FROM h GROUP BY event_type, reg
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS hits,
+             SUM(CAST(CAST(1 AS BIGINT) << (57 - rho) AS DECIMAL(38,0))) AS s_hit
+      FROM r GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, hits, {_HLL_M} - hits AS zeros,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 144115188075855872.0
+               / CAST(s_hit + CAST(({_HLL_M} - hits) AS DECIMAL(38,0))
+                              * CAST({_HLL_W} AS DECIMAL(38,0)) AS DOUBLE) AS raw
+      FROM s
+    ),
+    x AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+          FROM events GROUP BY event_type)
+    SELECT e.event_type, e.hits, CAST(e.zeros AS BIGINT) AS zeros,
+           round(CASE WHEN e.raw <= 640.0 AND e.zeros > 0
+                      THEN 256.0 * ln(256.0 / e.zeros) ELSE e.raw END, 4) AS est,
+           x.exact
+    FROM e JOIN x USING (event_type)
+    """,
+    doc="HyperLogLog count-distinct as pure Column algebra — the "
+    "bounded-state sketch that replaces exact COUNT(DISTINCT) at 100 TB "
+    "(Flajolet et al. 2007): md5(user) splits into an 8-bit register "
+    "index and a 56-bit tail whose leading-zero rank is the register "
+    "value.  Scale shape: ONE partial-aggregated shuffle on (group, "
+    "register) — per-group state is ≤256 rows however many users exist, "
+    "vs the full distinct-key shuffle of exact counting; mergeable "
+    "across partitions/days by construction (max per register).  "
+    "Cross-engine exactness: the leading-zero rank is 56 integer "
+    "compares (no log2 float hazard), register sums are 2^(57-rho) "
+    "DECIMAL(38,0) integers (order-independent — a float Σ2^-rho would "
+    "be shuffle-order-dependent), and only the final division/ln touch "
+    "doubles (round-4 guard).  Small-range linear counting applies "
+    "below 2.5m with empty registers.  Exact distinct carried alongside "
+    "for the accuracy story (±1.04/√256 ≈ 6.5%).",
+)
+def rel_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    h = F.md5(col("user_id").cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 3, 14), 16, 10).cast("long")
+    bits = None
+    for i in range(56):
+        t = (v >= lit(1 << i)).cast("int")
+        bits = t if bits is None else bits + t
+    rho = (lit(57) - bits).alias("rho")
+    r = (
+        events.select("event_type", reg.alias("reg"), rho)
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    s = r.groupBy("event_type").agg(
+        F.count("*").alias("hits"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - rho) AS DECIMAL(38,0))")).alias("s_hit"),
+    )
+    zeros = (lit(_HLL_M) - col("hits")).cast("long")
+    alpha_m2_w = (
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)))
+        * lit(65536.0)
+        * lit(144115188075855872.0)
+    )
+    s_total = (
+        col("s_hit").cast("decimal(38,0)")
+        + zeros.cast("decimal(38,0)") * lit(_HLL_W).cast("decimal(38,0)")
+    ).cast("double")
+    raw = alpha_m2_w / s_total
+    est = F.round(
+        F.when((raw <= 640.0) & (zeros > 0), lit(256.0) * F.log(lit(256.0) / zeros))
+        .otherwise(raw),
+        4,
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    return (
+        s.select("event_type", "hits", zeros.alias("zeros"), est.alias("est"))
+        .join(exact, "event_type")
+        .select("event_type", "hits", "zeros", "est", "exact")
+    )
