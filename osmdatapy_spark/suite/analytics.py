@@ -1816,3 +1816,123 @@ def rel_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .select("event_type", "hits", "zeros", "est", "exact")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (bounded-state membership sketch)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 4     # hash functions
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || '_' || "
+        f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "rel_bloom_semijoin",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    built AS (
+      SELECT DISTINCT pos FROM keys,
+        UNNEST([{", ".join(_bloom_pos_sql(i, "c_custkey") for i in range(_BLOOM_K))}]) AS t(pos)
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    ),
+    hitcnt AS (
+      SELECT p.o_orderkey, COUNT(b.pos) AS hits
+      FROM probe p,
+        UNNEST([{", ".join(_bloom_pos_sql(i, "o_custkey") for i in range(_BLOOM_K))}]) AS t(pos)
+      LEFT JOIN built b ON b.pos = t.pos
+      GROUP BY p.o_orderkey
+    ),
+    flags AS (
+      SELECT p.o_orderpriority,
+             CASE WHEN h.hits = {_BLOOM_K} THEN 1 ELSE 0 END AS accepted,
+             CASE WHEN k.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_true
+      FROM probe p
+      JOIN hitcnt h USING (o_orderkey)
+      LEFT JOIN keys k ON k.c_custkey = p.o_custkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(is_true) AS BIGINT) AS n_true,
+           CAST(SUM(accepted) AS BIGINT) AS n_accept,
+           CAST(SUM(CASE WHEN accepted = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM flags GROUP BY o_orderpriority
+    """,
+    doc="Bloom-filter semi-join pruning — the runtime join-reduction trick "
+    "big-data engines apply internally (Spark 3.3's runtime bloom "
+    "pruning), surfaced as an explicit operator: the dim side's keys "
+    f"set {_BLOOM_K} md5-derived bits in an m={_BLOOM_M} filter; the "
+    "fact side is accepted iff ALL its bits are present.  Scale shape: "
+    "the 'bitmap' is the DISTINCT bit-position table (≤m rows however "
+    "many keys — broadcast it), the fact side explodes ×k and joins the "
+    "broadcast positions with ZERO shuffle of fact rows, exactly how a "
+    "bloom-pruned scan precedes the real join at 100 TB.  Every bit "
+    "position is integer md5 math — bit-identical cross-engine; the "
+    "output quantifies the sketch (probes / true members / accepts / "
+    "false positives) per order priority, with the exact semi-join "
+    "carried alongside.  No bloom REJECT is ever a true member (zero "
+    "false negatives, asserted by the oracle equality).",
+)
+def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pos(i: int, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(lit(str(i)), lit("_"), key.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    cust = T(spark, sf_dir, "customer")
+    keys = cust.filter(col("c_mktsegment") == "BUILDING").select("c_custkey")
+    built = (
+        keys.select(
+            F.explode(F.array(*[pos(i, col("c_custkey")) for i in range(_BLOOM_K)])).alias("pos")
+        )
+        .distinct()
+    )
+    probe = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    ppos = probe.select(
+        "o_orderkey",
+        F.explode(F.array(*[pos(i, col("o_custkey")) for i in range(_BLOOM_K)])).alias("pos"),
+    )
+    hits = (
+        ppos.join(broadcast(built).withColumn("found", lit(1)), "pos", "left")
+        .groupBy("o_orderkey")
+        .agg(F.sum(F.coalesce(col("found"), lit(0))).alias("hits"))
+    )
+    flags = (
+        probe.join(hits, "o_orderkey")
+        # the exact-membership side is UNHINTED: keys scale with the
+        # customer table (a forced broadcast is the 100 TB driver-OOM
+        # footgun the suite bans) — AQE broadcasts when runtime size
+        # allows.  Only `built` (≤m rows by construction) carries a hint.
+        .join(
+            keys.withColumn("is_member", lit(1)),
+            probe["o_custkey"] == keys["c_custkey"],
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            (col("hits") == _BLOOM_K).cast("int").alias("accepted"),
+            F.coalesce(col("is_member"), lit(0)).alias("is_true"),
+        )
+    )
+    return flags.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_probe"),
+        F.sum("is_true").alias("n_true"),
+        F.sum("accepted").alias("n_accept"),
+        F.sum(((col("accepted") == 1) & (col("is_true") == 0)).cast("int")).alias("n_false_pos"),
+    )
