@@ -1936,3 +1936,98 @@ def rel_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("accepted").alias("n_accept"),
         F.sum(((col("accepted") == 1) & (col("is_true") == 0)).cast("int")).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (bounded-state per-key counts)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4     # hash rows
+_CMS_W = 1024  # buckets per row
+
+
+def _cms_bucket_sql(i_expr: str, key: str) -> str:
+    """Bucket of ``key`` in CMS row ``i_expr`` — the exact SQL twin of the
+    Spark-side md5 bucket (same 'r{{i}}_{{key}}' preimage)."""
+    return (
+        f"CAST(('0x' || substr(md5('r' || CAST({i_expr} AS VARCHAR) || '_' "
+        f"|| CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "rel_cms_heavy_freq",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, exact_n FROM cnt
+      ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    cells AS (
+      SELECT t.i, {_cms_bucket_sql("t.i", "e.user_id")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e, UNNEST(generate_series(0, {_CMS_D - 1})) AS t(i)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT p.user_id, MIN(c.n) AS cms_est
+      FROM top p, UNNEST(generate_series(0, {_CMS_D - 1})) AS t(i)
+      JOIN cells c
+        ON c.i = t.i
+       AND c.bucket = {_cms_bucket_sql("t.i", "p.user_id")}
+      GROUP BY p.user_id
+    )
+    SELECT p.user_id, p.exact_n, e.cms_est
+    FROM top p JOIN est e USING (user_id)
+    """,
+    doc=f"Count-Min frequency sketch — bounded-state per-key counting "
+    f"(Cormode & Muthukrishnan 2005): d={_CMS_D} hash rows × "
+    f"w={_CMS_W} buckets, estimate = min over rows of the key's bucket "
+    "count, NEVER an underestimate.  Scale shape: the sketch is ONE "
+    f"partial-aggregated shuffle on (row, bucket) with ≤{_CMS_D * _CMS_W} "
+    "total cells however many keys exist (broadcast it to probe) — the "
+    "streaming-friendly alternative to exact per-key counts at 100 TB; "
+    "mergeable by cell-wise addition.  The query compares the estimate "
+    "to the exact count for the top-10 heavy keys (ties broken by id); "
+    "all bucket math is integer md5 — bit-identical cross-engine.",
+)
+def rel_cms_heavy_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucket(i_col, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(lit("r"), i_col.cast("string"), lit("_"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    events = T(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[lit(i) for i in range(_CMS_D)])).alias("i")
+    cells = (
+        events.select(col("user_id"), rows)
+        .select("i", bucket(col("i"), col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select("user_id", "exact_n", rows).select(
+        "user_id", "exact_n", "i", bucket(col("i"), col("user_id")).alias("bucket")
+    )
+    est = (
+        probes.join(broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select("user_id", "exact_n", "cms_est")
