@@ -300,6 +300,30 @@ def test_extract_diff_plan_shape(spark):
     assert "Cartesian" not in s.text and s.n_python_evals == 0, s.text
 
 
+def test_round8_operator_plan_shapes(spark):
+    """Plan pins for the round-8 operators, per their registered claims."""
+    # bbox-cover containment: cell-key join + bbox gate + ray cast; the
+    # fixture build + bbox agg + election bound the exchange count
+    assert_plan(q(spark, "osm_point_in_lake"), max_exchanges=4, forbid_python=True)
+    # HLL sketch: (group, register) partial agg + per-group fold + the
+    # exact-distinct comparison join — bounded register state throughout
+    assert_plan(q(spark, "rel_hll_distinct"), max_exchanges=4, forbid_python=True)
+    # bloom semi-join: built-positions distinct + per-order hit count +
+    # final rollup; fact rows never shuffle for the probe join
+    assert_plan(q(spark, "rel_bloom_semijoin"), max_exchanges=3, forbid_python=True)
+    # CMS: ONE (row, bucket) cell agg + the top-k probe side
+    assert_plan(q(spark, "rel_cms_heavy_freq"), max_exchanges=2, forbid_python=True)
+    # .osc CDC apply: change election + base join + created union
+    assert_plan(q(spark, "osm_osc_apply"), max_exchanges=3, forbid_python=True)
+    # Douglas-Peucker: the one coordinate-gather exchange; the kernel is
+    # the declared Arrow mapInPandas (counted in _PYTHON_OK)
+    s = plan_summary(q(spark, "osm_simplify_dp"))
+    assert s.n_exchanges <= 1 and s.n_python_evals == 1, s.text
+    # BPE trainer output is a driver-literal table (all work happened in
+    # the per-round elections, covered by the fold unit tests)
+    assert_plan(q(spark, "llm_bpe_train"), max_exchanges=0, forbid_python=True)
+
+
 def test_session3c_operator_plan_shapes(spark):
     # partial-state merge: two partial aggs union into one merge agg —
     # two exchanges total, no re-scan of raw history at merge time
