@@ -2031,3 +2031,90 @@ def rel_cms_heavy_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n").alias("cms_est"))
     )
     return est.select("user_id", "exact_n", "cms_est")
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (ordered multi-step) and retention cohorts
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "rel_funnel_conversion",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL[0]}' AS event_type,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users,
+           1.0 AS conv_from_prev
+    UNION ALL
+    SELECT 2, '{_FUNNEL[1]}', (SELECT COUNT(*) FROM s2),
+           round(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 4)
+    UNION ALL
+    SELECT 3, '{_FUNNEL[2]}', (SELECT COUNT(*) FROM s3),
+           round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s2), 4)
+    """,
+    doc="Ordered funnel conversion (view → click → purchase), the "
+    "Amplitude/Mixpanel workhorse — unlike rel_funnel_stages (per-user "
+    "FIRST timestamp per type, order-free), this enforces STRICT event "
+    "ordering: step k "
+    "counts users whose earliest step-k event happens AFTER their "
+    "earliest qualifying step-(k-1) event — a user who purchased before "
+    "ever clicking does not convert through the funnel.  Shape: one "
+    "user_id-keyed partial agg per step, each joined back on the SAME "
+    "user_id partitioning (no new shuffle key anywhere, no windows, no "
+    "per-user sort); per-step output is 3 rows.  Strict-inequality "
+    "timestamp compares are engine-exact; the single division per row "
+    "carries a round-4 guard.",
+)
+def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = T(spark, sf_dir, "events")
+    prev = None
+    counts = []
+    for step, etype in enumerate(_FUNNEL, start=1):
+        e = events.filter(col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(prev, "user_id")
+                .filter(col("ts") > col("t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(cur.agg(F.count("*").alias("n")))
+        prev = cur.select("user_id", "t")
+    rows = None
+    for step, (etype, cnt) in enumerate(zip(_FUNNEL, counts), start=1):
+        r = cnt.select(
+            lit(step).cast("bigint").alias("step"),
+            lit(etype).alias("event_type"),
+            col("n").cast("bigint").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    w = Window.orderBy("step").rowsBetween(-1, -1)
+    return rows.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.when(col("step") == 1, lit(1.0))
+        .otherwise(F.round(col("n_users").cast("double") / F.sum("n_users").over(w), 4))
+        .alias("conv_from_prev"),
+    )
