@@ -9,6 +9,14 @@ from osmdatapy_spark.operators.geometry import (
 )
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
 from osmdatapy_spark.operators.rings import reorder_rings
+from osmdatapy_spark.operators.measures import (
+    nearest_in_grid,
+    point_in_polygon_join,
+    point_in_ring,
+    point_in_rings,
+    simplify_dp,
+    simplify_radial,
+)
 
 __all__ = [
     "area_rule_predicate",
@@ -19,4 +27,10 @@ __all__ = [
     "topology_segments",
     "way_endpoints",
     "reorder_rings",
+    "nearest_in_grid",
+    "point_in_polygon_join",
+    "point_in_ring",
+    "point_in_rings",
+    "simplify_dp",
+    "simplify_radial",
 ]

@@ -264,6 +264,15 @@ def point_in_polygon_join(
     and gain the raw crossing count (callers that want the inside flag
     derive it as ``crossings % 2 = 1``).
 
+    Boundary contract: containment is the even-odd ray cast APPLIED AFTER
+    a closed-bbox gate (``between`` is boundary-inclusive).  For a point
+    strictly outside the bbox, an odd raw crossing count is possible
+    only when the horizontal ray passes EXACTLY through vertex
+    ordinates of a degenerate (zero-area) ring — measure-zero input on
+    which any even-odd formulation's verdict is arbitrary anyway; the
+    gate resolves it to "outside".  Points on the bbox boundary itself
+    pass the gate and follow the ray cast's asymmetric tie rule.
+
     Scale shape: one shuffle keyed by cell; replication factor per ring =
     its bbox-cover cell count, so pick ``cell_deg`` at or above the
     typical polygon diameter (a handful of replicas each) — a planet

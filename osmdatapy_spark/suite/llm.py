@@ -1683,9 +1683,12 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     pair-up-from-the-left semantics)."""
     parts = [
         r"""w0 AS (
+      -- w <> '' on BOTH sides: split('') yields [''], and the engines
+      -- disagree on sequence(1, 0) (Spark descends, DuckDB is empty)
       SELECT w, CAST(count(*) AS BIGINT) AS f,
              list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS s
       FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+      WHERE w <> ''
       GROUP BY w
     )"""
     ]
@@ -1772,6 +1775,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = TS(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens(col("text"))).alias("w"))
+        .filter(col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )

@@ -578,10 +578,15 @@ _coord = st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=32)
     cell=st.sampled_from([0.7, 3.0, 17.0, 200.0]),
 )
 def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
-    """The grid-blocked join must return EXACTLY the brute-force
-    containment pairs for arbitrary (possibly self-intersecting) rings,
-    arbitrary probe points, and any cell size — cell_deg is a
-    performance knob, never a correctness knob."""
+    """The grid-blocked join must return EXACTLY the blocking-free pairs
+    of its documented contract (closed-bbox gate + even-odd ray cast)
+    for arbitrary — possibly self-intersecting or zero-area — rings,
+    arbitrary probe points, and any cell size: cell_deg is a performance
+    knob, never a correctness knob.  (The raw ungated ray cast can call
+    a point STRICTLY OUTSIDE a degenerate sliver's bbox 'inside' when
+    the ray passes exactly through vertex ordinates — hypothesis found
+    the denormal-off-a-zero-area-ring case — which is why the gate is
+    part of the operator's contract, not just an optimization.)"""
     from pyspark.sql import functions as F
 
     from osmdatapy_spark.operators.measures import (
@@ -600,10 +605,15 @@ def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
     got = sorted(
         (r.pid, r.rid) for r in point_in_polygon_join(pdf, rdf, cell).collect()
     )
+    lons = F.transform(F.col("coords"), lambda s: s["lon"])
+    lats = F.transform(F.col("coords"), lambda s: s["lat"])
+    in_bbox = F.col("px").between(F.array_min(lons), F.array_max(lons)) & F.col(
+        "py"
+    ).between(F.array_min(lats), F.array_max(lats))
     want = sorted(
         (r.pid, r.rid)
         for r in pdf.crossJoin(rdf)
-        .filter(point_in_ring(F.col("coords"), F.col("px"), F.col("py")))
+        .filter(in_bbox & point_in_ring(F.col("coords"), F.col("px"), F.col("py")))
         .collect()
     )
     assert got == want
