@@ -1779,8 +1779,12 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
+    # only (f, s) survives into the rounds: the raw word string is dead
+    # weight in the iteration, and at an adversarial corpus-sized word
+    # table (unique-token corpora) carrying it through the persist is
+    # the difference between fitting and an aggregation OOM (found by
+    # tools/corpus_scale_check.py at 1M docs / 40M distinct words)
     base = words.select(
-        "w",
         "f",
         F.transform(
             F.sequence(lit(1), F.length("w")),
@@ -1809,7 +1813,7 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append((r, best["l"], best["r2"], int(best["cnt"])))
         syms = syms.select(
-            "w", "f", _bpe_merge_apply(col("s"), best["l"], best["r2"]).alias("s")
+            "f", _bpe_merge_apply(col("s"), best["l"], best["r2"]).alias("s")
         )
     base.unpersist()
     return spark.createDataFrame(

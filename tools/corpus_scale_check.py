@@ -74,6 +74,11 @@ def main() -> None:
     )
 
     def timed(name, fn):
+        # families must not inherit (or pay the memory pressure of) caches
+        # a previous family persisted and never released — the leftover
+        # MEMORY_AND_DISK blocks squeezed execution memory into an
+        # aggregation OOM at 1M docs (bench.py's clearCache discipline)
+        spark.catalog.clearCache()
         t0 = time.time()
         out = fn()
         print(f"{name:<28}{time.time() - t0:6.1f}s  {out}")
