@@ -676,3 +676,34 @@ def test_osc_stream_incremental_exactly_once(spark, tmp_path):
     )
     final = {r["osmid"]: r["lon"] for r in latest.collect()}
     assert final == {1: 5.0}
+
+
+def test_osc_stream_reads_gzipped_diffs(spark, tmp_path):
+    """Replication feeds ship gzip-compressed (.osc.gz) — the streaming
+    reader must consume them through the same decompressing opener as
+    the batch reader."""
+    import gzip
+
+    from osmdatapy_spark.sources.xml import read_osm_xml_stream, write_osm_osc
+    import io
+
+    d = tmp_path / "diffs"
+    d.mkdir()
+    buf = io.StringIO()
+    write_osm_osc(iter([("create", _osc_node(7, 1.5, 2.5, 1))]), buf)
+    with gzip.open(d / "000001.osc.gz", "wt") as f:
+        f.write(buf.getvalue())
+
+    q = (
+        read_osm_xml_stream(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("t_osc_gz")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("select * from t_osc_gz").collect()
+    assert len(rows) == 1
+    assert rows[0]["osmid"] == 7 and rows[0]["action"] == "create"
+    assert rows[0]["lon"] == 1.5

@@ -54,7 +54,16 @@ def synth_corpus(spark, n: int):
 
 
 def main() -> None:
+    import os
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    # the synthetic corpus is DELIBERATELY adversarial for the word-table
+    # families (every token unique → the 'vocab-sized' table is
+    # corpus-sized: ~40n distinct words); at 1M docs that is a 40M-row
+    # persisted symbol table, beyond the 8g default local JVM.  A real
+    # cluster's executors size memory to the data — give the scale
+    # harness the same courtesy (overridable via the env var).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark("corpus-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_corpus(spark, n).repartition(64).persist()
