@@ -3088,3 +3088,121 @@ def llm_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r1.unionByName(r2)
+
+
+_OH_DAYS = ("Mo", "Tu", "We", "Th", "Fr", "Sa", "Su")
+_OH_PAT = (
+    "^(Mo|Tu|We|Th|Fr|Sa|Su)(?:-(Mo|Tu|We|Th|Fr|Sa|Su))? "
+    "([0-9]{2}):([0-9]{2})-([0-9]{2}):([0-9]{2})$"
+)
+
+
+def _oh_day_case_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN '{d}' THEN {i + 1}" for i, d in enumerate(_OH_DAYS)
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+@register(
+    "osm_opening_hours_parse",
+    oracle=f"""
+    WITH raws AS (
+      SELECT o_orderkey AS osmid,
+             CASE CAST(o_orderkey % 5 AS INT)
+               WHEN 0 THEN '24/7'
+               WHEN 1 THEN 'Mo-Fr ' || lpad(CAST(6 + o_orderkey % 4 AS VARCHAR), 2, '0')
+                          || ':00-' || lpad(CAST(15 + o_orderkey % 7 AS VARCHAR), 2, '0') || ':30'
+               WHEN 2 THEN 'Sa 10:00-14:00'
+               WHEN 3 THEN 'sunrise-sunset'
+               ELSE '' END AS raw
+      FROM orders
+    ),
+    m AS (
+      SELECT osmid, raw,
+             raw = '24/7' AS all_day,
+             regexp_matches(raw, '{_OH_PAT}') AS rng,
+             regexp_extract(raw, '{_OH_PAT}', 1) AS d1,
+             regexp_extract(raw, '{_OH_PAT}', 2) AS d2,
+             regexp_extract(raw, '{_OH_PAT}', 3) AS h1,
+             regexp_extract(raw, '{_OH_PAT}', 4) AS m1,
+             regexp_extract(raw, '{_OH_PAT}', 5) AS h2,
+             regexp_extract(raw, '{_OH_PAT}', 6) AS m2
+      FROM raws
+    )
+    SELECT osmid, raw,
+           CAST(CASE WHEN all_day THEN 1
+                     WHEN rng THEN {_oh_day_case_sql("d1")} END AS BIGINT) AS day_from,
+           CAST(CASE WHEN all_day THEN 7
+                     WHEN rng AND d2 <> '' THEN {_oh_day_case_sql("d2")}
+                     WHEN rng THEN {_oh_day_case_sql("d1")} END AS BIGINT) AS day_to,
+           CAST(CASE WHEN all_day THEN 0
+                     WHEN rng THEN CAST(h1 AS BIGINT) * 60 + CAST(m1 AS BIGINT) END
+                AS BIGINT) AS open_min,
+           CAST(CASE WHEN all_day THEN 1440
+                     WHEN rng THEN CAST(h2 AS BIGINT) * 60 + CAST(m2 AS BIGINT) END
+                AS BIGINT) AS close_min,
+           (all_day OR rng) AS recognized
+    FROM m
+    """,
+    doc="opening_hours tag normalization (the bounded common subset: "
+    "'24/7', 'Dy HH:MM-HH:MM', 'Dy-Dy HH:MM-HH:MM') into typed "
+    "(day_from, day_to, open_min, close_min) minute spans — the parse "
+    "every POI/routing ingest runs; exotic grammar ('sunrise-sunset', "
+    "free text) surfaces as recognized=false rather than dropping rows, "
+    "the osm_maxspeed_parse discipline.  One RE2-safe pattern shared "
+    "verbatim by both engines (non-capturing optional day-range group), "
+    "day names mapped by CASE, minute math in integers — zero shuffle, "
+    "pipelines inside the scan.",
+)
+def osm_opening_hours_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    k = (col("o_orderkey") % 5).cast("int")
+    raw = (
+        F.when(k == 0, lit("24/7"))
+        .when(
+            k == 1,
+            F.concat(
+                lit("Mo-Fr "),
+                F.lpad((lit(6) + col("o_orderkey") % 4).cast("string"), 2, "0"),
+                lit(":00-"),
+                F.lpad((lit(15) + col("o_orderkey") % 7).cast("string"), 2, "0"),
+                lit(":30"),
+            ),
+        )
+        .when(k == 2, lit("Sa 10:00-14:00"))
+        .when(k == 3, lit("sunrise-sunset"))
+        .otherwise(lit(""))
+    )
+    df = o.select(col("o_orderkey").alias("osmid"), raw.alias("raw"))
+    all_day = col("raw") == "24/7"
+    rng = col("raw").rlike(_OH_PAT)
+    ex = lambda i: F.regexp_extract(col("raw"), _OH_PAT, i)  # noqa: E731
+
+    def day_num(s):
+        out = None
+        for i, d in enumerate(_OH_DAYS):
+            out = F.when(s == d, lit(i + 1)) if out is None else out.when(s == d, lit(i + 1))
+        return out
+
+    day_from = F.when(all_day, lit(1)).when(rng, day_num(ex(1)))
+    day_to = (
+        F.when(all_day, lit(7))
+        .when(rng & (ex(2) != ""), day_num(ex(2)))
+        .when(rng, day_num(ex(1)))
+    )
+    open_min = F.when(all_day, lit(0)).when(
+        rng, ex(3).cast("long") * 60 + ex(4).cast("long")
+    )
+    close_min = F.when(all_day, lit(1440)).when(
+        rng, ex(5).cast("long") * 60 + ex(6).cast("long")
+    )
+    return df.select(
+        "osmid",
+        "raw",
+        day_from.cast("long").alias("day_from"),
+        day_to.cast("long").alias("day_to"),
+        open_min.cast("long").alias("open_min"),
+        close_min.cast("long").alias("close_min"),
+        (all_day | rng).alias("recognized"),
+    )
