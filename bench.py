@@ -240,6 +240,13 @@ def main() -> None:
         "osm_point_in_polygon", "osm_way_length", "pbf_query", "pbf_scan",
         "stream_interval_join",
     ]
+    # the round-8 headline set — R2 plus the r7/r8 additions (IVF-PQ,
+    # hybrid RRF, Douglas-Peucker, the BPE trainer); future rounds compare
+    # on this subtotal as the bench keeps growing
+    R8_SET = R2_SET + [
+        "llm_ann_ivfpq_topk", "llm_hybrid_rrf", "osm_simplify_dp",
+        "llm_bpe_train", "llm_curation_recipe", "osm_map_match",
+    ]
     out = {
         "metric": f"headline query wall-clock (noop sink, warm JVM, best of {N_PASSES} passes)",
         "value": round(sum(timings.values()), 3),
@@ -258,6 +265,7 @@ def main() -> None:
         "ann_training_sec": training,
         "r1_comparable_sec": round(sum(timings[n] for n in R1_SET if n in timings), 3),
         "r2_comparable_sec": round(sum(timings[n] for n in R2_SET if n in timings), 3),
+        "r8_comparable_sec": round(sum(timings[n] for n in R8_SET if n in timings), 3),
         "n_queries": len(timings),
         "sf": sf,
     }
