@@ -3206,3 +3206,110 @@ def osm_opening_hours_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         close_min.cast("long").alias("close_min"),
         (all_day | rng).alias("recognized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Third pure-SQL entry: TPC-H Q7 (volume shipping between two nations)
+# ---------------------------------------------------------------------------
+
+TPCH_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "rel_sql_tpch_q7",
+    oracle=TPCH_Q7_SQL,
+    doc="TPC-H Q7 (volume shipping) through the SQL entry point — the "
+    "SELF-JOIN-on-a-dim workout next to Q3/Q5: nation joins twice under "
+    "different aliases with a symmetric two-country disjunction, the "
+    "shape that trips alias resolution and join reordering.  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB.  Exact "
+    "DECIMAL volume; the year extraction groups the final exchange to "
+    "(2 nations)² × years — vocabulary-sized.",
+)
+def rel_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q7_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — the two-phase distributed formulation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_skyline_frontier",
+    oracle="""
+    WITH m AS (
+      SELECT p_size, MIN(p_retailprice) AS price FROM part GROUP BY p_size
+    ),
+    c AS (
+      SELECT p_size, p_retailprice AS price,
+             CAST(COUNT(*) AS BIGINT) AS n_parts, MIN(p_partkey) AS min_partkey
+      FROM part GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT p_size, price FROM (
+        SELECT p_size, price,
+               MIN(price) OVER (ORDER BY p_size DESC
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS min_higher
+        FROM m
+      ) WHERE min_higher IS NULL OR min_higher > price
+    )
+    SELECT f.p_size, f.price, c.n_parts, c.min_partkey
+    FROM fr f JOIN c ON c.p_size = f.p_size AND c.price = f.price
+    """,
+    doc="Skyline / Pareto frontier (maximize p_size, minimize "
+    "p_retailprice): the parts no other part dominates — the classic "
+    "multi-criteria operator (Börzsönyi et al. 2001).  Distributed as "
+    "the TWO-PHASE formulation: per-size minimum price first (ONE "
+    "partial-aggregated exchange; p_size has ~50 values, so the "
+    "candidate set is vocabulary-sized however many parts exist), then "
+    "the frontier test as a running-min window over the TINY candidate "
+    "table (a size is on the frontier iff every strictly-larger size "
+    "costs strictly more) — never a global sort of the fact table, "
+    "which is how naive skyline formulations die at 100 TB.  MIN over "
+    "doubles is order-exact (no summation), so verdicts are "
+    "bit-identical cross-engine.",
+)
+def rel_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = T(spark, sf_dir, "part")
+    m = part.groupBy("p_size").agg(F.min("p_retailprice").alias("price"))
+    c = part.groupBy("p_size", "p_retailprice").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    w = W.orderBy(col("p_size").desc()).rangeBetween(W.unboundedPreceding, -1)
+    fr = (
+        m.withColumn("min_higher", F.min("price").over(w))
+        .filter(col("min_higher").isNull() | (col("min_higher") > col("price")))
+        .select("p_size", "price")
+    )
+    return fr.join(
+        c.withColumnRenamed("p_retailprice", "price"), ["p_size", "price"]
+    ).select("p_size", "price", "n_parts", "min_partkey")
