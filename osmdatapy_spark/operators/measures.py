@@ -28,6 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+# bbox-cover replication guard for point_in_polygon_join: a ring whose
+# bbox spans more grid cells than this per axis fails loudly (mis-sized
+# cell_deg) instead of silently exploding the join.
+_MAX_COVER_CELLS_PER_AXIS = 4096
+
 EARTH_RADIUS_KM = 6371.0
 
 
@@ -286,6 +291,29 @@ def point_in_polygon_join(
     flat = F.flatten(col(ring_coords)) if multi else col(ring_coords)
     lons = F.transform(flat, lambda s: s["lon"])
     lats = F.transform(flat, lambda s: s["lat"])
+
+    # Replication sanity guard: cell_deg is a pure performance knob, but a
+    # badly mis-sized one (tiny cell vs a wide bbox) would silently explode
+    # each ring to O((bbox/cell)^2) rows — and past ~2^31 elements
+    # F.sequence errors opaquely.  Fail LOUDLY in-plan instead, per axis,
+    # naming the knob.  4096 cells/axis is far above any sane cover (the
+    # docstring's guidance is a handful of replicas per ring) while well
+    # under sequence's element cap.
+    def _guarded_hi(lo: Column, hi: Column, axis: str) -> Column:
+        return F.when(
+            hi - lo >= _MAX_COVER_CELLS_PER_AXIS,
+            F.raise_error(
+                F.format_string(
+                    "point_in_polygon_join: ring bbox covers %d cells on the "
+                    + axis
+                    + " axis (max "
+                    + str(_MAX_COVER_CELLS_PER_AXIS)
+                    + ") — cell_deg is too small for this ring; raise cell_deg",
+                    hi - lo + 1,
+                )
+            ).cast("long"),
+        ).otherwise(hi)
+
     r = (
         rings.withColumn("__x0", F.array_min(lons))
         .withColumn("__x1", F.array_max(lons))
@@ -296,7 +324,11 @@ def point_in_polygon_join(
             F.explode(
                 F.sequence(
                     F.floor(col("__x0") / cell).cast("long"),
-                    F.floor(col("__x1") / cell).cast("long"),
+                    _guarded_hi(
+                        F.floor(col("__x0") / cell).cast("long"),
+                        F.floor(col("__x1") / cell).cast("long"),
+                        "lon",
+                    ),
                 )
             ),
         )
@@ -305,7 +337,11 @@ def point_in_polygon_join(
             F.explode(
                 F.sequence(
                     F.floor(col("__y0") / cell).cast("long"),
-                    F.floor(col("__y1") / cell).cast("long"),
+                    _guarded_hi(
+                        F.floor(col("__y0") / cell).cast("long"),
+                        F.floor(col("__y1") / cell).cast("long"),
+                        "lat",
+                    ),
                 )
             ),
         )

@@ -299,18 +299,36 @@ class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _all_files(self) -> "list[str]":
+        # Sorted by BASENAME — the offset scalar compares basenames, so
+        # the sort key and the offset key must agree or a glob spanning
+        # directories could emit a file whose basename sorts above the
+        # recorded end offset (duplicates on replay).  Basenames must be
+        # zero-padded (the replication-sequence contract, '000123.osc'):
+        # lexicographic order is the replication order only then —
+        # '9.osc' sorting after '10.osc' would be silently skipped.
         import glob
         import os
 
         if os.path.isdir(self.path):
-            return sorted(
+            files = [
                 f
                 for f in glob.glob(os.path.join(self.path, "*"))
                 if f.endswith(
                     (".osm", ".osc", ".osm.gz", ".osc.gz", ".osm.bz2", ".osc.bz2")
                 )
+            ]
+        else:
+            files = glob.glob(self.path)
+        files.sort(key=os.path.basename)
+        names = [os.path.basename(f) for f in files]
+        dupes = {n for i, n in enumerate(names) if n in names[:i]}
+        if dupes:
+            raise ValueError(
+                "osmxml stream source: duplicate basenames across the glob "
+                f"{sorted(dupes)[:3]} — offsets are basename-keyed, so each "
+                "replication file must have a unique (zero-padded) name"
             )
-        return sorted(glob.glob(self.path))
+        return files
 
     def _rows(self, files: "list[str]") -> "list[tuple]":
         # a LIST, not a generator: the simple-reader wrapper prefetches
@@ -454,8 +472,14 @@ def _element_xml(r: dict, names: dict) -> str:
 
     kind = names[r["osmtype"]]
     attrs = [f'id="{r["osmid"]}"']
-    if r.get("lon") is not None:
-        attrs.append(f'lat="{r["lat"]:.7f}" lon="{r["lon"]:.7f}"')
+    lon, lat = r.get("lon"), r.get("lat")
+    if (lon is None) != (lat is None):
+        raise ValueError(
+            f"element {kind}/{r['osmid']}: half-set coordinates "
+            f"(lon={lon!r}, lat={lat!r}) — both or neither must be present"
+        )
+    if lon is not None:
+        attrs.append(f'lat="{lat:.7f}" lon="{lon:.7f}"')
     if r.get("version") is not None:
         attrs.append(f'version="{r["version"]}"')
     if r.get("timestamp") is not None:

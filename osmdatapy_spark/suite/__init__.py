@@ -29,38 +29,45 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # ordering is presentation-only: the registry itself (and every test
 # keyed on it) is unchanged.
 #
-# The heads ROTATE each round (round-7 verdict ask #7): every query below
-# is green in the local two-scale oracle sweep but has never appeared in
-# a driver-recorded CORRECTNESS_r*.json — rounds 1-7 recorded 90 distinct
-# queries, so this round's first-50 accumulates 50 more into the
-# externally verified record (multimodal, CDC/XML lineage, TPC-H SQL,
-# as-of/range joins, graph ops, the bbox-cover containment family, and
-# the sliding/session/dedup streaming faces, none recorded before).
+# The heads ROTATE each round (round-7 verdict ask #7, round-8 ask #3):
+# rounds 1-8 recorded 140 distinct queries; every query below except
+# stream_sliding_counts has never appeared in a driver-recorded
+# CORRECTNESS_r*.json, so this round's first-50 accumulates ~48 more
+# first-time records.  stream_sliding_counts STAYS in the head per the
+# round-8 verdict (its r08 red row was an oracle TIMESTAMPTZ type bug,
+# fixed this round — it must show green in an external record before it
+# rotates out), and stream_enrich_join (same latent bug, same fix)
+# rotates IN.  The rel family has only 10 never-recorded names left, so
+# its last 5 slots carry never-recorded osm/llm queries (head placement
+# controls sample order only; family labels are presentation).
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_multipolygon_area", "osm_admin_hierarchy", "osm_point_in_admin",
-        "osm_point_in_polygon", "osm_xml_roundtrip", "osm_osc_apply",
-        "osm_geoparquet_roundtrip", "osm_wkb_roundtrip", "osm_way_length",
-        "osm_tile_binning", "osm_nearest_node", "osm_map_match",
-        "osm_shortest_path", "osm_pagerank", "osm_turn_restrictions",
+        "osm_metadata", "osm_multipoint_collect", "osm_pbf_tag_query",
+        "osm_relation_expand_depth2", "osm_relation_expand_depth3",
+        "osm_point_in_lake", "osm_way_member_dedup", "osm_info",
+        "osm_extract_diff", "osm_name_search", "osm_simplify_dp",
+        "osm_way_area", "osm_diff_by_region", "osm_history_asof",
+        "osm_network_components",
     ],
     "llm": [
-        "llm_ann_ivfpq_topk", "llm_retrieval_recall", "llm_bm25_topk",
-        "llm_paragraph_dedup", "llm_url_dedup", "llm_simhash",
-        "llm_winnow_fingerprint", "llm_fuzzy_edit_pairs", "llm_contamination",
-        "llm_gopher_rules", "llm_lm_score", "llm_sequence_pack",
-        "llm_domain_mixture", "llm_multimodal_meta", "llm_frame_sample",
+        "llm_text_normalize", "llm_bpe_train", "llm_dedup_pipeline",
+        "llm_incremental_dedup", "llm_ngram_counts", "llm_minhash_estimate",
+        "llm_quality_classifier", "llm_chunk_windows", "llm_knn_label",
+        "llm_ann_grid_topk", "llm_ann_pq_topk", "llm_embed_quantize",
+        "llm_containment_pairs", "llm_boilerplate_strip", "llm_zipf_fit",
     ],
     "stream": [
-        "stream_sliding_counts", "stream_session_counts", "stream_exact_dedup",
-        "stream_heavy_hitters", "stream_late_events",
+        "stream_sliding_counts", "stream_enrich_join",
+        "stream_interval_join", "stream_user_totals",
     ],
     "rel": [
-        "rel_sql_tpch_q3", "rel_sql_tpch_q5", "rel_asof_join",
-        "rel_range_join", "rel_sessionize_events", "rel_rollup_revenue",
-        "rel_intersect_except", "rel_rank_dense_ntile", "rel_interval_overlap",
-        "rel_ab_test", "rel_markov_transitions", "rel_mad_outliers",
-        "rel_cusum_drift", "rel_ntile_bands", "rel_bitmap_flags",
+        "rel_sql_tpch_q7", "rel_skyline_frontier", "rel_hll_distinct",
+        "rel_bloom_semijoin", "rel_cms_heavy_freq", "rel_funnel_conversion",
+        "rel_market_share", "rel_attribution_position",
+        "rel_key_skew_profile", "rel_benford_digits",
+        # never-recorded osm/llm carried in rel slots (see note above)
+        "osm_bbox_filter", "osm_element_history_scd2", "llm_weighted_sample",
+        "llm_training_order", "llm_dsir_weight",
     ],
 }
 # 10-slot cycle → first-50 composition 15/15/15/5 (osm/llm/rel/stream)

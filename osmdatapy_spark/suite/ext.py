@@ -895,9 +895,9 @@ def osm_default_query_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_counts",
     oracle="""
     WITH starts AS (
-      SELECT event_type, to_timestamp(floor(epoch(ts) / 1800) * 1800) AS ws, value FROM events
+      SELECT event_type, CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS ws, value FROM events
       UNION ALL
-      SELECT event_type, to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS ws, value FROM events
+      SELECT event_type, CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) AS ws, value FROM events
     )
     SELECT ws AS window_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -963,7 +963,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_enrich_join",
     oracle="""
-    SELECT to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
            c.c_nationkey,
            COUNT(*) AS n,
            CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -2025,6 +2025,146 @@ def osm_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# osm_diff_by_region's region layer: per quadrant of the node coordinate
+# domain (lon ±180, lat ±85) an outer square (region_id = quadrant 0-3)
+# plus a smaller "metro" square strictly inside it (region_id = quadrant
+# + 10).  All corners are exact integers and every derived node ordinate
+# is a non-integer (X.5 / X.25), so no probe ever sits on a region edge
+# and containment verdicts are engine-exact.
+_DIFF_REGIONS = [
+    (0, -180.0, -85.0, 0.0, 0.0),
+    (1, 0.0, -85.0, 180.0, 0.0),
+    (2, -180.0, 0.0, 0.0, 85.0),
+    (3, 0.0, 0.0, 180.0, 85.0),
+    (10, -140.0, -60.0, -40.0, -20.0),
+    (11, 40.0, -60.0, 140.0, -20.0),
+    (12, -140.0, 20.0, -40.0, 60.0),
+    (13, 40.0, 20.0, 140.0, 60.0),
+]
+
+_DIFF_REGION_SQL = """CASE
+      WHEN lon > -140 AND lon < -40 AND lat > -60 AND lat < -20 THEN 10
+      WHEN lon >   40 AND lon < 140 AND lat > -60 AND lat < -20 THEN 11
+      WHEN lon > -140 AND lon < -40 AND lat >  20 AND lat <  60 THEN 12
+      WHEN lon >   40 AND lon < 140 AND lat >  20 AND lat <  60 THEN 13
+      ELSE CASE WHEN lon > 0 THEN 1 ELSE 0 END + CASE WHEN lat > 0 THEN 2 ELSE 0 END
+    END"""
+
+
+@register(
+    "osm_diff_by_region",
+    oracle=f"""
+    WITH {WAY_TAGS_CTE}, {WAYS_CTE}, {NODES_CTE},
+    bt AS (
+      SELECT osmid, area, barrier,
+             CASE WHEN osmid % 5 = 0 THEN 'renovated' ELSE building END AS building,
+             highway, name, "natural", service, rel_type
+      FROM way_tags WHERE osmid % 13 <> 0
+      UNION ALL
+      SELECT osmid + 1000000000, NULL, NULL, 'yes', NULL, NULL, NULL, NULL, NULL
+      FROM way_tags WHERE osmid % 17 = 0
+    ),
+    afp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM way_tags),
+    bfp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM bt),
+    diff AS (
+      SELECT coalesce(a.osmid, b.osmid) AS osmid,
+             CASE WHEN a.osmid IS NULL THEN 'added'
+                  WHEN b.osmid IS NULL THEN 'deleted'
+                  ELSE 'modified' END AS change
+      FROM afp a FULL JOIN bfp b ON a.osmid = b.osmid
+      WHERE a.osmid IS NULL OR b.osmid IS NULL OR a.f <> b.f
+    ),
+    loc AS (SELECT way_id, node_id FROM ways WHERE pos = 1),
+    pts AS (
+      SELECT d.change, n.lon, n.lat
+      FROM diff d
+      JOIN loc l ON l.way_id = CASE WHEN d.osmid >= 1000000000
+                                    THEN d.osmid - 1000000000 ELSE d.osmid END
+      JOIN nodes n ON n.osmid = l.node_id
+    )
+    SELECT {_DIFF_REGION_SQL} AS region_id, change, COUNT(*) AS n_changes
+    FROM pts GROUP BY 1, 2
+    """,
+    doc="WHERE the map changed: the epoch snapshot diff (osm_extract_diff's "
+    "added/deleted/modified classification) reverse-geocoded against an "
+    "admin-region polygon layer and rolled up to change counts per region "
+    "— the osmium-diff + reverse-geocode workflow in one query, composing "
+    "round 8's two newest operators (full-outer epoch compare + bbox-cover "
+    "containment join).  Each changed way localizes at its first node "
+    "(an added way's geometry comes from its epoch-B refs — here the "
+    "source way's, by the +1e9 fixture construction); probes key to one "
+    "64-degree grid cell, region polygons replicate to every cell their "
+    "bbox overlaps, the even-odd ray cast decides containment, and the "
+    "SMALLEST containing region wins (metro inside quadrant).  Scale "
+    "shape: the diff join and the refs/coords joins are co-partitioned "
+    "id shuffles; the containment join is one cell-keyed shuffle with a "
+    "broadcast-sized region layer; the rollup partial-aggregates "
+    "map-side.  No driver state, no all-pairs stage.",
+)
+def osm_diff_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.operators.measures import (
+        point_in_polygon_join,
+        shoelace_area_deg2,
+    )
+    from osmdatapy_spark.session import tune_session
+
+    tune_session(spark)
+    diff = osm_extract_diff(spark, sf_dir).select(
+        "osmid",
+        "change",
+        F.when(col("osmid") >= 1_000_000_000, col("osmid") - 1_000_000_000)
+        .otherwise(col("osmid"))
+        .alias("geo_way"),
+    )
+    first_node = derived_way_refs(spark, sf_dir).filter(col("pos") == 1)
+    nodes = derived_nodes(spark, sf_dir)
+    pts = (
+        diff.join(first_node, diff["geo_way"] == first_node["way_id"])
+        .join(nodes.withColumnRenamed("osmid", "node_osmid"), col("node_id") == col("node_osmid"))
+        .select("change", col("lon").alias("px"), col("lat").alias("py"))
+    )
+    regions = spark.createDataFrame(
+        [
+            (
+                rid,
+                [
+                    {"lon": x0, "lat": y0},
+                    {"lon": x1, "lat": y0},
+                    {"lon": x1, "lat": y1},
+                    {"lon": x0, "lat": y1},
+                ],
+            )
+            for rid, x0, y0, x1, y1 in _DIFF_REGIONS
+        ],
+        "region_id long, r_coords array<struct<lon double, lat double>>",
+    )
+    regions = regions.withColumn(
+        "r_area", F.abs(shoelace_area_deg2(col("r_coords")))
+    )
+    hits = point_in_polygon_join(pts, regions, 64.0, ring_coords="r_coords")
+    # smallest containing region wins: rank candidates per probe.  The
+    # probe table has no unique id by construction (counts are the
+    # output), so elect via a window over a deterministic probe key —
+    # (px, py, change) is NOT unique across probes, but every probe with
+    # the same key elects the same region, so per-key counts are exact:
+    # count each key's probes once at the elected region.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("px", "py", "change")
+    elected = (
+        hits.withColumn(
+            "best", F.min(F.struct(col("r_area"), col("region_id"))).over(w)
+        )
+        .filter(
+            (col("r_area") == col("best.r_area"))
+            & (col("region_id") == col("best.region_id"))
+        )
+    )
+    return elected.groupBy("region_id", "change").agg(
+        F.count("*").alias("n_changes")
+    )
+
+
 @register(
     "stream_user_totals",
     oracle="""
@@ -2923,8 +3063,29 @@ def osm_osc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_osm_osc(iter(creates + modifies + deletes), f)
 
     ch = read_osm_xml(spark, path, osc=True)
+    # Last-writer election: the OSM editing contract guarantees every
+    # change to an element bumps its version, so max(version) alone picks
+    # the final state across folded changefiles.  The action component is
+    # a DEFENSIVE tie-break for malformed diffs that repeat a version: a
+    # delete outranks create/modify at equal version (2>1>0 below) — the
+    # conservative read of "the element's history ends here" — rather than
+    # the accidental alphabetical order ('modify' > 'delete') a raw string
+    # in the struct would give.
+    action_rank = (
+        F.when(col("action") == "delete", lit(2))
+        .when(col("action") == "modify", lit(1))
+        .otherwise(lit(0))
+    )
     last = ch.groupBy("osmid").agg(
-        F.max(F.struct("version", "action", "lon", "lat")).alias("m")
+        F.max(
+            F.struct(
+                col("version"),
+                action_rank.alias("rank"),
+                col("action"),
+                col("lon"),
+                col("lat"),
+            )
+        ).alias("m")
     )
     applied = (
         base.join(last, "osmid", "left")

@@ -1804,13 +1804,18 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("p"),
         ).select(col("p.l").alias("l"), col("p.r2").alias("r2"), "f")
-        best = (
+        top = (
             pairs.groupBy("l", "r2")
             .agg(F.sum("f").alias("cnt"))
             .orderBy(col("cnt").desc(), "l", "r2")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # degenerate corpus: no adjacent pairs remain (every word is a
+            # single symbol) — stop cleanly with the merges learned so far
+            break
+        best = top[0]
         merges.append((r, best["l"], best["r2"], int(best["cnt"])))
         syms = syms.select(
             "f", _bpe_merge_apply(col("s"), best["l"], best["r2"]).alias("s")

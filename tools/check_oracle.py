@@ -28,10 +28,17 @@ def dtype_kind(dtype) -> str:
     integer Spark column vs a float/object oracle column (e.g. DuckDB
     HUGEINT from an uncast SUM(BIGINT), or DECIMAL) hash-mismatches even
     when the values are numerically equal — round 2's one red row.  This
-    lint FAILS on kind disagreement instead of letting canon() coerce."""
+    lint FAILS on kind disagreement instead of letting canon() coerce.
+
+    tz-STRICT (round-9 fix): naive vs tz-aware datetimes are DIFFERENT
+    kinds.  DuckDB's to_timestamp(epoch) returns TIMESTAMPTZ
+    (datetime64[us, Etc/UTC]) while Spark's window().start arrives naive
+    — the driver's schema/hash gate treats those as a mismatch (round
+    8's one red row, stream_sliding_counts), so the pre-flight must
+    too.  Fix the ORACLE with CAST(... AS TIMESTAMP), never canon."""
     s = str(dtype)
     if "datetime" in s:
-        return "datetime"
+        return "datetime-tz" if ("," in s or "UTC" in s or "tz" in s.lower()) else "datetime"
     if s in ("bool", "boolean"):
         return "bool"
     if s.lower().startswith(("int", "uint")):
