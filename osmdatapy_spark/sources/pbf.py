@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.functions import col
 from pyspark.sql.types import (
@@ -411,6 +412,115 @@ class PbfDataSource(DataSource):
     def reader(self, schema: StructType) -> PbfDataSourceReader:
         return PbfDataSourceReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "OsmPbfSimpleStreamReader":
+        return OsmPbfSimpleStreamReader(schema, dict(self.options))
+
+
+class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Directory watcher over ``.pbf`` extracts — the bulk twin of the
+    ``.osc`` changefile watcher (``sources/xml.py:OsmXmlSimpleStreamReader``,
+    same offset contract): each file that appears under ``path`` with a
+    lexicographically LATER basename is emitted exactly once.  The offset
+    is the last processed file's basename, so ``readBetweenOffsets``
+    replays any (start, end] window deterministically for recovery, and
+    files must arrive with ever-increasing zero-padded names (the
+    replication/epoch-drop contract).  The unit of progress is the FILE;
+    within a file the decode reuses the batch reader's blob planning and
+    columnar decode verbatim, so streamed rows are byte-identical to a
+    batch scan of the same file.  Completes the bulk+diff streaming
+    story: epoch extracts stream through here, minutely diffs through
+    the ``.osc`` watcher, and the same CDC fold downstream consumes both."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("osmpbf stream source requires a directory path")
+        self.options = dict(options)
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def _all_files(self) -> "list[str]":
+        # sorted by BASENAME — the offset scalar compares basenames, so the
+        # sort key and the offset key must agree (same discipline as the
+        # .osc watcher); duplicate basenames across a multi-directory glob
+        # would make the offset ambiguous, so they are rejected loudly
+        import glob
+        import os
+
+        if os.path.isdir(self.path):
+            files = [
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".pbf")
+            ]
+        else:
+            files = glob.glob(self.path)
+        files.sort(key=os.path.basename)
+        names = [os.path.basename(f) for f in files]
+        dupes = {n for i, n in enumerate(names) if n in names[:i]}
+        if dupes:
+            raise ValueError(
+                "osmpbf stream source: duplicate basenames across the glob "
+                f"{sorted(dupes)[:3]} — offsets are basename-keyed, so each "
+                "extract must have a unique (zero-padded) name"
+            )
+        return files
+
+    def _rows(self, files: "list[str]") -> "list[tuple]":
+        # a LIST, not a generator: the simple-reader wrapper prefetches and
+        # PICKLES the batch to cache it against replay.  Bounded by
+        # per-microbatch extract size — cap arrival batches with
+        # maxFilesPerTrigger-style drops of one epoch file at a time; a
+        # planet-bulk initial load belongs on the batch reader.
+        fields = [f.name for f in self.schema.fields]
+        out: list[tuple] = []
+        for path in files:
+            opts = dict(self.options)
+            opts["path"] = path
+            r = PbfDataSourceReader(self.schema, opts)
+            for part in r.partitions():
+                for batch in r.read(part):
+                    for row in batch.to_pylist():
+                        vals = []
+                        for f in fields:
+                            v = row.get(f)
+                            # Arrow pylist renders map<k,v> as [(k, v), ...]
+                            # and struct as dict — normalize to what the
+                            # simple reader's pickler expects
+                            if f == "tags" and isinstance(v, list):
+                                v = dict(v)
+                            elif f == "members" and v is not None:
+                                v = [
+                                    (m["ref"], m["type"], m["role"])
+                                    if isinstance(m, dict)
+                                    else tuple(m)
+                                    for m in v
+                                ]
+                            vals.append(v)
+                        out.append(tuple(vals))
+        return out
+
+    def read(self, start: dict):
+        import os
+
+        new = [f for f in self._all_files() if os.path.basename(f) > start["last"]]
+        if not new:
+            return [], start
+        end = {"last": os.path.basename(new[-1])}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> "list[tuple]":
+        import os
+
+        files = [
+            f
+            for f in self._all_files()
+            if start["last"] < os.path.basename(f) <= end["last"]
+        ]
+        return self._rows(files)
+
 
 _REGISTERED: set[int] = set()
 
@@ -439,6 +549,27 @@ def read_pbf(
     still decode everything)."""
     register(spark)
     reader = spark.read.format("osmpbf")
+    if osmtypes is not None:
+        reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
+    if columns is not None:
+        reader = reader.option("columns", ",".join(columns))
+    return reader.load(path)
+
+
+def read_pbf_stream(
+    spark: SparkSession,
+    path: str,
+    osmtypes: set[int] | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """``spark.readStream`` over a directory of ``.pbf`` extracts: each
+    file that appears under ``path`` with a lexicographically later
+    basename is emitted exactly once (offset = last file name) — the
+    epoch-extract watcher as a streaming DataFrame, mirroring the ``.osc``
+    changefile watcher (``sources/xml.py:read_osm_xml_stream``) with the
+    batch reader's pruning options."""
+    register(spark)
+    reader = spark.readStream.format("osmpbf")
     if osmtypes is not None:
         reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
     if columns is not None:

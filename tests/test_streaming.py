@@ -707,3 +707,86 @@ def test_osc_stream_reads_gzipped_diffs(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["osmid"] == 7 and rows[0]["action"] == "create"
     assert rows[0]["lon"] == 1.5
+
+
+# ---------------------------------------------------------------------------
+# Streaming PBF directory watcher — the bulk twin of the .osc watcher
+# ---------------------------------------------------------------------------
+
+
+def _pbf_epoch(path, nodes, ways=()):
+    """Write one epoch extract: nodes = [(id, lon, lat, tags)], ways =
+    [(id, refs, tags)]."""
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter()
+    if nodes:
+        w.add_dense_nodes(list(nodes))
+    if ways:
+        w.add_ways(list(ways))
+    w.write(str(path))
+
+
+def test_pbf_stream_matches_batch(spark, tmp_path):
+    """The osmpbf streaming source over an extract directory must emit
+    exactly the rows the batch reader sees — tags map and refs included
+    (the pickled-row path renders Arrow maps/structs back faithfully)."""
+    from osmdatapy_spark.sources.pbf import read_pbf, read_pbf_stream
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 2.0, {"amenity": "cafe"}), (2, 3.0, 4.0, {})])
+    _pbf_epoch(d / "000002.osm.pbf", [], ways=[(10, [1, 2], {"highway": "path"})])
+
+    key = lambda r: (r["osmid"], r["osmtype"], r["lon"], dict(r["tags"] or {}), list(r["refs"] or []))  # noqa: E731
+    batch = sorted(str(key(r)) for r in read_pbf(spark, str(d)).collect())
+
+    q = (
+        read_pbf_stream(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("t_pbf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(str(key(r)) for r in spark.sql("select * from t_pbf_stream").collect())
+    assert got == batch and len(got) == 3
+
+
+def test_pbf_stream_incremental_exactly_once(spark, tmp_path):
+    """An epoch file appearing AFTER the first drain is consumed exactly
+    once on the next drain (offset = last file basename) — parallel to
+    test_osc_stream_incremental_exactly_once, completing the bulk+diff
+    streaming story."""
+    from osmdatapy_spark.sources.pbf import read_pbf_stream
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {}), (2, 2.0, 2.0, {})])
+
+    def drain():
+        # parquet sink, not memory: resuming from the checkpoint is
+        # exactly what this test pins
+        q = (
+            read_pbf_stream(spark, str(d), osmtypes={0}, columns=["osmid", "lon", "lat"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    _pbf_epoch(d / "000002.osm.pbf", [(3, 5.0, 5.0, {})])
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 3  # file 1 NOT re-emitted, file 2 exactly once
+    assert sorted(r["osmid"] for r in df.collect()) == [1, 2, 3]
