@@ -65,9 +65,9 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "rel_bloom_semijoin", "rel_cms_heavy_freq", "rel_funnel_conversion",
         "rel_market_share", "rel_attribution_position",
         "rel_key_skew_profile", "rel_benford_digits",
-        # never-recorded osm/llm carried in rel slots (see note above)
+        # new round-9 SQL faces + never-recorded osm/llm in rel slots
+        "rel_sql_tpch_q10", "rel_sql_tpch_q18",
         "osm_bbox_filter", "osm_element_history_scd2", "llm_weighted_sample",
-        "llm_training_order", "llm_dsir_weight",
     ],
 }
 # 10-slot cycle → first-50 composition 15/15/15/5 (osm/llm/rel/stream)

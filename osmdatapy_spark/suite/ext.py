@@ -2141,27 +2141,21 @@ def osm_diff_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     regions = regions.withColumn(
         "r_area", F.abs(shoelace_area_deg2(col("r_coords")))
     )
-    hits = point_in_polygon_join(pts, regions, 64.0, ring_coords="r_coords")
-    # smallest containing region wins: rank candidates per probe.  The
-    # probe table has no unique id by construction (counts are the
-    # output), so elect via a window over a deterministic probe key —
-    # (px, py, change) is NOT unique across probes, but every probe with
-    # the same key elects the same region, so per-key counts are exact:
-    # count each key's probes once at the elected region.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("px", "py", "change")
-    elected = (
-        hits.withColumn(
-            "best", F.min(F.struct(col("r_area"), col("region_id"))).over(w)
-        )
-        .filter(
-            (col("r_area") == col("best.r_area"))
-            & (col("region_id") == col("best.region_id"))
+    # Pre-aggregate probe multiplicities BEFORE the containment join:
+    # every probe with the same (px, py, change) elects the same region,
+    # so only unique probe keys (bounded by the coordinate vocabulary ×
+    # 3 change kinds, NOT by diff volume) go through the cell join, and
+    # the smallest-region election is a plain partial-aggregated groupBy
+    # instead of a window over exploded candidates.
+    pts_agg = pts.groupBy("px", "py", "change").agg(F.count("*").alias("n"))
+    hits = point_in_polygon_join(pts_agg, regions, 64.0, ring_coords="r_coords")
+    elected = hits.groupBy("px", "py", "change", "n").agg(
+        F.min(F.struct(col("r_area"), col("region_id")))["region_id"].alias(
+            "region_id"
         )
     )
     return elected.groupBy("region_id", "change").agg(
-        F.count("*").alias("n_changes")
+        F.sum("n").alias("n_changes")
     )
 
 
@@ -3413,6 +3407,85 @@ def rel_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q7_SQL)
+
+
+# TPC-H Q10 adapted to the synthetic schema (customer carries no
+# address/phone/comment columns here; the operator shape — 3-way fact
+# join + dim join + top-20 by exact-DECIMAL revenue — is unchanged).
+# Deterministic cut: revenue is an exact DECIMAL sum in BOTH engines, the
+# DOUBLE cast happens after aggregation, and c_custkey tiebreaks.
+TPCH_Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "rel_sql_tpch_q10",
+    oracle=TPCH_Q10_SQL,
+    doc="TPC-H Q10 (returned-item reporting) through the SQL entry point: "
+    "who returned the most revenue last quarter — the classic "
+    "fact-to-fact join (orders x lineitem) date-and-flag filtered, then "
+    "a customer rollup topped at 20.  The IDENTICAL ANSI text runs via "
+    "spark.sql() and DuckDB.  Scale shape: the date filter pushes to "
+    "the orders scan and prunes before the join; nation broadcasts; "
+    "the top-20 is a TakeOrdered over the aggregated (per-customer) "
+    "relation, never a global sort of lineitem.",
+)
+def rel_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q10_SQL)
+
+
+TPCH_Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register(
+    "rel_sql_tpch_q18",
+    oracle=TPCH_Q18_SQL,
+    doc="TPC-H Q18 (large-volume customers) through the SQL entry point: "
+    "the GROUP-BY-HAVING-IN decorrelation workout — the subquery "
+    "aggregates lineitem to find heavy orders, the outer query "
+    "re-joins them to customers.  The IDENTICAL ANSI text runs via "
+    "spark.sql() and DuckDB.  Scale shape: Catalyst rewrites the IN to "
+    "a semi-join on the aggregated (vocabulary-sized at any SF "
+    "relative to lineitem) heavy-order set; both lineitem passes are "
+    "partial-aggregated shuffles on l_orderkey and AQE can reuse the "
+    "exchange; exact DECIMAL quantity sums on both engines.",
+)
+def rel_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q18_SQL)
 
 
 # ---------------------------------------------------------------------------

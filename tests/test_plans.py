@@ -671,3 +671,20 @@ def test_dsir_corpus_never_shuffles_for_scoring(spark):
         min_broadcasts=2,
         forbid_python=True,
     )
+
+
+def test_round9_operator_plan_shapes(spark):
+    """Plan pins for the round-9 operators, per their registered claims."""
+    # Q10: date filter pushes to the orders scan, dims broadcast at this
+    # SF, ONE partial-aggregated customer rollup; top-20 is TakeOrdered
+    s = assert_plan(q(spark, "rel_sql_tpch_q10"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 2, s.text
+    # Q18: the HAVING subquery decorrelates to a semi-join on the
+    # aggregated heavy-order set — two lineitem rollups + final group
+    assert_plan(q(spark, "rel_sql_tpch_q18"), max_exchanges=3, forbid_python=True)
+    # diff-by-region: full-outer epoch compare (2 co-partitioned sides) +
+    # refs/coords attach + probe-key pre-agg + cell join + election +
+    # rollup.  The pre-agg buys a bounded containment-join input (unique
+    # coordinate keys, not diff volume) at the cost of one extra tiny
+    # exchange — the 100 TB trade documented in the registration.
+    assert_plan(q(spark, "osm_diff_by_region"), max_exchanges=8, forbid_python=True)
