@@ -47,7 +47,7 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "osm_point_in_lake", "osm_way_member_dedup", "osm_info",
         "osm_extract_diff", "osm_name_search", "osm_simplify_dp",
         "osm_way_area", "osm_diff_by_region", "osm_history_asof",
-        "osm_network_components",
+        "osm_pbf_epoch_fold",
     ],
     "llm": [
         "llm_text_normalize", "llm_bpe_train", "llm_dedup_pipeline",

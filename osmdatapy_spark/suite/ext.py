@@ -2853,6 +2853,71 @@ def osm_pbf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PBF_EPOCH_N = 600
+
+
+@register(
+    "osm_pbf_epoch_fold",
+    oracle=f"""
+    WITH n AS (SELECT UNNEST(generate_series(1, {_PBF_EPOCH_N})) AS i)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(-9000 + (i % 360) * 50
+                    + CASE WHEN i % 3 = 0 THEN 100 ELSE 0 END) AS BIGINT)
+             AS lon_cdeg_sum
+    FROM n
+    """,
+    doc="Multi-file .pbf directory scan + epoch election — the batch face "
+    "of the round-9 streaming .pbf watcher "
+    "(sources/pbf.py:OsmPbfSimpleStreamReader; exactly-once pinned in "
+    "tests/test_streaming.py): two epoch extracts written from "
+    "closed-form formulas land in one directory (epoch 2 re-states every "
+    "third node moved +1 degree and tagged epoch=2), the directory reads "
+    "as ONE union scan (a real deployment's regional-extract layout), "
+    "and the latest state per osmid is a partial-aggregated "
+    "max(struct(tagged, lon)) election — the same one-exchange CDC fold "
+    "as osm_osc_apply, over the bulk format.  Output aggregates must "
+    "equal the generating formulas exactly (centidegree sums; "
+    "granularity-safe).",
+)
+def osm_pbf_epoch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osmdatapy_spark.sources.pbf import read_pbf
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    n = _PBF_EPOCH_N
+    lon = lambda i: -90.0 + (i % 360) * 0.5  # noqa: E731
+    lat = lambda i: -45.0 + (i % 180) * 0.25  # noqa: E731
+    d = _roundtrip_dir(sf_dir, "pbfdir")
+    w1 = PbfWriter()
+    w1.add_dense_nodes([(i, lon(i), lat(i), {}) for i in range(1, n + 1)])
+    w1.write(os.path.join(d, "000001.osm.pbf"))
+    w2 = PbfWriter()
+    w2.add_dense_nodes(
+        [
+            (i, lon(i) + 1.0, lat(i), {"epoch": "2"})
+            for i in range(1, n + 1)
+            if i % 3 == 0
+        ]
+    )
+    w2.write(os.path.join(d, "000002.osm.pbf"))
+
+    df = read_pbf(spark, d, osmtypes={0}, columns=["osmid", "tags", "lon"])
+    latest = df.groupBy("osmid").agg(
+        F.max(
+            F.struct(
+                F.greatest(F.size("tags"), lit(0)).alias("e"), col("lon").alias("lon")
+            )
+        ).alias("m")
+    )
+    return latest.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum((col("m.e") >= 1).cast("long")).alias("n_moved"),
+        F.sum(F.round(col("m.lon") * 100).cast("long")).alias("lon_cdeg_sum"),
+    )
+
+
 @register(
     "osm_pbf_tag_query",
     oracle=f"""
