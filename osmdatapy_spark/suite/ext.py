@@ -2890,9 +2890,17 @@ def osm_pbf_epoch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     lon = lambda i: -90.0 + (i % 360) * 0.5  # noqa: E731
     lat = lambda i: -45.0 + (i % 180) * 0.25  # noqa: E731
     d = _roundtrip_dir(sf_dir, "pbfdir")
+
+    def write_atomic(w: PbfWriter, name: str) -> None:
+        # tmp + rename so a concurrent lister never sees a torn file (the
+        # _pbf_e2e_path discipline); '.tmp' doesn't match the '*.pbf' scan
+        p = os.path.join(d, name)
+        w.write(p + ".tmp")
+        os.replace(p + ".tmp", p)
+
     w1 = PbfWriter()
     w1.add_dense_nodes([(i, lon(i), lat(i), {}) for i in range(1, n + 1)])
-    w1.write(os.path.join(d, "000001.osm.pbf"))
+    write_atomic(w1, "000001.osm.pbf")
     w2 = PbfWriter()
     w2.add_dense_nodes(
         [
@@ -2901,7 +2909,7 @@ def osm_pbf_epoch_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i % 3 == 0
         ]
     )
-    w2.write(os.path.join(d, "000002.osm.pbf"))
+    write_atomic(w2, "000002.osm.pbf")
 
     df = read_pbf(spark, d, osmtypes={0}, columns=["osmid", "tags", "lon"])
     latest = df.groupBy("osmid").agg(
