@@ -442,31 +442,9 @@ class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _all_files(self) -> "list[str]":
-        # sorted by BASENAME — the offset scalar compares basenames, so the
-        # sort key and the offset key must agree (same discipline as the
-        # .osc watcher); duplicate basenames across a multi-directory glob
-        # would make the offset ambiguous, so they are rejected loudly
-        import glob
-        import os
+        from osmdatapy_spark.sources._watch import list_watched_files
 
-        if os.path.isdir(self.path):
-            files = [
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".pbf")
-            ]
-        else:
-            files = glob.glob(self.path)
-        files.sort(key=os.path.basename)
-        names = [os.path.basename(f) for f in files]
-        dupes = {n for i, n in enumerate(names) if n in names[:i]}
-        if dupes:
-            raise ValueError(
-                "osmpbf stream source: duplicate basenames across the glob "
-                f"{sorted(dupes)[:3]} — offsets are basename-keyed, so each "
-                "extract must have a unique (zero-padded) name"
-            )
-        return files
+        return list_watched_files(self.path, (".pbf",), "osmpbf")
 
     def _rows(self, files: "list[str]") -> "list[tuple]":
         # a LIST, not a generator: the simple-reader wrapper prefetches and

@@ -299,36 +299,13 @@ class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
         return {"last": ""}
 
     def _all_files(self) -> "list[str]":
-        # Sorted by BASENAME — the offset scalar compares basenames, so
-        # the sort key and the offset key must agree or a glob spanning
-        # directories could emit a file whose basename sorts above the
-        # recorded end offset (duplicates on replay).  Basenames must be
-        # zero-padded (the replication-sequence contract, '000123.osc'):
-        # lexicographic order is the replication order only then —
-        # '9.osc' sorting after '10.osc' would be silently skipped.
-        import glob
-        import os
+        from osmdatapy_spark.sources._watch import list_watched_files
 
-        if os.path.isdir(self.path):
-            files = [
-                f
-                for f in glob.glob(os.path.join(self.path, "*"))
-                if f.endswith(
-                    (".osm", ".osc", ".osm.gz", ".osc.gz", ".osm.bz2", ".osc.bz2")
-                )
-            ]
-        else:
-            files = glob.glob(self.path)
-        files.sort(key=os.path.basename)
-        names = [os.path.basename(f) for f in files]
-        dupes = {n for i, n in enumerate(names) if n in names[:i]}
-        if dupes:
-            raise ValueError(
-                "osmxml stream source: duplicate basenames across the glob "
-                f"{sorted(dupes)[:3]} — offsets are basename-keyed, so each "
-                "replication file must have a unique (zero-padded) name"
-            )
-        return files
+        return list_watched_files(
+            self.path,
+            (".osm", ".osc", ".osm.gz", ".osc.gz", ".osm.bz2", ".osc.bz2"),
+            "osmxml",
+        )
 
     def _rows(self, files: "list[str]") -> "list[tuple]":
         # a LIST, not a generator: the simple-reader wrapper prefetches

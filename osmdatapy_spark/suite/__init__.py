@@ -23,9 +23,13 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # (all rel_* first) meant the externally recorded record never contained a
 # geometry, dedup, or streaming result.  The interleave below guarantees
 # any prefix sample spans all four families — a 10-slot cycle of
-# 3 osm / 3 llm / 3 rel / 1 stream puts 15 osm, 15 llm, 15 rel and
-# 5 stream queries in the first 50.  Within each family a curated
-# showcase head goes first; the rest keep registration order.  The
+# 3 osm / 3 llm / 3 rel / 1 stream allocates 15/15/15/5 HEAD SLOTS in the
+# first 50; the names filling them may cross family prefixes (round 9
+# carries never-recorded osm/llm names in rel slots because only 10 rel
+# names lacked an external record), so the actual first-50 prefix mix is
+# whatever the head lists hold — verify with
+# ``list(ordered_registry())[:50]``, not this comment.  Within each queue
+# the curated head goes first; the rest keep registration order.  The
 # ordering is presentation-only: the registry itself (and every test
 # keyed on it) is unchanged.
 #
@@ -70,7 +74,8 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "osm_bbox_filter", "osm_element_history_scd2", "llm_weighted_sample",
     ],
 }
-# 10-slot cycle → first-50 composition 15/15/15/5 (osm/llm/rel/stream)
+# 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the
+# names inside may cross family prefixes — see the note above)
 _CYCLE = ["osm", "llm", "rel", "osm", "llm", "rel", "osm", "llm", "rel", "stream"]
 
 

@@ -895,9 +895,9 @@ def osm_default_query_pois(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_counts",
     oracle="""
     WITH starts AS (
-      SELECT event_type, CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS ws, value FROM events
+      SELECT event_type, make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS ws, value FROM events
       UNION ALL
-      SELECT event_type, CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) AS ws, value FROM events
+      SELECT event_type, make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) * 1000000) AS ws, value FROM events
     )
     SELECT ws AS window_start, event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -963,7 +963,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_enrich_join",
     oracle="""
-    SELECT CAST(to_timestamp(floor(epoch(e.ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+    SELECT make_timestamp(CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) * 1000000) AS window_start,
            c.c_nationkey,
            COUNT(*) AS n,
            CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -2051,29 +2051,18 @@ _DIFF_REGION_SQL = """CASE
     END"""
 
 
-@register(
-    "osm_diff_by_region",
-    oracle=f"""
-    WITH {WAY_TAGS_CTE}, {WAYS_CTE}, {NODES_CTE},
-    bt AS (
-      SELECT osmid, area, barrier,
-             CASE WHEN osmid % 5 = 0 THEN 'renovated' ELSE building END AS building,
-             highway, name, "natural", service, rel_type
-      FROM way_tags WHERE osmid % 13 <> 0
-      UNION ALL
-      SELECT osmid + 1000000000, NULL, NULL, 'yes', NULL, NULL, NULL, NULL, NULL
-      FROM way_tags WHERE osmid % 17 = 0
-    ),
-    afp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM way_tags),
-    bfp AS (SELECT osmid, {_TAG_FP_SQL} AS f FROM bt),
-    diff AS (
-      SELECT coalesce(a.osmid, b.osmid) AS osmid,
-             CASE WHEN a.osmid IS NULL THEN 'added'
-                  WHEN b.osmid IS NULL THEN 'deleted'
-                  ELSE 'modified' END AS change
-      FROM afp a FULL JOIN bfp b ON a.osmid = b.osmid
-      WHERE a.osmid IS NULL OR b.osmid IS NULL OR a.f <> b.f
-    ),
+def _diff_by_region_oracle() -> str:
+    """Compose the region-rollup oracle FROM the registered
+    osm_extract_diff oracle (nested WITH in a subquery — the
+    _retrieval_recall_oracle pattern): the Spark side calls
+    osm_extract_diff() directly, so the oracle must inherit any future
+    change to the epoch-B perturbation rules instead of restating them."""
+    from osmdatapy_spark.suite.registry import QUERY_REGISTRY
+
+    diff = QUERY_REGISTRY["osm_extract_diff"].oracle
+    return f"""
+    WITH {WAYS_CTE}, {NODES_CTE},
+    diff AS (SELECT osmid, change FROM ({diff})),
     loc AS (SELECT way_id, node_id FROM ways WHERE pos = 1),
     pts AS (
       SELECT d.change, n.lon, n.lat
@@ -2084,7 +2073,12 @@ _DIFF_REGION_SQL = """CASE
     )
     SELECT {_DIFF_REGION_SQL} AS region_id, change, COUNT(*) AS n_changes
     FROM pts GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "osm_diff_by_region",
+    oracle=_diff_by_region_oracle(),
     doc="WHERE the map changed: the epoch snapshot diff (osm_extract_diff's "
     "added/deleted/modified classification) reverse-geocoded against an "
     "admin-region polygon layer and rolled up to change counts per region "

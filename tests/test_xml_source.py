@@ -455,3 +455,78 @@ def test_write_osm_osc_rejects_bad_action(tmp_path):
         write_osm_osc(
             iter([("upsert", {"osmid": 1, "osmtype": 0, "tags": {}})]), io.StringIO()
         )
+
+
+def test_stream_offset_logic_is_basename_keyed(tmp_path):
+    """Driver-side watcher offset properties, no Spark needed: files sort
+    and select the end offset by BASENAME (a glob spanning directories
+    must not re-emit), duplicate basenames are rejected loudly, and
+    read/readBetweenOffsets agree on any (start, end] window."""
+    import pytest
+
+    from osmdatapy_spark.sources.xml import OsmXmlSimpleStreamReader
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    schema = StructType([StructField("osmid", LongType())])
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    # basename order (000001 < 000002 < 000003) crosses directory order
+    (b / "000001.osc").write_text("<osmChange/>")
+    (a / "000002.osc").write_text("<osmChange/>")
+    (b / "000003.osc").write_text("<osmChange/>")
+
+    r = OsmXmlSimpleStreamReader(schema, {"path": str(tmp_path / "*" / "*.osc")})
+    files = r._all_files()
+    import os
+
+    assert [os.path.basename(f) for f in files] == [
+        "000001.osc", "000002.osc", "000003.osc",
+    ]
+    rows, end = r.read({"last": ""})
+    assert end == {"last": "000003.osc"}
+    # a second read from the recorded end emits nothing (no re-reads)
+    rows2, end2 = r.read(end)
+    assert rows2 == [] and end2 == end
+    # replay any window deterministically
+    assert r.readBetweenOffsets({"last": "000001.osc"}, {"last": "000003.osc"}) == rows
+
+    # duplicate basenames across directories are ambiguous — loud error
+    (a / "000001.osc").write_text("<osmChange/>")
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        r._all_files()
+
+
+def test_pbf_stream_offset_logic_is_basename_keyed(tmp_path):
+    """Same offset discipline for the .pbf watcher."""
+    import os
+
+    import pytest
+
+    from osmdatapy_spark.sources.pbf import OsmPbfSimpleStreamReader, PBF_SCHEMA
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    for d, name, nid in ((b, "000001.osm.pbf", 1), (a, "000002.osm.pbf", 2)):
+        w = PbfWriter()
+        w.add_dense_nodes([(nid, 1.0, 2.0, {})])
+        w.write(str(d / name))
+
+    r = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(tmp_path / "*" / "*.pbf")})
+    files = r._all_files()
+    assert [os.path.basename(f) for f in files] == ["000001.osm.pbf", "000002.osm.pbf"]
+    rows, end = r.read({"last": ""})
+    assert end == {"last": "000002.osm.pbf"}
+    assert [t[0] for t in rows] == [1, 2]  # osmid is field 0 of the schema
+    rows2, end2 = r.read(end)
+    assert rows2 == [] and end2 == end
+    assert r.readBetweenOffsets({"last": "000001.osm.pbf"}, end) == [
+        t for t in rows if t[0] == 2
+    ]
+
+    (a / "000001.osm.pbf").write_bytes((b / "000001.osm.pbf").read_bytes())
+    with pytest.raises(ValueError, match="duplicate basenames"):
+        r._all_files()

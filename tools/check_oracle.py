@@ -143,6 +143,15 @@ def main() -> int:
         print(f"ann training skipped: {e}")
 
     con = duckdb.connect()
+    # Pin the oracle session to UTC: DuckDB's TZ-sensitive conversions
+    # (to_timestamp, CAST TIMESTAMPTZ->TIMESTAMP, AT TIME ZONE) follow the
+    # session TimeZone, which defaults to the HOST's — an oracle that
+    # converts through a tz-aware type would read differently on a
+    # non-UTC machine than on the (UTC) driver.  Oracles should still
+    # prefer TZ-independent forms (make_timestamp over to_timestamp);
+    # this pin is defense in depth so a local pre-flight run always
+    # predicts the driver.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

@@ -53,6 +53,9 @@ def main() -> int:
     names = list(q)[:n_sample]
 
     con = duckdb.connect()
+    # same UTC pin as check_oracle.py — TZ-sensitive DuckDB conversions
+    # must read identically here and on the (UTC) driver
+    con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
