@@ -69,9 +69,9 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "rel_bloom_semijoin", "rel_cms_heavy_freq", "rel_funnel_conversion",
         "rel_market_share", "rel_attribution_position",
         "rel_key_skew_profile", "rel_benford_digits",
-        # new round-9 SQL faces + never-recorded osm/llm in rel slots
-        "rel_sql_tpch_q10", "rel_sql_tpch_q18",
-        "osm_bbox_filter", "osm_element_history_scd2", "llm_weighted_sample",
+        # new round-9 SQL faces + a never-recorded llm name in rel slots
+        "rel_sql_tpch_q10", "rel_sql_tpch_q18", "rel_sql_tpch_q4",
+        "rel_sql_tpch_q14", "llm_weighted_sample",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

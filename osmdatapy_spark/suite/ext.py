@@ -3555,6 +3555,80 @@ def rel_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q18_SQL)
 
 
+# TPC-H Q4 adapted to the synthetic schema (no l_commitdate/l_receiptdate
+# here, so "late order" = any line item shipped more than 60 days after
+# the order date — the EXISTS shape is unchanged).
+TPCH_Q4_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "rel_sql_tpch_q4",
+    oracle=TPCH_Q4_SQL,
+    doc="TPC-H Q4 (order-priority checking) through the SQL entry point: "
+    "the correlated-EXISTS decorrelation workout — complementary to "
+    "Q18's IN-subquery (semi-join on an aggregate) because here the "
+    "correlation reaches INTO the predicate (l_shipdate compared "
+    "against the outer row's o_orderdate), so Catalyst must rewrite to "
+    "a semi-join with a non-trivial join condition, not just a key "
+    "lookup.  The IDENTICAL ANSI text runs via spark.sql() and DuckDB.  "
+    "Scale shape: the date filter prunes orders before the semi-join; "
+    "lineitem never aggregates — the semi-join short-circuits per "
+    "order; the final rollup is 5 groups.",
+)
+def rel_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q4_SQL)
+
+
+# TPC-H Q14 adapted: p_type is a single word here, so promo parts are
+# p_type = 'PROMO' rather than LIKE 'PROMO%'.  Both sums are exact
+# DECIMAL; the ratio is computed in DOUBLE from the two exactly-equal
+# operands, so it is bit-deterministic cross-engine (IEEE division).
+TPCH_Q14_SQL = """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS DOUBLE) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@register(
+    "rel_sql_tpch_q14",
+    oracle=TPCH_Q14_SQL,
+    doc="TPC-H Q14 (promotion effect) through the SQL entry point: the "
+    "conditional-aggregate ratio over a month of shipments — one "
+    "broadcast-able part join, a global (single-group) aggregate whose "
+    "partials combine map-side, and a ratio computed in DOUBLE from two "
+    "exact DECIMAL sums so both engines agree to the last bit.  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB.",
+)
+def rel_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q14_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto frontier) — the two-phase distributed formulation
 # ---------------------------------------------------------------------------

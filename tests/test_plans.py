@@ -688,3 +688,9 @@ def test_round9_operator_plan_shapes(spark):
     # coordinate keys, not diff volume) at the cost of one extra tiny
     # exchange — the 100 TB trade documented in the registration.
     assert_plan(q(spark, "osm_diff_by_region"), max_exchanges=8, forbid_python=True)
+    # Q4: EXISTS decorrelates to one semi-join; orders prune on the date
+    # filter first; ONE rollup exchange (5 groups)
+    s = assert_plan(q(spark, "rel_sql_tpch_q4"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
+    # Q14: broadcast part join + single-group conditional aggregate
+    assert_plan(q(spark, "rel_sql_tpch_q14"), max_exchanges=1, forbid_python=True)
