@@ -40,6 +40,24 @@ def test_oracles_parse_in_duckdb():
             con.execute(f"SELECT * FROM ({qd.oracle}) LIMIT 0")
 
 
+def test_oracles_are_timezone_independent():
+    """No oracle may read differently under a different DuckDB session
+    TimeZone: to_timestamp()/TIMESTAMPTZ/AT TIME ZONE convert through the
+    session zone (host-dependent — the driver pins nothing), which is how
+    round 8's one red row happened and how round 9's first fix would have
+    re-broken on a non-UTC host.  Window starts must be stated with the
+    TZ-independent make_timestamp(epoch_micros); this lint blocks the
+    class at authoring time (check_oracle/driver_mimic additionally pin
+    SET TimeZone='UTC' as defense in depth)."""
+    banned = ("to_timestamp(", "AT TIME ZONE", "TIMESTAMPTZ", "current_timestamp", "now()")
+    offenders = {
+        name: [b for b in banned if b.lower() in qd.oracle.lower()]
+        for name, qd in QUERY_REGISTRY.items()
+        if qd.oracle and any(b.lower() in qd.oracle.lower() for b in banned)
+    }
+    assert not offenders, f"TZ-sensitive oracle constructs: {offenders}"
+
+
 def test_approx_sketches_accuracy(spark):
     """The unregistered approximate face must still be NEAR-correct: HLL++
     within its 2% rsd (5x margin), t-digest median within 1% of exact."""
