@@ -68,10 +68,10 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "rel_sql_tpch_q7", "rel_skyline_frontier", "rel_hll_distinct",
         "rel_bloom_semijoin", "rel_cms_heavy_freq", "rel_funnel_conversion",
         "rel_market_share", "rel_attribution_position",
-        "rel_key_skew_profile", "rel_benford_digits",
-        # new round-9 SQL faces + a never-recorded llm name in rel slots
+        "rel_key_skew_profile",
+        # the round-9 SQL-face batch (Q4/Q6/Q10/Q13/Q14/Q18)
         "rel_sql_tpch_q10", "rel_sql_tpch_q18", "rel_sql_tpch_q4",
-        "rel_sql_tpch_q14", "llm_weighted_sample",
+        "rel_sql_tpch_q14", "rel_sql_tpch_q6", "rel_sql_tpch_q13",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

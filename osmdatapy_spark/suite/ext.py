@@ -3629,6 +3629,72 @@ def rel_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q14_SQL)
 
 
+TPCH_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "rel_sql_tpch_q6",
+    oracle=TPCH_Q6_SQL,
+    doc="TPC-H Q6 (forecasting revenue change) through the SQL entry "
+    "point: the PUSHDOWN showcase — a single-table scan-aggregate whose "
+    "entire predicate (date range, discount band, quantity cap) reaches "
+    "the parquet scan as PushedFilters, no join, no wide exchange (the "
+    "single-group partials combine map-side).  At 100 TB this is the "
+    "query shape where row-group statistics do all the work.  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB; exact DECIMAL "
+    "revenue.",
+)
+def rel_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q6_SQL)
+
+
+# TPC-H Q13 adapted: no o_comment column here, so the excluded-orders
+# predicate filters a priority class instead of a comment pattern — the
+# LEFT-JOIN-with-join-side-predicate + double aggregation is unchanged.
+TPCH_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@register(
+    "rel_sql_tpch_q13",
+    oracle=TPCH_Q13_SQL,
+    doc="TPC-H Q13 (customer order distribution) through the SQL entry "
+    "point: the DOUBLE-AGGREGATION workout — a left join whose filter "
+    "lives in the JOIN CONDITION (so customers with only urgent orders "
+    "still appear, with count 0; a WHERE would silently drop them), a "
+    "per-customer count, then a histogram of those counts.  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB.  Scale shape: "
+    "one c_custkey-keyed shuffle feeds both the join and the first "
+    "aggregate; the second aggregate is vocabulary-sized (distinct "
+    "order counts).",
+)
+def rel_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q13_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Skyline (Pareto frontier) — the two-phase distributed formulation
 # ---------------------------------------------------------------------------

@@ -694,3 +694,9 @@ def test_round9_operator_plan_shapes(spark):
     assert s.n_broadcasts >= 1, s.text
     # Q14: broadcast part join + single-group conditional aggregate
     assert_plan(q(spark, "rel_sql_tpch_q14"), max_exchanges=1, forbid_python=True)
+    # Q6: single-table scan-agg — predicate fully pushed, one exchange of
+    # single-group partials, never a join
+    assert_plan(q(spark, "rel_sql_tpch_q6"), max_exchanges=1, forbid_python=True)
+    # Q13: join-condition-filtered left join + per-customer count +
+    # vocabulary-sized histogram
+    assert_plan(q(spark, "rel_sql_tpch_q13"), max_exchanges=2, forbid_python=True)
