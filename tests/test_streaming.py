@@ -790,3 +790,59 @@ def test_pbf_stream_incremental_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 3  # file 1 NOT re-emitted, file 2 exactly once
     assert sorted(r["osmid"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_bulk_pbf_then_osc_diff_lifecycle(spark, tmp_path):
+    """The real deployment sequence end-to-end: a bulk epoch extract
+    streams in through the .pbf watcher, minutely diffs stream in through
+    the .osc watcher, and ONE latest-version CDC fold over the combined
+    emissions yields the same state as applying the diff to the base by
+    hand — the bulk+diff story the two watchers exist for."""
+    from pyspark.sql import Window
+
+    from osmdatapy_spark.sources.pbf import read_pbf_stream
+    from osmdatapy_spark.sources.xml import read_osm_xml_stream, write_osm_osc
+
+    bulk = tmp_path / "bulk"
+    diffs = tmp_path / "diffs"
+    bulk.mkdir(), diffs.mkdir()
+    # epoch extract: nodes 1..4 at version-0 positions
+    _pbf_epoch(bulk / "000001.osm.pbf", [(i, float(i), 0.0, {}) for i in (1, 2, 3, 4)])
+    # diff: move 2, delete 3, create 5
+    with open(diffs / "000001.osc", "w") as f:
+        write_osm_osc(iter([
+            ("modify", _osc_node(2, 20.0, 0.0, 2)),
+            ("delete", _osc_node(3, None, None, 2)),
+            ("create", _osc_node(5, 5.0, 0.0, 1)),
+        ]), f)
+
+    out_bulk = str(tmp_path / "out_bulk")
+    out_diff = str(tmp_path / "out_diff")
+    q1 = (
+        read_pbf_stream(spark, str(bulk), osmtypes={0}, columns=["osmid", "lon", "lat"])
+        .writeStream.format("parquet").option("path", out_bulk)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(240)
+    q2 = (
+        read_osm_xml_stream(spark, str(diffs))
+        .writeStream.format("parquet").option("path", out_diff)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(240)
+
+    base = spark.read.parquet(out_bulk).select(
+        "osmid", "lon", F.lit(1).alias("version"), F.lit("base").alias("action")
+    )
+    ch = spark.read.parquet(out_diff).select("osmid", "lon", "version", "action")
+    merged = base.unionByName(ch)
+    w = Window.partitionBy("osmid").orderBy(F.col("version").desc())
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .filter("action <> 'delete'")
+    )
+    final = {r["osmid"]: r["lon"] for r in latest.collect()}
+    assert final == {1: 1.0, 2: 20.0, 4: 4.0, 5: 5.0}
