@@ -247,7 +247,7 @@ def main() -> None:
         "llm_ann_ivfpq_topk", "llm_hybrid_rrf", "osm_simplify_dp",
         "llm_bpe_train", "llm_curation_recipe", "osm_map_match",
     ]
-    out = {
+    detail = {
         "metric": f"headline query wall-clock (noop sink, warm JVM, best of {N_PASSES} passes)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -269,7 +269,37 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
     }
-    print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON it finds there (BENCH_r08/r09 recorded parsed:null because
+    # the full per-pass payload overflowed the window and lost the line's
+    # head).  So: the bulky per-pass/median/spread arrays go to a sidecar
+    # file, and stdout carries ONE compact line — headline total, per-query
+    # best-of, and the cross-round subtotals — kept under the window.
+    with open(REPO / "bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": f"headline wall-clock sec (noop sink, warm JVM, best of {N_PASSES}; detail: bench_detail.json)",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": timings,
+        "r1_comparable_sec": detail["r1_comparable_sec"],
+        "r2_comparable_sec": detail["r2_comparable_sec"],
+        "r8_comparable_sec": detail["r8_comparable_sec"],
+        "spread_pathology": spread_pathology,
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # never let growth re-break the driver parse: drop per-query floats
+        # to 2 decimals first, then fall back to subtotals-only
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(compact)
+        if len(line) > 1900:
+            compact["queries"] = {}
+            compact["metric"] += " [queries elided: see bench_detail.json]"
+            line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

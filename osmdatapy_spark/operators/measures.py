@@ -28,10 +28,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-# bbox-cover replication guard for point_in_polygon_join: a ring whose
-# bbox spans more grid cells than this per axis fails loudly (mis-sized
-# cell_deg) instead of silently exploding the join.
+# bbox-cover replication guards for point_in_polygon_join: a ring whose
+# bbox spans more grid cells than this per axis — or whose TOTAL cover
+# (x-span × y-span replica rows) exceeds the product cap — fails loudly
+# (mis-sized cell_deg) instead of silently exploding the join.  The
+# per-axis cap keeps F.sequence under its element limit; the product cap
+# closes the corner it leaves open (4095×4095 ≈ 16.7M replicas per ring
+# passes both axis checks but is exactly the silent explosion the guard
+# exists to prevent).
 _MAX_COVER_CELLS_PER_AXIS = 4096
+_MAX_COVER_CELLS_TOTAL = 65536
 
 EARTH_RADIUS_KM = 6371.0
 
@@ -314,6 +320,26 @@ def point_in_polygon_join(
             ).cast("long"),
         ).otherwise(hi)
 
+    def _product_guarded_hi(hi: Column) -> Column:
+        # total-cover cap: the per-axis guard alone admits a ring spanning
+        # just under the cap on BOTH axes (~16.7M replica rows); gate the
+        # x-span × y-span product before either explode runs
+        xs = F.floor(col("__x1") / cell).cast("long") - F.floor(col("__x0") / cell).cast("long") + 1
+        ys = F.floor(col("__y1") / cell).cast("long") - F.floor(col("__y0") / cell).cast("long") + 1
+        return F.when(
+            xs * ys > _MAX_COVER_CELLS_TOTAL,
+            F.raise_error(
+                F.format_string(
+                    "point_in_polygon_join: ring bbox covers %d total cells "
+                    "(%d x %d, max " + str(_MAX_COVER_CELLS_TOTAL) + ") — "
+                    "cell_deg is too small for this ring; raise cell_deg",
+                    xs * ys,
+                    xs,
+                    ys,
+                )
+            ).cast("long"),
+        ).otherwise(hi)
+
     r = (
         rings.withColumn("__x0", F.array_min(lons))
         .withColumn("__x1", F.array_max(lons))
@@ -324,10 +350,12 @@ def point_in_polygon_join(
             F.explode(
                 F.sequence(
                     F.floor(col("__x0") / cell).cast("long"),
-                    _guarded_hi(
-                        F.floor(col("__x0") / cell).cast("long"),
-                        F.floor(col("__x1") / cell).cast("long"),
-                        "lon",
+                    _product_guarded_hi(
+                        _guarded_hi(
+                            F.floor(col("__x0") / cell).cast("long"),
+                            F.floor(col("__x1") / cell).cast("long"),
+                            "lon",
+                        )
                     ),
                 )
             ),

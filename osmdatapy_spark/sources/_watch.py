@@ -21,21 +21,29 @@ def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -
     recorded end offset (duplicates on replay).  Basenames must be
     zero-padded (the replication-sequence contract, ``000123.osc``):
     lexicographic order is the arrival order only then — ``9.osc``
-    sorting after ``10.osc`` would be silently skipped.  Duplicate
-    basenames across a multi-directory glob make the offset ambiguous
-    and are rejected loudly.
+    sorting after ``10.osc`` would be silently skipped, so a listing
+    whose basenames are not all the same width is rejected loudly, as
+    are duplicate basenames across a multi-directory glob (they make
+    the offset ambiguous).  Hidden dotfiles (editor swap files, macOS
+    AppleDouble ``._*`` sidecars) are skipped: they are not part of any
+    replication sequence, they sort before every real file (``.`` <
+    ``0``) so one could permanently wedge an existing stream below its
+    recorded offset, and their content would crash the decode.
     """
     import glob
     import os
 
     if os.path.isdir(path):
         files = [
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(suffixes)
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(suffixes) and not f.startswith(".")
         ]
     else:
         # an explicit glob already states the pattern — don't second-guess
-        # its extension (both watchers' batch readers do the same)
-        files = glob.glob(path)
+        # its extension (both watchers' batch readers do the same); still
+        # drop dotfiles a permissive '*' pattern would sweep in
+        files = [f for f in glob.glob(path) if not os.path.basename(f).startswith(".")]
     files.sort(key=os.path.basename)
     seen: set[str] = set()
     dupes: set[str] = set()
@@ -47,5 +55,16 @@ def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -
             f"{source_name} stream source: duplicate basenames across the "
             f"glob {sorted(dupes)[:3]} — offsets are basename-keyed, so "
             "each file must have a unique (zero-padded) name"
+        )
+    widths = {len(os.path.basename(f)) for f in files}
+    if len(widths) > 1:
+        by_len = sorted(files, key=lambda f: (len(os.path.basename(f)), f))
+        raise ValueError(
+            f"{source_name} stream source: basenames are not zero-padded to "
+            f"a uniform width (e.g. {os.path.basename(by_len[0])!r} vs "
+            f"{os.path.basename(by_len[-1])!r}) — lexicographic order is the "
+            "arrival order only for equal-width names ('10.osc' sorts before "
+            "'9.osc'), so an unpadded sequence would be silently skipped; "
+            "rename files to a fixed-width sequence (000123.osc)"
         )
     return files

@@ -437,6 +437,19 @@ class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("osmpbf stream source requires a directory path")
         self.options = dict(options)
+        # arrival-batch cap (opt-in): the simple-reader wrapper pickles a
+        # whole microbatch's rows on the driver, so a bulk multi-epoch
+        # drop (or a first start against a populated directory) should be
+        # rationed — with the cap set, the offset only advances past the
+        # first N new files per microbatch; the rest arrive in later
+        # triggers.  It stays OPT-IN (0 = unlimited) because the simple
+        # stream reader plans exactly one read() per availableNow run —
+        # a default cap would make drain-everything tests/jobs stop after
+        # one file per run.  Set it on any continuously-triggered watcher
+        # over big epoch extracts.
+        self.max_files = int(options.get("maxFilesPerTrigger", 0))
+        if self.max_files < 0:
+            raise ValueError("osmpbf stream source: maxFilesPerTrigger must be >= 0")
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -449,9 +462,9 @@ class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, files: "list[str]") -> "list[tuple]":
         # a LIST, not a generator: the simple-reader wrapper prefetches and
         # PICKLES the batch to cache it against replay.  Bounded by
-        # per-microbatch extract size — cap arrival batches with
-        # maxFilesPerTrigger-style drops of one epoch file at a time; a
-        # planet-bulk initial load belongs on the batch reader.
+        # per-microbatch extract size — read() rations arrivals to
+        # maxFilesPerTrigger files (default 1 epoch file) per microbatch;
+        # a planet-bulk initial load belongs on the batch reader.
         fields = [f.name for f in self.schema.fields]
         out: list[tuple] = []
         for path in files:
@@ -484,12 +497,16 @@ class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
         import os
 
         new = [f for f in self._all_files() if os.path.basename(f) > start["last"]]
+        if self.max_files > 0:
+            new = new[: self.max_files]
         if not new:
             return [], start
         end = {"last": os.path.basename(new[-1])}
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> "list[tuple]":
+        # recovery replay of a committed (start, end] window — the cap was
+        # already applied when the window was planned, so no cap here
         import os
 
         files = [
@@ -539,15 +556,29 @@ def read_pbf_stream(
     path: str,
     osmtypes: set[int] | None = None,
     columns: list[str] | None = None,
+    max_files_per_trigger: int = 0,
 ) -> DataFrame:
     """``spark.readStream`` over a directory of ``.pbf`` extracts: each
     file that appears under ``path`` with a lexicographically later
     basename is emitted exactly once (offset = last file name) — the
     epoch-extract watcher as a streaming DataFrame, mirroring the ``.osc``
     changefile watcher (``sources/xml.py:read_osm_xml_stream``) with the
-    batch reader's pruning options."""
+    batch reader's pruning options.
+
+    Operational contract: one microbatch materializes its files' fully
+    decoded rows on the driver (the simple stream reader's prefetch
+    model), so a continuously-triggered watcher over big epoch extracts
+    should ration arrivals with ``max_files_per_trigger`` — with it set,
+    a bulk multi-file drop (or a first start against a populated
+    directory) drains N files per trigger instead of decoding everything
+    in one driver-resident batch.  It is OPT-IN (0 = unlimited) because
+    an ``availableNow`` run plans exactly one read per run and would stop
+    after one ration.  A true planet-bulk initial load belongs on the
+    batch reader, with only the diff tail streamed."""
     register(spark)
     reader = spark.readStream.format("osmpbf")
+    if max_files_per_trigger > 0:
+        reader = reader.option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
     if osmtypes is not None:
         reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
     if columns is not None:

@@ -294,6 +294,11 @@ class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("osmxml stream source requires a directory path")
         self.osmtypes = _parse_osmtypes(options.get("osmtypes"))
         self.fields = [f.name for f in schema.fields]
+        # optional arrival ration (same opt-in contract as the pbf
+        # watcher): 0 = unlimited; set it when pointing a continuously-
+        # triggered watcher at a deep backlog of diffs.  .osc replication
+        # diffs are small by contract, so unlimited is the sane default.
+        self.max_files = int(options.get("maxFilesPerTrigger", 0))
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -329,6 +334,8 @@ class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
         import os
 
         new = [f for f in self._all_files() if os.path.basename(f) > start["last"]]
+        if self.max_files > 0:
+            new = new[: self.max_files]
         if not new:
             return [], start
         end = {"last": os.path.basename(new[-1])}

@@ -24,54 +24,53 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # geometry, dedup, or streaming result.  The interleave below guarantees
 # any prefix sample spans all four families — a 10-slot cycle of
 # 3 osm / 3 llm / 3 rel / 1 stream allocates 15/15/15/5 HEAD SLOTS in the
-# first 50; the names filling them may cross family prefixes (round 9
-# carries never-recorded osm/llm names in rel slots because only 10 rel
-# names lacked an external record), so the actual first-50 prefix mix is
-# whatever the head lists hold — verify with
+# first 50.  Queue membership controls SAMPLE ORDER only; the names
+# filling a queue's slots may cross family prefixes — the actual first-50
+# prefix mix is whatever the head lists hold; verify with
 # ``list(ordered_registry())[:50]``, not this comment.  Within each queue
 # the curated head goes first; the rest keep registration order.  The
 # ordering is presentation-only: the registry itself (and every test
 # keyed on it) is unchanged.
 #
-# The heads ROTATE each round (round-7 verdict ask #7, round-8 ask #3):
-# rounds 1-8 recorded 140 distinct queries; every query below except
-# stream_sliding_counts has never appeared in a driver-recorded
-# CORRECTNESS_r*.json, so this round's first-50 accumulates ~48 more
-# first-time records.  stream_sliding_counts STAYS in the head per the
-# round-8 verdict (its r08 red row was an oracle TIMESTAMPTZ type bug,
-# fixed this round — it must show green in an external record before it
-# rotates out), and stream_enrich_join (same latent bug, same fix)
-# rotates IN.  The rel family has only 10 never-recorded names left, so
-# its last 5 slots carry never-recorded osm/llm queries (head placement
-# controls sample order only; family labels are presentation).
+# The heads ROTATE each round (round-7 verdict ask #7): rounds 1-9
+# recorded 188 distinct queries; after round 9 exactly 54 registered
+# names had never appeared in a driver-recorded CORRECTNESS_r*.json.
+# Round 10's head carries 46 of those plus this round's 4 additions
+# (the TPC-H Q12/Q16/Q19 SQL faces and osm_pbf_cdc_roundtrip) — every
+# name below is a first-time record; the 8 left over (5 llm + 3 osm
+# variants whose siblings are already recorded) rotate in next round.
+# The stream family has no unrecorded names left (all recorded r01-r09),
+# so its 5 slots carry unrecorded osm graph/encoding queries; the rel
+# queue likewise carries 11 unrecorded osm names after its 4.
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_metadata", "osm_multipoint_collect", "osm_pbf_tag_query",
-        "osm_relation_expand_depth2", "osm_relation_expand_depth3",
-        "osm_point_in_lake", "osm_way_member_dedup", "osm_info",
-        "osm_extract_diff", "osm_name_search", "osm_simplify_dp",
-        "osm_way_area", "osm_diff_by_region", "osm_history_asof",
-        "osm_pbf_epoch_fold",
+        "osm_pbf_cdc_roundtrip", "osm_geojson_points", "osm_geojson_lines",
+        "osm_geojson_polygons", "osm_apply_changes",
+        "osm_element_history_scd2", "osm_default_query_buildings",
+        "osm_default_query_pois", "osm_bbox_filter", "osm_bbox_clip",
+        "osm_integrity_report", "osm_tag_key_stats", "osm_renumber",
+        "osm_polygon_extract", "osm_maxspeed_parse",
     ],
     "llm": [
-        "llm_text_normalize", "llm_bpe_train", "llm_dedup_pipeline",
-        "llm_incremental_dedup", "llm_ngram_counts", "llm_minhash_estimate",
-        "llm_quality_classifier", "llm_chunk_windows", "llm_knn_label",
-        "llm_ann_grid_topk", "llm_ann_pq_topk", "llm_embed_quantize",
-        "llm_containment_pairs", "llm_boilerplate_strip", "llm_zipf_fit",
+        "llm_feature_extract", "llm_repetition_score", "llm_corpus_summary",
+        "llm_label_outliers", "llm_bpe_merge_candidates", "llm_dedup_audit",
+        "llm_char_entropy", "llm_hard_negative_mine",
+        "llm_dup_ngram_fraction", "llm_rouge_overlap",
+        "llm_dup_span_coverage", "llm_training_order", "llm_domain_cap",
+        "llm_ngram_novelty", "llm_dsir_weight",
     ],
     "stream": [
-        "stream_sliding_counts", "stream_enrich_join",
-        "stream_interval_join", "stream_user_totals",
+        "osm_node_degree_histogram", "osm_geohash_encode", "osm_kcore",
+        "osm_triangle_count", "osm_network_components",
     ],
     "rel": [
-        "rel_sql_tpch_q7", "rel_skyline_frontier", "rel_hll_distinct",
-        "rel_bloom_semijoin", "rel_cms_heavy_freq", "rel_funnel_conversion",
-        "rel_market_share", "rel_attribution_position",
-        "rel_key_skew_profile",
-        # the round-9 SQL-face batch (Q4/Q6/Q10/Q13/Q14/Q18)
-        "rel_sql_tpch_q10", "rel_sql_tpch_q18", "rel_sql_tpch_q4",
-        "rel_sql_tpch_q14", "rel_sql_tpch_q6", "rel_sql_tpch_q13",
+        # the round-10 SQL-face batch (Q12/Q16/Q19) + the last
+        # never-recorded rel name, then unrecorded osm analytics
+        "rel_sql_tpch_q12", "rel_sql_tpch_q16", "rel_sql_tpch_q19",
+        "rel_benford_digits", "osm_opening_hours_parse", "osm_way_centroid",
+        "osm_bfs_hops", "osm_hex_binning", "osm_hex_density_smooth",
+        "osm_way_compactness", "osm_bearing_rose", "osm_length_by_class",
+        "osm_tile_pyramid", "osm_grid_clusters", "osm_settlement_clusters",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

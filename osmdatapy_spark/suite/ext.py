@@ -2952,6 +2952,127 @@ def osm_pbf_tag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PBF_CDC_CREATES = 100  # created nodes appended by the change set
+
+
+@register(
+    "osm_pbf_cdc_roundtrip",
+    oracle=f"""
+    WITH surv AS (
+      SELECT i AS id,
+             -9000 + ((i - 1) % 360) * 50
+               + CASE WHEN i % 3 = 0 THEN 100 ELSE 0 END AS lon_cdeg,
+             CASE WHEN i % 3 = 0 OR (i - 1) % 50 = 0 THEN 1 ELSE 0 END AS tagged,
+             CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS edited
+      FROM (SELECT UNNEST(generate_series(1, {_PBF_E2E[0]})) AS i)
+      WHERE i % 7 <> 0
+    ),
+    created AS (
+      SELECT {_PBF_E2E[0]} + k AS id, -9000 + k * 50 AS lon_cdeg,
+             1 AS tagged, 0 AS edited
+      FROM (SELECT UNNEST(generate_series(1, {_PBF_CDC_CREATES})) AS k)
+    ),
+    nodes AS (SELECT * FROM surv UNION ALL SELECT * FROM created),
+    ways AS (
+      SELECT i + 1 AS id
+      FROM (SELECT UNNEST(generate_series(0, {_PBF_E2E[1] - 1})) AS i)
+      WHERE i % 3 = 0
+    )
+    SELECT CAST(0 AS INTEGER) AS osmtype,
+           CAST(COUNT(*) AS BIGINT) AS n_elements,
+           CAST(SUM(id) AS BIGINT) AS id_sum,
+           CAST(SUM(tagged) AS BIGINT) AS n_tagged,
+           CAST(SUM(edited) AS BIGINT) AS n_edited,
+           CAST(SUM(lon_cdeg) AS BIGINT) AS lon_cdeg_sum
+    FROM nodes
+    UNION ALL
+    SELECT 1, COUNT(*), CAST(SUM(id) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ways
+    """,
+    doc="CDC loop closed in the BULK wire format (round-9 verdict ask #4; "
+    "reference framing per osmdatapy/headers.py:9-78): the e2e fixture "
+    ".osm.pbf scans in, a closed-form change set applies with DataFrame "
+    "ops (delete every 7th node, move+retag every remaining 3rd, append "
+    f"{_PBF_CDC_CREATES} creates) and ways FILTER to the highway subset, "
+    "the folded state writes back out through the blob-level parallel "
+    "OSM.to_pbf sink (engine.py:246 — executor-side encode via "
+    "foreachPartition, range-sharded standalone .osm.pbf parts), the "
+    "shard directory re-scans through read_pbf, and per-kind facts "
+    "(counts, id/centidegree sums, tag markers) must equal the "
+    "generating formulas exactly — any encode/decode/fold drift "
+    "hash-fails.  Until now only .osc closed this loop; this is the "
+    "write→read epoch path a planet pipeline ships with.  Scale shape: "
+    "encode is per-partition with no driver funnel; the re-scan "
+    "parallelizes per shard; the fixture is bounded (~2k elements) — "
+    "the size class a correctness gate wants, with the 1M-element "
+    "encode throughput tracked in SCALE.md.",
+)
+def osm_pbf_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    base = OSM.from_pbf(spark, _pbf_e2e_path())
+    n0 = (
+        base.elements.filter(col("osmtype") == 0)
+        .select("osmid", "tags")
+        .join(base.nodes, "osmid")
+    )
+    moved = col("osmid") % 3 == 0
+    folded = n0.filter(col("osmid") % 7 != 0).select(
+        "osmid",
+        F.when(moved, col("lon") + 1.0).otherwise(col("lon")).alias("lon"),
+        "lat",
+        F.when(moved, F.create_map(lit("edited"), lit("yes")))
+        .otherwise(col("tags"))
+        .alias("tags"),
+    )
+    created = spark.range(1, _PBF_CDC_CREATES + 1).select(
+        (col("id") + _PBF_E2E[0]).alias("osmid"),
+        (lit(-90.0) + col("id") * 0.5).alias("lon"),
+        lit(0.0).alias("lat"),
+        F.create_map(lit("new"), lit("yes")).alias("tags"),
+    )
+    nodes = folded.unionByName(created)
+    null_refs = lit(None).cast("array<long>").alias("refs")
+    null_members = lit(None).cast(
+        "array<struct<member_id:long,member_type:int,role:string>>"
+    ).alias("members")
+    elements = (
+        nodes.select("osmid", lit(0).alias("osmtype"), "tags", null_refs, null_members)
+        .unionByName(
+            base.elements.filter(
+                (col("osmtype") == 1) & F.element_at("tags", "highway").isNotNull()
+            ).select(
+                "osmid", lit(1).alias("osmtype"), "tags",
+                col("refs").cast("array<long>").alias("refs"), null_members,
+            )
+        )
+    )
+    # fresh shard dir every call: to_pbf's shard count can differ between
+    # runs/scales, and a stale part file would double-count on re-scan
+    d = _roundtrip_dir(sf_dir, "pbfcdc")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    OSM(elements, nodes.select("osmid", "lon", "lat")).to_pbf(d, elements_per_group=4000)
+
+    back = read_pbf(spark, d)
+    return back.groupBy("osmtype").agg(
+        F.count("*").alias("n_elements"),
+        F.sum("osmid").alias("id_sum"),
+        F.sum((F.size("tags") > 0).cast("long")).alias("n_tagged"),
+        F.sum(
+            F.coalesce(
+                (F.element_at("tags", "edited") == "yes").cast("long"), lit(0)
+            )
+        ).alias("n_edited"),
+        F.sum(F.round(col("lon") * 100).cast("long")).alias("lon_cdeg_sum"),
+    )
+
+
 @register(
     "osm_xml_roundtrip",
     oracle=f"""
@@ -3693,6 +3814,242 @@ def rel_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(TPCH_Q13_SQL)
+
+
+# TPC-H Q12 adapted: the synthetic lineitem has no l_shipmode /
+# l_commitdate / l_receiptdate, so the "late shipment" predicate is
+# l_shipdate > o_orderdate (shipped after ordering — the only date pair
+# available) and the grouping dimension is l_linestatus; the join-plus-
+# conditional-priority-counts shape is unchanged.
+TPCH_Q12_SQL = """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+"""
+
+
+@register(
+    "rel_sql_tpch_q12",
+    oracle=TPCH_Q12_SQL,
+    doc="TPC-H Q12 (shipping modes & order priority) through the SQL "
+    "entry point: the fact-to-fact join with CONDITIONAL COUNTS — the "
+    "priority split lives in CASE aggregates, not a WHERE, so one pass "
+    "over the joined rows yields both counters.  The IDENTICAL ANSI "
+    "text runs via spark.sql() and DuckDB.  Scale shape: the l_shipdate "
+    "range reaches the lineitem scan as PushedFilters; the cross-column "
+    "l_shipdate > o_orderdate residual evaluates post-join; the final "
+    "group key is the 2-value linestatus so the last exchange is "
+    "vocabulary-sized and partials combine map-side.",
+)
+def rel_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q12_SQL)
+
+
+# TPC-H Q16 adapted: no partsupp table in the synthetic schema, so
+# lineitem is the part↔supplier bridge, and no p_container / comment
+# columns, so the exclusions are a brand, a type set, and the negative-
+# balance suppliers; the NOT-IN anti-join + COUNT(DISTINCT) shape — the
+# whole point of Q16 — is unchanged.
+TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "rel_sql_tpch_q16",
+    oracle=TPCH_Q16_SQL,
+    doc="TPC-H Q16 (parts/supplier relationship) through the SQL entry "
+    "point: the NOT-IN ANTI-JOIN + COUNT(DISTINCT) workout — Catalyst "
+    "must plan the subquery as a null-aware anti join against the "
+    "negative-balance supplier set, then a distinct aggregate whose "
+    "partial de-dup runs map-side before the (brand,type,size) exchange. "
+    "The IDENTICAL ANSI text runs via spark.sql() and DuckDB.  Scale "
+    "shape: part predicates prune before the fact join; the anti-join "
+    "side is dimension-sized (broadcast); the distinct-agg shuffle "
+    "carries (group, suppkey) pairs, not raw lineitems.",
+)
+def rel_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q16_SQL)
+
+
+# TPC-H Q19 adapted: no p_container / l_shipmode in the synthetic
+# schema, so each OR arm predicates on (brand, size band, quantity band)
+# — the disjunctive multi-predicate join the query exists to exercise.
+TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register(
+    "rel_sql_tpch_q19",
+    oracle=TPCH_Q19_SQL,
+    doc="TPC-H Q19 (discounted revenue) through the SQL entry point: the "
+    "MULTI-PREDICATE OR JOIN — three disjunctive (brand, size, quantity) "
+    "arms that straddle the join, so the planner must split each arm "
+    "into its single-side conjuncts (pushed to the respective scans as "
+    "an OR-of-ANDs) and keep only the genuinely cross-table residual on "
+    "the join.  The IDENTICAL ANSI text runs via spark.sql() and "
+    "DuckDB; exact DECIMAL revenue, single-group aggregate combines "
+    "map-side.",
+)
+def rel_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q19_SQL)
+
+
+# TPC-H Q15 verbatim shape (top supplier): the revenue CTE is shared by
+# the join AND the scalar-MAX subquery.  Revenue stays exact DECIMAL all
+# the way to the equality test, so "ties with the max" is deterministic
+# cross-engine; the DOUBLE cast happens only in the projection.
+TPCH_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register(
+    "rel_sql_tpch_q15",
+    oracle=TPCH_Q15_SQL,
+    doc="TPC-H Q15 (top supplier) through the SQL entry point: the "
+    "SHARED-CTE + SCALAR-SUBQUERY workout — one quarterly revenue rollup "
+    "feeds both the supplier join and the global-MAX filter, so the "
+    "planner either reuses the aggregate subtree or evaluates it twice "
+    "(both correct; the rollup is supplier-count-sized either way).  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB.  Exact-DECIMAL "
+    "revenue makes the =MAX tie test bit-deterministic cross-engine.  "
+    "Scale shape: the date range prunes the lineitem scan; the rollup is "
+    "one partial-agg exchange keyed by suppkey; the max is a 1-row "
+    "broadcast back onto the supplier-sized result.",
+)
+def rel_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q15_SQL)
+
+
+# TPC-H Q17 adapted: no p_container, so the part filter is
+# (p_brand, p_type).  l_quantity is integral in the synthetic data
+# (verified), so SUM(l_quantity) is exact in DOUBLE, the per-part AVG is
+# one exactly-rounded division, and 0.2*avg is one exactly-rounded
+# multiply — the correlated threshold compare is bit-deterministic
+# cross-engine with no rounding guard.
+TPCH_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "rel_sql_tpch_q17",
+    oracle=TPCH_Q17_SQL,
+    doc="TPC-H Q17 (small-quantity-order revenue) through the SQL entry "
+    "point: the CORRELATED SCALAR AGGREGATE workout — the per-part "
+    "average-quantity subquery must decorrelate into a partkey-keyed "
+    "aggregate joined back to the filtered fact rows (a per-row "
+    "re-execution would be quadratic).  The IDENTICAL ANSI text runs "
+    "via spark.sql() and DuckDB.  Scale shape: the brand/type filter "
+    "prunes part first; the decorrelated AVG aggregates lineitem once "
+    "by partkey (partial-agg); the threshold join is equi on partkey.",
+)
+def rel_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q17_SQL)
+
+
+# TPC-H Q22 adapted: no c_phone, so the country filter is a nationkey
+# set and the "inactive" predicate is "never placed an URGENT order"
+# (every synthetic customer has orders, so the verbatim no-orders
+# anti-join would select nothing).  The global-average scalar is written
+# as exact-DECIMAL SUM / COUNT — one exactly-rounded division both
+# engines reproduce bit-identically (AVG(double) would not be).
+TPCH_Q22_SQL = """
+    SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+      AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+"""
+
+
+@register(
+    "rel_sql_tpch_q22",
+    oracle=TPCH_Q22_SQL,
+    doc="TPC-H Q22 (global sales opportunity) through the SQL entry "
+    "point: the UNCORRELATED-SCALAR + NOT-EXISTS ANTI-JOIN workout — a "
+    "global above-average balance threshold (computed once, broadcast) "
+    "composed with an anti-join against the urgent-order customer set.  "
+    "The IDENTICAL ANSI text runs via spark.sql() and DuckDB; the "
+    "threshold is exact-DECIMAL sum over count so the > compare is "
+    "bit-deterministic.  Scale shape: nationkey/acctbal predicates prune "
+    "the customer scan; the anti-join shuffles on custkey (or broadcasts "
+    "the filtered orders side at small SF); final rollup is "
+    "nation-vocabulary-sized.",
+)
+def rel_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q22_SQL)
 
 
 # ---------------------------------------------------------------------------

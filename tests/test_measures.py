@@ -606,3 +606,40 @@ def test_map_match_snaps_to_segment_interior(spark):
     for pid, (px, py) in {100: (5.0, 1.0), 101: (-2.0, 1.0), 102: (12.0, 1.0)}.items():
         d_ends = min((px - 0) ** 2 + (py - 0) ** 2, (px - 10) ** 2 + (py - 0) ** 2)
         assert rows[pid][1] <= d_ends + 1e-12
+
+
+def test_point_in_polygon_join_total_cover_guard(spark):
+    """A ring just under the per-axis cap on BOTH axes (~16.7M replicas)
+    must still fail loudly: the product guard gates x-span * y-span
+    before either explode runs."""
+    import pytest
+
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    # 400 x 400 cells at cell_deg=0.01 -> 160k total cover: passes both
+    # per-axis checks (400 < 4096) but exceeds the 65536 product cap
+    rings = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (3.99, 0.0), (3.99, 3.99), (0.0, 3.99)])],
+        "rid long, coords array<struct<lon double, lat double>>",
+    )
+    pts = spark.createDataFrame([(10, 1.0, 1.0)], "pid long, px double, py double")
+    with pytest.raises(Exception, match="total cells"):
+        point_in_polygon_join(pts, rings, 0.01).collect()
+
+
+def test_point_in_polygon_join_axis_guard(spark):
+    """One axis past the per-axis cap (with a thin other axis so the
+    product cap is NOT the one tripping) still fails loudly, naming the
+    axis."""
+    import pytest
+
+    from osmdatapy_spark.operators.measures import point_in_polygon_join
+
+    # 5000 x 1 cells at cell_deg=0.01: product 5000 < 65536, lon axis > 4096
+    rings = spark.createDataFrame(
+        [(1, [(0.0, 0.0), (49.99, 0.0), (49.99, 0.001), (0.0, 0.001)])],
+        "rid long, coords array<struct<lon double, lat double>>",
+    )
+    pts = spark.createDataFrame([(10, 1.0, 0.0005)], "pid long, px double, py double")
+    with pytest.raises(Exception, match="lon axis"):
+        point_in_polygon_join(pts, rings, 0.01).collect()

@@ -700,3 +700,25 @@ def test_round9_operator_plan_shapes(spark):
     # Q13: join-condition-filtered left join + per-customer count +
     # vocabulary-sized histogram
     assert_plan(q(spark, "rel_sql_tpch_q13"), max_exchanges=2, forbid_python=True)
+
+
+def test_round10_operator_plan_shapes(spark):
+    """Plan pins for the round-10 SQL-face queries, per their registered
+    claims — fact-to-fact joins are the shapes AQE could silently
+    de-broadcast, so the broadcast counts are asserted too."""
+    # Q12: l_shipdate range pushed to the lineitem scan; broadcast-able
+    # orders side at this SF; ONE vocabulary-sized rollup exchange
+    s = assert_plan(q(spark, "rel_sql_tpch_q12"), max_exchanges=1, forbid_python=True)
+    assert s.n_broadcasts >= 1, s.text
+    assert any("l_shipdate" in f for f in s.pushed_filters), s.text
+    # Q16: NOT-IN anti-join (broadcast, dimension-sized) + part join
+    # (broadcast) + distinct-agg: partial de-dup then the (brand,type,
+    # size) exchange — exactly two exchanges
+    s = assert_plan(q(spark, "rel_sql_tpch_q16"), max_exchanges=2, forbid_python=True)
+    assert s.n_broadcasts >= 2, s.text
+    # Q19: the disjunctive arms must SPLIT — each scan receives its
+    # single-side OR-of-ANDs as a pushed filter (quantity bands to
+    # lineitem, brand/size bands to part); single-group agg = one exchange
+    s = assert_plan(q(spark, "rel_sql_tpch_q19"), max_exchanges=1, forbid_python=True)
+    assert any("l_quantity" in f and "Or(" in f for f in s.pushed_filters), s.text
+    assert any("p_brand" in f and "Or(" in f for f in s.pushed_filters), s.text

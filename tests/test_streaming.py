@@ -846,3 +846,70 @@ def test_bulk_pbf_then_osc_diff_lifecycle(spark, tmp_path):
     )
     final = {r["osmid"]: r["lon"] for r in latest.collect()}
     assert final == {1: 1.0, 2: 20.0, 4: 4.0, 5: 5.0}
+
+
+# ---------------------------------------------------------------------------
+# Watcher listing contract: zero-padding, dotfiles, arrival rationing
+# ---------------------------------------------------------------------------
+
+
+def test_watch_rejects_unpadded_basenames(tmp_path):
+    """'9.osc' + '10.osc' must fail LOUDLY: lexicographic order is the
+    arrival order only for equal-width (zero-padded) names, so an unpadded
+    sequence would be silently skipped by the basename-keyed offset."""
+    import pytest
+
+    from osmdatapy_spark.sources._watch import list_watched_files
+
+    (tmp_path / "9.osc").write_text("<osmChange/>")
+    (tmp_path / "10.osc").write_text("<osmChange/>")
+    with pytest.raises(ValueError, match="zero-padded"):
+        list_watched_files(str(tmp_path), (".osc",), "osmxml")
+
+
+def test_watch_skips_dotfiles(tmp_path):
+    """Hidden dotfiles (e.g. macOS '._000001.osm.pbf' AppleDouble sidecars)
+    sort before every real file and would wedge an existing stream below
+    its offset — the listing must skip them in both branches."""
+    from osmdatapy_spark.sources._watch import list_watched_files
+
+    (tmp_path / "000001.osc").write_text("<osmChange/>")
+    (tmp_path / "._000001.osc").write_text("junk")
+    files = list_watched_files(str(tmp_path), (".osc",), "osmxml")
+    assert [f.split("/")[-1] for f in files] == ["000001.osc"]
+    files = list_watched_files(str(tmp_path / "*"), (".osc",), "osmxml")
+    assert [f.split("/")[-1] for f in files] == ["000001.osc"]
+
+
+def test_pbf_stream_rations_arrival_batches(tmp_path):
+    """With maxFilesPerTrigger set, a bulk multi-epoch drop must NOT
+    decode in one microbatch: the pbf watcher's read() advances the
+    offset past only N files per call, so a populated directory drains
+    one ration at a time instead of materializing everything on the
+    driver at once (it is opt-in: an availableNow run plans exactly one
+    read per run, so unlimited stays the default)."""
+    from osmdatapy_spark.sources.pbf import OsmPbfSimpleStreamReader, PBF_SCHEMA
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {})])
+    _pbf_epoch(d / "000002.osm.pbf", [(2, 2.0, 2.0, {})])
+    _pbf_epoch(d / "000003.osm.pbf", [(3, 3.0, 3.0, {})])
+
+    r = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(d), "maxFilesPerTrigger": "1"})
+    offsets = [r.initialOffset()]
+    batches = []
+    for _ in range(3):
+        rows, end = r.read(offsets[-1])
+        batches.append(rows)
+        offsets.append(end)
+    assert [len(b) for b in batches] == [1, 1, 1]
+    assert offsets[-1] == {"last": "000003.osm.pbf"}
+    # a wider ration takes two files per microbatch
+    r2 = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(d), "maxFilesPerTrigger": "2"})
+    rows, end = r2.read(r2.initialOffset())
+    assert len(rows) == 2 and end == {"last": "000002.osm.pbf"}
+    # and the default is unlimited (availableNow drains everything)
+    r3 = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(d)})
+    rows, end = r3.read(r3.initialOffset())
+    assert len(rows) == 3 and end == {"last": "000003.osm.pbf"}
