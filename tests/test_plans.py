@@ -722,3 +722,12 @@ def test_round10_operator_plan_shapes(spark):
     s = assert_plan(q(spark, "rel_sql_tpch_q19"), max_exchanges=1, forbid_python=True)
     assert any("l_quantity" in f and "Or(" in f for f in s.pushed_filters), s.text
     assert any("p_brand" in f and "Or(" in f for f in s.pushed_filters), s.text
+    # Q15: one suppkey rollup feeds both the supplier join and the
+    # global-MAX scalar — at most the rollup + a reuse/second-agg pass
+    assert_plan(q(spark, "rel_sql_tpch_q15"), max_exchanges=3, forbid_python=True)
+    # Q17: the correlated AVG must DECORRELATE — a partkey-keyed lineitem
+    # aggregate joined back, never a per-row re-execution
+    assert_plan(q(spark, "rel_sql_tpch_q17"), max_exchanges=3, forbid_python=True)
+    # Q22: uncorrelated scalar (computed once) + NOT EXISTS anti-join +
+    # nation-sized rollup
+    assert_plan(q(spark, "rel_sql_tpch_q22"), max_exchanges=3, forbid_python=True)
