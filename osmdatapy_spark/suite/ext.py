@@ -3929,6 +3929,56 @@ def rel_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q19_SQL)
 
 
+# TPC-H Q1 verbatim (pricing summary) — rel_pricing_summary is the same
+# workload through the DataFrame API; this face runs the IDENTICAL ANSI
+# text on both engines, with Q1's avg_disc column included.
+TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))), 4) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                          * (1 + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "rel_sql_tpch_q1",
+    oracle=TPCH_Q1_SQL,
+    doc="TPC-H Q1 (pricing summary) through the SQL entry point — the "
+    "flagship scan-aggregate as IDENTICAL ANSI text on spark.sql() and "
+    "DuckDB (rel_pricing_summary is the DataFrame-API twin).  Exact "
+    "DECIMAL sums, averages as exact-sum over count (one IEEE division "
+    "— bit-deterministic), Q1's avg_disc included.  Scale shape: the "
+    "date predicate reaches the scan; 6 groups of partials combine "
+    "map-side; one vocabulary-sized exchange.  With Q1 the SQL face now "
+    "covers every TPC-H query expressible on the synthetic star schema "
+    "(Q1,Q3-Q8,Q10,Q12-Q19,Q22); Q2/Q9/Q11/Q20/Q21 need partsupp or "
+    "commit/receipt dates the schema does not carry.",
+)
+def rel_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_Q1_SQL)
+
+
 # TPC-H Q15 verbatim shape (top supplier): the revenue CTE is shared by
 # the join AND the scalar-MAX subquery.  Revenue stays exact DECIMAL all
 # the way to the equality test, so "ties with the max" is deterministic

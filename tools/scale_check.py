@@ -156,6 +156,47 @@ def main() -> None:
     assert stats["n_ok"] == n_rels, f"only {stats['n_ok']}/{n_rels} correctly nested"
     print(f"nesting assertions: {stats['n_ok']}/{n_rels} relations correctly holed")
 
+    # PBF WRITE throughput (the osm_pbf_cdc_roundtrip path at scale):
+    # filter+modify the scanned element set, push it back out through the
+    # sharded executor-side to_pbf sink, re-scan the shard directory, and
+    # assert the re-decoded counts — encode el/s is the number SCALE.md
+    # tracks per round for the write side of the wire format.
+    import shutil
+
+    from pyspark.sql.functions import col, element_at, lit
+
+    out_dir = f"/tmp/scale_writeback_{n_nodes}_{n_ways}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    surv_nodes = osm.nodes.filter(col("osmid") % 7 != 0).withColumn(
+        "lon", col("lon") + 1.0
+    )
+    node_ids = surv_nodes.select("osmid")
+    elements = (
+        osm.elements.filter(col("osmtype") == 0)
+        .join(node_ids, "osmid")
+        .select("osmid", "osmtype", "tags", "refs", "members")
+        .unionByName(
+            osm.elements.filter(
+                (col("osmtype") == 1) & element_at("tags", "highway").isNotNull()
+            ).select("osmid", "osmtype", "tags", "refs", "members")
+        )
+    )
+    n_expected = elements.count()
+    t0 = time.time()
+    n_shards = OSM(elements, surv_nodes).to_pbf(out_dir)
+    t_enc = time.time() - t0
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    t0 = time.time()
+    n_back = read_pbf(spark, out_dir).count()
+    t_scan = time.time() - t0
+    print(
+        f"{'pbf write-back (' + str(n_expected) + ' el)':28s} encode {t_enc:5.1f}s "
+        f"({n_expected / max(t_enc, 1e-9):,.0f} el/s, {n_shards} shards)  "
+        f"re-scan {t_scan:5.1f}s"
+    )
+    assert n_back == n_expected, f"write-back lost elements: {n_back} != {n_expected}"
+
 
 if __name__ == "__main__":
     main()
