@@ -731,3 +731,7 @@ def test_round10_operator_plan_shapes(spark):
     # Q22: uncorrelated scalar (computed once) + NOT EXISTS anti-join +
     # nation-sized rollup
     assert_plan(q(spark, "rel_sql_tpch_q22"), max_exchanges=3, forbid_python=True)
+    # Q1: single-table scan-agg + ORDER BY — predicate pushed, 6 groups
+    # of partials combine map-side, one rollup + one sort exchange
+    s = assert_plan(q(spark, "rel_sql_tpch_q1"), max_exchanges=2, forbid_python=True)
+    assert any("l_shipdate" in f for f in s.pushed_filters), s.text

@@ -913,3 +913,30 @@ def test_pbf_stream_rations_arrival_batches(tmp_path):
     r3 = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(d)})
     rows, end = r3.read(r3.initialOffset())
     assert len(rows) == 3 and end == {"last": "000003.osm.pbf"}
+
+
+def test_osc_stream_rations_arrival_batches(tmp_path):
+    """The .osc watcher honors the same opt-in maxFilesPerTrigger ration
+    as the pbf watcher (default stays unlimited — replication diffs are
+    small by contract)."""
+    from osmdatapy_spark.sources.xml import (
+        OSC_SCHEMA,
+        OsmXmlSimpleStreamReader,
+        write_osm_osc,
+    )
+
+    d = tmp_path / "diffs"
+    d.mkdir()
+    for i in (1, 2, 3):
+        with open(d / f"00000{i}.osc", "w") as f:
+            write_osm_osc(iter([("create", _osc_node(i, float(i), 0.0, 1))]), f)
+
+    r = OsmXmlSimpleStreamReader(OSC_SCHEMA, {"path": str(d), "maxFilesPerTrigger": "1"})
+    rows, end = r.read(r.initialOffset())
+    assert len(rows) == 1 and end == {"last": "000001.osc"}
+    rows, end = r.read(end)
+    assert len(rows) == 1 and end == {"last": "000002.osc"}
+    # default: unlimited
+    r2 = OsmXmlSimpleStreamReader(OSC_SCHEMA, {"path": str(d)})
+    rows, end = r2.read(r2.initialOffset())
+    assert len(rows) == 3 and end == {"last": "000003.osc"}
