@@ -243,7 +243,13 @@ class OSM:
 
         return cls(read(f"{path}/elements"), read(f"{path}/nodes"), opt(refs_path), opt(mem_path))
 
-    def to_pbf(self, path: str, elements_per_group: int = 8000, codec: str = "zlib") -> int:
+    def to_pbf(
+        self,
+        path: str,
+        elements_per_group: int = 8000,
+        codec: str = "zlib",
+        metadata: bool = False,
+    ) -> int:
         """Sharded ``.osm.pbf`` sink — the write side of the PBF source
         (the reference is read-only; SURVEY §2.1 S14 names terminal
         DataFrames as the sink surface, this adds the native format).
@@ -261,24 +267,50 @@ class OSM:
         ``foreachPartition`` (the codec is pure Python stdlib — no driver
         funnel, no collect); returns the shard count written.
 
-        Tags, coordinates, refs, and members round-trip; Info metadata is
-        not emitted (the read side's schema-gated Info decode is exercised
-        by the codec fixtures).
+        Tags, coordinates, refs, and members round-trip; with
+        ``metadata=True`` the version/timestamp/changeset columns round-
+        trip too (Info / DenseInfo submessages, timestamps in seconds at
+        the spec-default 1000 ms date granularity; missing values write
+        as 0) — the archival/history workflows' wire format.
         """
         import os
 
         from pyspark.sql import functions as F
 
         os.makedirs(path, exist_ok=True)
+        # the Info columns: real values when metadata round-trip is on,
+        # null placeholders otherwise (uniform row schema either way)
+        if metadata:
+            missing = [
+                c for c in ("version", "timestamp", "changeset")
+                if c not in self.elements.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"to_pbf(metadata=True) needs elements columns {missing} "
+                    "(scan the source with metadata columns included)"
+                )
+            meta_cols = [
+                col("version").cast("int").alias("version"),
+                col("timestamp").cast("long").alias("timestamp"),
+                col("changeset").cast("long").alias("changeset"),
+            ]
+        else:
+            meta_cols = [
+                lit(None).cast("int").alias("version"),
+                lit(None).cast("long").alias("timestamp"),
+                lit(None).cast("long").alias("changeset"),
+            ]
         nodes = (
             self.elements.filter(col("osmtype") == 0)
-            .select("osmid", "tags")
+            .select("osmid", "tags", *meta_cols)
             .join(self.nodes, "osmid")
             .select("osmid", lit(0).alias("osmtype"), "tags", "lon", "lat",
                     lit(None).cast("array<long>").alias("refs"),
                     lit(None).cast(
                         "array<struct<member_id:long,member_type:int,role:string>>"
-                    ).alias("members"))
+                    ).alias("members"),
+                    "version", "timestamp", "changeset")
         )
         ways = self.elements.filter(col("osmtype") == 1).select(
             "osmid", "osmtype", "tags",
@@ -287,6 +319,7 @@ class OSM:
             lit(None).cast(
                 "array<struct<member_id:long,member_type:int,role:string>>"
             ).alias("members"),
+            *meta_cols,
         )
         rels = self.elements.filter(col("osmtype") == 2).select(
             "osmid", "osmtype", "tags",
@@ -295,13 +328,14 @@ class OSM:
             F.expr(
                 "cast(members as array<struct<member_id:long,member_type:int,role:string>>)"
             ).alias("members"),
+            *meta_cols,
         )
         all_rows = (
             nodes.unionByName(ways).unionByName(rels)
             .repartitionByRange("osmtype", "osmid")
             .sortWithinPartitions("osmtype", "osmid")
         )
-        target, group, czx = path, elements_per_group, codec
+        target, group, czx, with_meta = path, elements_per_group, codec, metadata
 
         def write_partition(rows) -> None:
             from pyspark import TaskContext
@@ -315,17 +349,27 @@ class OSM:
             seen = False
             for r in rows:
                 seen = True
+                # Info/DenseInfo tuple; missing values write as 0 (spec:
+                # Info fields are optional, 0 reads back as "unset epoch")
+                meta = (
+                    (r.version or 0, r.timestamp or 0, r.changeset or 0)
+                    if with_meta
+                    else None
+                )
                 if r.osmtype == 0:
-                    buf_n.append((r.osmid, r.lon, r.lat, dict(r.tags or {})))
+                    nt = (r.osmid, r.lon, r.lat, dict(r.tags or {}))
+                    buf_n.append(nt + (meta,) if with_meta else nt)
                     if len(buf_n) >= group:
                         w.add_dense_nodes(buf_n); buf_n = []
                 elif r.osmtype == 1:
-                    buf_w.append((r.osmid, list(r.refs or []), dict(r.tags or {})))
+                    wt = (r.osmid, list(r.refs or []), dict(r.tags or {}))
+                    buf_w.append(wt + (meta,) if with_meta else wt)
                     if len(buf_w) >= group:
                         w.add_ways(buf_w); buf_w = []
                 else:
                     mem = [(m.member_id, m.member_type, m.role or "") for m in (r.members or [])]
-                    buf_r.append((r.osmid, mem, dict(r.tags or {})))
+                    rt = (r.osmid, mem, dict(r.tags or {}))
+                    buf_r.append(rt + (meta,) if with_meta else rt)
                     if len(buf_r) >= group:
                         w.add_relations(buf_r); buf_r = []
             if buf_n:

@@ -1056,14 +1056,28 @@ class PbfWriter:
     def _kv(self, tags: dict[str, str]) -> tuple[list[int], list[int]]:
         return [self.sid(k) for k in tags], [self.sid(v) for v in tags.values()]
 
-    def add_dense_nodes(self, nodes: list[tuple[int, float, float, dict[str, str]]]) -> None:
-        """nodes: [(id, lon, lat, tags)] — becomes one DenseNodes group."""
+    @staticmethod
+    def _enc_info(meta: "tuple[int, int, int]") -> bytes:
+        """Info submessage (field 4 of Node/Way/Relation): (version,
+        timestamp, changeset).  Timestamp is in SECONDS — the block's
+        date_granularity stays at the spec default 1000 ms, so the wire
+        value IS seconds (the decoder's ``ts * date_gran // 1000``)."""
+        v, ts, cs = meta
+        return enc_bytes_field(
+            4, enc_varint_field(1, v) + enc_varint_field(2, ts) + enc_varint_field(3, cs)
+        )
+
+    def add_dense_nodes(self, nodes: "list[tuple]") -> None:
+        """nodes: [(id, lon, lat, tags)] or [(id, lon, lat, tags,
+        (version, ts_sec, changeset))] — becomes one DenseNodes group.
+        DenseInfo is parallel-array (spec), so metadata is all-or-nothing
+        within a group."""
         ids = [n[0] for n in nodes]
         lons = [round(n[1] * 1e9) // self.granularity for n in nodes]
         lats = [round(n[2] * 1e9) // self.granularity for n in nodes]
         keyvals: list[int] = []
-        for _, _, _, tags in nodes:
-            for k, v in tags.items():
+        for n in nodes:
+            for k, v in n[3].items():
                 keyvals += [self.sid(k), self.sid(v)]
             keyvals.append(0)
         dense = (
@@ -1072,51 +1086,72 @@ class PbfWriter:
             + enc_packed_deltas(9, lons)
             + enc_packed_field(10, keyvals)
         )
+        metas = [n[4] for n in nodes if len(n) > 4]
+        if metas:
+            if len(metas) != len(nodes):
+                raise ValueError(
+                    "DenseInfo is a parallel array: either every node in the "
+                    "group carries (version, timestamp, changeset) or none does"
+                )
+            dense += enc_bytes_field(
+                5,
+                enc_packed_field(1, [m[0] for m in metas])
+                + enc_packed_deltas(2, [m[1] for m in metas])
+                + enc_packed_deltas(3, [m[2] for m in metas]),
+            )
         self.groups.append(enc_bytes_field(2, dense))
 
-    def _enc_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> bytes:
-        keys, vals = self._kv(tags)
-        return (
-            enc_varint_field(1, osmid)
-            + enc_packed_field(2, keys)
-            + enc_packed_field(3, vals)
-            + enc_packed_deltas(8, refs)
-        )
-
-    def add_way(self, osmid: int, refs: list[int], tags: dict[str, str]) -> None:
-        self.groups.append(enc_bytes_field(3, self._enc_way(osmid, refs, tags)))
-
-    def add_ways(self, ways: list[tuple[int, list[int], dict[str, str]]]) -> None:
-        """Batch: one PrimitiveGroup holding many ways (the realistic block
-        shape — ~8k elements per group in tool-produced files)."""
-        self.groups.append(
-            b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in ways)
-        )
-
-    def _enc_relation(
-        self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
+    def _enc_way(
+        self, osmid: int, refs: list[int], tags: dict[str, str], meta=None
     ) -> bytes:
         keys, vals = self._kv(tags)
         return (
             enc_varint_field(1, osmid)
             + enc_packed_field(2, keys)
             + enc_packed_field(3, vals)
+            + (self._enc_info(meta) if meta is not None else b"")
+            + enc_packed_deltas(8, refs)
+        )
+
+    def add_way(self, osmid: int, refs: list[int], tags: dict[str, str], meta=None) -> None:
+        self.groups.append(enc_bytes_field(3, self._enc_way(osmid, refs, tags, meta)))
+
+    def add_ways(self, ways: "list[tuple]") -> None:
+        """Batch: one PrimitiveGroup holding many ways (the realistic block
+        shape — ~8k elements per group in tool-produced files).  Each way
+        is (id, refs, tags) or (id, refs, tags, (version, ts, changeset))."""
+        self.groups.append(
+            b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in ways)
+        )
+
+    def _enc_relation(
+        self,
+        osmid: int,
+        members: list[tuple[int, int, str]],
+        tags: dict[str, str],
+        meta=None,
+    ) -> bytes:
+        keys, vals = self._kv(tags)
+        return (
+            enc_varint_field(1, osmid)
+            + enc_packed_field(2, keys)
+            + enc_packed_field(3, vals)
+            + (self._enc_info(meta) if meta is not None else b"")
             + enc_packed_field(8, [self.sid(m[2]) for m in members])
             + enc_packed_deltas(9, [m[0] for m in members])
             + enc_packed_field(10, [m[1] for m in members])
         )
 
     def add_relation(
-        self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str]
+        self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str], meta=None
     ) -> None:
         """members: [(ref, type, role)]"""
-        self.groups.append(enc_bytes_field(4, self._enc_relation(osmid, members, tags)))
+        self.groups.append(enc_bytes_field(4, self._enc_relation(osmid, members, tags, meta)))
 
-    def add_relations(
-        self, rels: list[tuple[int, list[tuple[int, int, str]], dict[str, str]]]
-    ) -> None:
+    def add_relations(self, rels: "list[tuple]") -> None:
         """Batch: one PrimitiveGroup holding many relations (realistic block
-        shape, same rationale as ``add_ways``)."""
+        shape, same rationale as ``add_ways``).  Each relation is
+        (id, members, tags) or (id, members, tags, (version, ts, changeset))."""
         self.groups.append(
             b"".join(enc_bytes_field(4, self._enc_relation(*r)) for r in rels)
         )

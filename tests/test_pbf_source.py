@@ -539,3 +539,46 @@ def test_multi_file_read(spark, tmp_path):
         read_pbf(spark, str(empty)).count()
     with pytest.raises(Exception):
         read_pbf(spark, str(d / "nope_*.pbf")).count()
+
+
+def test_writer_metadata_roundtrip(tmp_path):
+    """Info/DenseInfo WRITE support (the reference is read-only; our read
+    side decoded metadata since round 1): version/timestamp/changeset
+    round-trip exactly through the wire format for all three element
+    kinds, metadata-less groups still decode as None, and a mixed
+    DenseNodes group (some nodes with meta, some without) is rejected
+    loudly — DenseInfo is a parallel array by spec."""
+    import pytest
+
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block,
+        read_blob,
+        scan_blob_spans,
+    )
+
+    w = PbfWriter()
+    w.add_dense_nodes([
+        (1, 1.0, 2.0, {"a": "b"}, (3, 1_000_000, 42)),
+        (2, 3.0, 4.0, {}, (7, 1_000_100, 43)),
+    ])
+    w.add_ways([(10, [1, 2], {"h": "r"}, (5, 2_000_000, 99))])
+    w.add_relations([(20, [(10, 1, "outer")], {"type": "multipolygon"}, (2, 3_000_000, 7))])
+    w.add_dense_nodes([(5, 5.0, 5.0, {})])  # meta-less group
+    p = str(tmp_path / "meta.osm.pbf")
+    w.write(p)
+
+    els = []
+    for span in scan_blob_spans(p):
+        if span.blob_type == "OSMData":
+            els += decode_primitive_block(read_blob(p, span), with_metadata=True)
+    got = {(e.osmid, e.osmtype): (e.version, e.timestamp, e.changeset) for e in els}
+    assert got[(1, 0)] == (3, 1_000_000, 42)
+    assert got[(2, 0)] == (7, 1_000_100, 43)
+    assert got[(10, 1)] == (5, 2_000_000, 99)
+    assert got[(20, 2)] == (2, 3_000_000, 7)
+    assert got[(5, 0)] == (None, None, None)
+
+    w2 = PbfWriter()
+    with pytest.raises(ValueError, match="parallel array"):
+        w2.add_dense_nodes([(1, 0.0, 0.0, {}, (1, 1, 1)), (2, 0.0, 0.0, {})])
