@@ -12,6 +12,22 @@ the other.
 from __future__ import annotations
 
 
+def get_option(options: dict, name: str, default: str) -> str:
+    """Case-insensitive option lookup for data-source readers.
+
+    Spark hands Python data sources a ``CaseInsensitiveDict`` that STORES
+    keys lowercased, and ``dict(options)`` keeps them lowercased — so a
+    plain ``options.get("maxFilesPerTrigger")`` silently returns the
+    default for an option the user definitely set.  This helper matches
+    the spec'd camelCase name against lowercased keys, and still works on
+    plain dicts (tests construct readers directly)."""
+    low = name.lower()
+    for k, v in dict(options).items():
+        if k.lower() == low:
+            return v
+    return default
+
+
 def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -> list[str]:
     """Basename-ordered listing of the files a watcher advances over.
 
@@ -56,9 +72,23 @@ def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -
             f"glob {sorted(dupes)[:3]} — offsets are basename-keyed, so "
             "each file must have a unique (zero-padded) name"
         )
-    widths = {len(os.path.basename(f)) for f in files}
+    # zero-padding lint on the sequence STEM, not the whole basename: a
+    # directory may legally mix suffixes of different lengths (the xml
+    # watcher advertises .osc/.osc.gz/.osc.bz2 — compression enabled
+    # mid-stream is fine, digits decide the order before the suffix), so
+    # strip the matched suffix first and require the remaining stems to
+    # be one width — '9.osc' + '10.osc' fails loudly, '000009.osc' +
+    # '000010.osc.gz' passes.
+    def _stem(f: str) -> str:
+        n = os.path.basename(f)
+        for suf in sorted(suffixes, key=len, reverse=True):
+            if n.endswith(suf):
+                return n[: -len(suf)]
+        return n.split(".", 1)[0]
+
+    widths = {len(_stem(f)) for f in files}
     if len(widths) > 1:
-        by_len = sorted(files, key=lambda f: (len(os.path.basename(f)), f))
+        by_len = sorted(files, key=lambda f: (len(_stem(f)), f))
         raise ValueError(
             f"{source_name} stream source: basenames are not zero-padded to "
             f"a uniform width (e.g. {os.path.basename(by_len[0])!r} vs "

@@ -154,10 +154,13 @@ class PbfDataSourceReader(DataSourceReader):
         import os
 
         if os.path.isdir(self.path):
+            # skip hidden dotfiles (macOS AppleDouble '._x.osm.pbf' sidecars
+            # end with .pbf but hold resource-fork bytes that would crash
+            # the framing scan — same rationale as sources/_watch.py)
             files = sorted(
                 os.path.join(self.path, f)
                 for f in os.listdir(self.path)
-                if f.endswith(".pbf")
+                if f.endswith(".pbf") and not f.startswith(".")
             )
             if not files:
                 raise ValueError(f"no .pbf files in directory {self.path}")
@@ -446,8 +449,11 @@ class OsmPbfSimpleStreamReader(SimpleDataSourceStreamReader):
         # stream reader plans exactly one read() per availableNow run —
         # a default cap would make drain-everything tests/jobs stop after
         # one file per run.  Set it on any continuously-triggered watcher
-        # over big epoch extracts.
-        self.max_files = int(options.get("maxFilesPerTrigger", 0))
+        # over big epoch extracts.  Looked up case-insensitively: Spark
+        # lowercases option keys (sources/_watch.py:get_option).
+        from osmdatapy_spark.sources._watch import get_option
+
+        self.max_files = int(get_option(options, "maxFilesPerTrigger", "0"))
         if self.max_files < 0:
             raise ValueError("osmpbf stream source: maxFilesPerTrigger must be >= 0")
 

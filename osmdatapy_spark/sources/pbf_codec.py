@@ -1000,6 +1000,15 @@ def _decode_relation(data: bytes, strings, with_metadata, date_gran) -> Element:
 
 
 def write_varint(n: int) -> bytes:
+    # unsigned by contract: a negative Python int stays negative under
+    # >>= 7 forever, so without this guard bad input (e.g. a -1 version
+    # or pre-1970 timestamp through to_pbf(metadata=True)) would hang the
+    # encoder appending continuation bytes until OOM instead of erroring
+    if n < 0:
+        raise ValueError(
+            f"write_varint: negative value {n} for an unsigned field — "
+            "signed values must go through write_zigzag"
+        )
     out = bytearray()
     while True:
         b = n & 0x7F

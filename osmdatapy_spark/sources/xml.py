@@ -200,10 +200,13 @@ class OsmXmlDataSourceReader(DataSourceReader):
 
         p = self.path
         if os.path.isdir(p):
+            # skip hidden dotfiles (AppleDouble sidecars etc. — same
+            # rationale as sources/_watch.py and the pbf batch expander)
             files = sorted(
                 f
                 for f in glob.glob(os.path.join(p, "*"))
                 if f.endswith((".osm", ".osc", ".osm.gz", ".osc.gz", ".osm.bz2", ".osc.bz2"))
+                and not os.path.basename(f).startswith(".")
             )
         else:
             files = sorted(glob.glob(p)) or [p]
@@ -298,7 +301,13 @@ class OsmXmlSimpleStreamReader(SimpleDataSourceStreamReader):
         # watcher): 0 = unlimited; set it when pointing a continuously-
         # triggered watcher at a deep backlog of diffs.  .osc replication
         # diffs are small by contract, so unlimited is the sane default.
-        self.max_files = int(options.get("maxFilesPerTrigger", 0))
+        # Looked up case-insensitively: Spark lowercases option keys
+        # (sources/_watch.py:get_option).
+        from osmdatapy_spark.sources._watch import get_option
+
+        self.max_files = int(get_option(options, "maxFilesPerTrigger", "0"))
+        if self.max_files < 0:
+            raise ValueError("osmxml stream source: maxFilesPerTrigger must be >= 0")
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -429,6 +438,7 @@ def read_osm_xml_stream(
     osc: bool = True,
     osmtypes: "set[int] | None" = None,
     columns: "list[str] | None" = None,
+    max_files_per_trigger: int = 0,
 ) -> DataFrame:
     """``spark.readStream`` over a directory of ``.osc`` changefiles (or
     ``.osm`` snapshots with ``osc=False``): each file that appears under
@@ -436,9 +446,14 @@ def read_osm_xml_stream(
     — the replication-diff watcher as a streaming DataFrame, with the
     same pruning options as the batch reader.  Downstream, the CDC fold
     (latest version per osmid) runs per micro-batch via foreachBatch or
-    as a watermarked stateful aggregation."""
+    as a watermarked stateful aggregation.  ``max_files_per_trigger``
+    rations arrivals for a continuously-triggered watcher over a deep
+    diff backlog (0 = unlimited, the default — an availableNow run plans
+    exactly one read per run; same contract as ``read_pbf_stream``)."""
     register(spark)
     reader = spark.readStream.format("osmxml")
+    if max_files_per_trigger > 0:
+        reader = reader.option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
     if osc:
         reader = reader.option("osc", "true")
     if osmtypes is not None:

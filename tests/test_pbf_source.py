@@ -582,3 +582,18 @@ def test_writer_metadata_roundtrip(tmp_path):
     w2 = PbfWriter()
     with pytest.raises(ValueError, match="parallel array"):
         w2.add_dense_nodes([(1, 0.0, 0.0, {}, (1, 1, 1)), (2, 0.0, 0.0, {})])
+
+
+def test_write_varint_rejects_negative():
+    """write_varint is unsigned by contract; a negative input (e.g. a -1
+    version or pre-1970 timestamp fed to to_pbf(metadata=True)) must
+    raise instead of hanging the encoder in an infinite loop."""
+    import pytest
+
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter, write_varint
+
+    with pytest.raises(ValueError, match="negative"):
+        write_varint(-1)
+    w = PbfWriter()
+    with pytest.raises(ValueError, match="negative"):
+        w.add_ways([(10, [1], {}, (1, -100, 5))])

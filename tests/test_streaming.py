@@ -940,3 +940,89 @@ def test_osc_stream_rations_arrival_batches(tmp_path):
     r2 = OsmXmlSimpleStreamReader(OSC_SCHEMA, {"path": str(d)})
     rows, end = r2.read(r2.initialOffset())
     assert len(rows) == 3 and end == {"last": "000003.osc"}
+
+
+def test_option_lookup_is_case_insensitive(tmp_path):
+    """Spark hands Python data sources a CaseInsensitiveDict that STORES
+    keys lowercased — dict(options).get('maxFilesPerTrigger') silently
+    returns the default.  The readers must find the option under either
+    casing (review finding: the ration was a silent no-op on the real
+    streaming path)."""
+    from osmdatapy_spark.sources._watch import get_option
+    from osmdatapy_spark.sources.pbf import OsmPbfSimpleStreamReader, PBF_SCHEMA
+
+    assert get_option({"maxfilespertrigger": "3"}, "maxFilesPerTrigger", "0") == "3"
+    assert get_option({"maxFilesPerTrigger": "3"}, "maxFilesPerTrigger", "0") == "3"
+    assert get_option({}, "maxFilesPerTrigger", "0") == "0"
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {})])
+    _pbf_epoch(d / "000002.osm.pbf", [(2, 2.0, 2.0, {})])
+    # the lowercased dict Spark actually delivers
+    r = OsmPbfSimpleStreamReader(
+        PBF_SCHEMA, {"path": str(d), "maxfilespertrigger": "1"}
+    )
+    rows, end = r.read(r.initialOffset())
+    assert len(rows) == 1 and end == {"last": "000001.osm.pbf"}
+
+
+def test_pbf_stream_ration_through_real_option_path(spark, tmp_path):
+    """End-to-end through spark.readStream: with max_files_per_trigger=1
+    an availableNow run (ONE planned read for the simple reader) must
+    consume exactly the first file; the next run picks up the second —
+    proving the option survives Spark's option-key lowercasing."""
+    from osmdatapy_spark.sources.pbf import read_pbf_stream
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {}), (2, 2.0, 2.0, {})])
+    _pbf_epoch(d / "000002.osm.pbf", [(3, 3.0, 3.0, {})])
+
+    def drain():
+        q = (
+            read_pbf_stream(
+                spark, str(d), osmtypes={0}, columns=["osmid"], max_files_per_trigger=1
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    drain()
+    assert sorted(r["osmid"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    drain()
+    assert sorted(r["osmid"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_watch_allows_mixed_suffix_uniform_stems(tmp_path):
+    """Compression enabled mid-stream is an advertised-legal layout:
+    '000009.osc' + '000010.osc.gz' have equal-width zero-padded stems, so
+    the padding lint must NOT reject them (digits decide the order before
+    the suffix)."""
+    from osmdatapy_spark.sources._watch import list_watched_files
+
+    (tmp_path / "000009.osc").write_text("<osmChange/>")
+    (tmp_path / "000010.osc.gz").write_bytes(b"x")
+    files = list_watched_files(
+        str(tmp_path), (".osc", ".osc.gz"), "osmxml"
+    )
+    assert [f.split("/")[-1] for f in files] == ["000009.osc", "000010.osc.gz"]
+
+
+def test_batch_readers_skip_dotfiles(spark, tmp_path):
+    """The BATCH directory expanders skip AppleDouble sidecars too — a
+    '._part.osm.pbf' resource fork would crash the framing scan of the
+    whole directory (the stream watcher already skipped them)."""
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {})])
+    (d / "._000001.osm.pbf").write_bytes(b"\x00\x05\x16\x07junk")
+    assert read_pbf(spark, str(d)).count() == 1

@@ -137,15 +137,27 @@ def run_instrumented(spark: SparkSession, name: str, sf_dir: str) -> dict:
     QUERY_REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     spark.catalog.clearCache()
-    stages = [
-        s
-        for s in _rest(sc, "/stages?status=COMPLETE")
-        if s["stageId"] not in before and s.get("numCompleteTasks", 0) > 0
-    ]
+    # the REST status store is fed by the ASYNC listener bus — the final
+    # stage may not be COMPLETE yet when the action returns; poll briefly
+    # instead of losing a minutes-long harness run to an empty list
+    stages: list = []
+    for _ in range(20):
+        stages = [
+            s
+            for s in _rest(sc, "/stages?status=COMPLETE")
+            if s["stageId"] not in before and s.get("numCompleteTasks", 0) > 0
+        ]
+        if stages:
+            break
+        time.sleep(0.5)
+    if not stages:
+        return {"wall_sec": round(wall, 2), "stage_tasks": 0,
+                "task_ms": {"min": 0, "med": 0, "p95": 0, "max": 0}}
     heaviest = max(stages, key=lambda s: s.get("executorRunTime", 0))
+    attempt = heaviest.get("attemptId", 0)  # a retried stage 404s attempt 0
     qs = _rest(
         sc,
-        f"/stages/{heaviest['stageId']}/0/taskSummary?quantiles=0.0,0.5,0.95,1.0",
+        f"/stages/{heaviest['stageId']}/{attempt}/taskSummary?quantiles=0.0,0.5,0.95,1.0",
     )["executorRunTime"]
     return {
         "wall_sec": round(wall, 2),
