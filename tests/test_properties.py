@@ -617,3 +617,51 @@ def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
         .collect()
     )
     assert got == want
+
+
+@given(
+    metas=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**31 - 1),   # version
+            st.integers(min_value=0, max_value=2**53),        # timestamp (s)
+            st.integers(min_value=0, max_value=2**53),        # changeset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_metadata_wire_roundtrip_property(metas, tmp_path_factory):
+    """Arbitrary non-negative (version, timestamp, changeset) triples
+    round-trip EXACTLY through DenseInfo (parallel arrays, zigzag deltas
+    — out-of-order timestamps produce negative deltas on the wire) and
+    through per-element Info submessages, for every element kind."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block,
+        read_blob,
+        scan_blob_spans,
+    )
+
+    w = PbfWriter()
+    w.add_dense_nodes(
+        [(i + 1, 0.0, 0.0, {}, m) for i, m in enumerate(metas)]
+    )
+    w.add_ways(
+        [(1000 + i, [1], {}, m) for i, m in enumerate(metas)]
+    )
+    w.add_relations(
+        [(5000 + i, [(1000 + i, 1, "outer")], {}, m) for i, m in enumerate(metas)]
+    )
+    p = str(tmp_path_factory.mktemp("meta") / "m.osm.pbf")
+    w.write(p)
+
+    els = []
+    for span in scan_blob_spans(p):
+        if span.blob_type == "OSMData":
+            els += decode_primitive_block(read_blob(p, span), with_metadata=True)
+    by_id = {(e.osmtype, e.osmid): (e.version, e.timestamp, e.changeset) for e in els}
+    for i, m in enumerate(metas):
+        assert by_id[(0, i + 1)] == m
+        assert by_id[(1, 1000 + i)] == m
+        assert by_id[(2, 5000 + i)] == m
