@@ -4071,6 +4071,54 @@ def rel_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TPCH_Q1_SQL)
 
 
+# TPC-H refresh functions RF1/RF2 in one shot: the ACID maintenance
+# workload the query set is defined against — a deterministic insert
+# batch (re-keyed clones of every orderkey ≡ 3 mod 10) and a delete
+# predicate (orderkey ≡ 7 mod 10) fold into the base table before a
+# priority rollup, all as set algebra (union + anti-predicate), the way
+# a lakehouse MERGE compiles.
+TPCH_RF_SQL = """
+    WITH inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    refreshed AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM inserts
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM refreshed GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "rel_sql_tpch_rf",
+    oracle=TPCH_RF_SQL,
+    doc="TPC-H refresh functions RF1+RF2 through the SQL entry point: "
+    "the benchmark's data-MAINTENANCE workload (insert a new-sales "
+    "batch, purge an old-sales batch) expressed as set algebra — the "
+    "delete is an anti-predicate on the base scan, the insert batch "
+    "unions in, and the rollup verifies the refreshed state.  The "
+    "IDENTICAL ANSI text runs via spark.sql() and DuckDB; exact DECIMAL "
+    "totals.  Scale shape: both branches scan pruned columns only, the "
+    "delete predicate reaches the scan, and the union needs no shuffle "
+    "— only the 5-group rollup exchanges, exactly how a lakehouse MERGE "
+    "compiles its copy-on-write output.",
+)
+def rel_sql_tpch_rf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(TPCH_RF_SQL)
+
+
 # TPC-H Q15 verbatim shape (top supplier): the revenue CTE is shared by
 # the join AND the scalar-MAX subquery.  Revenue stays exact DECIMAL all
 # the way to the equality test, so "ties with the max" is deterministic
