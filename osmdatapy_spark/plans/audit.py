@@ -67,6 +67,53 @@ def _cached_subtree_ids(text: str) -> set[int]:
     return excluded
 
 
+def _top_bracket_groups(s: str) -> list[str]:
+    """Split ``Arguments: [a], [b, [c]], [d]`` into top-level groups."""
+    groups: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def global_ordered_windows(text: str) -> list[str]:
+    """Order specs of ``Window`` nodes that have an ORDER BY but no
+    PARTITION BY — the shape ``WindowExec`` warns about with ``No
+    Partition Defined`` and funnels the whole input through ONE task.
+
+    In formatted-explain output a Window node's ``Arguments:`` line has
+    three top-level bracket groups ``[exprs], [partition], [order]``
+    when partitioned, but only two ``[exprs], [order]`` when global;
+    a partitioned-but-unordered window also prints two groups, so the
+    second group must contain ASC/DESC sort directions to count.
+    Cached (InMemoryRelation) subtrees are included: the cache fill
+    still executes the window once, single-partition."""
+    out: list[str] = []
+    lines = text.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\)\s+Window\s*$", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].strip().startswith("Arguments:"):
+                groups = _top_bracket_groups(lines[j])
+                if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+                    out.append(groups[1])
+                break
+    return out
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     """Parse the formatted physical plan into countable facts."""
     text = explain_text(df)

@@ -32,45 +32,49 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # ordering is presentation-only: the registry itself (and every test
 # keyed on it) is unchanged.
 #
-# The heads ROTATE each round (round-7 verdict ask #7): rounds 1-9
-# recorded 188 distinct queries; after round 9 exactly 54 registered
-# names had never appeared in a driver-recorded CORRECTNESS_r*.json.
-# Round 10's head carries 46 of those plus this round's 4 additions
-# (the TPC-H Q12/Q16/Q19 SQL faces and osm_pbf_cdc_roundtrip) — every
-# name below is a first-time record; the 8 left over (5 llm + 3 osm
-# variants whose siblings are already recorded) rotate in next round.
-# The stream family has no unrecorded names left (all recorded r01-r09),
-# so its 5 slots carry unrecorded osm graph/encoding queries; the rel
-# queue likewise carries 11 unrecorded osm names after its 4.
+# The heads ROTATE each round (round-7 verdict ask #7).  After round 10
+# the cumulative external record covered 237 of 251 registered names;
+# round 11's head leads each queue with the last 14 never-recorded
+# queries (5 llm samplers/filters, 4 osm geometry/pbf variants, the
+# round-10 TPC-H Q1/Q15/Q17/Q22/RF SQL faces) — recording them closes
+# the loop at 251/251.  New round-11 registrations are inserted right
+# after those so they record in the same round.  The remaining slots
+# REFRESH the oldest evidence: names whose only records date to r01
+# (the stream queue, fully recorded r07-r09, re-verifies its r07 rows).
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_pbf_cdc_roundtrip", "osm_geojson_points", "osm_geojson_lines",
-        "osm_geojson_polygons", "osm_apply_changes",
-        "osm_element_history_scd2", "osm_default_query_buildings",
-        "osm_default_query_pois", "osm_bbox_filter", "osm_bbox_clip",
-        "osm_integrity_report", "osm_tag_key_stats", "osm_renumber",
-        "osm_polygon_extract", "osm_maxspeed_parse",
+        "osm_bearing_histogram", "osm_pbf_metadata_roundtrip",
+        "osm_simplify_radial", "osm_way_interpolate",
+        # r01-evidence refresh
+        "osm_area_heuristic", "osm_coords_lookup",
+        "osm_default_query_highways", "osm_linestring_wkt",
+        "osm_must_tags", "osm_point_wkt", "osm_relation_expand",
+        "osm_ring_assembly", "osm_tag_filter_keep_first",
+        "osm_tag_filter_keep_last", "osm_topology_segments",
     ],
     "llm": [
-        "llm_feature_extract", "llm_repetition_score", "llm_corpus_summary",
-        "llm_label_outliers", "llm_bpe_merge_candidates", "llm_dedup_audit",
-        "llm_char_entropy", "llm_hard_negative_mine",
-        "llm_dup_ngram_fraction", "llm_rouge_overlap",
-        "llm_dup_span_coverage", "llm_training_order", "llm_domain_cap",
-        "llm_ngram_novelty", "llm_dsir_weight",
+        "llm_char_diversity", "llm_mixture_epochs", "llm_percentile_filter",
+        "llm_temperature_mixture", "llm_weighted_sample",
+        # r01-evidence refresh
+        "llm_bpe_token_count", "llm_dedup_clusters", "llm_dedup_keep_best",
+        "llm_exact_dedup", "llm_jaccard_pairs", "llm_langid",
+        "llm_minhash_lsh", "llm_pii_scrub", "llm_quality_filter",
+        "llm_stratified_sample",
     ],
     "stream": [
-        "osm_node_degree_histogram", "osm_geohash_encode", "osm_kcore",
-        "osm_triangle_count", "osm_network_components",
+        # fully recorded r07-r09; refresh the oldest (r07) rows
+        "stream_tumbling_counts", "stream_windowed_topk",
+        "stream_user_zscore", "stream_upsert_latest",
+        "stream_user_totals_tws",
     ],
     "rel": [
-        # the round-10 SQL-face batch (Q12/Q16/Q19) + the last
-        # never-recorded rel name, then unrecorded osm analytics
-        "rel_sql_tpch_q12", "rel_sql_tpch_q16", "rel_sql_tpch_q19",
-        "rel_benford_digits", "osm_opening_hours_parse", "osm_way_centroid",
-        "osm_bfs_hops", "osm_hex_binning", "osm_hex_density_smooth",
-        "osm_way_compactness", "osm_bearing_rose", "osm_length_by_class",
-        "osm_tile_pyramid", "osm_grid_clusters", "osm_settlement_clusters",
+        "rel_sql_tpch_q1", "rel_sql_tpch_q15", "rel_sql_tpch_q17",
+        "rel_sql_tpch_q22", "rel_sql_tpch_rf",
+        # r01-evidence refresh
+        "rel_agg_stats", "rel_anti_join", "rel_collect_sorted",
+        "rel_cube_revenue", "rel_cumcount", "rel_daily_counts",
+        "rel_distinct", "rel_dropdup_keep_first",
+        "rel_first_last_per_group", "rel_hierarchy_rollup",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

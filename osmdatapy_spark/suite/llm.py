@@ -2141,9 +2141,10 @@ def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language sits near slope -1; a crawl poisoned by templates or spam "
     "bends the curve): least-squares slope of ln f vs ln rank over the "
     "top-500 vocabulary.  Scale shape: word counts are ONE partial-agg "
-    "exchange; the global rank window runs over the VOCABULARY (the small "
-    "side — even planet corpora have vocabularies millions deep, and only "
-    "the top-500 survive into the fit); moments accumulate as exact "
+    "exchange; the top-500 cut runs as TakeOrdered (per-partition heaps, "
+    "no global sort) and the rank window only orders the surviving 500 "
+    "rows — a raw vocabulary window would funnel a planet-crawl's "
+    "100M-term vocabulary through one task; moments accumulate as exact "
     "decimal sums after the ln round-9 guard (the llm_weighted_sample "
     "precedent), so the regression is order-free and bit-identical "
     "cross-engine.",
@@ -2159,9 +2160,12 @@ def llm_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("f"))
     )
-    ranked = words.withColumn(
+    # top-500 FIRST (TakeOrdered), THEN rank the bounded survivors — the
+    # window never sees the full vocabulary
+    top = words.orderBy(col("f").desc(), col("w")).limit(500)
+    ranked = top.withColumn(
         "rank", F.row_number().over(W.orderBy(col("f").desc(), col("w")))
-    ).filter(col("rank") <= 500)
+    )
     x = F.round(F.log(col("rank").cast("double")), 9).cast("decimal(18,9)")
     y = F.round(F.log(col("f").cast("double")), 9).cast("decimal(18,9)")
     m = ranked.select(x.alias("x"), y.alias("y")).agg(

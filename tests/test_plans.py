@@ -453,9 +453,9 @@ def test_round3_session_operator_plan_shapes(spark):
     # hilbert layout: the level fold is one aggregate expression — pure
     # projection + ONE partial-aggregated bucket exchange, like z-order
     assert_plan(q(spark, "rel_hilbert_layout"), max_exchanges=1, forbid_python=True)
-    # ntile bands: custkey partial agg + ONE global window on the
-    # customer-sized aggregate + 4-row rollup
-    assert_plan(q(spark, "rel_ntile_bands"), max_exchanges=3, forbid_python=True)
+    # ntile bands: rewritten round 11 (bucketed distributed rank, no
+    # global window) — detailed pin in test_round11_operator_plan_shapes
+    assert_plan(q(spark, "rel_ntile_bands"), max_exchanges=6, forbid_python=True)
     # bitmap rollup: bitwise aggs are associative — ONE partial-agg exchange
     assert_plan(q(spark, "rel_bitmap_flags"), max_exchanges=1, forbid_python=True)
     # bearing histogram: way window + broadcast node attaches + 36-row agg
@@ -735,3 +735,74 @@ def test_round10_operator_plan_shapes(spark):
     # of partials combine map-side, one rollup + one sort exchange
     s = assert_plan(q(spark, "rel_sql_tpch_q1"), max_exchanges=2, forbid_python=True)
     assert any("l_shipdate" in f for f in s.pushed_filters), s.text
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window lint (round-11 verdict ask #3)
+# ---------------------------------------------------------------------------
+
+# Registered queries whose plans legitimately contain a globally-ORDERED,
+# partition-less Window node.  Every entry must be one of the three bounded
+# classes the audit allows; anything else is the rel_ntile_bands regression
+# class (a data-sized table funneled through ONE task) and fails the lint.
+_GLOBAL_WINDOW_OK = {
+    # -- rank windows over a limit(k)-bounded set (TakeOrdered feeds them,
+    #    so the single partition holds ≤k rows by construction)
+    "llm_ngram_counts",    # row_number over the top-100 gram set
+    "llm_zipf_fit",        # row_number over the top-500 vocabulary cut
+                           # (round-11 rewrite: TakeOrdered feeds it)
+    "llm_bm25_topk",       # rank over the per-query top-k union
+    "llm_hybrid_rrf",      # three rank windows, each over a top-100 leg
+    # -- tiny-ledger prefix sums (input is a bounded side table, not data)
+    "rel_key_skew_profile",   # exclusive prefix over the distinct-count
+                              # ledger (one row per distinct per-key count)
+    "rel_skyline_frontier",   # running-min over the per-size candidate
+                              # table (~50 rows: p_size domain)
+    "rel_funnel_conversion",  # step ledger (3 rows, one per funnel stage)
+    # -- documented metadata-scale exception
+    "rel_compaction_plan",    # running-sum over file METADATA (~1 row per
+                              # file); scale rationale in its doc
+}
+
+
+def test_no_unpartitioned_data_windows(spark):
+    """Blanket lint: no registered query may plan a globally-ordered
+    Window over a non-allow-listed input — the `WindowExec: No Partition
+    Defined` single-task funnel (round-10 verdict: rel_ntile_bands).
+    Allow-listed entries must still BE global windows (so stale entries
+    rot out of the list), and the two round-11 rewrites must stay
+    clean."""
+    from osmdatapy_spark.plans.audit import explain_text, global_ordered_windows
+
+    offenders: dict[str, list[str]] = {}
+    allow_hits: set[str] = set()
+    for name, qd in QUERY_REGISTRY.items():
+        if name in _SKIP_BUILD:
+            continue
+        wins = global_ordered_windows(explain_text(qd.fn(spark, SF_DIR)))
+        if not wins:
+            continue
+        if name in _GLOBAL_WINDOW_OK:
+            allow_hits.add(name)
+        else:
+            offenders[name] = wins
+    assert not offenders, f"unpartitioned ordered windows: {offenders}"
+    stale = _GLOBAL_WINDOW_OK - allow_hits
+    assert not stale, f"allow-list entries with no global window (remove): {stale}"
+
+
+def test_round11_operator_plan_shapes(spark):
+    """Plan pins for the round-11 rewrites."""
+    from osmdatapy_spark.plans.audit import global_ordered_windows
+
+    # ntile via bucketed distributed rank: the ONLY window is partitioned
+    # by bucket; cuts/ledger/total ride broadcasts; spend folds once
+    # (persisted) — bounded exchange budget, no Python
+    s = assert_plan(q(spark, "rel_ntile_bands"), max_exchanges=6, forbid_python=True)
+    assert not global_ordered_windows(s.text), s.text
+    assert s.n_broadcasts >= 3, s.text
+    # zipf fit: top-500 cut is TakeOrdered BEFORE the rank window, so the
+    # (still global) rank window's input is limit-bounded, never the
+    # full vocabulary
+    s = assert_plan(q(spark, "llm_zipf_fit"), forbid_python=True)
+    assert "TakeOrderedAndProject" in s.text, s.text
