@@ -153,6 +153,11 @@ def run_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # box-state stamp (round-10 verdict ask #5): three same-code readings
+    # of r10 HEAD spanned 38.3-48.4s purely from background load, so the
+    # artifact itself must carry enough to adjudicate drift without a
+    # re-run — loadavg at start AND end, plus the pass1/best ratio below
+    load_start = os.getloadavg()
     spark = get_spark("osmdatapy-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -220,7 +225,14 @@ def main() -> None:
                 t = round(run_query(QUERY_REGISTRY[name].fn, spark, sf_dir), 3)
             passes[name].append(t)
 
+    load_end = os.getloadavg()
     timings = {name: min(ts) for name, ts in passes.items()}
+    # suite-level pass-1 wall over suite-level best-of wall: a warm, idle
+    # box reads ~1.1-1.3x (pure JIT warmup); a loaded box inflates pass 1
+    # much further, so ratios well above that band mark a drifted reading
+    pass1_total = sum(ts[0] for ts in passes.values())
+    best_total = sum(timings.values())
+    pass1_over_best = round(pass1_total / best_total, 3) if best_total else None
     medians = {name: _window(ts)[len(_window(ts)) // 2] for name, ts in passes.items()}
     spread = {name: round(_window(ts)[-1] - _window(ts)[0], 3) for name, ts in passes.items()}
     spread_pathology = sorted(name for name, ts in passes.items() if _spread_bad(ts))
@@ -268,6 +280,9 @@ def main() -> None:
         "r8_comparable_sec": round(sum(timings[n] for n in R8_SET if n in timings), 3),
         "n_queries": len(timings),
         "sf": sf,
+        "load1": [round(load_start[0], 2), round(load_end[0], 2)],
+        "load15": [round(load_start[2], 2), round(load_end[2], 2)],
+        "pass1_over_best": pass1_over_best,
     }
     # The driver captures only the LAST ~2000 chars of stdout and parses
     # the JSON it finds there (BENCH_r08/r09 recorded parsed:null because
@@ -288,15 +303,25 @@ def main() -> None:
         "spread_pathology": spread_pathology,
         "n_queries": len(timings),
         "sf": sf,
+        # box-state stamp: [start, end] loadavg + suite pass1/best ratio —
+        # lets a reader adjudicate environment drift from the artifact
+        # alone (~1.1-1.3x pass1_over_best and low load = clean reading)
+        "load1": detail["load1"],
+        "load15": detail["load15"],
+        "pass1_over_best": pass1_over_best,
     }
     line = json.dumps(compact)
     if len(line) > 1900:
         # never let growth re-break the driver parse: drop per-query floats
-        # to 2 decimals first, then fall back to subtotals-only
+        # to 2 decimals first, then fall back to subtotals-only.  The
+        # fallback must be BOUNDED regardless of content, so the
+        # pathology name list (unbounded: one name per noisy query)
+        # collapses to a count — names stay in bench_detail.json
         compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
         line = json.dumps(compact)
         if len(line) > 1900:
             compact["queries"] = {}
+            compact["spread_pathology"] = len(spread_pathology)
             compact["metric"] += " [queries elided: see bench_detail.json]"
             line = json.dumps(compact)
     print(line)
