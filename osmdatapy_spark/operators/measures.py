@@ -247,6 +247,7 @@ def point_in_polygon_join(
     ring_coords: str = "coords",
     crossings_col: str | None = None,
     multi: bool = False,
+    max_cover_cells: int = _MAX_COVER_CELLS_TOTAL,
 ) -> DataFrame:
     """Grid-blocked point-in-polygon containment join with BBOX-COVER cell
     replication: each ring is replicated to EVERY grid cell its bounding
@@ -323,16 +324,20 @@ def point_in_polygon_join(
     def _product_guarded_hi(hi: Column) -> Column:
         # total-cover cap: the per-axis guard alone admits a ring spanning
         # just under the cap on BOTH axes (~16.7M replica rows); gate the
-        # x-span × y-span product before either explode runs
+        # x-span × y-span product before either explode runs.  The cap is
+        # a caller knob (``max_cover_cells``) because a legitimately large
+        # cover — one fine-celled continental ring — is a cost decision,
+        # not a correctness error; the default keeps the guard.
         xs = F.floor(col("__x1") / cell).cast("long") - F.floor(col("__x0") / cell).cast("long") + 1
         ys = F.floor(col("__y1") / cell).cast("long") - F.floor(col("__y0") / cell).cast("long") + 1
         return F.when(
-            xs * ys > _MAX_COVER_CELLS_TOTAL,
+            xs * ys > max_cover_cells,
             F.raise_error(
                 F.format_string(
                     "point_in_polygon_join: ring bbox covers %d total cells "
-                    "(%d x %d, max " + str(_MAX_COVER_CELLS_TOTAL) + ") — "
-                    "cell_deg is too small for this ring; raise cell_deg",
+                    "(%d x %d, max " + str(int(max_cover_cells)) + ") — "
+                    "cell_deg is too small for this ring; raise cell_deg "
+                    "or pass a larger max_cover_cells",
                     xs * ys,
                     xs,
                     ys,

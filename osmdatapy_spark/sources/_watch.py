@@ -86,8 +86,15 @@ def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -
                 return n[: -len(suf)]
         return n.split(".", 1)[0]
 
-    widths = {len(_stem(f)) for f in files}
-    if len(widths) > 1:
+    # ... and only when every stem is purely NUMERIC: that is the one
+    # case where lexicographic != numeric order actually skips files.
+    # Non-numeric stems (date-stamped names, an .osm snapshot beside
+    # numbered .osc diffs) sort consistently at whatever widths they
+    # have — hard-failing those would break a deployed stream at its
+    # next listing for a hazard it doesn't face.
+    stems = [_stem(f) for f in files]
+    widths = {len(s) for s in stems}
+    if len(widths) > 1 and all(s.isdigit() for s in stems):
         by_len = sorted(files, key=lambda f: (len(_stem(f)), f))
         raise ValueError(
             f"{source_name} stream source: basenames are not zero-padded to "

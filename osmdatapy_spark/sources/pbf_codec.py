@@ -363,14 +363,17 @@ def _decode_stringtable(data: bytes) -> list[str]:
 
 
 def _decode_info(data: bytes) -> tuple[Optional[int], Optional[int], Optional[int]]:
+    # Info fields are proto int32/int64 (NOT sint): negatives arrive as
+    # 10-byte two's-complement varints and must sign-interpret, matching
+    # write_varint_i64 on the encode side (pre-1970 timestamps are legal)
     version = timestamp = changeset = None
     for field, _, val in iter_fields(data, 0, len(data)):
         if field == 1:
-            version = val
+            version = decode_i64(val)
         elif field == 2:
-            timestamp = val
+            timestamp = decode_i64(val)
         elif field == 3:
-            changeset = val
+            changeset = decode_i64(val)
     return version, timestamp, changeset
 
 
@@ -496,7 +499,8 @@ def _decode_dense_columns(
             if with_metadata:
                 for f2, _, v2 in iter_fields(val, 0, len(val)):
                     if f2 == 1:
-                        versions = read_packed_varints(v2, 0, len(v2))
+                        # proto int32: sign-interpret two's-complement
+                        versions = [decode_i64(v) for v in read_packed_varints(v2, 0, len(v2))]
                     elif f2 == 2:
                         timestamps = read_packed_signed(v2, 0, len(v2))
                     elif f2 == 3:
@@ -888,7 +892,8 @@ def _decode_dense(
         elif field == 5:
             for f2, _, v2 in iter_fields(val, 0, len(val)):
                 if f2 == 1:
-                    versions = read_packed_varints(v2, 0, len(v2))
+                    # proto int32: sign-interpret two's-complement
+                    versions = [decode_i64(v) for v in read_packed_varints(v2, 0, len(v2))]
                 elif f2 == 2:
                     timestamps = read_packed_signed(v2, 0, len(v2))
                 elif f2 == 3:
@@ -1024,6 +1029,27 @@ def write_zigzag(n: int) -> bytes:
     return write_varint((n << 1) ^ (n >> 63) if n < 0 else n << 1)
 
 
+_U64_MASK = (1 << 64) - 1
+
+
+def write_varint_i64(n: int) -> bytes:
+    """Proto ``int32``/``int64`` wire encode: negatives sign-extend to 64
+    bits and emit as a 10-byte two's-complement varint (the protobuf
+    spec rule for non-zigzag signed fields).  This is how Info.timestamp
+    (int64 — pre-1970 timestamps are legal) round-trips through the
+    ways/relations write path consistently with DenseInfo's zigzag
+    deltas; plain ``write_varint`` stays unsigned-only and raises."""
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"write_varint_i64: {n} outside int64 range")
+    return write_varint(n & _U64_MASK)
+
+
+def decode_i64(v: int) -> int:
+    """Sign-interpret a decoded varint as proto int64: wire values with
+    the top bit set are two's-complement negatives."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _field(field_no: int, wire: int) -> bytes:
     return write_varint(field_no << 3 | wire)
 
@@ -1072,8 +1098,15 @@ class PbfWriter:
         date_granularity stays at the spec default 1000 ms, so the wire
         value IS seconds (the decoder's ``ts * date_gran // 1000``)."""
         v, ts, cs = meta
+        # int32/int64 fields encode negatives as two's-complement (spec) —
+        # a pre-1970 timestamp must not fail mid-write after shards of the
+        # same job already landed, and must round-trip like DenseInfo's
+        # zigzag deltas do for dense nodes
         return enc_bytes_field(
-            4, enc_varint_field(1, v) + enc_varint_field(2, ts) + enc_varint_field(3, cs)
+            4,
+            _field(1, 0) + write_varint_i64(v)
+            + _field(2, 0) + write_varint_i64(ts)
+            + _field(3, 0) + write_varint_i64(cs),
         )
 
     def add_dense_nodes(self, nodes: "list[tuple]") -> None:
@@ -1104,7 +1137,9 @@ class PbfWriter:
                 )
             dense += enc_bytes_field(
                 5,
-                enc_packed_field(1, [m[0] for m in metas])
+                # version is proto int32 (not sint32): negatives mask to
+                # two's complement, same rule as write_varint_i64
+                enc_packed_field(1, [m[0] & _U64_MASK for m in metas])
                 + enc_packed_deltas(2, [m[1] for m in metas])
                 + enc_packed_deltas(3, [m[2] for m in metas]),
             )

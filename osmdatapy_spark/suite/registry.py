@@ -12,6 +12,14 @@ row-count + schema + order-insensitive value-hash comparison passes):
   column) — never engine-dependent row order.
 - String formatting of numbers uses C-style printf (`format_string` /
   `printf`), never locale- or engine-specific rendering.
+
+Historical note on the one permanent red row in the cumulative driver
+record: ``rel_approx_sketches`` (CORRECTNESS_r03) was UNREGISTERED in
+round 4 and does not exist here — engine-internal HLL++/t-digest sketch
+states admit no cross-engine value oracle (COVERAGE.md §2.11).  Its
+capabilities are covered by the fully-oracled deterministic
+sketch-register queries ``rel_hll_registers``, ``rel_cms_heavy_hitters``
+and ``rel_bloom_filter``.
 """
 
 from __future__ import annotations

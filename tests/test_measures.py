@@ -625,6 +625,13 @@ def test_point_in_polygon_join_total_cover_guard(spark):
     pts = spark.createDataFrame([(10, 1.0, 1.0)], "pid long, px double, py double")
     with pytest.raises(Exception, match="total cells"):
         point_in_polygon_join(pts, rings, 0.01).collect()
+    # a caller with a known-large ring opts UP instead of being forced to
+    # coarsen cell_deg: the same cover passes with a raised cap, and the
+    # verdict is still exact
+    got = point_in_polygon_join(
+        pts, rings, 0.01, max_cover_cells=200_000
+    ).select("pid", "rid").collect()
+    assert [(r.pid, r.rid) for r in got] == [(10, 1)]
 
 
 def test_point_in_polygon_join_axis_guard(spark):

@@ -585,15 +585,52 @@ def test_writer_metadata_roundtrip(tmp_path):
 
 
 def test_write_varint_rejects_negative():
-    """write_varint is unsigned by contract; a negative input (e.g. a -1
-    version or pre-1970 timestamp fed to to_pbf(metadata=True)) must
-    raise instead of hanging the encoder in an infinite loop."""
+    """write_varint is unsigned by contract; a negative input must raise
+    instead of hanging the encoder in an infinite loop.  Signed proto
+    int32/int64 fields go through write_varint_i64 (two's complement),
+    which bounds its domain to int64."""
     import pytest
 
-    from osmdatapy_spark.sources.pbf_codec import PbfWriter, write_varint
+    from osmdatapy_spark.sources.pbf_codec import write_varint, write_varint_i64
 
     with pytest.raises(ValueError, match="negative"):
         write_varint(-1)
+    with pytest.raises(ValueError, match="int64 range"):
+        write_varint_i64(1 << 63)
+    with pytest.raises(ValueError, match="int64 range"):
+        write_varint_i64(-(1 << 63) - 1)
+
+
+def test_negative_metadata_roundtrip(tmp_path):
+    """Pre-1970 (negative) timestamps and negative changesets are legal
+    proto int64 values and must round-trip through BOTH metadata wire
+    forms: Info submessages (ways/relations/plain nodes — two's-
+    complement 10-byte varints) and DenseInfo (zigzag deltas).  Round 10
+    shipped an asymmetry where dense nodes accepted them but ways and
+    relations raised mid-write, stranding partial shards."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        decode_primitive_block,
+        read_blob,
+        scan_blob_spans,
+    )
+
     w = PbfWriter()
-    with pytest.raises(ValueError, match="negative"):
-        w.add_ways([(10, [1], {}, (1, -100, 5))])
+    w.add_dense_nodes([
+        (1, 1.0, 2.0, {}, (1, -86_400, 42)),       # 1969-12-31
+        (2, 3.0, 4.0, {}, (2, -1, -7)),
+    ])
+    w.add_ways([(10, [1, 2], {}, (5, -2_208_988_800, 99))])   # 1900-01-01
+    w.add_relations([(20, [(10, 1, "outer")], {}, (2, -100, -3))])
+    p = str(tmp_path / "neg.osm.pbf")
+    w.write(p)
+
+    els = []
+    for span in scan_blob_spans(p):
+        if span.blob_type == "OSMData":
+            els += decode_primitive_block(read_blob(p, span), with_metadata=True)
+    got = {(e.osmid, e.osmtype): (e.version, e.timestamp, e.changeset) for e in els}
+    assert got[(1, 0)] == (1, -86_400, 42)
+    assert got[(2, 0)] == (2, -1, -7)
+    assert got[(10, 1)] == (5, -2_208_988_800, 99)
+    assert got[(20, 2)] == (2, -100, -3)

@@ -622,9 +622,9 @@ def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
 @given(
     metas=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2**31 - 1),   # version
-            st.integers(min_value=0, max_value=2**53),        # timestamp (s)
-            st.integers(min_value=0, max_value=2**53),        # changeset
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),  # version
+            st.integers(min_value=-(2**53), max_value=2**53),      # timestamp (s)
+            st.integers(min_value=-(2**53), max_value=2**53),      # changeset
         ),
         min_size=1,
         max_size=40,
@@ -632,10 +632,12 @@ def test_point_in_polygon_join_matches_brute_force(spark, rings, pts, cell):
 )
 @settings(max_examples=60, deadline=None)
 def test_metadata_wire_roundtrip_property(metas, tmp_path_factory):
-    """Arbitrary non-negative (version, timestamp, changeset) triples
+    """Arbitrary (version, timestamp, changeset) triples — INCLUDING
+    negatives (pre-1970 timestamps; proto int32/int64 semantics) —
     round-trip EXACTLY through DenseInfo (parallel arrays, zigzag deltas
     — out-of-order timestamps produce negative deltas on the wire) and
-    through per-element Info submessages, for every element kind."""
+    through per-element Info submessages (two's-complement varints), for
+    every element kind."""
     from osmdatapy_spark.sources.pbf_codec import (
         PbfWriter,
         decode_primitive_block,

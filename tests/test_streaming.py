@@ -867,6 +867,22 @@ def test_watch_rejects_unpadded_basenames(tmp_path):
         list_watched_files(str(tmp_path), (".osc",), "osmxml")
 
 
+def test_watch_allows_nonnumeric_mixed_width_stems(tmp_path):
+    """The width lint only guards the numeric-misorder hazard ('9' after
+    '10').  Non-numeric stems of differing widths — an .osm snapshot
+    beside numbered diffs, or date-stamped names — sort consistently and
+    were streaming fine before the lint existed, so they must keep
+    listing instead of hard-failing a deployed stream."""
+    from osmdatapy_spark.sources._watch import list_watched_files
+
+    (tmp_path / "base.osc").write_text("<osmChange/>")
+    (tmp_path / "daily-2024-01-02.osc").write_text("<osmChange/>")
+    files = list_watched_files(str(tmp_path), (".osc",), "osmxml")
+    assert [f.split("/")[-1] for f in files] == [
+        "base.osc", "daily-2024-01-02.osc"
+    ]
+
+
 def test_watch_skips_dotfiles(tmp_path):
     """Hidden dotfiles (e.g. macOS '._000001.osm.pbf' AppleDouble sidecars)
     sort before every real file and would wedge an existing stream below

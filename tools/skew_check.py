@@ -178,6 +178,16 @@ def main() -> None:
     from osmdatapy_spark.session import get_spark
 
     spark = get_spark("osmdatapy-skew-check")
+    # getOrCreate REUSES a pre-existing session, in which case the env
+    # opt-in above never reached the builder and every _rest() call would
+    # crash opaquely on uiWebUrl=None — fail up front, naming the cause
+    if spark.sparkContext.uiWebUrl is None:
+        raise SystemExit(
+            "skew_check needs the Spark UI REST API, but this session has "
+            "spark.ui.enabled=false — a SparkSession already existed before "
+            "the SPARK_GRAFT_UI=true opt-in could apply (getOrCreate reuses "
+            "it).  Run skew_check in a fresh process."
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     fixtures = {
