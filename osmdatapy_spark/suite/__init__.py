@@ -70,11 +70,12 @@ _FAMILY_HEADS: dict[str, list[str]] = {
     "rel": [
         "rel_sql_tpch_q1", "rel_sql_tpch_q15", "rel_sql_tpch_q17",
         "rel_sql_tpch_q22", "rel_sql_tpch_rf",
+        # round-11 additions (derived-partsupp TPC-H completion)
+        "rel_sql_tpch_q2", "rel_sql_tpch_q9", "rel_sql_tpch_q11",
+        "rel_sql_tpch_q20", "rel_sql_tpch_q21",
         # r01-evidence refresh
         "rel_agg_stats", "rel_anti_join", "rel_collect_sorted",
-        "rel_cube_revenue", "rel_cumcount", "rel_daily_counts",
-        "rel_distinct", "rel_dropdup_keep_first",
-        "rel_first_last_per_group", "rel_hierarchy_rollup",
+        "rel_cube_revenue", "rel_cumcount",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

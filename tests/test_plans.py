@@ -806,3 +806,35 @@ def test_round11_operator_plan_shapes(spark):
     # full vocabulary
     s = assert_plan(q(spark, "llm_zipf_fit"), forbid_python=True)
     assert "TakeOrderedAndProject" in s.text, s.text
+
+
+def test_tpch_partsupp_five_plan_shapes(spark):
+    """Plan pins for the derived-partsupp TPC-H five (round-11 SQL-face
+    completion), per their registered claims."""
+    import re
+
+    # Q21: the multi-EXISTS must plan as ONE semi + ONE anti hash join
+    # on orderkey — never a nested re-execution per outer row
+    s = assert_plan(q(spark, "rel_sql_tpch_q21"), forbid_python=True)
+    assert re.search(r"LeftSemi", s.text), s.text
+    assert re.search(r"LeftAnti", s.text), s.text
+    assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text
+    # Q2: the correlated per-part MIN decorrelates to a partkey-keyed
+    # aggregate joined back; dims broadcast
+    s = assert_plan(q(spark, "rel_sql_tpch_q2"), forbid_python=True)
+    assert s.n_broadcasts >= 2, s.text
+    assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text
+    # Q9: composite-key fact join + (nation, year) rollup — no Python,
+    # dims broadcast, bounded exchange budget (partsupp distinct + the
+    # composite-key join + rollup)
+    s = assert_plan(q(spark, "rel_sql_tpch_q9"), max_exchanges=5, forbid_python=True)
+    assert s.n_broadcasts >= 2, s.text
+    # Q20: the correlated scalar SUM decorrelates (no per-row loops) and
+    # the date window reaches the lineitem scan as a pushed filter
+    s = assert_plan(q(spark, "rel_sql_tpch_q20"), forbid_python=True)
+    assert any("l_shipdate" in f for f in s.pushed_filters), s.text
+    assert "NestedLoop" not in s.text and "Cartesian" not in s.text, s.text
+    # Q11: partkey rollup + final sort, ×2 because the uncorrelated
+    # scalar threshold re-derives the same partsupp lineage (identical
+    # ANSI text on both engines precludes a persist; SQL-face cost)
+    assert_plan(q(spark, "rel_sql_tpch_q11"), max_exchanges=6, forbid_python=True)
