@@ -453,7 +453,21 @@ class OSM:
             cols.append("members")
         if q.metadata:
             cols += ["version", "timestamp", "changeset"]
-        return read_pbf(spark, path, osmtypes=wanted, columns=cols)
+        # dictionary skip (reference P2): Query.must_tags means "element
+        # carries at least ONE of these keys", so blocks whose string
+        # table contains NONE of them cannot contribute — push the keys
+        # as the disjunctive any_tag_keys option and the executor bails
+        # right after each block's stringtable decode.  Safe because
+        # q.apply()'s tag predicate re-filters the surviving rows, and
+        # member/coordinate attachment reads the bronze scans, never this
+        # one.  (Comma is the option separator, so a pathological key
+        # containing one skips the optimization, not correctness.)
+        any_keys = None
+        if q.must_tags and not any("," in k for k in q.must_tags):
+            any_keys = set(q.must_tags)
+        return read_pbf(
+            spark, path, osmtypes=wanted, columns=cols, any_tag_keys=any_keys
+        )
 
     def query(self, q: Query, wkb: bool = False) -> DataFrame:
         """Execute a composable Query → element DataFrame.

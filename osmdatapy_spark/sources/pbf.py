@@ -68,6 +68,7 @@ from pyspark.sql.types import (
 
 from osmdatapy_spark.sources.pbf_codec import (
     BlobSpan,
+    blob_dictionary_has,
     parse_header_block,
     read_blob,
     scan_blob_spans,
@@ -136,6 +137,33 @@ class PbfDataSourceReader(DataSourceReader):
         # can't serialize the scan.
         self.partition_bytes = int(options.get("partition_bytes", 1024 * 1024))
         self.partition_blobs = int(options.get("partition_blobs", 8))
+        # dictionary skip (reference P2 string-dictionary pruning,
+        # osmquery.py:242-257, at blob granularity): 'must_tag_keys' names
+        # strings that every wanted element MUST carry as tag keys — a
+        # blob whose block string table lacks any of them is skipped
+        # exactly (keys are dictionary indices, absence is proof).  This
+        # is a relation-defining option like 'osmtypes': the scan then
+        # only promises elements that can carry ALL the keys, so pair it
+        # with the matching tag filter downstream.  Executor-side, each
+        # task bails after the stringtable decode; with 'plan_prune=true'
+        # the DRIVER additionally drops non-matching blobs at planning
+        # time (streaming just each blob's table head — kilobytes per
+        # blob), so pruned blobs never even become task work.  Planning
+        # prune is opt-in because it moves reads onto the driver: right
+        # for region extracts and repeated queries, wrong default for a
+        # one-shot 100 TB scan where the executor-side skip already
+        # parallelizes the same decision.
+        raw_keys = options.get("must_tag_keys")
+        self.must_strings: frozenset[str] | None = (
+            frozenset(k for k in str(raw_keys).split(",") if k) if raw_keys else None
+        )
+        # disjunctive variant: skip a blob only when NONE of these keys
+        # is in its table (Query.must_tags "at least one of" semantics)
+        raw_any = options.get("any_tag_keys")
+        self.any_strings: frozenset[str] | None = (
+            frozenset(k for k in str(raw_any).split(",") if k) if raw_any else None
+        )
+        self.plan_prune = options.get("plan_prune", "false").lower() == "true"
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb nothing: yielding every filter back makes Spark re-apply
@@ -190,6 +218,14 @@ class PbfDataSourceReader(DataSourceReader):
             for s in spans:
                 if s.blob_type != "OSMData":
                     continue
+                if (
+                    (self.must_strings or self.any_strings)
+                    and self.plan_prune
+                    and not blob_dictionary_has(
+                        path, s, self.must_strings or frozenset(), self.any_strings
+                    )
+                ):
+                    continue
                 run.append((s.offset, s.size))
                 run_bytes += s.size
                 if run_bytes >= self.partition_bytes or len(run) >= self.partition_blobs:
@@ -241,6 +277,11 @@ class PbfDataSourceReader(DataSourceReader):
                 with_tags=want_tags,
                 with_refs=want_refs,
                 with_members=want_members,
+                # executor-side dictionary skip: bail after the
+                # stringtable when a must key is absent from this block
+                # (or no any-key is present)
+                must_strings=self.must_strings,
+                any_strings=self.any_strings,
             )
         ]
 
@@ -542,18 +583,33 @@ def read_pbf(
     path: str,
     osmtypes: set[int] | None = None,
     columns: list[str] | None = None,
+    must_tag_keys: set[str] | None = None,
+    any_tag_keys: set[str] | None = None,
+    plan_prune: bool = False,
 ) -> DataFrame:
     """Open a .pbf as a DataFrame; ``osmtypes`` restricts decoded element
     kinds at the source (per-relation static pruning) and ``columns``
     restricts decoded wire FIELDS (relation-level projection — the Python
     DS API has no pruning pushdown, so a .select() above the scan would
-    still decode everything)."""
+    still decode everything).  ``must_tag_keys`` enables the dictionary
+    skip (reference P2): blocks whose string table lacks any of the keys
+    decode to nothing executor-side, and with ``plan_prune=True`` such
+    blobs are dropped at PLANNING time (driver streams each blob's table
+    head) so they never become tasks — the scan then only promises
+    elements that can carry ALL the keys; pair it with the matching tag
+    filter."""
     register(spark)
     reader = spark.read.format("osmpbf")
     if osmtypes is not None:
         reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
     if columns is not None:
         reader = reader.option("columns", ",".join(columns))
+    if must_tag_keys:
+        reader = reader.option("must_tag_keys", ",".join(sorted(must_tag_keys)))
+    if any_tag_keys:
+        reader = reader.option("any_tag_keys", ",".join(sorted(any_tag_keys)))
+    if (must_tag_keys or any_tag_keys) and plan_prune:
+        reader = reader.option("plan_prune", "true")
     return reader.load(path)
 
 

@@ -311,6 +311,92 @@ def read_blob(path: str, span: BlobSpan) -> bytes:
     return raw
 
 
+_ST_NOT_AT_HEAD = object()  # sentinel: PrimitiveBlock doesn't lead with field 1
+
+
+def _dict_allows(strings: set, needed: "frozenset[str]", any_of) -> bool:
+    """Conjunctive (ALL of ``needed``) + disjunctive (ANY of ``any_of``)
+    membership against a block string table."""
+    if needed and not needed <= strings:
+        return False
+    if any_of and not any_of & strings:
+        return False
+    return True
+
+
+def _stringtable_head_slice(buf: bytes):
+    """If ``buf`` (a decompressed PrimitiveBlock prefix) starts with the
+    complete stringtable field (field 1, length-delimited), return its
+    payload bytes; ``None`` if more bytes are needed; the
+    ``_ST_NOT_AT_HEAD`` sentinel if the block leads with some other
+    field (legal per proto — caller falls back to a full parse)."""
+    if not buf:
+        return None
+    try:
+        tag, pos = read_varint(buf, 0)
+        if (tag >> 3) != 1 or (tag & 7) != 2:
+            return _ST_NOT_AT_HEAD
+        ln, pos = read_varint(buf, pos)
+    except IndexError:
+        return None
+    if len(buf) >= pos + ln:
+        return buf[pos : pos + ln]
+    return None
+
+
+def blob_dictionary_has(
+    path: str,
+    span: "BlobSpan",
+    needed: "frozenset[str]",
+    any_of: "frozenset[str] | None" = None,
+) -> bool:
+    """True iff the blob's PrimitiveBlock string table contains EVERY
+    string in ``needed`` AND at least one string in ``any_of`` (when
+    given) — the dictionary-skip probe (reference
+    ``osmquery.py:242-257`` skips a block when a required predicate
+    string is absent from its table; here the same decision is made at
+    blob granularity during scan planning).
+
+    Cheap by construction: the stringtable is the head field of every
+    tool-produced PrimitiveBlock, so for zlib blobs the probe
+    stream-decompresses only the first chunks until the table is
+    complete — a planning pass over a planet file touches kilobytes per
+    blob, not the blob body.  Blocks whose table lacks a needed string
+    cannot contain a matching element (tag keys/values are dictionary
+    indices), so skipping them is exact, never approximate."""
+    with open(path, "rb") as f:
+        f.seek(span.offset)
+        payload = f.read(span.size)
+    dfield = None
+    data = b""
+    for field, _, val in iter_fields(payload, 0, len(payload)):
+        if field in (1, 3, 4, 5, 6, 7):
+            dfield, data = field, bytes(val)
+    if dfield is None:
+        raise ValueError("empty Blob")
+    block: Optional[bytes] = None
+    if dfield == 3:
+        d = zlib.decompressobj()
+        head = b""
+        chunk = 8192
+        for i in range(0, len(data), chunk):
+            head += d.decompress(data[i : i + chunk])
+            probe = _stringtable_head_slice(head)
+            if probe is _ST_NOT_AT_HEAD:
+                break
+            if probe is not None:
+                return _dict_allows(set(_decode_stringtable(probe)), needed, any_of)
+        # stringtable not at the head (or stream exhausted) — fall back
+        # to the fully-decompressed block below
+    if block is None:
+        block = decompress_blob_field(dfield, data)
+    for field, _, val in iter_fields(block, 0, len(block)):
+        if field == 1:
+            return _dict_allows(set(_decode_stringtable(val)), needed, any_of)
+    # no stringtable at all: only untagged elements live here
+    return False
+
+
 def parse_header_block(block: bytes) -> tuple[list[str], list[str]]:
     """HeaderBlock → (required_features, optional_features)
     (reference S4, headers.py:81-121)."""
@@ -734,6 +820,8 @@ def decode_block_segments(
     with_tags: bool = True,
     with_refs: bool = True,
     with_members: bool = True,
+    must_strings: "frozenset[str] | None" = None,
+    any_strings: "frozenset[str] | None" = None,
 ) -> list:
     """Segment-structured block decode for the Arrow scan path: dense-node
     groups come back as ``DenseColumns``, way runs as ``WayColumns``, and
@@ -744,7 +832,14 @@ def decode_block_segments(
     parity is pinned by tests/test_pbf_source.py (same rows either path).
     ``with_tags`` / ``with_refs`` / ``with_members`` skip the packed
     payload decodes for pruned scans (the 'columns' read option —
-    reference field-decode pruning, primitives.py:23-29, end-to-end)."""
+    reference field-decode pruning, primitives.py:23-29, end-to-end).
+    ``must_strings`` is the executor-side dictionary skip: a block whose
+    string table lacks any required string decodes to NOTHING (tag
+    keys/values are indices into that table, so absence is exact proof
+    no element matches — reference osmquery.py:242-257 semantics at
+    block granularity).  ``any_strings`` is the disjunctive variant
+    (skip only when NONE is present) — the shape Query.must_tags needs
+    ("element has at least one of these keys")."""
     strings: list[str] = []
     groups: list[bytes] = []
     granularity = 100
@@ -753,6 +848,10 @@ def decode_block_segments(
     for field, _, val in iter_fields(block, 0, len(block)):
         if field == 1:
             strings = _decode_stringtable(val)
+            if (must_strings or any_strings) and not _dict_allows(
+                set(strings), must_strings or frozenset(), any_strings
+            ):
+                return []
         elif field == 2:
             groups.append(bytes(val))
         elif field == 17:
@@ -763,6 +862,10 @@ def decode_block_segments(
             lat_off = val
         elif field == 20:
             lon_off = val
+    # a block with no stringtable holds only untagged elements — the
+    # dictionary skip drops it the same way
+    if (must_strings or any_strings) and not strings:
+        return []
 
     scale = 1e-9
     w = wanted_types
@@ -1073,19 +1176,34 @@ def enc_packed_deltas(field_no: int, values: list[int]) -> bytes:
 
 
 class PbfWriter:
-    """Minimal deterministic .osm.pbf writer for fixtures."""
+    """Minimal deterministic .osm.pbf writer.
+
+    Each OSMData block carries its own BLOCK-LOCAL string table — the
+    layout real producers (osmium/osmosis) emit, and the one that makes
+    dictionary-based blob pruning effective: a scanner can drop a block
+    whose table lacks a required tag key without decoding any element.
+    To build local tables, ``add_*`` calls STAGE raw groups and all
+    encoding happens in ``write()``, once the block boundaries are
+    known (input validation still happens at add time, so bad input
+    fails before any shard byte is written)."""
 
     def __init__(self, granularity: int = 100, codec: str = "zlib"):
         self.granularity = granularity
         self.codec = codec  # zlib | lzma | bz2 | raw (spec fields 3/4/5/1)
-        self.strings: list[str] = [""]  # index 0 reserved (spec)
+        # staged (kind, items) groups; encoded per block in write()
+        self.groups: list[tuple[str, list]] = []
+        # block-local string state, reset per block in write()
+        self._strings: list[str] = [""]  # index 0 reserved (spec)
         self._sidx: dict[str, int] = {}
-        self.groups: list[bytes] = []
+
+    def _reset_strings(self) -> None:
+        self._strings = [""]
+        self._sidx = {}
 
     def sid(self, s: str) -> int:
         if s not in self._sidx:
-            self._sidx[s] = len(self.strings)
-            self.strings.append(s)
+            self._sidx[s] = len(self._strings)
+            self._strings.append(s)
         return self._sidx[s]
 
     def _kv(self, tags: dict[str, str]) -> tuple[list[int], list[int]]:
@@ -1114,6 +1232,16 @@ class PbfWriter:
         (version, ts_sec, changeset))] — becomes one DenseNodes group.
         DenseInfo is parallel-array (spec), so metadata is all-or-nothing
         within a group."""
+        nodes = list(nodes)
+        metas = [n[4] for n in nodes if len(n) > 4]
+        if metas and len(metas) != len(nodes):
+            raise ValueError(
+                "DenseInfo is a parallel array: either every node in the "
+                "group carries (version, timestamp, changeset) or none does"
+            )
+        self.groups.append(("dense", nodes))
+
+    def _enc_dense_group(self, nodes: "list[tuple]") -> bytes:
         ids = [n[0] for n in nodes]
         lons = [round(n[1] * 1e9) // self.granularity for n in nodes]
         lats = [round(n[2] * 1e9) // self.granularity for n in nodes]
@@ -1130,11 +1258,6 @@ class PbfWriter:
         )
         metas = [n[4] for n in nodes if len(n) > 4]
         if metas:
-            if len(metas) != len(nodes):
-                raise ValueError(
-                    "DenseInfo is a parallel array: either every node in the "
-                    "group carries (version, timestamp, changeset) or none does"
-                )
             dense += enc_bytes_field(
                 5,
                 # version is proto int32 (not sint32): negatives mask to
@@ -1143,7 +1266,7 @@ class PbfWriter:
                 + enc_packed_deltas(2, [m[1] for m in metas])
                 + enc_packed_deltas(3, [m[2] for m in metas]),
             )
-        self.groups.append(enc_bytes_field(2, dense))
+        return enc_bytes_field(2, dense)
 
     def _enc_way(
         self, osmid: int, refs: list[int], tags: dict[str, str], meta=None
@@ -1158,15 +1281,13 @@ class PbfWriter:
         )
 
     def add_way(self, osmid: int, refs: list[int], tags: dict[str, str], meta=None) -> None:
-        self.groups.append(enc_bytes_field(3, self._enc_way(osmid, refs, tags, meta)))
+        self.groups.append(("ways", [(osmid, refs, tags, meta)]))
 
     def add_ways(self, ways: "list[tuple]") -> None:
         """Batch: one PrimitiveGroup holding many ways (the realistic block
         shape — ~8k elements per group in tool-produced files).  Each way
         is (id, refs, tags) or (id, refs, tags, (version, ts, changeset))."""
-        self.groups.append(
-            b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in ways)
-        )
+        self.groups.append(("ways", list(ways)))
 
     def _enc_relation(
         self,
@@ -1190,15 +1311,20 @@ class PbfWriter:
         self, osmid: int, members: list[tuple[int, int, str]], tags: dict[str, str], meta=None
     ) -> None:
         """members: [(ref, type, role)]"""
-        self.groups.append(enc_bytes_field(4, self._enc_relation(osmid, members, tags, meta)))
+        self.groups.append(("rels", [(osmid, members, tags, meta)]))
 
     def add_relations(self, rels: "list[tuple]") -> None:
         """Batch: one PrimitiveGroup holding many relations (realistic block
         shape, same rationale as ``add_ways``).  Each relation is
         (id, members, tags) or (id, members, tags, (version, ts, changeset))."""
-        self.groups.append(
-            b"".join(enc_bytes_field(4, self._enc_relation(*r)) for r in rels)
-        )
+        self.groups.append(("rels", list(rels)))
+
+    def _enc_group(self, kind: str, items: list) -> bytes:
+        if kind == "dense":
+            return self._enc_dense_group(items)
+        if kind == "ways":
+            return b"".join(enc_bytes_field(3, self._enc_way(*w)) for w in items)
+        return b"".join(enc_bytes_field(4, self._enc_relation(*r)) for r in items)
 
     def _blob(self, block: bytes) -> bytes:
         if self.codec == "raw":
@@ -1226,10 +1352,15 @@ class PbfWriter:
             f.write(self._frame("OSMHeader", self._blob(header_block)))
             for i in range(0, len(self.groups), groups_per_block):
                 chunk = self.groups[i : i + groups_per_block]
-                st = b"".join(enc_bytes_field(1, s.encode()) for s in self.strings)
+                # BLOCK-LOCAL string table: encode this block's groups
+                # against a fresh dictionary so the table names exactly
+                # the strings the block uses (the pruning contract)
+                self._reset_strings()
+                bodies = [self._enc_group(kind, items) for kind, items in chunk]
+                st = b"".join(enc_bytes_field(1, s.encode()) for s in self._strings)
                 block = (
                     enc_bytes_field(1, st)
-                    + b"".join(enc_bytes_field(2, g) for g in chunk)
+                    + b"".join(enc_bytes_field(2, g) for g in bodies)
                     + enc_varint_field(17, self.granularity)
                 )
                 f.write(self._frame("OSMData", self._blob(block)))

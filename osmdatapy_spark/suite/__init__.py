@@ -45,12 +45,14 @@ _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
         "osm_bearing_histogram", "osm_pbf_metadata_roundtrip",
         "osm_simplify_radial", "osm_way_interpolate",
+        # round-11 addition (dictionary-based blob pruning)
+        "osm_pbf_dictionary_prune",
         # r01-evidence refresh
         "osm_area_heuristic", "osm_coords_lookup",
         "osm_default_query_highways", "osm_linestring_wkt",
         "osm_must_tags", "osm_point_wkt", "osm_relation_expand",
         "osm_ring_assembly", "osm_tag_filter_keep_first",
-        "osm_tag_filter_keep_last", "osm_topology_segments",
+        "osm_tag_filter_keep_last",
     ],
     "llm": [
         "llm_char_diversity", "llm_mixture_epochs", "llm_percentile_filter",

@@ -2753,6 +2753,69 @@ def _roundtrip_dir(sf_dir: str, kind: str) -> str:
 _PBF_E2E = (2000, 300, 20)  # nodes, ways, relations
 
 
+def _pbf_prune_path() -> str:
+    """Dictionary-prune fixture: 40 one-group way blocks of 50 ways
+    (per-block string tables), every way highway=residential, and every
+    way in blocks where b % 8 == 3 additionally bridge=yes — the rare
+    key lives in 5 of 40 blocks, so a must_tag_keys='bridge' planning
+    pass should drop 35 blobs before any task exists."""
+    import os
+    import tempfile
+
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    path = os.path.join(tempfile.gettempdir(), "osmdatapy_prune_v1.osm.pbf")
+    if os.path.exists(path):
+        return path
+    w = PbfWriter()
+    for b in range(40):
+        tags = {"highway": "residential"}
+        if b % 8 == 3:
+            tags = {"highway": "residential", "bridge": "yes"}
+        w.add_ways([(b * 50 + i + 1, [1, 2], dict(tags)) for i in range(50)])
+    tmp = path + ".tmp"
+    w.write(tmp, groups_per_block=1)
+    os.replace(tmp, path)
+    return path
+
+
+@register(
+    "osm_pbf_dictionary_prune",
+    oracle="""
+    WITH b AS (SELECT UNNEST(generate_series(0, 39)) AS b),
+         i AS (SELECT UNNEST(generate_series(0, 49)) AS i)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ways,
+           CAST(SUM(b * 50 + i + 1) AS BIGINT) AS id_sum,
+           CAST(MIN(b * 50 + i + 1) AS BIGINT) AS min_id,
+           CAST(MAX(b * 50 + i + 1) AS BIGINT) AS max_id
+    FROM b, i WHERE b % 8 = 3
+    """,
+    doc="Dictionary-based blob pruning (reference P2, osmquery.py:242-257 "
+    "— skip a block when a required predicate string is absent from its "
+    "string table): a rare-tag scan over a fixture whose rare key lives "
+    "in 5 of 40 blocks plans ONLY the matching blobs "
+    "(must_tag_keys + plan_prune read options; the planning probe "
+    "stream-decompresses each blob's table head — kilobytes per blob) "
+    "and the executor-side skip bails after the stringtable decode for "
+    "whatever still reaches a task.  The aggregate must equal the "
+    "closed-form generating formulas exactly, pinning that pruning is "
+    "exact, never approximate.  tests/test_pbf_source.py pins the "
+    "partition-count drop (5 runs → 1).",
+)
+def osm_pbf_dictionary_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    df = read_pbf(
+        spark, _pbf_prune_path(), must_tag_keys={"bridge"}, plan_prune=True
+    )
+    return df.filter(F.element_at(col("tags"), "bridge").isNotNull()).agg(
+        F.count("*").alias("n_ways"),
+        F.sum("osmid").alias("id_sum"),
+        F.min("osmid").alias("min_id"),
+        F.max("osmid").alias("max_id"),
+    )
+
+
 def _pbf_e2e_path() -> str:
     """Deterministic fixture .osm.pbf (~2.3k elements) written once per
     machine: node i+1 at (-90 + (i%360)·0.5, -45 + ((i//360)%180)·0.5),
@@ -2765,7 +2828,7 @@ def _pbf_e2e_path() -> str:
     from osmdatapy_spark.sources.pbf_codec import PbfWriter
 
     n_nodes, n_ways, n_rels = _PBF_E2E
-    path = os.path.join(tempfile.gettempdir(), "osmdatapy_e2e_v1.osm.pbf")
+    path = os.path.join(tempfile.gettempdir(), "osmdatapy_e2e_v2.osm.pbf")
     if os.path.exists(path):
         return path
     w = PbfWriter(codec="zlib")

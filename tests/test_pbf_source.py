@@ -634,3 +634,138 @@ def test_negative_metadata_roundtrip(tmp_path):
     assert got[(2, 0)] == (2, -1, -7)
     assert got[(10, 1)] == (5, -2_208_988_800, 99)
     assert got[(20, 2)] == (2, -100, -3)
+
+
+def _dict_prune_fixture(tmp_path) -> str:
+    """40 one-group blocks of 50 ways each; blocks where b % 8 == 3 tag
+    every way with the rare 'bridge' key (5 of 40 blocks).  Per-block
+    string tables (the PbfWriter contract) make the dictionary skip
+    observable at blob granularity."""
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter()
+    for b in range(40):
+        tags = {"highway": "residential"}
+        if b % 8 == 3:
+            tags = {"highway": "residential", "bridge": "yes"}
+        w.add_ways([
+            (b * 50 + i + 1, [1, 2], dict(tags)) for i in range(50)
+        ])
+    p = str(tmp_path / "prune.osm.pbf")
+    w.write(p, groups_per_block=1)
+    return p
+
+
+def test_dictionary_prune_plans_fewer_partitions(tmp_path):
+    """The plan_prune pass must plan strictly fewer partitions for a rare
+    must key (5 of 40 blobs survive → 1 run at the 8-blob coalesce cap
+    vs 5 runs unpruned), and the executor-side skip alone must leave
+    planning untouched."""
+    from osmdatapy_spark.sources.pbf import PBF_SCHEMA, PbfDataSourceReader
+
+    p = _dict_prune_fixture(tmp_path)
+    full = PbfDataSourceReader(PBF_SCHEMA, {"path": p})
+    skip = PbfDataSourceReader(
+        PBF_SCHEMA, {"path": p, "must_tag_keys": "bridge"}
+    )
+    pruned = PbfDataSourceReader(
+        PBF_SCHEMA, {"path": p, "must_tag_keys": "bridge", "plan_prune": "true"}
+    )
+    n_full = len(full.partitions())
+    n_skip = len(skip.partitions())
+    n_pruned = len(pruned.partitions())
+    assert n_full == 5  # 40 blobs / 8-blob runs
+    assert n_skip == n_full  # executor-side skip does not replan
+    assert n_pruned == 1  # 5 surviving blobs coalesce into one run
+    # planned spans must be exactly the bridge blocks' blobs
+    spans = [s for part in pruned.partitions() for s in part.spans]
+    assert len(spans) == 5
+
+
+def test_dictionary_prune_rows_exact(spark, tmp_path):
+    """Both skip modes return exactly the elements of surviving blocks —
+    and composed with the matching tag filter, exactly the rows the
+    unpruned scan + filter returns (pruning is a plan optimization,
+    never a semantics change for the promised contract)."""
+    from osmdatapy_spark.sources.pbf import read_pbf
+
+    p = _dict_prune_fixture(tmp_path)
+    want = sorted(
+        b * 50 + i + 1 for b in range(40) if b % 8 == 3 for i in range(50)
+    )
+    base = read_pbf(spark, p).filter("element_at(tags, 'bridge') IS NOT NULL")
+    got_base = sorted(r.osmid for r in base.select("osmid").collect())
+    assert got_base == want
+    for plan_prune in (False, True):
+        df = read_pbf(
+            spark, p, must_tag_keys={"bridge"}, plan_prune=plan_prune
+        ).filter("element_at(tags, 'bridge') IS NOT NULL")
+        got = sorted(r.osmid for r in df.select("osmid").collect())
+        assert got == want, f"plan_prune={plan_prune}"
+
+
+def test_blob_dictionary_has_streams_head(tmp_path):
+    """The planning probe answers from the stringtable without a full
+    block decode, for present and absent keys, across codecs."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        blob_dictionary_has,
+        scan_blob_spans,
+    )
+
+    for codec in ("zlib", "raw", "lzma"):
+        w = PbfWriter(codec=codec)
+        w.add_ways([(1, [1, 2], {"highway": "residential"})])
+        w.add_ways([(2, [1, 2], {"bridge": "yes"})])
+        p = str(tmp_path / f"probe_{codec}.osm.pbf")
+        w.write(p, groups_per_block=1)
+        data = [s for s in scan_blob_spans(p) if s.blob_type == "OSMData"]
+        assert len(data) == 2
+        assert blob_dictionary_has(p, data[0], frozenset({"highway"}))
+        assert not blob_dictionary_has(p, data[0], frozenset({"bridge"}))
+        assert blob_dictionary_has(p, data[1], frozenset({"bridge", "yes"}))
+        assert not blob_dictionary_has(p, data[1], frozenset({"bridge", "nope"}))
+
+
+def test_any_tag_keys_disjunctive_skip(spark, tmp_path):
+    """any_tag_keys skips a block only when NONE of the keys is present —
+    the Query.must_tags shape — and the engine's query path pushes
+    must_tags through it with unchanged results."""
+    from osmdatapy_spark.sources.pbf import PBF_SCHEMA, PbfDataSourceReader, read_pbf
+
+    p = _dict_prune_fixture(tmp_path)
+    # 'bridge' OR 'nonexistent': same 5 blocks survive planning
+    pruned = PbfDataSourceReader(
+        PBF_SCHEMA,
+        {"path": p, "any_tag_keys": "bridge,nonexistent", "plan_prune": "true"},
+    )
+    assert len(pruned.partitions()) == 1
+    # 'highway' OR 'bridge': every block has highway — nothing prunes
+    allb = PbfDataSourceReader(
+        PBF_SCHEMA,
+        {"path": p, "any_tag_keys": "highway,bridge", "plan_prune": "true"},
+    )
+    assert len(allb.partitions()) == 5
+    want = sorted(
+        b * 50 + i + 1 for b in range(40) if b % 8 == 3 for i in range(50)
+    )
+    df = read_pbf(spark, p, any_tag_keys={"bridge", "nonexistent"}).filter(
+        "element_at(tags, 'bridge') IS NOT NULL"
+    )
+    assert sorted(r.osmid for r in df.select("osmid").collect()) == want
+
+
+def test_engine_query_pushes_must_tags_dictionary_skip(spark, tmp_path):
+    """OSM.query with must_tags returns identical rows whether or not the
+    scan-level dictionary skip fires (it always does now for pbf-backed
+    OSMs) — pinned against a keys-absent-in-most-blocks fixture."""
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+
+    p = _dict_prune_fixture(tmp_path)
+    osm = OSM.from_pbf(spark, p)
+    res = osm.query(Query(ways=True, must_tags=["bridge"])).collect()
+    want = sorted(
+        b * 50 + i + 1 for b in range(40) if b % 8 == 3 for i in range(50)
+    )
+    assert sorted(r["osmid"] for r in res) == want
