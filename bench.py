@@ -36,7 +36,7 @@ def _synthetic_pbf(sf: float) -> str:
     n_nodes = int(3_000_000 * sf)
     n_ways = int(190_000 * sf)
     n_rels = int(10_000 * sf)
-    path = Path(tempfile.gettempdir()) / f"osmdatapy_bench_v2_sf{sf}.osm.pbf"
+    path = Path(tempfile.gettempdir()) / f"osmdatapy_bench_v3_sf{sf}.osm.pbf"
     if path.exists():
         return str(path)
 
@@ -227,9 +227,12 @@ def main() -> None:
 
     load_end = os.getloadavg()
     timings = {name: min(ts) for name, ts in passes.items()}
-    # suite-level pass-1 wall over suite-level best-of wall: a warm, idle
-    # box reads ~1.1-1.3x (pure JIT warmup); a loaded box inflates pass 1
-    # much further, so ratios well above that band mark a drifted reading
+    # suite-level pass-1 wall over suite-level best-of wall.  Read it
+    # TOGETHER with the totals (measured r11): an idle box shows a HIGH
+    # ratio (~2.6 — pass 1 pays per-query JIT) with a low best-of total;
+    # a loaded box COMPRESSES the ratio toward 1 (every pass slow) while
+    # inflating the total — so "total up, ratio down, load up" reads as
+    # box drift, not regression
     pass1_total = sum(ts[0] for ts in passes.values())
     best_total = sum(timings.values())
     pass1_over_best = round(pass1_total / best_total, 3) if best_total else None
@@ -305,7 +308,9 @@ def main() -> None:
         "sf": sf,
         # box-state stamp: [start, end] loadavg + suite pass1/best ratio —
         # lets a reader adjudicate environment drift from the artifact
-        # alone (~1.1-1.3x pass1_over_best and low load = clean reading)
+        # alone (idle signature: low load, HIGH ratio ~2.6 from pass-1
+        # JIT; loaded signature: high load, ratio compressed toward 1
+        # with an inflated total)
         "load1": detail["load1"],
         "load15": detail["load15"],
         "pass1_over_best": pass1_over_best,
