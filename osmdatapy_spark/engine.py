@@ -457,7 +457,11 @@ class OSM:
         # carries at least ONE of these keys", so blocks whose string
         # table contains NONE of them cannot contribute — push the keys
         # as the disjunctive any_tag_keys option and the executor bails
-        # right after each block's stringtable decode.  Safe because
+        # right after each block's stringtable decode.  With
+        # keep_first=True (the constructor default) the keep table is
+        # equally mandatory (pred = must & kps & ~exs), so its KEYS are
+        # a valid any-of condition too; under keep_first=False keep is
+        # advisory (~exs | kps) and must NOT prune.  Safe because
         # q.apply()'s tag predicate re-filters the surviving rows, and
         # member/coordinate attachment reads the bronze scans, never this
         # one.  (Comma is the option separator, so a pathological key
@@ -465,6 +469,12 @@ class OSM:
         any_keys = None
         if q.must_tags and not any("," in k for k in q.must_tags):
             any_keys = set(q.must_tags)
+        elif (
+            q.keep
+            and q.keep_first
+            and not any("," in k for k in q.keep)
+        ):
+            any_keys = set(q.keep)
         return read_pbf(
             spark, path, osmtypes=wanted, columns=cols, any_tag_keys=any_keys
         )

@@ -769,3 +769,62 @@ def test_engine_query_pushes_must_tags_dictionary_skip(spark, tmp_path):
         b * 50 + i + 1 for b in range(40) if b % 8 == 3 for i in range(50)
     )
     assert sorted(r["osmid"] for r in res) == want
+
+
+def test_blob_dictionary_probe_large_block(tmp_path):
+    """Progressive probe on a block whose compressed payload spans many
+    read chunks: the stringtable still resolves from the head (and the
+    absent-key answer is still exact)."""
+    from osmdatapy_spark.sources.pbf_codec import (
+        PbfWriter,
+        blob_dictionary_has,
+        scan_blob_spans,
+    )
+
+    w = PbfWriter()
+    # 60k ways with high-entropy ref deltas → compressed payload well
+    # beyond the 16 KiB probe chunk
+    w.add_ways([
+        (i + 1, [i * 7919 % 100000, i * 104729 % 100000], {"highway": "x"})
+        for i in range(60000)
+    ])
+    p = str(tmp_path / "big.osm.pbf")
+    w.write(p, groups_per_block=1)
+    span = [s for s in scan_blob_spans(p) if s.blob_type == "OSMData"][0]
+    assert span.size > 64 * 1024  # genuinely multi-chunk
+    assert blob_dictionary_has(p, span, frozenset({"highway"}))
+    assert not blob_dictionary_has(p, span, frozenset({"bridge"}))
+    assert blob_dictionary_has(
+        p, span, frozenset(), any_of=frozenset({"bridge", "highway"})
+    )
+    assert not blob_dictionary_has(
+        p, span, frozenset(), any_of=frozenset({"bridge", "tunnel"})
+    )
+
+
+def test_engine_query_pushes_keep_first_keys(spark, tmp_path):
+    """With keep_first=True (the constructor default) a keep match is
+    mandatory, so keep KEYS ride the dictionary skip; with
+    keep_first=False keep is advisory (~exclude | keep) and must NOT
+    prune — unmatched-but-unexcluded elements still flow."""
+    from osmdatapy_spark.engine import OSM
+    from osmdatapy_spark.query import Query
+
+    p = _dict_prune_fixture(tmp_path)
+    osm = OSM.from_pbf(spark, p)
+    want = sorted(
+        b * 50 + i + 1 for b in range(40) if b % 8 == 3 for i in range(50)
+    )
+    got = osm.query(Query(ways=True, keep={"bridge": []})).collect()
+    assert sorted(r["osmid"] for r in got) == want
+    # advisory mode: every way survives (none is excluded), including
+    # those in blocks without 'bridge' — pruning here would be a bug
+    got_all = osm.query(
+        Query(
+            ways=True,
+            keep={"bridge": []},
+            exclude={"nonexistent": []},
+            keep_first=False,
+        )
+    ).collect()
+    assert len(got_all) == 2000
