@@ -619,6 +619,8 @@ def read_pbf_stream(
     osmtypes: set[int] | None = None,
     columns: list[str] | None = None,
     max_files_per_trigger: int = 0,
+    must_tag_keys: set[str] | None = None,
+    any_tag_keys: set[str] | None = None,
 ) -> DataFrame:
     """``spark.readStream`` over a directory of ``.pbf`` extracts: each
     file that appears under ``path`` with a lexicographically later
@@ -636,7 +638,14 @@ def read_pbf_stream(
     in one driver-resident batch.  It is OPT-IN (0 = unlimited) because
     an ``availableNow`` run plans exactly one read per run and would stop
     after one ration.  A true planet-bulk initial load belongs on the
-    batch reader, with only the diff tail streamed."""
+    batch reader, with only the diff tail streamed.
+
+    ``must_tag_keys`` / ``any_tag_keys`` apply the batch reader's
+    dictionary skip per epoch file (the watcher reuses the batch blob
+    planning verbatim, so the same string-table bail drops non-matching
+    blocks before their elements ever enter a microbatch — the right
+    shape for a tag-focused epoch watcher, where most of each extract is
+    irrelevant)."""
     register(spark)
     reader = spark.readStream.format("osmpbf")
     if max_files_per_trigger > 0:
@@ -645,6 +654,10 @@ def read_pbf_stream(
         reader = reader.option("osmtypes", ",".join(str(t) for t in sorted(osmtypes)))
     if columns is not None:
         reader = reader.option("columns", ",".join(columns))
+    if must_tag_keys:
+        reader = reader.option("must_tag_keys", ",".join(sorted(must_tag_keys)))
+    if any_tag_keys:
+        reader = reader.option("any_tag_keys", ",".join(sorted(any_tag_keys)))
     return reader.load(path)
 
 

@@ -1042,3 +1042,29 @@ def test_batch_readers_skip_dotfiles(spark, tmp_path):
     _pbf_epoch(d / "000001.osm.pbf", [(1, 1.0, 1.0, {})])
     (d / "._000001.osm.pbf").write_bytes(b"\x00\x05\x16\x07junk")
     assert read_pbf(spark, str(d)).count() == 1
+
+
+def test_pbf_watcher_dictionary_skip(tmp_path):
+    """The pbf epoch watcher forwards reader options verbatim, so the
+    dictionary skip works per microbatch file: only elements from blocks
+    carrying the key reach the batch rows."""
+    from osmdatapy_spark.sources.pbf import PBF_SCHEMA, OsmPbfSimpleStreamReader
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    d = tmp_path / "epochs"
+    d.mkdir()
+    w = PbfWriter()
+    w.add_ways([(1, [1, 2], {"highway": "residential"})])
+    w.add_ways([(2, [1, 2], {"bridge": "yes"})])
+    w.write(str(d / "000001.osm.pbf"), groups_per_block=1)
+
+    r = OsmPbfSimpleStreamReader(
+        PBF_SCHEMA, {"path": str(d), "any_tag_keys": "bridge"}
+    )
+    rows, end = r.read(r.initialOffset())
+    assert end == {"last": "000001.osm.pbf"}
+    assert [t[0] for t in rows] == [2]  # only the bridge block's way
+    # no skip option: both ways stream
+    r2 = OsmPbfSimpleStreamReader(PBF_SCHEMA, {"path": str(d)})
+    rows2, _ = r2.read(r2.initialOffset())
+    assert sorted(t[0] for t in rows2) == [1, 2]
