@@ -358,38 +358,83 @@ def blob_dictionary_has(
     blob granularity during scan planning).
 
     Cheap by construction: the stringtable is the head field of every
-    tool-produced PrimitiveBlock, so for zlib blobs the probe
-    stream-decompresses only the first chunks until the table is
-    complete — a planning pass over a planet file touches kilobytes per
-    blob, not the blob body.  Blocks whose table lacks a needed string
-    cannot contain a matching element (tag keys/values are dictionary
-    indices), so skipping them is exact, never approximate."""
+    tool-produced PrimitiveBlock and the compressed payload is read from
+    disk PROGRESSIVELY — for zlib blobs the probe reads the first chunks
+    and stream-decompresses until the table is complete, so a planning
+    pass over a planet file touches kilobytes per blob (disk AND CPU),
+    not the blob body.  Any structural surprise (data field not last,
+    stringtable not at the block head, non-zlib codec) falls back to a
+    full read+decode — correctness never depends on the fast path.
+    Blocks whose table lacks a needed string cannot contain a matching
+    element (tag keys/values are dictionary indices), so skipping them
+    is exact, never approximate."""
+    chunk = 16384
     with open(path, "rb") as f:
         f.seek(span.offset)
+        first = f.read(min(chunk, span.size))
+        # locate the Blob's data oneof inside the first chunk: fields
+        # before it (raw_size) are tiny varints, so the data header is
+        # within the first bytes of every real file
+        dfield = None
+        dstart = dlen = 0
+        pos = 0
+        try:
+            while pos < len(first):
+                tag, pos = read_varint(first, pos)
+                field, wire = tag >> 3, tag & 7
+                if wire == 0:
+                    _, pos = read_varint(first, pos)
+                elif wire == 2:
+                    ln, pos = read_varint(first, pos)
+                    if field in (1, 3, 4, 5, 6, 7):
+                        dfield, dstart, dlen = field, pos, ln
+                        break
+                    pos += ln
+                else:
+                    break  # unexpected wire type — full fallback
+        except IndexError:
+            dfield = None
+        if dfield == 3:
+            d = zlib.decompressobj()
+            head = b""
+            avail = first[dstart : dstart + dlen]
+            # compressed bytes of the data field still on disk
+            remaining = dlen - len(avail)
+            while True:
+                if avail:
+                    head += d.decompress(avail)
+                    avail = b""
+                probe = _stringtable_head_slice(head)
+                if probe is _ST_NOT_AT_HEAD:
+                    break
+                if probe is not None:
+                    return _dict_allows(
+                        set(_decode_stringtable(probe)), needed, any_of
+                    )
+                if remaining <= 0:
+                    break
+                nxt = f.read(min(chunk, remaining))
+                if not nxt:
+                    break
+                remaining -= len(nxt)
+                avail = nxt
+        elif dfield == 1 and dstart + dlen <= len(first):
+            # raw blob fully inside the first chunk: probe directly
+            probe = _stringtable_head_slice(first[dstart : dstart + dlen])
+            if probe is not None and probe is not _ST_NOT_AT_HEAD:
+                return _dict_allows(set(_decode_stringtable(probe)), needed, any_of)
+        # fallback: full payload read + full decode (rare: unusual field
+        # order, exotic codec, or a stringtable that is not at the head)
+        f.seek(span.offset)
         payload = f.read(span.size)
-    dfield = None
+    dfield2 = None
     data = b""
     for field, _, val in iter_fields(payload, 0, len(payload)):
         if field in (1, 3, 4, 5, 6, 7):
-            dfield, data = field, bytes(val)
-    if dfield is None:
+            dfield2, data = field, bytes(val)
+    if dfield2 is None:
         raise ValueError("empty Blob")
-    block: Optional[bytes] = None
-    if dfield == 3:
-        d = zlib.decompressobj()
-        head = b""
-        chunk = 8192
-        for i in range(0, len(data), chunk):
-            head += d.decompress(data[i : i + chunk])
-            probe = _stringtable_head_slice(head)
-            if probe is _ST_NOT_AT_HEAD:
-                break
-            if probe is not None:
-                return _dict_allows(set(_decode_stringtable(probe)), needed, any_of)
-        # stringtable not at the head (or stream exhausted) — fall back
-        # to the fully-decompressed block below
-    if block is None:
-        block = decompress_blob_field(dfield, data)
+    block = decompress_blob_field(dfield2, data)
     for field, _, val in iter_fields(block, 0, len(block)):
         if field == 1:
             return _dict_allows(set(_decode_stringtable(val)), needed, any_of)
