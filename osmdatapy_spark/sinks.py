@@ -46,6 +46,39 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a corpus as sharded JSON-Lines — the de-facto interchange
+    format of public LLM training sets (The Pile, C4, RedPajama, Dolma
+    all ship ``.jsonl.gz``/``.jsonl.zst``).  One JSON object per line,
+    field order = the DataFrame's column order (deterministic), written
+    executor-side by Spark's native JSON sink — fully distributed, no
+    driver funnel.  Parquet (``write_corpus``) stays the at-rest format;
+    JSONL is for interchange with tooling that doesn't read parquet.
+
+    ``compression``: gzip (universal), or any codec the Spark JSON sink
+    supports (bzip2/xz/lz4/snappy/zstd/none)."""
+    w = df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read JSON-Lines with an EXPLICIT schema (a DDL string or
+    StructType).  The schema is mandatory by design: Spark's JSON schema
+    inference is a full extra pass over the data — on a 100 TB dump that
+    silently doubles the read before the first real job — and inference
+    can also widen/narrow types differently across dumps.  Compression
+    is self-describing by file extension (.gz/.zst/...)."""
+    return spark.read.schema(schema).json(path)
+
+
 def write_corpus_with_manifest(
     df: DataFrame,
     path: str,

@@ -57,11 +57,12 @@ _FAMILY_HEADS: dict[str, list[str]] = {
     "llm": [
         "llm_char_diversity", "llm_mixture_epochs", "llm_percentile_filter",
         "llm_temperature_mixture", "llm_weighted_sample",
+        # round-11 addition (JSONL interchange round-trip)
+        "llm_jsonl_roundtrip",
         # r01-evidence refresh
         "llm_bpe_token_count", "llm_dedup_clusters", "llm_dedup_keep_best",
         "llm_exact_dedup", "llm_jaccard_pairs", "llm_langid",
         "llm_minhash_lsh", "llm_pii_scrub", "llm_quality_filter",
-        "llm_stratified_sample",
     ],
     "stream": [
         # fully recorded r07-r09; refresh the oldest (r07) rows

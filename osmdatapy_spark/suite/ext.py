@@ -2780,6 +2780,45 @@ def _pbf_prune_path() -> str:
 
 
 @register(
+    "llm_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           md5(text) AS text_md5,
+           lang
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+    doc="JSON-Lines interchange round-trip (sinks.write_jsonl / "
+    "read_jsonl): a quarter of the documents table writes as sharded "
+    ".jsonl.gz through Spark's native JSON sink (executor-side, no "
+    "driver funnel) and reads back with an EXPLICIT schema (inference "
+    "on a 100 TB dump would be a silent extra full pass); per-doc id, "
+    "exact character length, md5 of the text, and the lang field must "
+    "survive the JSON string escaping round-trip exactly — the oracle "
+    "states them straight from the source table, so any escape/encode "
+    "drift (newlines, quotes, non-ASCII) hash-fails.  JSONL is the "
+    "de-facto public-corpus interchange format (Pile/C4/Dolma); parquet "
+    "remains the at-rest format.",
+)
+def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from osmdatapy_spark.sinks import read_jsonl, write_jsonl
+
+    docs = T(spark, sf_dir, "documents").filter(col("doc_id") % 4 == 1)
+    d = _roundtrip_dir(sf_dir, "jsonl")
+    path = os.path.join(d, "docs")
+    write_jsonl(docs.select("doc_id", "text", "lang"), path, compression="gzip")
+    back = read_jsonl(spark, path, "doc_id long, text string, lang string")
+    return back.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        F.md5(col("text").cast("binary")).alias("text_md5"),
+        "lang",
+    )
+
+
+@register(
     "osm_pbf_dictionary_prune",
     oracle="""
     WITH b AS (SELECT UNNEST(generate_series(0, 39)) AS b),
