@@ -139,3 +139,29 @@ def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
     # the shingle persist + the dupes localCheckpoint would be 2+ new
     # entries; with the unpersist in place at most the checkpoint remains
     assert len(leaked) <= 1, f"orphaned cached RDDs: {leaked}"
+
+
+def test_jsonl_roundtrip_escaping(spark, tmp_path):
+    """write_jsonl/read_jsonl must survive the strings JSON escaping is
+    hardest on: newlines (the line-delimited format's own delimiter),
+    quotes, backslashes, tabs, non-ASCII, and empty strings."""
+    from osmdatapy_spark.sinks import read_jsonl, write_jsonl
+
+    rows = [
+        (1, 'line1\nline2\r\nline3'),
+        (2, 'quote " backslash \\ slash /'),
+        (3, 'tab\there é中文 \U0001f600'),
+        (4, ''),
+        (5, ' leading and trailing '),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "jsonl")
+    write_jsonl(df, p, compression="gzip")
+    back = read_jsonl(spark, p, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in back.collect()}
+    assert got == dict(rows)
+    # uncompressed shards read back identically too
+    p2 = str(tmp_path / "jsonl_raw")
+    write_jsonl(df, p2, compression=None)
+    got2 = {r.doc_id: r.text for r in read_jsonl(spark, p2, "doc_id long, text string").collect()}
+    assert got2 == dict(rows)
