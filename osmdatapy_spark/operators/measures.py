@@ -38,6 +38,12 @@ from pyspark.sql.functions import col, lit
 # exists to prevent).
 _MAX_COVER_CELLS_PER_AXIS = 4096
 _MAX_COVER_CELLS_TOTAL = 65536
+# Hard ceiling on the DERIVED per-axis cap when a caller raises
+# max_cover_cells past the per-axis default: F.sequence errors opaquely
+# past ~2^31 elements, so however large the requested total cover, one
+# axis may never explode beyond this (2^24 — generous for any real
+# bbox, far under sequence's cap).
+_MAX_COVER_AXIS_HARD = 1 << 24
 
 EARTH_RADIUS_KM = 6371.0
 
@@ -247,7 +253,7 @@ def point_in_polygon_join(
     ring_coords: str = "coords",
     crossings_col: str | None = None,
     multi: bool = False,
-    max_cover_cells: int = _MAX_COVER_CELLS_TOTAL,
+    max_cover_cells: int | None = None,
 ) -> DataFrame:
     """Grid-blocked point-in-polygon containment join with BBOX-COVER cell
     replication: each ring is replicated to EVERY grid cell its bounding
@@ -305,17 +311,33 @@ def point_in_polygon_join(
     # F.sequence errors opaquely.  Fail LOUDLY in-plan instead, per axis,
     # naming the knob.  4096 cells/axis is far above any sane cover (the
     # docstring's guidance is a handful of replicas per ring) while well
-    # under sequence's element cap.
+    # under sequence's element cap.  With max_cover_cells UNSET both
+    # defaults stand (4096/axis, 65536 total — a >4096-cell axis with a
+    # small total is a degenerate sliver worth failing on).  An EXPLICIT
+    # max_cover_cells declares the caller's replica-cost tolerance for
+    # BOTH guards — the documented continental-ring escape hatch — so the
+    # per-axis cap relaxes to the same value and covers above 4096 cells
+    # on one axis become actually reachable (the product guard still
+    # bounds the total replica count), subject only to the fixed
+    # sequence-safety ceiling (2^24/axis).
+    if max_cover_cells is None:
+        total_cap, axis_cap = _MAX_COVER_CELLS_TOTAL, _MAX_COVER_CELLS_PER_AXIS
+    else:
+        total_cap = int(max_cover_cells)
+        axis_cap = min(max(_MAX_COVER_CELLS_PER_AXIS, total_cap), _MAX_COVER_AXIS_HARD)
+
     def _guarded_hi(lo: Column, hi: Column, axis: str) -> Column:
         return F.when(
-            hi - lo >= _MAX_COVER_CELLS_PER_AXIS,
+            hi - lo >= axis_cap,
             F.raise_error(
                 F.format_string(
                     "point_in_polygon_join: ring bbox covers %d cells on the "
                     + axis
                     + " axis (max "
-                    + str(_MAX_COVER_CELLS_PER_AXIS)
-                    + ") — cell_deg is too small for this ring; raise cell_deg",
+                    + str(axis_cap)
+                    + ") — cell_deg is too small for this ring; raise "
+                    "cell_deg (or max_cover_cells, which lifts this cap "
+                    "up to " + str(_MAX_COVER_AXIS_HARD) + ")",
                     hi - lo + 1,
                 )
             ).cast("long"),
@@ -331,11 +353,11 @@ def point_in_polygon_join(
         xs = F.floor(col("__x1") / cell).cast("long") - F.floor(col("__x0") / cell).cast("long") + 1
         ys = F.floor(col("__y1") / cell).cast("long") - F.floor(col("__y0") / cell).cast("long") + 1
         return F.when(
-            xs * ys > max_cover_cells,
+            xs * ys > total_cap,
             F.raise_error(
                 F.format_string(
                     "point_in_polygon_join: ring bbox covers %d total cells "
-                    "(%d x %d, max " + str(int(max_cover_cells)) + ") — "
+                    "(%d x %d, max " + str(total_cap) + ") — "
                     "cell_deg is too small for this ring; raise cell_deg "
                     "or pass a larger max_cover_cells",
                     xs * ys,

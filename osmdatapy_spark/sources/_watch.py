@@ -86,16 +86,20 @@ def list_watched_files(path: str, suffixes: tuple[str, ...], source_name: str) -
                 return n[: -len(suf)]
         return n.split(".", 1)[0]
 
-    # ... and only when every stem is purely NUMERIC: that is the one
+    # ... and only over the purely NUMERIC stems: those are the one
     # case where lexicographic != numeric order actually skips files.
     # Non-numeric stems (date-stamped names, an .osm snapshot beside
     # numbered .osc diffs) sort consistently at whatever widths they
     # have — hard-failing those would break a deployed stream at its
-    # next listing for a hazard it doesn't face.
+    # next listing for a hazard it doesn't face.  The guard applies to
+    # the numeric SUBSET, not all-or-nothing: one snapshot.osm beside
+    # unpadded '9.osc'/'10.osc' diffs (the motivating mixed directory)
+    # must still fail loudly for the numeric sequence it would skip.
     stems = [_stem(f) for f in files]
-    widths = {len(s) for s in stems}
-    if len(widths) > 1 and all(s.isdigit() for s in stems):
-        by_len = sorted(files, key=lambda f: (len(_stem(f)), f))
+    num_widths = {len(s) for s in stems if s.isdigit()}
+    if len(num_widths) > 1:
+        numeric = [f for f in files if _stem(f).isdigit()]
+        by_len = sorted(numeric, key=lambda f: (len(_stem(f)), f))
         raise ValueError(
             f"{source_name} stream source: basenames are not zero-padded to "
             f"a uniform width (e.g. {os.path.basename(by_len[0])!r} vs "

@@ -1411,11 +1411,17 @@ def osm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     # read by the cuts probe, the ranked branch, and the size ledger —
-    # persist so orders folds to per-customer spend exactly once
+    # localCheckpoint (the core.py:893 discipline, not persist) so orders
+    # folds to per-customer spend exactly once AND the blocks are freed by
+    # the ContextCleaner when this frame goes out of scope: a persist here
+    # would accumulate cached blocks across the suite's repeated
+    # invocations in a long-lived session with no unpersist hook (the
+    # function returns a lazy frame, so there is no safe in-function
+    # unpersist point for a persist'd input)
     spend = (
         o.groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("total"))
-        .persist()
+        .localCheckpoint()
     )
     # coarse range bucketing: 31 approximate cuts → ≤32 value-range
     # buckets.  Ties on `total` share a bucket by construction (bucket is
@@ -1442,7 +1448,9 @@ def rel_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triangular broadcast self-join (sum of strictly-lower buckets) and
     # the grand total via a broadcast 1-row crossJoin — no unpartitioned
     # window anywhere in the plan, not even over the ledger
-    sizes = bucketed.groupBy("bkt").agg(F.count("*").alias("sz")).persist()
+    # ≤32-row ledger input, read 3× (tot + both sides of the triangular
+    # self-join) — same localCheckpoint-not-persist rationale as `spend`
+    sizes = bucketed.groupBy("bkt").agg(F.count("*").alias("sz")).localCheckpoint()
     tot = sizes.agg(F.sum("sz").alias("n"))
     ledger = (
         sizes.alias("a")

@@ -650,3 +650,10 @@ def test_point_in_polygon_join_axis_guard(spark):
     pts = spark.createDataFrame([(10, 1.0, 0.0005)], "pid long, px double, py double")
     with pytest.raises(Exception, match="lon axis"):
         point_in_polygon_join(pts, rings, 0.01).collect()
+    # The escape hatch must actually reach covers past 4096 cells/axis:
+    # raising max_cover_cells above the default total relaxes the per-axis
+    # cap to the same value (the continental-ring case the knob documents —
+    # previously the fixed 4096/axis guard raised first and made such
+    # values unreachable).  5000 x 1 = 5000 replicas under the raised cap.
+    out = point_in_polygon_join(pts, rings, 0.01, max_cover_cells=10_000).collect()
+    assert [(r.pid, r.rid) for r in out] == [(10, 1)]

@@ -883,6 +883,30 @@ def test_watch_allows_nonnumeric_mixed_width_stems(tmp_path):
     ]
 
 
+def test_watch_mixed_dir_still_guards_numeric_subset(tmp_path):
+    """One non-numeric file beside UNPADDED numeric diffs — the motivating
+    mixed-directory case — must NOT disable the misorder guard: the
+    numeric sequence '9.osc'/'10.osc' is exactly as hazardous with a
+    snapshot sitting next to it (the guard applies to the numeric-stem
+    SUBSET, not all-or-nothing)."""
+    import pytest
+
+    from osmdatapy_spark.sources._watch import list_watched_files
+
+    (tmp_path / "snapshot.osc").write_text("<osmChange/>")
+    (tmp_path / "9.osc").write_text("<osmChange/>")
+    (tmp_path / "10.osc").write_text("<osmChange/>")
+    with pytest.raises(ValueError, match="zero-padded"):
+        list_watched_files(str(tmp_path), (".osc",), "osmxml")
+    # ... while uniformly-padded numeric stems beside the snapshot list fine
+    (tmp_path / "9.osc").unlink()
+    (tmp_path / "10.osc").unlink()
+    (tmp_path / "09.osc").write_text("<osmChange/>")
+    (tmp_path / "10.osc").write_text("<osmChange/>")
+    files = list_watched_files(str(tmp_path), (".osc",), "osmxml")
+    assert [f.split("/")[-1] for f in files] == ["09.osc", "10.osc", "snapshot.osc"]
+
+
 def test_watch_skips_dotfiles(tmp_path):
     """Hidden dotfiles (e.g. macOS '._000001.osm.pbf' AppleDouble sidecars)
     sort before every real file and would wedge an existing stream below
