@@ -114,6 +114,23 @@ def global_ordered_windows(text: str) -> list[str]:
     return out
 
 
+def nested_loop_joins(text: str) -> list[str]:
+    """Node names of joins with NO equi-key: ``CartesianProduct`` (both
+    sides shuffled-and-looped — the O(n·m) shape that can never survive a
+    scale-up) and ``BroadcastNestedLoopJoin`` (one side broadcast — fine
+    exactly when that side is a bounded scalar/ledger, e.g. the suite's
+    audited 1-row-aggregate ``crossJoin`` sites, and an anti-pattern
+    otherwise).  Returned so a lint can forbid the former outright and
+    allow-list the latter per query.  Cached (InMemoryRelation) subtrees
+    are included: the cache fill still executes the join once."""
+    out: list[str] = []
+    for line in text.splitlines():
+        m = re.match(r"\(\d+\)\s+(CartesianProduct|BroadcastNestedLoopJoin)\b", line.strip())
+        if m:
+            out.append(m.group(1))
+    return out
+
+
 def plan_summary(df: DataFrame) -> PlanSummary:
     """Parse the formatted physical plan into countable facts."""
     text = explain_text(df)

@@ -791,6 +791,66 @@ def test_no_unpartitioned_data_windows(spark):
     assert not stale, f"allow-list entries with no global window (remove): {stale}"
 
 
+# ---------------------------------------------------------------------------
+# Cartesian / nested-loop join lint (round-12 verdict ask #3)
+# ---------------------------------------------------------------------------
+
+# Registered queries whose plans legitimately contain a
+# BroadcastNestedLoopJoin.  Every entry is an audited BOUNDED-broadcast
+# site — a keyless join against a 1-row aggregate (threshold, corpus
+# stat, grand total) or a single probe vector — never a data×data loop.
+# CartesianProduct (the non-broadcast loop: both sides shuffled, O(n·m)
+# compares) has NO allow-list: no registered query may ever plan one.
+_BNLJ_OK = {
+    "llm_cosine_topk",        # 1-row probe-vector broadcast
+    "llm_knn_label",          # 1-row probe-vector broadcast
+    "llm_hard_negative_mine", # 1-row anchor-vector broadcast
+    "llm_ann_pq_topk",        # 1-row probe/codebook broadcast
+    "llm_percentile_filter",  # 1-row approx-quantile threshold
+    "llm_bm25_topk",          # 1-row corpus stats (N, avgdl) ×2
+    "llm_hybrid_rrf",         # per-leg 1-row stats (bm25 legs + probe)
+    "llm_retrieval_recall",   # per-leg 1-row corpus stats
+    "llm_lm_score",           # 1-row total-token normalizer
+    "llm_temperature_mixture",# 1-row weight-normalization constant
+    "llm_dsir_weight",        # 1-row importance-weight normalizer
+    "rel_ntile_bands",        # 1-row cuts array + 1-row grand total
+}
+
+
+def test_no_cartesian_or_unbounded_nested_loop_joins(spark):
+    """Blanket lint: no registered query may plan a CartesianProduct
+    (ever), and BroadcastNestedLoopJoin only for the allow-listed audited
+    1-row-broadcast sites — the join-shape twin of the window lint above.
+    Allow-listed entries must still PLAN a BroadcastNestedLoopJoin (so
+    stale entries rot out of the list the same way)."""
+    from osmdatapy_spark.plans.audit import explain_text, nested_loop_joins
+
+    cartesians: dict[str, list[str]] = {}
+    rogue_bnlj: dict[str, list[str]] = {}
+    allow_hits: set[str] = set()
+    for name, qd in QUERY_REGISTRY.items():
+        if name in _SKIP_BUILD:
+            continue
+        nodes = nested_loop_joins(explain_text(qd.fn(spark, SF_DIR)))
+        if not nodes:
+            continue
+        if "CartesianProduct" in nodes:
+            cartesians[name] = nodes
+        if "BroadcastNestedLoopJoin" in nodes:
+            if name in _BNLJ_OK:
+                allow_hits.add(name)
+            else:
+                rogue_bnlj[name] = nodes
+    assert not cartesians, f"CartesianProduct joins (forbidden outright): {cartesians}"
+    assert not rogue_bnlj, (
+        f"non-allow-listed BroadcastNestedLoopJoin: {rogue_bnlj} — if the "
+        "broadcast side is a bounded 1-row aggregate/ledger, audit it and "
+        "add the query to _BNLJ_OK with the bounded-side annotation"
+    )
+    stale = _BNLJ_OK - allow_hits
+    assert not stale, f"allow-list entries with no nested-loop join (remove): {stale}"
+
+
 def test_round11_operator_plan_shapes(spark):
     """Plan pins for the round-11 rewrites."""
     from osmdatapy_spark.plans.audit import global_ordered_windows
