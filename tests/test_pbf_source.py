@@ -682,6 +682,42 @@ def test_dictionary_prune_plans_fewer_partitions(tmp_path):
     assert len(spans) == 5
 
 
+def test_dictionary_prune_workers_invariant(tmp_path, monkeypatch):
+    """The parallel probe (round-12: bounded process pool instead of a
+    sequential driver loop) must plan EXACTLY the same partitions at any
+    worker count — the pool changes wall-time only, never the keep-mask
+    or span order.  The pool threshold is forced to 1 so the 40-blob
+    fixture actually exercises the process path."""
+    import pytest
+
+    from osmdatapy_spark.sources import pbf as pbf_mod
+    from osmdatapy_spark.sources.pbf import PBF_SCHEMA, PbfDataSourceReader
+
+    monkeypatch.setattr(pbf_mod, "_PROBE_POOL_MIN_SPANS", 1)
+    p = _dict_prune_fixture(tmp_path)
+
+    def plan(workers):
+        r = PbfDataSourceReader(
+            PBF_SCHEMA,
+            {
+                "path": p,
+                "must_tag_keys": "bridge",
+                "plan_prune": "true",
+                "plan_prune_workers": str(workers),
+            },
+        )
+        return [(part.path, tuple(part.spans)) for part in r.partitions()]
+
+    sequential = plan(1)
+    assert plan(16) == sequential
+    assert plan(3) == sequential
+    with pytest.raises(ValueError, match="plan_prune_workers"):
+        PbfDataSourceReader(
+            PBF_SCHEMA,
+            {"path": p, "plan_prune_workers": "0"},
+        )
+
+
 def test_dictionary_prune_rows_exact(spark, tmp_path):
     """Both skip modes return exactly the elements of surviving blocks —
     and composed with the matching tag filter, exactly the rows the
