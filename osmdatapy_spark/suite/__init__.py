@@ -32,53 +32,57 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # ordering is presentation-only: the registry itself (and every test
 # keyed on it) is unchanged.
 #
-# The heads ROTATE each round (round-7 verdict ask #7).  After round 10
-# the cumulative external record covered 237 of 251 registered names;
-# round 11's head leads each queue with the last 14 never-recorded
-# queries (5 llm samplers/filters, 4 osm geometry/pbf variants, the
-# round-10 TPC-H Q1/Q15/Q17/Q22/RF SQL faces) — recording them closes
-# the loop at 251/251.  New round-11 registrations are inserted right
-# after those so they record in the same round.  The remaining slots
-# REFRESH the oldest evidence: names whose only records date to r01
-# (the stream queue, fully recorded r07-r09, re-verifies its r07 rows).
+# The heads ROTATE each round (round-7 verdict ask #7).  Round 11 closed
+# the catch-up phase: all 258 then-registered names hold an external
+# green record (r01-r11 cumulative).  From round 12 on the head's job is
+# AGING OUT STALE EVIDENCE (round-11 verdict ask #1): lead with the
+# round's new registrations, then fill the remaining slots with the 49
+# registered names whose most recent green record is OLDEST — computed
+# by unioning every CORRECTNESS_r*.json into a latest-green-round map
+# (after r11: 1 name at r01, 29 at r06, 30 at r07; the 19 r07 names
+# taken in lexicographic order; the rest of r07 leads the r13 refresh).
+# Queue membership controls SAMPLE ORDER only — names cross family
+# prefixes freely (the rel backlog is 30 of the 50 oldest, so rel names
+# fill llm/osm/stream slots); each list holds exactly its slot
+# allocation (15/15/15/5), so the first-50 prefix IS the union of these
+# lists — verify with ``list(ordered_registry())[:50]``.
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        "osm_bearing_histogram", "osm_pbf_metadata_roundtrip",
-        "osm_simplify_radial", "osm_way_interpolate",
-        # round-11 addition (dictionary-based blob pruning)
-        "osm_pbf_dictionary_prune",
-        # r01-evidence refresh
-        "osm_area_heuristic", "osm_coords_lookup",
-        "osm_default_query_highways", "osm_linestring_wkt",
-        "osm_must_tags", "osm_point_wkt", "osm_relation_expand",
-        "osm_ring_assembly", "osm_tag_filter_keep_first",
-        "osm_tag_filter_keep_last",
+        # r07-evidence refresh
+        "osm_boundary_nested", "osm_pbf_roundtrip", "osm_polygon_rings",
+        "osm_polygon_wkt", "osm_ring_nesting", "osm_route_linestring",
+        "osm_tag_pivot", "osm_topology_segments", "osm_way_endpoints",
+        # r06-evidence refresh (rel backlog overflow)
+        "rel_basket_pairs", "rel_bloom_filter", "rel_cms_heavy_hitters",
+        "rel_compaction_plan", "rel_corr_stats", "rel_daily_counts",
     ],
     "llm": [
-        "llm_char_diversity", "llm_mixture_epochs", "llm_percentile_filter",
-        "llm_temperature_mixture", "llm_weighted_sample",
-        # round-11 addition (JSONL interchange round-trip)
-        "llm_jsonl_roundtrip",
-        # r01-evidence refresh
-        "llm_bpe_token_count", "llm_dedup_clusters", "llm_dedup_keep_best",
-        "llm_exact_dedup", "llm_jaccard_pairs", "llm_langid",
-        "llm_minhash_lsh", "llm_pii_scrub", "llm_quality_filter",
+        # round-12 addition (exact duplicated-span removal)
+        "llm_substring_dedup",
+        # r01-evidence refresh (the single oldest record in the registry)
+        "llm_stratified_sample",
+        # r07-evidence refresh
+        "llm_ann_ivf_topk", "llm_cosine_topk", "llm_curation_recipe",
+        "llm_embed_neardup", "llm_hybrid_rrf", "llm_semantic_dedup",
+        "llm_tfidf_pairs", "llm_token_stats", "llm_vocab_tokenize",
+        # r06-evidence refresh (rel backlog overflow)
+        "rel_data_contract_audit", "rel_ewma_per_user",
+        "rel_first_last_per_group", "rel_funnel_stages",
     ],
     "stream": [
-        # fully recorded r07-r09; refresh the oldest (r07) rows
-        "stream_tumbling_counts", "stream_windowed_topk",
-        "stream_user_zscore", "stream_upsert_latest",
-        "stream_user_totals_tws",
+        # stream rows are all r11-fresh; these slots carry r06 backlog
+        "rel_gaps_islands", "rel_grouping_sets", "rel_hierarchy_rollup",
+        "rel_hilbert_layout", "rel_histogram",
     ],
     "rel": [
-        "rel_sql_tpch_q1", "rel_sql_tpch_q15", "rel_sql_tpch_q17",
-        "rel_sql_tpch_q22", "rel_sql_tpch_rf",
-        # round-11 additions (derived-partsupp TPC-H completion)
-        "rel_sql_tpch_q2", "rel_sql_tpch_q9", "rel_sql_tpch_q11",
-        "rel_sql_tpch_q20", "rel_sql_tpch_q21",
-        # r01-evidence refresh
-        "rel_agg_stats", "rel_anti_join", "rel_collect_sorted",
-        "rel_cube_revenue", "rel_cumcount",
+        # r06-evidence refresh
+        "rel_hll_registers", "rel_json_extract", "rel_k_anonymity",
+        "rel_partial_agg_merge", "rel_quantiles", "rel_ratio_to_report",
+        "rel_retention_cohorts", "rel_skew_salted_agg",
+        "rel_time_weighted_avg", "rel_topk_orders", "rel_union_branches",
+        "rel_unpivot", "rel_window_range_frame", "rel_zorder_layout",
+        # r07-evidence refresh
+        "rel_distinct",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

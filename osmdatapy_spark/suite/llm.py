@@ -2900,3 +2900,83 @@ def llm_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dup_positions", lit(0).cast("long")).alias("n_dup_positions"),
         F.coalesce("dup_covered_chars", lit(0).cast("long")).alias("dup_covered_chars"),
     )
+
+
+@register(
+    "llm_substring_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS doc_len FROM documents),
+    g AS (
+      SELECT doc_id, i AS p, substr(text, i, {_SPAN_L}) AS gram
+      FROM d, UNNEST(generate_series(1, doc_len - {_SPAN_L - 1})) AS t(i)
+      WHERE doc_len >= {_SPAN_L}
+    ),
+    canon AS (
+      SELECT gram, min({{'d': doc_id, 'p': p}}) AS k
+      FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    rm AS (
+      SELECT g.doc_id, g.p
+      FROM g JOIN canon USING (gram)
+      WHERE NOT (g.doc_id = canon.k.d AND g.p = canon.k.p)
+    ),
+    rc AS (
+      SELECT DISTINCT doc_id, x
+      FROM rm, UNNEST(generate_series(p, p + {_SPAN_L - 1})) AS c(x)
+    ),
+    runs AS (
+      SELECT doc_id, x,
+             CASE WHEN x - 1 = lag(x) OVER (PARTITION BY doc_id ORDER BY x)
+                  THEN 0 ELSE 1 END AS st
+      FROM rc
+    ),
+    stats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS removed_chars,
+             CAST(sum(st) AS BIGINT) AS n_removed_spans
+      FROM runs GROUP BY doc_id
+    ),
+    chars AS (
+      SELECT d.doc_id, ci.x, substr(d.text, ci.x, 1) AS ch
+      FROM d, UNNEST(generate_series(1, d.doc_len)) AS ci(x)
+    ),
+    kept AS (
+      SELECT chars.doc_id,
+             coalesce(string_agg(CASE WHEN rc.x IS NULL THEN chars.ch END,
+                                 '' ORDER BY chars.x), '') AS td
+      FROM chars LEFT JOIN rc ON rc.doc_id = chars.doc_id AND rc.x = chars.x
+      GROUP BY chars.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.doc_len AS BIGINT) AS doc_len,
+           CAST(coalesce(stats.n_removed_spans, 0) AS BIGINT) AS n_removed_spans,
+           CAST(coalesce(stats.removed_chars, 0) AS BIGINT) AS removed_chars,
+           coalesce(kept.td, d.text) AS text_deduped
+    FROM d LEFT JOIN stats USING (doc_id) LEFT JOIN kept USING (doc_id)
+    """,
+    doc=f"Exact duplicated-substring REMOVAL — Lee et al.'s ExactSubstr "
+    f"dedup (the suffix-array tool) as DataFrame algebra, completing the "
+    f"dedup family beyond `llm_dup_span_coverage`'s measurement-only "
+    f"sibling: for every char {_SPAN_L}-gram occurring >=2 times anywhere "
+    f"in the corpus, the minimal-(doc_id, p) occurrence is canonical and "
+    f"every other occurrence's [p, p+{_SPAN_L}) span is cut from its "
+    f"document; maximal duplicated spans emerge from the union of "
+    f"overlapping marked windows (the smoke fixture shows a shared "
+    f"41-char boilerplate+context run removed as ONE span).  Output is "
+    f"the reconstructed text plus run/char counts.  Shape: in-row gram "
+    f"explode; canonical election is groupBy(gram).agg(count, "
+    f"min(struct)) — partial-aggregated, so planet-scale boilerplate "
+    f"collapses map-side and NO candidate pair set is ever formed "
+    f"(linear, never all-pairs); one join back on the gram key; "
+    f"interval-union + text rebuild is a single ordered fold per doc "
+    f"(document-bounded, no window, no Python).  The oracle rebuilds the "
+    f"text character-by-character from the removed-index set — an "
+    f"independent formulation of the same string.",
+)
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    # TS (spread): same per-row-CPU rationale as llm_dup_span_coverage —
+    # the in-row gram expansion off a 2-partition small-file scan would
+    # serialize the explode
+    docs = TS(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_dedup(docs, id_col="doc_id", text_col="text", span_len=_SPAN_L)

@@ -301,3 +301,57 @@ def test_corpus_manifest_roundtrip(spark, tmp_path):
     got = {r["__file"]: r["fp"] for r in re_fp.collect()}
     for r in rows:
         assert got[r["file"]] == r["fingerprint"]
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (duplicated-span) removal
+# ---------------------------------------------------------------------------
+
+
+def test_exact_substring_dedup_planted_cross_doc_spans(spark):
+    """Planted 37-char boilerplate shared across docs 1/2/4: the canonical
+    (min doc_id, position) occurrence survives, every other occurrence is
+    cut, and the cut extends to the MAXIMAL shared span (boilerplate plus
+    shared surrounding context — doc 2's first cut is the 40-char
+    't COPYRIGHT...RESERVED. ' run because doc 1 shares the 't ' prefix
+    and trailing space, all hand-verified).  Docs with no >=20-char
+    duplicate, including one shorter than the gram length, pass through
+    byte-identical."""
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED."
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text " + boiler + " unique tail one"),
+            (2, "beta start " + boiler + " other middle " + boiler + " end"),
+            (3, "no duplicated content here at all, short and unique"),
+            (4, boiler),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed_spans, r.removed_chars, r.text_deduped)
+        for r in exact_substring_dedup(docs, span_len=20).collect()
+    }
+    assert got[1] == (0, 0, "alpha text " + boiler + " unique tail one")
+    assert got[2] == (2, 79, "beta starother middleend")
+    assert got[3] == (0, 0, "no duplicated content here at all, short and unique")
+    assert got[4] == (1, 37, "")  # entire doc is a later copy
+    assert got[5] == (0, 0, "tiny")  # < span_len: no grams, untouched
+
+
+def test_exact_substring_dedup_intra_document_repeat(spark):
+    """A >=20-char span repeated WITHIN one document: the first occurrence
+    is canonical, the second is cut — the intra-doc case Lee et al.'s
+    tool also handles (self-repetition, not just cross-doc)."""
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    chunk = "0123456789abcdefghij"  # exactly 20 chars
+    docs = spark.createDataFrame(
+        [(7, "X" + chunk + "Y" + chunk + "Z")],
+        "doc_id long, text string",
+    )
+    [r] = exact_substring_dedup(docs, span_len=20).collect()
+    assert (r.n_removed_spans, r.removed_chars) == (1, 20)
+    assert r.text_deduped == "X" + chunk + "YZ"
