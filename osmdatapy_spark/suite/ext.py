@@ -2820,6 +2820,7 @@ def llm_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "osm_pbf_dictionary_prune",
+    bench=True,
     oracle="""
     WITH b AS (SELECT UNNEST(generate_series(0, 39)) AS b),
          i AS (SELECT UNNEST(generate_series(0, 49)) AS i)
@@ -4450,6 +4451,7 @@ TPCH_Q9_SQL = f"""
 
 @register(
     "rel_sql_tpch_q9",
+    bench=True,
     oracle=TPCH_Q9_SQL,
     doc="TPC-H Q9 (product-type profit) through the SQL entry point, "
     "over the derived partsupp CTE: the five-way fact-to-dimension join "
@@ -4591,6 +4593,7 @@ TPCH_Q21_SQL = """
 
 @register(
     "rel_sql_tpch_q21",
+    bench=True,
     oracle=TPCH_Q21_SQL,
     doc="TPC-H Q21 (suppliers who kept orders waiting) through the SQL "
     "entry point: the MULTI-EXISTS workout — a semi-join (some OTHER "
