@@ -718,6 +718,30 @@ def test_dictionary_prune_workers_invariant(tmp_path, monkeypatch):
         )
 
 
+def test_dictionary_prune_pool_inside_spark_planning(spark, tmp_path):
+    """The process pool must work INSIDE Spark's planning worker, not just
+    when partitions() is called directly: 200 blobs crosses the 192-span
+    pool threshold, so this read forks the ProcessPoolExecutor from the
+    data-source planning process — the environment the other prune tests
+    never reach (40 blobs stay sequential; the invariance test calls
+    partitions() outside Spark)."""
+    from osmdatapy_spark.sources.pbf import read_pbf
+    from osmdatapy_spark.sources.pbf_codec import PbfWriter
+
+    w = PbfWriter()
+    for b in range(200):
+        tags = {"highway": "residential"}
+        if b % 8 == 3:
+            tags = {"highway": "residential", "bridge": "yes"}
+        w.add_ways([(b * 50 + i + 1, [1, 2], dict(tags)) for i in range(50)])
+    p = str(tmp_path / "pool200.osm.pbf")
+    w.write(p, groups_per_block=1)
+    want = sorted(b * 50 + i + 1 for b in range(200) if b % 8 == 3 for i in range(50))
+    df = read_pbf(spark, p, must_tag_keys={"bridge"}, plan_prune=True)
+    got = sorted(r.osmid for r in df.select("osmid").collect())
+    assert got == want
+
+
 def test_dictionary_prune_rows_exact(spark, tmp_path):
     """Both skip modes return exactly the elements of surviving blocks —
     and composed with the matching tag filter, exactly the rows the
