@@ -300,6 +300,34 @@ def main() -> None:
         return f"3 distinct merges, top cnt {rows[0]['cnt']}"
 
     timed("bpe train (3 rounds)", check_bpe_train)
+
+    def check_substring_dedup():
+        # ExactSubstr removal (r12) at corpus scale: the char-20-gram
+        # explode is the corpus's heaviest fan-out (~400 gram rows/doc —
+        # 40x the paragraph family), so this is where a quadratic or
+        # unpartitioned mistake becomes hours.  Planted invariant: every
+        # id % 50 == 1 doc is an exact copy of its block head, so ALL its
+        # grams are non-canonical and the whole text must cut to '' —
+        # count(text_deduped = '') == planted exactly (a unique-text doc
+        # fully vanishing, or a planted copy surviving, both fail).
+        #
+        # Expect two 'Failed to compile ... 64 KB' stderr lines here:
+        # timed()'s clearCache re-fuses the HARNESS's 40-term synthetic
+        # text expression into the fold stage and the combined method
+        # overflows janino's limit, so Spark falls back to interpreted
+        # eval for that stage (correct, slower).  The engine-side query
+        # on real parquet (llm_substring_dedup) compiles clean — verified
+        # 0 codegen failures at sf0.1.
+        from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+        out = exact_substring_dedup(docs, "doc_id", "text").persist()
+        emptied = out.filter((col("text_deduped") == "") & (col("doc_len") > 0)).count()
+        assert emptied == planted, f"expected {planted} fully-cut docs, got {emptied}"
+        total_removed = out.agg(F.sum("removed_chars")).collect()[0][0]
+        out.unpersist()
+        return f"{emptied} docs fully cut (== planted), {total_removed} chars removed"
+
+    timed("exact substring dedup", check_substring_dedup)
     spark.stop()
 
 
