@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
 from osmdatapy_spark.functions.dedup import _bucket_pairs, jaccard_candidate_pairs
-from osmdatapy_spark.functions.text import hash_bucket, tokens
+from osmdatapy_spark.functions.text import hash_bucket, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) dedup
@@ -664,6 +664,64 @@ def exact_substring_dedup(
             "removed_chars"
         ),
         F.coalesce("text_deduped", col("__t")).alias("text_deduped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-anchored n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — flag training documents sharing any
+    word ``n``-gram with an evaluation set (the GPT-3 appendix-C /
+    PaLM practice: training data is scrubbed of eval overlap BEFORE
+    training so benchmark numbers measure generalization, not
+    memorization).  Distinct from the dedup family: the relation is
+    ASYMMETRIC (train is scored against eval, eval is never modified)
+    and anchored on a second corpus, not on self-similarity.
+
+    Returns one row per TRAIN document: ``(id, n_grams, n_contaminated,
+    contaminated)`` where ``n_grams`` counts the doc's distinct n-grams
+    and ``n_contaminated`` how many of those appear anywhere in the eval
+    set.  Callers drop (or quarantine) ``contaminated`` rows.
+
+    Scale shape — the defining property is that eval sets are TINY
+    relative to a 100 TB training corpus, and the plan exploits it:
+
+    - the eval n-gram set dedups eval-side (an eval-sized exchange) and
+      ships as a BROADCAST to the corpus scan, so the corpus-side
+      membership test is a map-side semi/inner join — the 100 TB side
+      never shuffles for the probe;
+    - only MATCHED (gram, doc) rows — contamination is rare by
+      construction — reach the per-doc rollup exchange;
+    - per-doc gram sets are ``array_distinct`` in-row, so a boilerplate
+      gram repeated inside one document counts once (set semantics on
+      both sides, matching the eval-overlap definition).
+
+    ``n`` defaults to 13 (GPT-3's choice); pipelines tune it to the
+    tokenizer and the eval suite's answer lengths.
+    """
+    grams = F.array_distinct(word_ngrams(tokens(col(text_col)), n))
+    tg = train.select(col(id_col), F.explode(grams).alias("gram"))
+    eg = eval_docs.select(F.explode(grams).alias("gram")).distinct()
+    hits = (
+        tg.join(broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    base = train.select(col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    return base.join(hits, id_col, "left").select(
+        col(id_col),
+        "n_grams",
+        F.coalesce("n_contaminated", lit(0).cast("long")).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", lit(0).cast("long")) > 0).alias("contaminated"),
     )
 
 

@@ -57,17 +57,19 @@ _FAMILY_HEADS: dict[str, list[str]] = {
         "rel_compaction_plan", "rel_corr_stats", "rel_daily_counts",
     ],
     "llm": [
-        # round-12 addition (exact duplicated-span removal)
-        "llm_substring_dedup",
+        # round-12 additions (exact duplicated-span removal, benchmark
+        # decontamination)
+        "llm_substring_dedup", "llm_decontaminate",
         # r01-evidence refresh (the single oldest record in the registry)
         "llm_stratified_sample",
         # r07-evidence refresh
         "llm_ann_ivf_topk", "llm_cosine_topk", "llm_curation_recipe",
         "llm_embed_neardup", "llm_hybrid_rrf", "llm_semantic_dedup",
         "llm_tfidf_pairs", "llm_token_stats", "llm_vocab_tokenize",
-        # r06-evidence refresh (rel backlog overflow)
+        # r06-evidence refresh (rel backlog overflow; rel_funnel_stages
+        # rolled to the r13 queue to make room for llm_decontaminate)
         "rel_data_contract_audit", "rel_ewma_per_user",
-        "rel_first_last_per_group", "rel_funnel_stages",
+        "rel_first_last_per_group",
     ],
     "stream": [
         # stream rows are all r11-fresh; these slots carry r06 backlog

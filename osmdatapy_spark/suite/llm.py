@@ -2980,3 +2980,58 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serialize the explode
     docs = TS(spark, sf_dir, "documents").select("doc_id", "text")
     return exact_substring_dedup(docs, id_col="doc_id", text_col="text", span_len=_SPAN_L)
+
+
+@register(
+    "llm_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 4),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                                || t[i+3] || ' ' || t[i+4])) AS gs
+      FROM toks
+    ),
+    ev AS (
+      SELECT DISTINCT g
+      FROM (SELECT UNNEST(gs) AS g FROM grams WHERE doc_id % 7 = 0)
+    ),
+    tr AS (SELECT doc_id, gs FROM grams WHERE doc_id % 7 != 0),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM (SELECT doc_id, UNNEST(gs) AS g FROM tr) x
+      JOIN ev USING (g)
+      GROUP BY doc_id
+    )
+    SELECT tr.doc_id,
+           CAST(len(tr.gs) AS BIGINT) AS n_grams,
+           CAST(coalesce(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           coalesce(hits.n_contaminated, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN hits USING (doc_id)
+    """,
+    doc="Benchmark decontamination (GPT-3 appendix C / PaLM practice): "
+    "every TRAIN document (doc_id % 7 != 0) is scored against the eval "
+    "split's (doc_id % 7 = 0) distinct word-5-gram set — n_contaminated "
+    "counts the doc's distinct grams that appear anywhere in eval, and "
+    "contaminated rows are what a pipeline drops before training so "
+    "benchmark numbers measure generalization, not memorization.  "
+    "Asymmetric by design (eval anchors, train is scored) — NOT a dedup "
+    "variant.  5-grams here because the synthetic corpus's cross-doc "
+    "duplication lives at that scale (12 contaminated docs at sf0.01); "
+    "the function defaults to GPT-3's 13.  Shape: the eval gram set "
+    "dedups on an EVAL-sized exchange and broadcasts to the corpus scan "
+    "(a 100 TB train side never shuffles for the membership probe); "
+    "only matched rows reach the per-doc rollup.",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from osmdatapy_spark.functions.curation import decontamination_report
+
+    docs = TS(spark, sf_dir, "documents")
+    return decontamination_report(
+        docs.filter(col("doc_id") % 7 != 0),
+        docs.filter(col("doc_id") % 7 == 0),
+        n=5,
+    )

@@ -355,3 +355,43 @@ def test_exact_substring_dedup_intra_document_repeat(spark):
     [r] = exact_substring_dedup(docs, span_len=20).collect()
     assert (r.n_removed_spans, r.removed_chars) == (1, 20)
     assert r.text_deduped == "X" + chunk + "YZ"
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontamination_report_planted_overlap(spark):
+    """Train doc 1 shares a verbatim 5-gram with the eval set (flagged,
+    exact overlap count); doc 2 repeats the leaked gram twice but counts
+    it ONCE (set semantics); doc 3 is clean; doc 4 is shorter than n and
+    scores 0 grams.  Eval docs are never in the output (asymmetry)."""
+    from osmdatapy_spark.functions.curation import decontamination_report
+
+    leak = "the quick brown fox jumps"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then " + leak + " trailing tail here"),
+            (2, leak + " middle filler words " + leak),
+            (3, "completely original content with no eval overlap at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "eval question begins " + leak + " eval answer ends")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+        for r in decontamination_report(train, ev, n=5).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # eval ids never appear
+    assert got[1] == (7, 1, True)
+    # doc 2: 13 tokens -> 9 gram positions, 8 DISTINCT grams (the leaked
+    # gram occurs at two positions and dedups in-row); exactly ONE of
+    # them is contaminated
+    assert got[2] == (8, 1, True)
+    assert got[3] == (5, 0, False)
+    assert got[4] == (0, 0, False)
