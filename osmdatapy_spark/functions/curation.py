@@ -685,7 +685,12 @@ def decontamination_report(
     training so benchmark numbers measure generalization, not
     memorization).  Distinct from the dedup family: the relation is
     ASYMMETRIC (train is scored against eval, eval is never modified)
-    and anchored on a second corpus, not on self-similarity.
+    and anchored on a second corpus, not on self-similarity.  This is
+    the general API behind the suite's two registered faces:
+    ``llm_contamination`` (fixed 3-token shingles over a hardcoded
+    split) and ``llm_decontaminate`` (this function — arbitrary eval
+    frame, parameterized ``n``, plus ``n_grams`` so callers threshold
+    on contamination fraction rather than any-hit).
 
     Returns one row per TRAIN document: ``(id, n_grams, n_contaminated,
     contaminated)`` where ``n_grams`` counts the doc's distinct n-grams

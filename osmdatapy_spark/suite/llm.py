@@ -3012,19 +3012,21 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(hits.n_contaminated, 0) > 0 AS contaminated
     FROM tr LEFT JOIN hits USING (doc_id)
     """,
-    doc="Benchmark decontamination (GPT-3 appendix C / PaLM practice): "
-    "every TRAIN document (doc_id % 7 != 0) is scored against the eval "
-    "split's (doc_id % 7 = 0) distinct word-5-gram set — n_contaminated "
-    "counts the doc's distinct grams that appear anywhere in eval, and "
-    "contaminated rows are what a pipeline drops before training so "
-    "benchmark numbers measure generalization, not memorization.  "
-    "Asymmetric by design (eval anchors, train is scored) — NOT a dedup "
-    "variant.  5-grams here because the synthetic corpus's cross-doc "
-    "duplication lives at that scale (12 contaminated docs at sf0.01); "
-    "the function defaults to GPT-3's 13.  Shape: the eval gram set "
-    "dedups on an EVAL-sized exchange and broadcasts to the corpus scan "
-    "(a 100 TB train side never shuffles for the membership probe); "
-    "only matched rows reach the per-doc rollup.",
+    doc="Benchmark decontamination via the GENERAL report API "
+    "(curation.decontamination_report) — the parameterized sibling of "
+    "`llm_contamination` (which hardcodes 3-token shingles and a "
+    "doc_id%37 split of the same table): this face takes an ARBITRARY "
+    "eval DataFrame, parameterizes the gram size (function default 13 = "
+    "GPT-3 appendix C; 5 here because the synthetic corpus's cross-doc "
+    "duplication lives at that scale — 12 contaminated docs at sf0.01 "
+    "under the denser %7 split), and additionally reports n_grams so "
+    "pipelines can threshold on contamination FRACTION instead of "
+    "any-hit (the PaLM-style knob).  Asymmetric by design (eval "
+    "anchors, train is scored).  Shape, same as its sibling and pinned "
+    "by the same lints: the eval gram set dedups on an EVAL-sized "
+    "exchange and broadcasts to the corpus scan (a 100 TB train side "
+    "never shuffles for the membership probe); only matched rows reach "
+    "the per-doc rollup.",
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.curation import decontamination_report
