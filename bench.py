@@ -153,6 +153,28 @@ def run_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # idle gate (round-12 verdict ask #4): a recording started at load1
+    # ~11 cost three builder readings + one judge re-run to prove a
+    # phantom +4%, so the bench now ACTS on the load stamp instead of
+    # just recording it — when the box is busy at start, sleep-and-retry
+    # (bounded) before the timed passes.  idle_gated=true in the artifact
+    # means the gate had to wait; if the box never went idle within the
+    # budget the run proceeds anyway (stamped, so a reader discounts it).
+    IDLE_LOAD1 = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD1", "2.0"))
+    IDLE_RETRY_SEC = 30
+    IDLE_MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_IDLE_MAX_WAIT", "600"))
+    idle_gated = False
+    idle_wait_sec = 0
+    while os.getloadavg()[0] > IDLE_LOAD1 and idle_wait_sec < IDLE_MAX_WAIT_SEC:
+        idle_gated = True
+        print(
+            f"[idle-gate] load1 {os.getloadavg()[0]:.2f} > {IDLE_LOAD1} — "
+            f"waiting {IDLE_RETRY_SEC}s ({idle_wait_sec}s/{IDLE_MAX_WAIT_SEC}s)",
+            file=sys.stderr,
+        )
+        time.sleep(IDLE_RETRY_SEC)
+        idle_wait_sec += IDLE_RETRY_SEC
+
     # box-state stamp (round-10 verdict ask #5): three same-code readings
     # of r10 HEAD spanned 38.3-48.4s purely from background load, so the
     # artifact itself must carry enough to adjudicate drift without a
@@ -262,6 +284,14 @@ def main() -> None:
         "llm_ann_ivfpq_topk", "llm_hybrid_rrf", "osm_simplify_dp",
         "llm_bpe_train", "llm_curation_recipe", "osm_map_match",
     ]
+    # the round-13 headline set — everything benched through r12 plus the
+    # r12/r13 dedup additions (exact substring dedup, benchmark
+    # decontamination); frozen here like its predecessors so growth after
+    # r13 never reads as a slowdown
+    R13_SET = R8_SET + [
+        "rel_sql_tpch_q9", "rel_sql_tpch_q21", "osm_pbf_dictionary_prune",
+        "llm_substring_dedup", "llm_decontaminate",
+    ]
     detail = {
         "metric": f"headline query wall-clock (noop sink, warm JVM, best of {N_PASSES} passes)",
         "value": round(sum(timings.values()), 3),
@@ -281,11 +311,14 @@ def main() -> None:
         "r1_comparable_sec": round(sum(timings[n] for n in R1_SET if n in timings), 3),
         "r2_comparable_sec": round(sum(timings[n] for n in R2_SET if n in timings), 3),
         "r8_comparable_sec": round(sum(timings[n] for n in R8_SET if n in timings), 3),
+        "r13_comparable_sec": round(sum(timings[n] for n in R13_SET if n in timings), 3),
         "n_queries": len(timings),
         "sf": sf,
         "load1": [round(load_start[0], 2), round(load_end[0], 2)],
         "load15": [round(load_start[2], 2), round(load_end[2], 2)],
         "pass1_over_best": pass1_over_best,
+        "idle_gated": idle_gated,
+        "idle_wait_sec": idle_wait_sec,
     }
     # The driver captures only the LAST ~2000 chars of stdout and parses
     # the JSON it finds there (BENCH_r08/r09 recorded parsed:null because
@@ -303,6 +336,7 @@ def main() -> None:
         "r1_comparable_sec": detail["r1_comparable_sec"],
         "r2_comparable_sec": detail["r2_comparable_sec"],
         "r8_comparable_sec": detail["r8_comparable_sec"],
+        "r13_comparable_sec": detail["r13_comparable_sec"],
         "spread_pathology": spread_pathology,
         "n_queries": len(timings),
         "sf": sf,
@@ -314,6 +348,9 @@ def main() -> None:
         "load1": detail["load1"],
         "load15": detail["load15"],
         "pass1_over_best": pass1_over_best,
+        # idle-gate outcome: false = box was already idle; true = the gate
+        # waited idle_wait_sec before starting (see detail for the budget)
+        "idle_gated": idle_gated,
     }
     line = json.dumps(compact)
     if len(line) > 1900:

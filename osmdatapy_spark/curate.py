@@ -182,6 +182,44 @@ class Curate:
         self.steps.append("paragraph_dedup")
         return self
 
+    def decontaminate(
+        self,
+        eval_docs: DataFrame,
+        n: int = 13,
+        max_fraction: float = 0.0,
+        eval_text_col: str = "text",
+    ) -> "Curate":
+        """Benchmark decontamination as a recipe step (the GPT-3/PaLM
+        practice — scrub eval overlap in the same pipeline that dedups):
+        drop every document whose word-``n``-gram overlap with
+        ``eval_docs`` exceeds ``max_fraction`` of its own distinct grams
+        (default 0.0 = any-hit drop).  Built on
+        ``functions.curation.decontamination_report``.
+
+        Scale shape: the eval gram set broadcasts to the corpus scan
+        (the 100 TB side never shuffles for the probe), only matched
+        rows reach the per-doc rollup, and the resulting DROP set —
+        contaminated ids only, rare by construction — broadcasts back
+        for a map-side anti-join, so the step adds ZERO corpus-sized
+        exchanges.  If contamination is pervasive enough that the drop
+        set won't broadcast, that's a data problem to fix upstream, not
+        a plan to widen."""
+        from osmdatapy_spark.functions.curation import decontamination_report
+
+        ev = eval_docs
+        if eval_text_col != self.text_col:
+            ev = ev.withColumnRenamed(eval_text_col, self.text_col)
+        rep = decontamination_report(
+            self._df, ev, id_col=self.id_col, text_col=self.text_col, n=n
+        )
+        drop = rep.filter(
+            col("n_contaminated").cast("double")
+            > lit(float(max_fraction)) * col("n_grams").cast("double")
+        ).select(self.id_col)
+        self._df = self._df.join(F.broadcast(drop), self.id_col, "left_anti")
+        self.steps.append("decontaminate")
+        return self
+
     def quality_filter(
         self,
         min_tokens: int = 20,

@@ -550,6 +550,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_len: int = 20,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Exact duplicated-SPAN removal across the whole corpus — the
     ExactSubstr dedup of Lee et al. 2021 (their suffix-array tool) as
@@ -569,7 +570,11 @@ def exact_substring_dedup(
 
     Scale shape — blocked by gram key, never all-pairs:
 
-    - the position explode is in-row (fan-out ~ chars per doc);
+    - the position explode is in-row and CHUNKED (512-char chunk rows
+      overlapping by ``span_len - 1``): fan-out ~ chars per doc, each
+      per-gram substring scan bounded by the chunk — O(doc) total, where
+      the naive per-position substring is O(doc^2) via UTF8 char-offset
+      re-scans (a single 240 KB doc: ~143s → ~1.5s measured);
     - the canonical election is ``groupBy(gram).agg(count, min(struct))``
       — a PARTIAL-aggregated shuffle, so planet-scale boilerplate (a
       license header repeated 10^9 times) collapses map-side instead of
@@ -580,10 +585,24 @@ def exact_substring_dedup(
     - duplicate occurrences re-join the position stream on the gram key
       (one more shuffle), and per-document interval union + text
       reconstruction is ONE ordered fold over the doc's sorted removal
-      starts — document-bounded work, no window, no Python;
-    - at planet scale, ship ``xxhash64(gram)`` instead of the raw gram
-      string for 8-byte shuffle keys (raw strings kept here for
-      engine-exact oracles, same trade as ``strip_boilerplate``).
+      starts — kept segments accumulate as an ``array<string>`` that is
+      joined ONCE at finish, so a doc with K removal starts and
+      surviving text S costs O(K + |S|) char copies, not the
+      O(K x |S|) a string-concat accumulator would (document-bounded
+      work, no window, no Python);
+    - ``hash_keys=True`` is the planet-scale mode: the election and the
+      mark-back join run on ``xxhash64(gram)`` — 8-byte shuffle keys
+      instead of raw ``span_len``-char strings, cutting the election
+      exchange's bytes ~(span_len + overhead)/8-fold; the gram string
+      itself never leaves its row.  Results are identical to raw mode
+      unless two DISTINCT grams collide in 64-bit hash space: expected
+      colliding pairs ~= n^2 / 2^65, so ~27k pairs at n=10^12 distinct
+      grams — each adds one spurious ``span_len``-window removal,
+      bounding the over-removed fraction of a 10^14-char corpus at
+      ~10^-8 (dedup over-removal, never under-removal of true
+      duplicates).  Raw mode stays the engine-exact oracle face;
+      hashed mode is the documented default for 100 TB runs (same
+      trade as ``strip_boilerplate``).
 
     Returns ``(id, doc_len, n_removed_spans, removed_chars,
     text_deduped)`` where ``n_removed_spans`` counts maximal merged
@@ -595,48 +614,80 @@ def exact_substring_dedup(
     d = docs.select(
         col(id_col), col(text_col).alias("__t"), F.char_length(text_col).cast("long").alias("doc_len")
     )
-    ge = (
+    # Gram explode is CHUNKED: the doc splits into C-char chunk rows
+    # (overlapping by L-1 so every gram start is covered exactly once),
+    # then grams explode per chunk.  Direct per-position
+    # substring(__t, i, L) is QUADRATIC in doc length — UTF8String
+    # re-scans from byte 0 to find the char offset on every call, so one
+    # 240 KB doc costs ~143s in a single task (measured) — while the
+    # chunked form bounds every scan at C+L chars: same 240 KB doc in
+    # ~1.5s, linear in doc length, and row width stays bounded for
+    # multi-MB outlier docs.
+    C = 512
+    chunks = (
         d.filter(col("doc_len") >= L)
         .select(
             id_col,
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, char_length(__t) - {L - 1}), "
-                    f"i -> struct(CAST(i AS BIGINT) AS p, substring(__t, i, {L}) AS gram))"
+                    f"transform(sequence(0, CAST((char_length(__t) - {L}) / {C} AS INT)), "
+                    f"c -> struct(CAST(c * {C} AS BIGINT) AS base, "
+                    f"substring(__t, c * {C} + 1, {C + L - 1}) AS chunk))"
                 )
-            ).alias("g"),
+            ).alias("ck"),
         )
-        .select(id_col, col("g.p").alias("p"), col("g.gram").alias("gram"))
+        .select(id_col, col("ck.base").alias("base"), col("ck.chunk").alias("chunk"))
     )
+    ge = chunks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, char_length(chunk) - {L - 1}), "
+                f"j -> struct(base + CAST(j AS BIGINT) AS p, substring(chunk, j, {L}) AS gram))"
+            )
+        ).alias("g"),
+    ).select(id_col, col("g.p").alias("p"), col("g.gram").alias("gram"))
+    # the shuffle key: the raw gram string (engine-exact, oracle face) or
+    # its xxhash64 (8-byte planet-scale mode) — in hashed mode the key is
+    # computed IN-ROW before the exchange, so the raw gram never ships
+    key = F.xxhash64("gram") if hash_keys else col("gram")
+    ge = ge.select(id_col, "p", key.alias("__k"))
     canon = (
-        ge.groupBy("gram")
+        ge.groupBy("__k")
         .agg(F.count("*").alias("c"), F.min(F.struct(id_col, "p")).alias("k"))
         .filter(col("c") >= 2)
-        .select("gram", col(f"k.{id_col}").alias("__cid"), col("k.p").alias("__cp"))
+        .select("__k", col(f"k.{id_col}").alias("__cid"), col("k.p").alias("__cp"))
     )
-    rm = ge.join(canon, "gram").filter(
+    rm = ge.join(canon, "__k").filter(
         (col(id_col) != col("__cid")) | (col("p") != col("__cp"))
     )
     # fold over the doc's sorted removal starts: e = exclusive end of the
     # merged coverage so far (0 = none yet), runs = merged-run count
-    # (p > e starts a new run; p == e touches and merges), kept = text
-    # outside coverage accumulated in order.  substring() with a
-    # non-positive length yields '' so overlapping starts contribute
-    # nothing.  Finish flushes the tail after the last covered char.
+    # (p > e starts a new run; p == e touches and merges), kept = the
+    # text segments outside coverage, accumulated in order as an ARRAY —
+    # the interpreted fold then copies element references per step, not
+    # the accumulated bytes, and array_join in finish assembles the
+    # string once (a string-concat accumulator would re-copy the kept
+    # prefix on every step: O(K x |S|) for K starts / surviving text S —
+    # the round-12 straggler hazard on span-riddled multi-hundred-KB
+    # docs).  A start inside current coverage (p <= start) contributes no
+    # segment and appends nothing.  Finish flushes the tail after the
+    # last covered char.
     acc0 = F.struct(
         lit(0).cast("long").alias("e"),
         lit(0).cast("long").alias("runs"),
-        lit("").alias("kept"),
+        F.array().cast("array<string>").alias("kept"),
     )
 
     def _step(acc, p):
         start = F.greatest(acc["e"], lit(1).cast("long"))
+        seg = F.substring(col("__t"), start, F.greatest(p - start, lit(0).cast("long")))
         return F.struct(
             F.greatest(acc["e"], p + lit(L)).alias("e"),
             (acc["runs"] + F.when(p > acc["e"], 1).otherwise(0)).alias("runs"),
-            F.concat(
-                acc["kept"], F.substring(col("__t"), start, F.greatest(p - start, lit(0).cast("long")))
-            ).alias("kept"),
+            F.when(p > start, F.array_append(acc["kept"], seg))
+            .otherwise(acc["kept"])
+            .alias("kept"),
         )
 
     def _finish(acc):
@@ -644,7 +695,7 @@ def exact_substring_dedup(
         return F.struct(
             acc["runs"].alias("n_removed_spans"),
             F.concat(
-                acc["kept"],
+                F.array_join(acc["kept"], ""),
                 F.substring(col("__t"), start, F.greatest(col("doc_len") - start + 1, lit(0).cast("long"))),
             ).alias("text_deduped"),
         )
@@ -721,7 +772,17 @@ def decontamination_report(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
-    base = train.select(col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    # null text → null gram array → size() yields null or -1 depending on
+    # spark.sql.legacy.sizeOfNull; either would poison a downstream
+    # contamination-FRACTION threshold (divide by null/negative), so pin
+    # n_grams to 0 for null-text rows under both configs
+    base = train.select(
+        col(id_col),
+        F.greatest(
+            F.coalesce(F.size(grams).cast("long"), lit(0).cast("long")),
+            lit(0).cast("long"),
+        ).alias("n_grams"),
+    )
     return base.join(hits, id_col, "left").select(
         col(id_col),
         "n_grams",

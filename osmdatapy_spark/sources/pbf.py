@@ -41,6 +41,7 @@ Usage::
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -218,8 +219,13 @@ class PbfDataSourceReader(DataSourceReader):
             frozenset(k for k in str(raw_any).split(",") if k) if raw_any else None
         )
         self.plan_prune = options.get("plan_prune", "false").lower() == "true"
-        self.plan_prune_workers = int(options.get("plan_prune_workers", 16))
-        if self.plan_prune_workers < 1:
+        # default scales to the driver box (round-12 advice: a flat 16
+        # forks 16 processes on a 4-core driver for no speedup); the knob
+        # is only validated when the probe that uses it is enabled — an
+        # inert option must not raise
+        default_workers = min(16, os.cpu_count() or 1)
+        self.plan_prune_workers = int(options.get("plan_prune_workers", default_workers))
+        if self.plan_prune and self.plan_prune_workers < 1:
             raise ValueError("plan_prune_workers must be >= 1")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:

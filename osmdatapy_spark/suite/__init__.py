@@ -33,58 +33,59 @@ from osmdatapy_spark.suite import analytics  # noqa: F401,E402
 # keyed on it) is unchanged.
 #
 # The heads ROTATE each round (round-7 verdict ask #7).  Round 11 closed
-# the catch-up phase: all 258 then-registered names hold an external
-# green record (r01-r11 cumulative).  From round 12 on the head's job is
-# AGING OUT STALE EVIDENCE (round-11 verdict ask #1): lead with the
-# round's new registrations, then fill the remaining slots with the 49
-# registered names whose most recent green record is OLDEST — computed
-# by unioning every CORRECTNESS_r*.json into a latest-green-round map
-# (after r11: 1 name at r01, 29 at r06, 30 at r07; the 19 r07 names
-# taken in lexicographic order; the rest of r07 leads the r13 refresh).
+# the catch-up phase: every registered name holds an external green
+# record (cumulative r01+).  From round 12 on the head's job is AGING
+# OUT STALE EVIDENCE (round-11 verdict ask #1): lead with the round's
+# new registrations, then fill the remaining slots with the registered
+# names whose most recent green record is OLDEST — computed by unioning
+# every CORRECTNESS_r*.json into a latest-green-round map.  After r12:
+# 1 name at r06 (rel_funnel_stages, rolled from the r12 queue as
+# promised), 11 at r07, 49 at r08 — so the r13 head is the 2 new
+# registrations (llm_substring_dedup_hashed, llm_curate_decontaminate)
+# + the r06 name + all 11 r07 names + the first 36 r08 names in
+# lexicographic order (15 llm + 15 osm + rel_ab_test..rel_interval_
+# overlap); the remaining 13 r08 names lead the r14 refresh.
 # Queue membership controls SAMPLE ORDER only — names cross family
-# prefixes freely (the rel backlog is 30 of the 50 oldest, so rel names
-# fill llm/osm/stream slots); each list holds exactly its slot
-# allocation (15/15/15/5), so the first-50 prefix IS the union of these
-# lists — verify with ``list(ordered_registry())[:50]``.
+# prefixes freely; each list holds exactly its slot allocation
+# (15/15/15/5), so the first-50 prefix IS the union of these lists —
+# verify with ``list(ordered_registry())[:50]``.
 _FAMILY_HEADS: dict[str, list[str]] = {
     "osm": [
-        # r07-evidence refresh
-        "osm_boundary_nested", "osm_pbf_roundtrip", "osm_polygon_rings",
-        "osm_polygon_wkt", "osm_ring_nesting", "osm_route_linestring",
-        "osm_tag_pivot", "osm_topology_segments", "osm_way_endpoints",
-        # r06-evidence refresh (rel backlog overflow)
-        "rel_basket_pairs", "rel_bloom_filter", "rel_cms_heavy_hitters",
-        "rel_compaction_plan", "rel_corr_stats", "rel_daily_counts",
+        # r08-evidence refresh
+        "osm_admin_hierarchy", "osm_geoparquet_roundtrip", "osm_map_match",
+        "osm_multipolygon_area", "osm_nearest_node", "osm_osc_apply",
+        "osm_pagerank", "osm_point_in_admin", "osm_point_in_polygon",
+        "osm_shortest_path", "osm_tile_binning", "osm_turn_restrictions",
+        "osm_way_length", "osm_wkb_roundtrip", "osm_xml_roundtrip",
     ],
     "llm": [
-        # round-12 additions (exact duplicated-span removal, benchmark
-        # decontamination)
-        "llm_substring_dedup", "llm_decontaminate",
-        # r01-evidence refresh (the single oldest record in the registry)
-        "llm_stratified_sample",
-        # r07-evidence refresh
-        "llm_ann_ivf_topk", "llm_cosine_topk", "llm_curation_recipe",
-        "llm_embed_neardup", "llm_hybrid_rrf", "llm_semantic_dedup",
-        "llm_tfidf_pairs", "llm_token_stats", "llm_vocab_tokenize",
-        # r06-evidence refresh (rel backlog overflow; rel_funnel_stages
-        # rolled to the r13 queue to make room for llm_decontaminate)
-        "rel_data_contract_audit", "rel_ewma_per_user",
-        "rel_first_last_per_group",
+        # round-13 additions (hashed-key ExactSubstr mode, facade
+        # decontamination step)
+        "llm_substring_dedup_hashed", "llm_curate_decontaminate",
+        # r08-evidence refresh
+        "llm_ann_ivfpq_topk", "llm_bm25_topk", "llm_contamination",
+        "llm_domain_mixture", "llm_frame_sample", "llm_fuzzy_edit_pairs",
+        "llm_gopher_rules", "llm_lm_score", "llm_multimodal_meta",
+        "llm_paragraph_dedup", "llm_retrieval_recall", "llm_sequence_pack",
+        "llm_simhash",
     ],
     "stream": [
-        # stream rows are all r11-fresh; these slots carry r06 backlog
-        "rel_gaps_islands", "rel_grouping_sets", "rel_hierarchy_rollup",
-        "rel_hilbert_layout", "rel_histogram",
+        # stream rows are r11-fresh; these slots carry r08 backlog
+        "rel_asof_join", "rel_bitmap_flags", "rel_cusum_drift",
+        "rel_intersect_except", "rel_interval_overlap",
     ],
     "rel": [
-        # r06-evidence refresh
-        "rel_hll_registers", "rel_json_extract", "rel_k_anonymity",
-        "rel_partial_agg_merge", "rel_quantiles", "rel_ratio_to_report",
-        "rel_retention_cohorts", "rel_skew_salted_agg",
-        "rel_time_weighted_avg", "rel_topk_orders", "rel_union_branches",
-        "rel_unpivot", "rel_window_range_frame", "rel_zorder_layout",
-        # r07-evidence refresh
-        "rel_distinct",
+        # r06-evidence refresh (the single oldest record; rolled from the
+        # r12 queue exactly as that round's head comment promised)
+        "rel_funnel_stages",
+        # r07-evidence refresh (the whole r07 cohort)
+        "rel_dropdup_keep_first", "rel_idset_filter",
+        "rel_join_revenue_by_nation", "rel_left_join_coalesce",
+        "rel_pivot_returnflag", "rel_pricing_summary",
+        "rel_scan_project_filter", "rel_semi_join", "rel_window_dup_mask",
+        "rel_window_lag_delta", "rel_window_running_sum",
+        # r08-evidence refresh (llm overflow into rel slots)
+        "llm_url_dedup", "llm_winnow_fingerprint", "rel_ab_test",
     ],
 }
 # 10-slot cycle → 15/15/15/5 head SLOTS per queue in the first 50 (the

@@ -1417,11 +1417,17 @@ def rel_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would accumulate cached blocks across the suite's repeated
     # invocations in a long-lived session with no unpersist hook (the
     # function returns a lazy frame, so there is no safe in-function
-    # unpersist point for a persist'd input)
+    # unpersist point for a persist'd input).  eager=False keeps frame
+    # CONSTRUCTION lazy — explain-only consumers (the registry-wide plan
+    # lints, bench planning) must not pay two materialization jobs just
+    # to look at the plan (round-12 advice).  Caveat either way:
+    # localCheckpointed blocks are non-recomputable on executor loss —
+    # acceptable for a suite query; a production pipeline would use
+    # reliable checkpoint() instead.
     spend = (
         o.groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice", 18, 4)).cast("double").alias("total"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # coarse range bucketing: 31 approximate cuts → ≤32 value-range
     # buckets.  Ties on `total` share a bucket by construction (bucket is

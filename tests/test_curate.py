@@ -141,6 +141,55 @@ def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
     assert len(leaked) <= 1, f"orphaned cached RDDs: {leaked}"
 
 
+def test_decontaminate_step_planted_contamination(spark):
+    """Facade decontamination (round-12 verdict ask #6): a training doc
+    that shares a verbatim 5-gram with the eval set drops; a doc whose
+    overlap stays under max_fraction survives; clean docs and docs
+    shorter than n pass through.  Eval rows are never in the output
+    (the step is asymmetric by construction)."""
+    leak = "the quick brown fox jumps"
+    train = spark.createDataFrame(
+        [
+            # contaminated: carries the eval 5-gram verbatim (7 tokens ->
+            # 3 distinct 5-grams, 1 hit = 33%)
+            (1, "then " + leak + " here", "a"),
+            # clean
+            (2, "completely unrelated training document with its own words", "a"),
+            # shorter than n=5 tokens: zero grams, must survive
+            (3, "too short", "b"),
+            # one leaked gram out of many: survives a fraction gate,
+            # drops under any-hit
+            (4, leak + " alpha beta gamma delta epsilon zeta eta theta "
+                "iota kappa lambda mu nu xi omicron pi rho sigma tau", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "question: " + leak + " over what?")], "eval_id long, text string"
+    )
+    # any-hit drop (default max_fraction=0.0)
+    got = sorted(
+        r.doc_id
+        for r in Curate(train).decontaminate(eval_docs, n=5).df().select("doc_id").collect()
+    )
+    assert got == [2, 3], got
+    # fraction gate at 10%: doc 4 (24 tokens -> 20 grams, 1 hit = 5%)
+    # survives; doc 1 (3 grams, 1 hit = 33%) still drops
+    got = sorted(
+        r.doc_id
+        for r in Curate(train)
+        .decontaminate(eval_docs, n=5, max_fraction=0.10)
+        .df()
+        .select("doc_id")
+        .collect()
+    )
+    assert 4 in got and 2 in got and 3 in got
+    assert 1 not in got  # 1/9 grams ≈ 11% > 10% ceiling
+    # steps ledger records the stage
+    cur = Curate(train).decontaminate(eval_docs, n=5)
+    assert cur.steps == ["decontaminate"]
+
+
 def test_jsonl_roundtrip_escaping(spark, tmp_path):
     """write_jsonl/read_jsonl must survive the strings JSON escaping is
     hardest on: newlines (the line-delimited format's own delimiter),

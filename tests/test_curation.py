@@ -357,6 +357,80 @@ def test_exact_substring_dedup_intra_document_repeat(spark):
     assert r.text_deduped == "X" + chunk + "YZ"
 
 
+def test_exact_substring_dedup_hashed_equals_raw(spark):
+    """hash_keys=True (xxhash64 8-byte shuffle keys, the planet-scale
+    mode) must produce byte-identical output to the raw-gram oracle face
+    on planted cross-doc AND intra-doc spans — the round-12 verdict's
+    fixture pin for the hashed election."""
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED."
+    chunk = "0123456789abcdefghij"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text " + boiler + " unique tail one"),
+            (2, "beta start " + boiler + " other middle " + boiler + " end"),
+            (3, "no duplicated content here at all, short and unique"),
+            (4, boiler),
+            (5, "tiny"),
+            (7, "X" + chunk + "Y" + chunk + "Z"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = {
+        r.doc_id: (r.n_removed_spans, r.removed_chars, r.text_deduped)
+        for r in exact_substring_dedup(docs, span_len=20).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_removed_spans, r.removed_chars, r.text_deduped)
+        for r in exact_substring_dedup(docs, span_len=20, hash_keys=True).collect()
+    }
+    assert hashed == raw
+    assert hashed[2] == (2, 79, "beta starother middleend")  # not trivially empty
+
+
+def test_exact_substring_dedup_pathological_doc_linear_fold(spark):
+    """A 240 KB document with 2000 interleaved duplicated spans — the
+    round-12 verdict's straggler fixture for the rebuild fold.  The text
+    is a stream of monotonically increasing 8-char counter tokens (every
+    20-char window unique by construction) with each 20-char DUP span
+    planted TWICE; the second copy of each is cut, so the fold sees 2000
+    removal starts and ~2000 kept segments in one document.  The array
+    accumulator makes this O(K + |S|) char copies; the old string-concat
+    fold re-copied the ~200 KB kept prefix per start (~400M char copies
+    in the interpreted fold) and showed up as a single-task straggler.
+    The wall bound is a generous regression guard, not a benchmark."""
+    import time
+
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    # Collision-free-by-construction filler: 8-digit counter tokens offset
+    # to 10^7 (no shared leading-zero prefixes — floor(value/10) is unique
+    # per token, so any 20-window touching >=7 filler chars is unique) and
+    # per-occurrence guard chars <>/[] adjacent to each span copy, so any
+    # window mixing filler and span chars differs between the two copies
+    # at the guard.  The ONLY duplicated 20-gram is each span itself.
+    ctr = iter(range(10**7, 10**7 + 10**5))
+    parts: list[str] = []
+    expect_parts: list[str] = []
+    for i in range(2000):
+        span = "DUP" + format(i, "05d") + "DUPDUPDUPDUP"  # 20 chars
+        f1 = "".join(format(next(ctr), "08d") for _ in range(5))  # 40 chars
+        f2 = "".join(format(next(ctr), "08d") for _ in range(5))
+        parts += [f1, "<", span, ">", f2, "[", span, "]"]
+        expect_parts += [f1, "<", span, ">", f2, "[", "]"]
+    text = "".join(parts)
+    assert len(text) == 248_000
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.time()
+    [r] = exact_substring_dedup(docs, span_len=20, hash_keys=True).collect()
+    elapsed = time.time() - t0
+    assert r.n_removed_spans == 2000
+    assert r.removed_chars == 40_000
+    assert r.text_deduped == "".join(expect_parts)
+    assert elapsed < 120, f"rebuild fold took {elapsed:.1f}s — straggler regression"
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

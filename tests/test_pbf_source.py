@@ -714,8 +714,11 @@ def test_dictionary_prune_workers_invariant(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="plan_prune_workers"):
         PbfDataSourceReader(
             PBF_SCHEMA,
-            {"path": p, "plan_prune_workers": "0"},
+            {"path": p, "plan_prune": "true", "plan_prune_workers": "0"},
         )
+    # inert knob (round-12 advice): with plan_prune off the option is
+    # unused, so a nonsense value must NOT raise
+    PbfDataSourceReader(PBF_SCHEMA, {"path": p, "plan_prune_workers": "0"})
 
 
 def test_dictionary_prune_pool_inside_spark_planning(spark, tmp_path):

@@ -328,6 +328,23 @@ def main() -> None:
         return f"{emptied} docs fully cut (== planted), {total_removed} chars removed"
 
     timed("exact substring dedup", check_substring_dedup)
+
+    def check_substring_dedup_hashed():
+        # the planet-scale mode (r13): same planted invariant, but the
+        # election + mark-back join run on xxhash64(gram) — 8-byte
+        # shuffle keys instead of raw 20-char grams.  The delta vs the
+        # raw entry above is the exchange-width saving the hashed mode
+        # exists for.
+        from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+        out = exact_substring_dedup(docs, "doc_id", "text", hash_keys=True).persist()
+        emptied = out.filter((col("text_deduped") == "") & (col("doc_len") > 0)).count()
+        assert emptied == planted, f"expected {planted} fully-cut docs, got {emptied}"
+        total_removed = out.agg(F.sum("removed_chars")).collect()[0][0]
+        out.unpersist()
+        return f"{emptied} docs fully cut (== planted), {total_removed} chars removed"
+
+    timed("exact substring dedup (hashed keys)", check_substring_dedup_hashed)
     spark.stop()
 
 
