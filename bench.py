@@ -289,8 +289,8 @@ def main() -> None:
     # decontamination); frozen here like its predecessors so growth after
     # r13 never reads as a slowdown
     R13_SET = R8_SET + [
-        "rel_sql_tpch_q9", "rel_sql_tpch_q21", "osm_pbf_dictionary_prune",
-        "llm_substring_dedup", "llm_decontaminate",
+        "llm_bm25_topk", "rel_sql_tpch_q9", "rel_sql_tpch_q21",
+        "osm_pbf_dictionary_prune", "llm_substring_dedup", "llm_decontaminate",
     ]
     detail = {
         "metric": f"headline query wall-clock (noop sink, warm JVM, best of {N_PASSES} passes)",

@@ -221,12 +221,17 @@ class PbfDataSourceReader(DataSourceReader):
         self.plan_prune = options.get("plan_prune", "false").lower() == "true"
         # default scales to the driver box (round-12 advice: a flat 16
         # forks 16 processes on a 4-core driver for no speedup); the knob
-        # is only validated when the probe that uses it is enabled — an
-        # inert option must not raise
+        # is only parsed/validated when the probe that uses it is enabled
+        # — an inert option must not raise, whatever its value
         default_workers = min(16, os.cpu_count() or 1)
-        self.plan_prune_workers = int(options.get("plan_prune_workers", default_workers))
-        if self.plan_prune and self.plan_prune_workers < 1:
-            raise ValueError("plan_prune_workers must be >= 1")
+        if self.plan_prune:
+            self.plan_prune_workers = int(
+                options.get("plan_prune_workers", default_workers)
+            )
+            if self.plan_prune_workers < 1:
+                raise ValueError("plan_prune_workers must be >= 1")
+        else:
+            self.plan_prune_workers = default_workers
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Absorb nothing: yielding every filter back makes Spark re-apply

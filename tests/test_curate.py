@@ -184,7 +184,7 @@ def test_decontaminate_step_planted_contamination(spark):
         .collect()
     )
     assert 4 in got and 2 in got and 3 in got
-    assert 1 not in got  # 1/9 grams ≈ 11% > 10% ceiling
+    assert 1 not in got  # 1/3 grams ≈ 33% > 10% ceiling
     # steps ledger records the stage
     cur = Curate(train).decontaminate(eval_docs, n=5)
     assert cur.steps == ["decontaminate"]

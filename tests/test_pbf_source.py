@@ -717,8 +717,10 @@ def test_dictionary_prune_workers_invariant(tmp_path, monkeypatch):
             {"path": p, "plan_prune": "true", "plan_prune_workers": "0"},
         )
     # inert knob (round-12 advice): with plan_prune off the option is
-    # unused, so a nonsense value must NOT raise
+    # unused, so a nonsense value must NOT raise — out-of-range or even
+    # unparseable
     PbfDataSourceReader(PBF_SCHEMA, {"path": p, "plan_prune_workers": "0"})
+    PbfDataSourceReader(PBF_SCHEMA, {"path": p, "plan_prune_workers": "auto"})
 
 
 def test_dictionary_prune_pool_inside_spark_planning(spark, tmp_path):

@@ -301,7 +301,7 @@ def main() -> None:
 
     timed("bpe train (3 rounds)", check_bpe_train)
 
-    def check_substring_dedup():
+    def check_substring_dedup(hash_keys):
         # ExactSubstr removal (r12) at corpus scale: the char-20-gram
         # explode is the corpus's heaviest fan-out (~400 gram rows/doc —
         # 40x the paragraph family), so this is where a quadratic or
@@ -310,8 +310,13 @@ def main() -> None:
         # grams are non-canonical and the whole text must cut to '' —
         # count(text_deduped = '') == planted exactly (a unique-text doc
         # fully vanishing, or a planted copy surviving, both fail).
+        # Runs TWICE: raw gram keys (the engine-exact oracle face), then
+        # hash_keys=True (the r13 planet-scale mode — election +
+        # mark-back join on xxhash64(gram) 8-byte keys); the wall delta
+        # between the two entries is the exchange-CPU saving the hashed
+        # mode exists for, and the invariant must hold identically.
         #
-        # Expect two 'Failed to compile ... 64 KB' stderr lines here:
+        # Expect 'Failed to compile ... 64 KB' stderr lines here:
         # timed()'s clearCache re-fuses the HARNESS's 40-term synthetic
         # text expression into the fold stage and the combined method
         # overflows janino's limit, so Spark falls back to interpreted
@@ -320,31 +325,15 @@ def main() -> None:
         # 0 codegen failures at sf0.1.
         from osmdatapy_spark.functions.curation import exact_substring_dedup
 
-        out = exact_substring_dedup(docs, "doc_id", "text").persist()
+        out = exact_substring_dedup(docs, "doc_id", "text", hash_keys=hash_keys).persist()
         emptied = out.filter((col("text_deduped") == "") & (col("doc_len") > 0)).count()
         assert emptied == planted, f"expected {planted} fully-cut docs, got {emptied}"
         total_removed = out.agg(F.sum("removed_chars")).collect()[0][0]
         out.unpersist()
         return f"{emptied} docs fully cut (== planted), {total_removed} chars removed"
 
-    timed("exact substring dedup", check_substring_dedup)
-
-    def check_substring_dedup_hashed():
-        # the planet-scale mode (r13): same planted invariant, but the
-        # election + mark-back join run on xxhash64(gram) — 8-byte
-        # shuffle keys instead of raw 20-char grams.  The delta vs the
-        # raw entry above is the exchange-width saving the hashed mode
-        # exists for.
-        from osmdatapy_spark.functions.curation import exact_substring_dedup
-
-        out = exact_substring_dedup(docs, "doc_id", "text", hash_keys=True).persist()
-        emptied = out.filter((col("text_deduped") == "") & (col("doc_len") > 0)).count()
-        assert emptied == planted, f"expected {planted} fully-cut docs, got {emptied}"
-        total_removed = out.agg(F.sum("removed_chars")).collect()[0][0]
-        out.unpersist()
-        return f"{emptied} docs fully cut (== planted), {total_removed} chars removed"
-
-    timed("exact substring dedup (hashed keys)", check_substring_dedup_hashed)
+    timed("exact substring dedup", lambda: check_substring_dedup(False))
+    timed("exact substring dedup (hashed keys)", lambda: check_substring_dedup(True))
     spark.stop()
 
 
