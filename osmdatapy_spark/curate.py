@@ -182,12 +182,39 @@ class Curate:
         self.steps.append("paragraph_dedup")
         return self
 
+    def substring_dedup(self, span_len: int = 20, hash_keys: bool = True) -> "Curate":
+        """Exact duplicated-SPAN removal as a recipe step (Lee et al.
+        ExactSubstr — `functions.curation.exact_substring_dedup`): every
+        char ``span_len``-gram occurring >= 2 times anywhere in the
+        corpus keeps only its minimal-(id, position) occurrence; every
+        other occurrence's window is cut from its document's text.  The
+        rewritten text replaces the text column; other columns survive.
+
+        ``hash_keys`` defaults to True here — the facade is the
+        pipeline-shaped entry point, so it gets the planet-scale 8-byte
+        xxhash64 election keys (the registered oracle faces pin
+        hashed == raw); pass False for the engine-exact raw-gram mode.
+        Optional step: not part of the oracled default recipe."""
+        from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+        rep = exact_substring_dedup(
+            self._df,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            span_len=span_len,
+            hash_keys=hash_keys,
+        ).select(self.id_col, col("text_deduped").alias(self.text_col))
+        self._df = self._df.drop(self.text_col).join(rep, self.id_col, "left")
+        self.steps.append("substring_dedup")
+        return self
+
     def decontaminate(
         self,
         eval_docs: DataFrame,
         n: int = 13,
         max_fraction: float = 0.0,
         eval_text_col: str = "text",
+        hash_keys: bool = False,
     ) -> "Curate":
         """Benchmark decontamination as a recipe step (the GPT-3/PaLM
         practice — scrub eval overlap in the same pipeline that dedups):
@@ -203,14 +230,18 @@ class Curate:
         for a map-side anti-join, so the step adds ZERO corpus-sized
         exchanges.  If contamination is pervasive enough that the drop
         set won't broadcast, that's a data problem to fix upstream, not
-        a plan to widen."""
+        a plan to widen.  ``hash_keys=True`` shrinks the broadcast
+        ~10x by probing on xxhash64(gram) (8-byte keys; collisions can
+        only over-flag — see decontamination_report); default False so
+        the registered oracle face stays engine-exact raw strings."""
         from osmdatapy_spark.functions.curation import decontamination_report
 
         ev = eval_docs
         if eval_text_col != self.text_col:
             ev = ev.withColumnRenamed(eval_text_col, self.text_col)
         rep = decontamination_report(
-            self._df, ev, id_col=self.id_col, text_col=self.text_col, n=n
+            self._df, ev, id_col=self.id_col, text_col=self.text_col, n=n,
+            hash_keys=hash_keys,
         )
         drop = rep.filter(
             col("n_contaminated").cast("double")

@@ -729,6 +729,7 @@ def decontamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION — flag training documents sharing any
     word ``n``-gram with an evaluation set (the GPT-3 appendix-C /
@@ -763,10 +764,25 @@ def decontamination_report(
 
     ``n`` defaults to 13 (GPT-3's choice); pipelines tune it to the
     tokenizer and the eval suite's answer lengths.
+
+    ``hash_keys=True`` probes on ``xxhash64(gram)`` instead of the raw
+    gram string: a 13-word gram is ~80-100 bytes, so a 1M-gram eval set
+    broadcasts ~10x smaller as 8-byte keys and the corpus-side hash
+    table stays executor-memory-friendly.  Collisions can only
+    OVER-flag (a clean train gram hashing onto an eval gram) at
+    ~n_train x n_eval / 2^64 expected false hits — conservative in the
+    right direction for a scrub.  Raw mode stays the oracle face.
     """
     grams = F.array_distinct(word_ngrams(tokens(col(text_col)), n))
-    tg = train.select(col(id_col), F.explode(grams).alias("gram"))
-    eg = eval_docs.select(F.explode(grams).alias("gram")).distinct()
+    gram_key = F.xxhash64("gram") if hash_keys else col("gram")
+    tg = train.select(col(id_col), F.explode(grams).alias("gram")).select(
+        col(id_col), gram_key.alias("gram")
+    )
+    eg = (
+        eval_docs.select(F.explode(grams).alias("gram"))
+        .select(gram_key.alias("gram"))
+        .distinct()
+    )
     hits = (
         tg.join(broadcast(eg), "gram")
         .groupBy(id_col)

@@ -141,6 +141,27 @@ def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
     assert len(leaked) <= 1, f"orphaned cached RDDs: {leaked}"
 
 
+def test_substring_dedup_step_available(spark):
+    """ExactSubstr removal as a facade step: the canonical (min doc_id,
+    position) copy of a shared >=20-char span survives, the later copy
+    is cut from its rewritten text, other columns survive, and the
+    facade default (hash_keys=True) matches the raw-gram mode."""
+    chunk = "0123456789abcdefghij"  # exactly 20 chars
+    docs = spark.createDataFrame(
+        [(1, "A" + chunk + "B", "a"), (2, "C" + chunk + "D", "b")],
+        "doc_id long, text string, source string",
+    )
+    for hk in (True, False):
+        out = {
+            r.doc_id: (r.text, r.source)
+            for r in Curate(docs).substring_dedup(hash_keys=hk).df().collect()
+        }
+        assert out[1] == ("A" + chunk + "B", "a")
+        assert out[2] == ("CD", "b")
+    cur = Curate(docs).substring_dedup()
+    assert cur.steps == ["substring_dedup"]
+
+
 def test_decontaminate_step_planted_contamination(spark):
     """Facade decontamination (round-12 verdict ask #6): a training doc
     that shares a verbatim 5-gram with the eval set drops; a doc whose

@@ -469,3 +469,10 @@ def test_decontamination_report_planted_overlap(spark):
     assert got[2] == (8, 1, True)
     assert got[3] == (5, 0, False)
     assert got[4] == (0, 0, False)
+    # hash_keys=True (xxhash64 probe keys — the small-broadcast planet
+    # mode) must report identically on this collision-free fixture
+    hashed = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contaminated)
+        for r in decontamination_report(train, ev, n=5, hash_keys=True).collect()
+    }
+    assert hashed == got
