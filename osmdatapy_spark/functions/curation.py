@@ -583,13 +583,16 @@ def exact_substring_dedup(
       shared gram — quadratic in a hot gram's occurrence count; this
       formulation replaces that with the linear count+min);
     - duplicate occurrences re-join the position stream on the gram key
-      (one more shuffle), and per-document interval union + text
-      reconstruction is ONE ordered fold over the doc's sorted removal
-      starts — kept segments accumulate as an ``array<string>`` that is
-      joined ONCE at finish, so a doc with K removal starts and
-      surviving text S costs O(K + |S|) char copies, not the
-      O(K x |S|) a string-concat accumulator would (document-bounded
-      work, no window, no Python);
+      (one more shuffle); text reconstruction is ONE in-row fold over
+      the doc's sorted removal starts, TILE-AWARE: each kept segment is
+      extracted from the doc's 512-char tile array with O(1) ``get()``
+      indexing (per-step cost O(segment + tiles touched), O(doc + K)
+      total for K starts; kept segments accumulate as array<string>,
+      one array_join at finish).  The naive per-start
+      ``substring(__t, start, len)`` fold is O(K x doc) — UTF8
+      substring re-scans from char 0 per call; measured on a 2 MB doc
+      with 16k starts: 137.6s in ONE task vs ~20s end-to-end for the
+      tile-aware fold, with the common small-doc case at parity;
     - ``hash_keys=True`` is the planet-scale mode: the election and the
       mark-back join run on ``xxhash64(gram)`` — 8-byte shuffle keys
       instead of raw ``span_len``-char strings, cutting the election
@@ -614,25 +617,37 @@ def exact_substring_dedup(
     d = docs.select(
         col(id_col), col(text_col).alias("__t"), F.char_length(text_col).cast("long").alias("doc_len")
     )
-    # Gram explode is CHUNKED: the doc splits into C-char chunk rows
-    # (overlapping by L-1 so every gram start is covered exactly once),
-    # then grams explode per chunk.  Direct per-position
-    # substring(__t, i, L) is QUADRATIC in doc length — UTF8String
-    # re-scans from byte 0 to find the char offset on every call, so one
-    # 240 KB doc costs ~143s in a single task (measured) — while the
-    # chunked form bounds every scan at C+L chars: same 240 KB doc in
-    # ~1.5s, linear in doc length, and row width stays bounded for
-    # multi-MB outlier docs.
+    # Gram explode is CHUNKED: the doc splits into C-char TILES with ONE
+    # linear forward regex pass — regexp_extract_all('(?s).{1,C}'), whose
+    # '.' steps whole CODE POINTS exactly like Spark's substring/
+    # char_length, so tile boundaries agree with position arithmetic
+    # even on astral chars (the lookbehind split idiom '(?<=\\G.{C})'
+    # silently fails to split surrogate-pair text — pinned by the astral
+    # fixture test).  Each gram chunk is tile[t] + the first L-1 chars
+    # of tile[t+1] via O(1) get() array indexing, and grams explode per
+    # chunk.  Every other formulation measured quadratic: per-position
+    # substring(__t, i, L) re-scans from char 0 per call (one 240 KB
+    # doc: ~143s in a single task), and even per-CHUNK
+    # substring(__t, c*C+1, ..) is O(doc^2/C) — ~130s of a 2 MB doc's
+    # profile sat in that one explode.  The extract-once form is O(doc).
     C = 512
+    TILE_RE = f"(?s).{{1,{C}}}"
+    # single-tile docs (the common web-doc case at <= C chars) skip the
+    # regex pass entirely — their tile array is just [__t]
+    dt = d.filter(col("doc_len") >= L).withColumn(
+        "__ts",
+        F.when(col("doc_len") <= C, F.array(col("__t"))).otherwise(
+            F.expr(f"regexp_extract_all(__t, '{TILE_RE}', 0)")
+        ),
+    )
     chunks = (
-        d.filter(col("doc_len") >= L)
-        .select(
+        dt.select(
             id_col,
             F.explode(
                 F.expr(
                     f"transform(sequence(0, CAST((char_length(__t) - {L}) / {C} AS INT)), "
-                    f"c -> struct(CAST(c * {C} AS BIGINT) AS base, "
-                    f"substring(__t, c * {C} + 1, {C + L - 1}) AS chunk))"
+                    f"t -> struct(CAST(t * {C} AS BIGINT) AS base, "
+                    f"concat(get(__ts, t), substring(coalesce(get(__ts, t + 1), ''), 1, {L - 1})) AS chunk))"
                 )
             ).alias("ck"),
         )
@@ -661,18 +676,42 @@ def exact_substring_dedup(
     rm = ge.join(canon, "__k").filter(
         (col(id_col) != col("__cid")) | (col("p") != col("__cp"))
     )
-    # fold over the doc's sorted removal starts: e = exclusive end of the
-    # merged coverage so far (0 = none yet), runs = merged-run count
-    # (p > e starts a new run; p == e touches and merges), kept = the
-    # text segments outside coverage, accumulated in order as an ARRAY —
-    # the interpreted fold then copies element references per step, not
-    # the accumulated bytes, and array_join in finish assembles the
-    # string once (a string-concat accumulator would re-copy the kept
-    # prefix on every step: O(K x |S|) for K starts / surviving text S —
-    # the round-12 straggler hazard on span-riddled multi-hundred-KB
-    # docs).  A start inside current coverage (p <= start) contributes no
-    # segment and appends nothing.  Finish flushes the tail after the
-    # last covered char.
+    # -- rebuild: ONE tile-aware fold over per-doc sorted starts -------
+    # e = exclusive end of merged coverage (0 = none), runs = merged-run
+    # count (p > e opens a run; p == e touches and merges), kept = text
+    # segments outside coverage as an ARRAY, joined once at finish.
+    # Each kept segment is extracted from the doc's TILE ARRAY (__ts,
+    # built once per doc by the linear regex pass above) with O(1)
+    # get() indexing — per-step cost O(segment + tiles touched), total
+    # O(doc + K) per doc.  The r12 form extracted segments with
+    # substring(__t, start, len), and UTF8 substring re-scans from
+    # char 0 per call — O(K x doc): a 2 MB doc with 16k starts cost
+    # 137.6s in ONE task; this fold does it in ~20s end to end (same
+    # session, same doc), with the common small-doc case at parity.
+    # The join below is a projection barrier, so __ts stays a
+    # materialized attribute — referencing a regex ALIAS from inside
+    # the fold would let CollapseProject inline it and re-run the regex
+    # per element (the O(K^2) trap measured at 2.1 min on this doc).
+    cut_src = (
+        rm.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+        .join(dt.select(id_col, "__ts", "doc_len"), id_col)
+    )
+
+    def _seg(a, b):
+        """Pieces of text chars [a, b) (1-based, b > a) from the tiles."""
+        t_lo = ((a - lit(1)) / lit(C)).cast("long")
+        t_hi = ((b - lit(2)) / lit(C)).cast("long")
+        return F.transform(
+            F.sequence(t_lo, t_hi),
+            lambda t: F.substring(
+                F.get(col("__ts"), t.cast("int")),
+                F.greatest(a - t * C, lit(1).cast("long")),
+                F.least(b - t * C, lit(C + 1).cast("long"))
+                - F.greatest(a - t * C, lit(1).cast("long")),
+            ),
+        )
+
     acc0 = F.struct(
         lit(0).cast("long").alias("e"),
         lit(0).cast("long").alias("runs"),
@@ -681,31 +720,32 @@ def exact_substring_dedup(
 
     def _step(acc, p):
         start = F.greatest(acc["e"], lit(1).cast("long"))
-        seg = F.substring(col("__t"), start, F.greatest(p - start, lit(0).cast("long")))
         return F.struct(
             F.greatest(acc["e"], p + lit(L)).alias("e"),
             (acc["runs"] + F.when(p > acc["e"], 1).otherwise(0)).alias("runs"),
-            F.when(p > start, F.array_append(acc["kept"], seg))
+            F.when(p > start, F.concat(acc["kept"], _seg(start, p)))
             .otherwise(acc["kept"])
             .alias("kept"),
         )
 
     def _finish(acc):
         start = F.greatest(acc["e"], lit(1).cast("long"))
+        end = col("doc_len") + lit(1).cast("long")
         return F.struct(
             acc["runs"].alias("n_removed_spans"),
-            F.concat(
-                F.array_join(acc["kept"], ""),
-                F.substring(col("__t"), start, F.greatest(col("doc_len") - start + 1, lit(0).cast("long"))),
+            F.array_join(
+                F.when(end > start, F.concat(acc["kept"], _seg(start, end)))
+                .otherwise(acc["kept"]),
+                "",
             ).alias("text_deduped"),
         )
 
-    cut = (
-        rm.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
-        .join(d, id_col)
-        .select(id_col, F.aggregate("ps", acc0, _step, _finish).alias("r"))
-        .select(id_col, col("r.n_removed_spans").alias("n_removed_spans"), col("r.text_deduped").alias("text_deduped"))
+    cut = cut_src.select(
+        id_col, F.aggregate("ps", acc0, _step, _finish).alias("r")
+    ).select(
+        id_col,
+        col("r.n_removed_spans").alias("n_removed_spans"),
+        col("r.text_deduped").alias("text_deduped"),
     )
     return d.join(cut, id_col, "left").select(
         col(id_col),

@@ -428,7 +428,31 @@ def test_exact_substring_dedup_pathological_doc_linear_fold(spark):
     assert r.n_removed_spans == 2000
     assert r.removed_chars == 40_000
     assert r.text_deduped == "".join(expect_parts)
-    assert elapsed < 120, f"rebuild fold took {elapsed:.1f}s — straggler regression"
+    assert elapsed < 120, f"rebuild took {elapsed:.1f}s — straggler regression"
+
+
+def test_exact_substring_dedup_astral_chars(spark):
+    """The gram chunks and the rebuild segments both come from 512-char
+    tiles cut by regexp_extract_all('(?s).{1,512}'), whose '.' must step
+    CODE POINTS exactly like Spark's substring/char_length, or tile
+    boundaries shift on astral chars and the rebuilt text corrupts (the
+    lookbehind split idiom '(?<=\\G.{512})' silently fails to split
+    surrogate-pair text at all — this fixture caught it).  A doc of
+    1400 DISTINCT non-BMP chars (surrogate PAIRS in UTF-16; no repeats,
+    so no accidental duplicate 20-grams) with an ASCII-mixed span
+    planted twice — the tile boundary falls inside the astral filler —
+    must rebuild byte-exactly."""
+    from osmdatapy_spark.functions.curation import exact_substring_dedup
+
+    span = "\U0001F600\U0001F601\U0001F602SPAN-" + "\U0001F680" * 12  # 20 code points
+    filler1 = "".join(chr(0x1F300 + i) for i in range(700))
+    filler2 = "".join(chr(0x20000 + i) for i in range(700))
+    text = filler1 + "<" + span + ">" + filler2 + "[" + span + "]"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    expected = filler1 + "<" + span + ">" + filler2 + "[" + "]"
+    for hk in (True, False):
+        [r] = exact_substring_dedup(docs, span_len=20, hash_keys=hk).collect()
+        assert (r.n_removed_spans, r.removed_chars, r.text_deduped) == (1, 20, expected)
 
 
 # ---------------------------------------------------------------------------
