@@ -867,10 +867,12 @@ def bigram_lm_scores(
 
     Shape: bigram explode → count table ``C(w1,w2)`` (partial-agg
     shuffle); context totals ``C(w1·)`` derived FROM that table (tiny
-    second agg, no second pass over the corpus); vocabulary size is a
-    one-row broadcast.  Scoring joins the bigram stream to both count
-    tables on their natural keys — shuffle joins, deliberately NOT
-    broadcast (at 100 TB the count tables are corpus-sized) — then one
+    second agg, no second pass over the corpus) and pre-joined INTO it —
+    vocabulary²-bounded — so the corpus-sized stream crosses exactly one
+    scoring exchange; vocabulary size is a one-row broadcast, derived
+    from the count table's endpoints plus single-token docs (no second
+    corpus explode).  The scoring join is a shuffle join, deliberately
+    NOT broadcast (at 100 TB the count table is corpus-sized) — then one
     per-doc agg.  Determinism: each ln() is rounded to 6 places (1-ulp
     library guard) and summed in DECIMAL, so the parallel sum is
     order-independent and bit-identical to the oracle.
@@ -905,14 +907,33 @@ def bigram_lm_scores(
     c12 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c12 = c12.persist()
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # context totals ride the COUNT TABLE, not the stream: attaching C(w1·)
+    # to C(w1,w2) first is a vocabulary²-bounded join, so the corpus-sized
+    # bigram stream crosses ONE scoring exchange instead of two (r12 shape:
+    # stream ⋈ c12 on (w1,w2), then the joined stream re-shuffled by w1 for
+    # ⋈ c1 — at 100 TB that second stream shuffle is the largest avoidable
+    # byte mover in this query; locally AQE broadcasts either way, so the
+    # values and the local plan cost are unchanged)
+    c12j = c12.join(c1, "w1")
+    # vocabulary WITHOUT a second corpus explode: every token of a doc with
+    # >= 2 tokens appears in some bigram (as w1 or w2), so V = distinct over
+    # the count table's endpoints plus the tokens of single-token docs — a
+    # count-table-sized distinct plus a near-empty filtered corpus pass,
+    # replacing the r12 corpus-sized explode → two-stage countDistinct
+    singles = (
+        docs.select(tokens(col(text_col)).alias("t"))
+        .filter(F.size("t") == 1)
+        .select(F.element_at("t", 1).alias("w"))
+    )
     vocab = (
-        docs.select(F.explode(tokens(col(text_col))).alias("w"))
+        c12.select(col("w1").alias("w"))
+        .union(c12.select(col("w2").alias("w")))
+        .union(singles)
         .agg(F.countDistinct("w").alias("v"))
     )
     logp = F.round(F.log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
     return (
-        stream.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        stream.join(c12j, ["w1", "w2"])
         .join(broadcast(vocab))
         .groupBy(id_col)
         .agg(
