@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import col
+from pyspark.sql.functions import col, lit
 
 
 def way_endpoints(way_refs: DataFrame, id_col: str = "way_id", pos_col: str = "pos", node_col: str = "node_id") -> DataFrame:
@@ -51,6 +51,7 @@ def topology_segments(
     id_col: str = "way_id",
     pos_col: str = "pos",
     node_col: str = "node_id",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split ways at shared nodes → one row per segment.
 
@@ -61,44 +62,70 @@ def topology_segments(
     Reference parity: identical to ``relation_topology``'s
     ``(row, ix, source, target)`` output with the row-duplication step
     folded away (_frame.py:277-296).
+
+    ``order_cols``: when the caller's member order is DEFINED by a
+    row_number over some total order (rather than an existing position
+    array), pass those ordering columns instead of a precomputed
+    ``pos_col`` — the operator then derives ``pos`` itself INSIDE the
+    way-keyed stage, after the node-count exchange.  Composing an
+    external pos-window with this operator costs a way → node → way
+    exchange sandwich (3 shuffles of the member set); the fused form is
+    the designed 2.  Output is identical: row_number over the same
+    (partition, order) yields the same pos.
     """
     # shared = node_id occurs >1 times across the whole membership set
     # (reference `res.ptid.duplicated(keep=False)`, _frame.py:277)
     w_node = Window.partitionBy(node_col)
-    w_way = Window.partitionBy(id_col).orderBy(pos_col)
+    order = [col(c) for c in order_cols] if order_cols else [col(pos_col)]
+    w_way = Window.partitionBy(id_col).orderBy(*order)
 
     # STAGED so the plan has exactly two exchanges: the node-count window
     # runs in its own select (exchange by node_id), THEN everything keyed
     # by way comes as one chain — is_first/is_last from the ascending sort
     # (lead-null marks the last row; no second descending sort), boundary
     # filter, and the pairing window, all reusing ONE exchange+sort by
-    # (way_id, pos).  Mixing the node window into the way-keyed select
+    # (way_id, <order>).  Mixing the node window into the way-keyed select
     # makes Catalyst evaluate the way windows first and re-exchange by
     # way_id after the node count — a third shuffle for nothing
     # (observed; tests/test_plans.py pins the 2-exchange shape).
     shared = way_refs.select(
-        col(id_col),
-        col(pos_col),
-        col(node_col),
+        "*",
         (F.count("*").over(w_node) > 1).alias("is_shared"),
     )
 
+    # in fused mode pos comes from the SAME window spec as the boundary
+    # markers, and the ordering columns survive the projection so the
+    # pairing window below sorts by the identical expressions — Catalyst
+    # then satisfies it from the boundary window's output order (one
+    # exchange + one sort for the whole way-keyed chain)
+    pos_out = F.row_number().over(w_way).alias(pos_col) if order_cols else col(pos_col)
+    carry = [col(c) for c in order_cols] if order_cols else []
     boundaries = shared.select(
-        "*",
+        col(id_col),
+        pos_out,
+        col(node_col),
+        *carry,
         (
             col("is_shared")
             | (F.row_number().over(w_way) == 1)
-            | F.lead(pos_col).over(w_way).isNull()
+            # lead of a literal is null exactly at the partition's last row
+            # (never data-dependent — lead(pos)/lead(node) would also read
+            # null on a null VALUE in the next row)
+            | F.lead(lit(1)).over(w_way).isNull()
         ).alias("is_boundary"),
     ).filter(col("is_boundary"))
 
+    # pairing runs over the boundary-filtered rows; within a way the kept
+    # rows stay sorted by the same order expressions (pos is monotone in
+    # them), so ordering by them again re-uses the existing sort
+    w_pair = Window.partitionBy(id_col).orderBy(*order)
     seg = (
         boundaries.select(
             col(id_col),
-            (F.row_number().over(w_way) - 1).alias("seg"),
+            (F.row_number().over(w_pair) - 1).alias("seg"),
             col(node_col).alias("source"),
-            F.lead(node_col).over(w_way).alias("target"),
-            (F.lead(pos_col).over(w_way) - col(pos_col) + 1).alias("n_nodes"),
+            F.lead(node_col).over(w_pair).alias("target"),
+            (F.lead(pos_col).over(w_pair) - col(pos_col) + 1).alias("n_nodes"),
         )
         .filter(col("target").isNotNull())
     )

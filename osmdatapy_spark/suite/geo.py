@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
-from osmdatapy_spark.suite._util import coords_lookup
+from osmdatapy_spark.suite._util import T, coords_lookup
 
 from osmdatapy_spark.operators.measures import (
     centroid,
@@ -50,12 +50,24 @@ coords AS (
 
 
 def _way_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ways = derived_way_refs(spark, sf_dir)
+    # NO pos window: `pos` was only ever an ORDERING here, and row_number
+    # over (l_linenumber, node_id) orders exactly like sorting the collected
+    # structs by those same columns ((l_linenumber, node_id) duplicates map
+    # to the same node, hence identical (lon, lat) structs — order ties are
+    # value-identical).  Dropping derived_way_refs' window removes a full
+    # member-set exchange + sort ahead of the coords join: at 100 TB the
+    # member set now crosses the node-keyed join exchange and the way-keyed
+    # gather exchange only (was: way → node → way).
+    li = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("way_id"),
+        col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    joined = coords_lookup(ways, nodes)
+    joined = coords_lookup(li, nodes)
     return joined.groupBy("way_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "node_id", "lon", "lat"))),
             lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
         ).alias("c")
     )
@@ -271,16 +283,25 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit
 
     from osmdatapy_spark.operators.measures import point_in_polygon_join
-    from osmdatapy_spark.suite.osm import derived_nodes, derived_way_refs
+    from osmdatapy_spark.suite.osm import derived_nodes
     from osmdatapy_spark.suite._util import T
 
-    ways = derived_way_refs(spark, sf_dir)
+    # no pos window (same reshape as _way_coords): pos only ever ORDERED the
+    # vertex gather, and sorting the collected structs by (l_linenumber,
+    # node_id) yields the identical sequence — ties map to the same node and
+    # hence identical (vx, vy).  Removes a member-set exchange + sort.
+    ways = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("way_id"),
+        col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
     cx = ((col("way_id") % 360) - 180 + 0.5).cast("double")
     cy = ((F.expr("way_id div 360") % 170) - 85 + 0.5).cast("double")
     verts = coords_lookup(ways, nodes).select(
         "way_id",
-        "pos",
+        "l_linenumber",
+        "node_id",
         (cx + col("lon") * 0.35 / 180).alias("vx"),
         (cy + col("lat") * 0.35 / 85).alias("vy"),
     )
@@ -288,7 +309,7 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts.groupBy("way_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "vx", "vy"))),
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "node_id", "vx", "vy"))),
                 lambda s: F.struct(s["vx"].alias("lon"), s["vy"].alias("lat")),
             ).alias("c")
         )
@@ -554,12 +575,19 @@ def osm_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from osmdatapy_spark.operators.graph import bfs_hops
-    from osmdatapy_spark.suite.osm import derived_way_refs
 
-    refs = derived_way_refs(spark, sf_dir)
-    w = Window.partitionBy("way_id").orderBy("pos")
+    # consecutive-member edges straight off the base ordering — one Window
+    # (derived_way_refs' pos window + a second lead-by-pos window would
+    # cost an extra member-set sort; lead over the defining order is the
+    # same neighbor)
+    li = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("way_id"),
+        col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
+    w = Window.partitionBy("way_id").orderBy("l_linenumber", "node_id")
     edges = (
-        refs.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
+        li.select(col("node_id").alias("src"), F.lead("node_id").over(w).alias("dst"))
         .filter(col("dst").isNotNull())
     )
     seeds = derived_nodes(spark, sf_dir).filter(col("osmid") % 997 == 0).select(
@@ -1147,13 +1175,23 @@ def osm_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as osm_point_in_polygon.",
 )
 def osm_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    refs = derived_way_refs(spark, sf_dir)
+    # seg (= pos) and lead(node_id) FUSED into one Window node over the
+    # base ordering: composing derived_way_refs' row_number window with a
+    # second lead-window ordered by pos costs a second sort of the member
+    # set (same exchange, different sort key expression); ordering both by
+    # (l_linenumber, node_id) makes them one Window with one sort, and
+    # row_number over the identical partition/order keeps seg's values
+    li = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("way_id"),
+        col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
     nodes = derived_nodes(spark, sf_dir)
-    w = Window.partitionBy("way_id").orderBy("pos")
+    w = Window.partitionBy("way_id").orderBy("l_linenumber", "node_id")
     seg = (
-        refs.select(
+        li.select(
             "way_id",
-            col("pos").alias("seg"),
+            F.row_number().over(w).alias("seg"),
             col("node_id").alias("src"),
             F.lead("node_id").over(w).alias("dst"),
         )

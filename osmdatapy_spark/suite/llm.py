@@ -2404,29 +2404,47 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 scores per matching doc over the fixed query vocabulary —
-    shared by llm_bm25_topk and the hybrid-RRF fusion leg."""
+    shared by llm_bm25_topk and the hybrid-RRF fusion leg.
+
+    Shape (r13): ONE tokenize pass over the corpus, persisted as the
+    narrow projection ``(doc_id, dl, qt)`` where ``qt`` keeps only the
+    tokens in the query vocabulary (tiny after the array-level filter) —
+    the r12 shape re-tokenized the corpus four times (dl for stats, dl
+    again for the scoring join, tf's explode, tf again for idf) and
+    exploded EVERY token before the vocabulary filter.  ``dl`` rides the
+    tf group key (functionally dependent on doc_id), deleting the
+    corpus-row-sized dl shuffle join outright.  At 100 TB the persisted
+    projection is corpus-ROW-sized, not corpus-BYTE-sized (~20 B/row;
+    MEMORY_AND_DISK spills gracefully)."""
     docs = TS(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens(col("text")).alias("t"))
-    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
-    stats = dl.agg(
+    pre = toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("dl"),
+        F.filter("t", lambda x: x.isin(*_BM25_TERMS)).alias("qt"),
+    ).persist()
+    stats = pre.agg(
         F.count("*").cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .filter(col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
+        pre.select("doc_id", "dl", F.explode("qt").alias("term"))
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    # stats is aggregated ONCE and rides the vocabulary-sized idf broadcast
+    # (avgdl tags along on each ≤|vocab| row) — the r12 shape aggregated the
+    # corpus twice (n for idf, avgdl for scoring) and paid two broadcasts
     idf = (
         tf.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
-        .crossJoin(F.broadcast(stats.select("n")))
+        .crossJoin(F.broadcast(stats))
         .select(
             "term",
             F.round(
                 F.log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 9
             ).alias("idf"),
+            "avgdl",
         )
     )
     contrib = F.round(
@@ -2440,8 +2458,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats.select("avgdl")))
         .select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
         .agg(

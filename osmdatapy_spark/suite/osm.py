@@ -222,7 +222,17 @@ def osm_way_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-segment source/target. Two well-keyed shuffles; see operators/topology.py.",
 )
 def osm_topology_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    segs = topology_segments(derived_way_refs(spark, sf_dir))
+    # fused pos derivation (order_cols): composing derived_way_refs's pos
+    # window with the operator costs a way → node → way exchange sandwich
+    # (3 member-set shuffles); handing the operator the ordering columns
+    # lets it derive pos inside the way-keyed stage — 2 shuffles, same
+    # rows (row_number over the identical partition/order)
+    li = T(spark, sf_dir, "lineitem").select(
+        col("l_orderkey").alias("way_id"),
+        col("l_partkey").alias("node_id"),
+        "l_linenumber",
+    )
+    segs = topology_segments(li, order_cols=["l_linenumber", "node_id"])
     return segs.select(
         "way_id",
         col("seg").cast("long").alias("seg"),
