@@ -36,6 +36,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+# fuzzy_dedup's drop-set anti-join broadcasts at/below this many ids
+# (8-byte longs: ~80 MB of key data at the bound — safely under the
+# broadcast relation caps with room for framing) and stays a shuffle
+# join above it.  Scale-adaptive by DATA, not by core count: the same
+# bound is right locally and on a cluster because it protects executor
+# memory, not parallelism.
+_BROADCAST_DROPSET_MAX_IDS = 10_000_000
+
 
 class Curate:
     """Lazy curation pipeline over a ``(id, text, ...)`` corpus.
@@ -77,13 +85,23 @@ class Curate:
     def exact_dedup(self) -> "Curate":
         """Drop exact duplicates by content fingerprint, keeping the
         smallest id — ONE shuffle on a uniform md5 key (the
-        llm_exact_dedup shape)."""
-        w_min = (
+        llm_exact_dedup shape).
+
+        The keeper ROW rides the election itself (``min_by(struct(row),
+        id)`` — partial-aggregated, so duplicate groups collapse
+        map-side): one corpus scan and one exchange, versus the previous
+        keeper-id groupBy + semi-join-back which scanned the corpus twice
+        and re-shuffled it by id (at planet scale the keeper set is
+        corpus-row-sized, so that join could never broadcast).  ``min_by``
+        keeps arbitrary column types (no ordering requirement on the
+        payload); ids are unique so the election is deterministic."""
+        cols = self._df.columns
+        row = F.struct(*[col(c) for c in cols])
+        self._df = (
             self._df.groupBy(F.md5(col(self.text_col)).alias("_fp"))
-            .agg(F.min(col(self.id_col)).alias(self.id_col))
-            .drop("_fp")
+            .agg(F.min_by(row, col(self.id_col)).alias("_r"))
+            .select(*[col(f"_r.{c}").alias(c) for c in cols])
         )
-        self._df = self._df.join(w_min, self.id_col, "left_semi")
         self.steps.append("exact_dedup")
         return self
 
@@ -163,6 +181,16 @@ class Curate:
         # re-derives the shingle pipeline.
         dupes = dupes.localCheckpoint()
         sets.unpersist()
+        # The checkpointed RDD carries no size statistics, so Catalyst
+        # plans the anti-join as a sort-merge — shuffling the WHOLE
+        # corpus by id to drop a (usually tiny) id set.  The set is
+        # already materialized, so count it (a near-free job over cached
+        # blocks) and broadcast when it fits comfortably; above the
+        # bound (pervasively duplicated corpora) keep the sort-merge —
+        # a forced broadcast there would be a driver/executor OOM, the
+        # coords_lookup discipline.
+        if dupes.count() <= _BROADCAST_DROPSET_MAX_IDS:
+            dupes = F.broadcast(dupes)
         self._df = self._df.join(dupes, self.id_col, "left_anti")
         self.steps.append("fuzzy_dedup")
         return self

@@ -502,11 +502,15 @@ def paragraph_dedup(
     - first-occurrence election is ``groupBy(fingerprint).agg(min(struct))``
       — a PARTIAL-aggregated shuffle, so a boilerplate paragraph repeated
       10^9 times collapses map-side instead of hot-keying one reducer
-      (the window/row_number formulation would);
-    - survivors re-join the paragraph stream on
-      ``(fingerprint, id, pos)`` and reassemble per doc: one more shuffle.
+      (the window/row_number formulation would).  The surviving paragraph
+      TEXT rides the election struct itself: every row of a fingerprint
+      group carries the identical ``para`` bytes (and even under an md5
+      collision the struct min is one real row, so the text stays paired
+      with its own (id, pos)), which deletes the join back onto the
+      paragraph stream that previously re-shuffled every occurrence;
+    - survivors reassemble per doc: one more (narrow) shuffle.
 
-    Three exchanges total, no UDFs.  Returns
+    Two exchanges total, no UDFs.  Returns
     ``(id, n_paras, n_kept, dedup_text)`` — ``n_kept = 0`` and empty text
     for a document made entirely of already-seen paragraphs.
     """
@@ -515,10 +519,14 @@ def paragraph_dedup(
     paras = base.select(id_col, F.posexplode("blocks").alias("ppos", "para")).withColumn(
         "fp", F.md5(col("para"))
     )
-    first = paras.groupBy("fp").agg(F.min(F.struct(id_col, "ppos")).alias("k"))
-    kept = paras.join(
-        first.select("fp", col(f"k.{id_col}").alias(id_col), col("k.ppos").alias("ppos")),
-        ["fp", id_col, "ppos"],
+    kept = (
+        paras.groupBy("fp")
+        .agg(F.min(F.struct(id_col, "ppos", "para")).alias("k"))
+        .select(
+            col(f"k.{id_col}").alias(id_col),
+            col("k.ppos").alias("ppos"),
+            col("k.para").alias("para"),
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
