@@ -612,7 +612,9 @@ class OSM:
         if q.ways and "refs" in out.columns:
             gt = gt.when(
                 (col("osmtype") == OSMTYPE_WAY) & col("refs").isNotNull(),
-                way_geom_type(col("refs"), col("tags")),
+                # default-arg (canonical) form — hits the per-JVM memo of
+                # the expensive rule-table expression (operators/geometry)
+                way_geom_type(),
             )
         out = out.withColumn("geom_type", gt)
         if q.ways and "refs" in out.columns:

@@ -92,6 +92,16 @@ def area_rule_predicate(tags_col: Column = None) -> Column:
     )
 
 
+# way_geom_type's Column over the default (refs, tags) names, memoized per
+# py4j gateway: building the Overpass rule predicate costs ~1000 driver
+# py4j round trips (~0.65 s — measured as 40% of pbf_query's wall time at
+# sf0.1), and the expression tree is immutable + plan-independent, so one
+# build per JVM serves every query.  Keyed by gateway identity so a
+# restarted JVM never sees a stale JavaObject.  This caches an EXPRESSION,
+# not data — every run still computes from its inputs.
+_CANONICAL_WAY_GEOM_TYPE: dict[int, Column] = {}
+
+
 def way_geom_type(refs: Column = None, tags_col: Column = None) -> Column:
     """Way line-vs-area heuristic (reference ``_way_geotype``,
     primitives.py:260-285): 0 if degenerate, 2 if open/short, 3 if closed
@@ -99,16 +109,29 @@ def way_geom_type(refs: Column = None, tags_col: Column = None) -> Column:
 
     Pure expression over the refs array — `element_at(refs,1) ==
     element_at(refs,-1)` replaces the reference's first/last compare."""
+    canonical = refs is None and tags_col is None
+    key = None
+    if canonical:
+        from pyspark import SparkContext
+
+        gw = getattr(SparkContext, "_gateway", None)
+        key = id(gw) if gw is not None else None
+        cached = _CANONICAL_WAY_GEOM_TYPE.get(key) if key is not None else None
+        if cached is not None:
+            return cached
     r = refs if refs is not None else col("refs")
     closed = F.element_at(r, 1) == F.element_at(r, -1)
     n = F.size(r)
-    return (
+    out = (
         F.when(n <= 1, lit(GEOM_NONE))
         .when(n < 4, lit(GEOM_LINESTRING))
         .when(~closed, lit(GEOM_LINESTRING))
         .when(area_rule_predicate(tags_col), lit(GEOM_AREA))
         .otherwise(lit(GEOM_LINESTRING))
     )
+    if canonical and key is not None:
+        _CANONICAL_WAY_GEOM_TYPE[key] = out
+    return out
 
 
 def rel_geom_type(tags_col: Column = None, member_types: Column = None) -> Column:

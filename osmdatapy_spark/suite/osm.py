@@ -418,7 +418,7 @@ def osm_area_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags = derived_way_elements(spark, sf_dir).select(col("osmid").alias("way_id"), "tags")
     joined = closed.join(tags, "way_id")
     return joined.select(
-        "way_id", way_geom_type(col("refs"), col("tags")).cast("int").alias("geom_type")
+        "way_id", way_geom_type().cast("int").alias("geom_type")
     )
 
 
