@@ -43,11 +43,28 @@ def _perm_hash(perm: int, value: Column) -> Column:
 def minhash_signature(shingled: DataFrame, id_col: str, shingle_col: str, num_perm: int = 8) -> DataFrame:
     """(id, shingle) exploded pairs → one row per id with minhash columns
     mh0..mh{k-1}.  The mins are partial-aggregated map-side: the shuffle
-    carries k hex strings per id, not the shingle set."""
+    carries k values per id, not the shingle set.
+
+    The min runs over the NUMERIC value of each 8-hex-char chunk, not the
+    hex string: fixed-width lowercase hex orders lexicographically exactly
+    like its unsigned value, so the elected minimum is identical — but a
+    LONG agg buffer is hash-aggregable (min(string) is not a mutable
+    UnsafeRow type, so the string form fell back to SortAggregate: two
+    full sorts of the exploded shingle stream, measured in the
+    llm_minhash_lsh before-plan).  The hex-string face is rebuilt after
+    the agg on id-count-sized rows."""
     aggs = [
-        F.min(_perm_hash(p, col(shingle_col))).alias(f"mh{p}") for p in range(num_perm)
+        F.min(F.conv(_perm_hash(p, col(shingle_col)), 16, 10).cast("long")).alias(f"mh{p}")
+        for p in range(num_perm)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        col(id_col),
+        *[
+            F.lpad(F.lower(F.hex(col(f"mh{p}"))), 8, "0").alias(f"mh{p}")
+            for p in range(num_perm)
+        ],
+    )
 
 
 def _bucket_pairs(

@@ -472,16 +472,15 @@ def osm_point_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lets AQE broadcast the nodes table only when runtime stats say it fits.",
 )
 def osm_linestring_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ways = derived_way_refs(spark, sf_dir)
-    nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    joined = coords_lookup(ways, nodes)
-    coords = joined.groupBy("way_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
-            lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
-        ).alias("coords")
-    )
-    return coords.select("way_id", linestring_wkt(col("coords")).alias("wkt"))
+    # rides _way_coords: same coords gather, but WITHOUT derived_way_refs'
+    # pos window — sorting the collected (l_linenumber, node_id) structs
+    # orders exactly like row_number over them (ties are the same node,
+    # hence identical coords), so the member-set Exchange+Sort ahead of
+    # the node join is gone (deferred import: geo imports from osm).
+    from osmdatapy_spark.suite.geo import _way_coords
+
+    coords = _way_coords(spark, sf_dir)
+    return coords.select("way_id", linestring_wkt(col("c")).alias("wkt"))
 
 
 # ---------------------------------------------------------------------------
@@ -940,6 +939,14 @@ def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("coords", 1)["lat"].alias("py"),
         F.abs(shoelace_area_deg2(col("coords"))).alias("area"),
     )
+    # rings fans out THREE ways (probe side, polygon side, final id list)
+    # and each consumer would re-derive the whole member-chaining ring
+    # pipeline (measured: 27 exchanges / 12 scans in the final plan).
+    # persist() the fork point — relation-count-sized rows — so the
+    # pipeline runs once; persist (not localCheckpoint) keeps the cached
+    # subtree visible to the registry-wide plan audits (the ring-chaining
+    # pandas kernel must stay lintable).
+    rings = rings.persist()
     child = rings.select(
         col("rel_id").alias("c_rel"), col("px").alias("cpx"), col("py").alias("cpy")
     )
