@@ -675,11 +675,30 @@ def exact_substring_dedup(
     # computed IN-ROW before the exchange, so the raw gram never ships
     key = F.xxhash64("gram") if hash_keys else col("gram")
     ge = ge.select(id_col, "p", key.alias("__k"))
+    # The (id, p) canonical election packs into ONE DECIMAL(32,0):
+    # p is a char position inside a Spark string (< 2^31 < 10^10), so
+    # id*10^10 + p is strictly monotone in the (id, p) lexicographic
+    # order (per-id value ranges are disjoint; requires nonneg ids,
+    # which corpus doc ids are).  min(DECIMAL) hash-aggregates (fixed
+    # 16-byte UnsafeRow buffer) where min(STRUCT) plans as
+    # SortAggregate — a map-side SORT of the gram stream, the widest
+    # stream in this pipeline (~(span_len+overhead)x corpus bytes in
+    # raw mode), both before the partial agg and after the exchange.
+    # The decimal arithmetic is exact at every step (31- and 32-digit
+    # intermediates, scale 0); `div`/`%` unpack is exact integral math.
+    _PK = F.expr(
+        f"CAST({id_col} AS DECIMAL(19,0)) * CAST(10000000000 AS DECIMAL(11,0))"
+        " + CAST(p AS DECIMAL(11,0))"
+    )
     canon = (
         ge.groupBy("__k")
-        .agg(F.count("*").alias("c"), F.min(F.struct(id_col, "p")).alias("k"))
+        .agg(F.count("*").alias("c"), F.min(_PK).alias("k"))
         .filter(col("c") >= 2)
-        .select("__k", col(f"k.{id_col}").alias("__cid"), col("k.p").alias("__cp"))
+        .select(
+            "__k",
+            F.expr("CAST(k div 10000000000 AS BIGINT)").alias("__cid"),
+            F.expr("CAST(k % 10000000000 AS BIGINT)").alias("__cp"),
+        )
     )
     rm = ge.join(canon, "__k").filter(
         (col(id_col) != col("__cid")) | (col("p") != col("__cp"))

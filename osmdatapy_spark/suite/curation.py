@@ -561,6 +561,13 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.curation import canonical_url
 
     docs = T(spark, sf_dir, "documents")
+    # the (n_chars DESC, doc_id ASC) election packs into ONE BIGINT —
+    # exactly the oracle's own arg_max key (n_chars·10¹² − doc_id; the
+    # per-n ranges are disjoint since doc_id < 10¹², so the packed max is
+    # the struct max) — because max(struct) is not hash-aggregable and
+    # planned as SortAggregate: a map-side sort of the full doc table.
+    # max(long) hash-aggregates; doc_id unpacks as (T − m mod T) mod T.
+    T12 = 1_000_000_000_000
     return (
         docs.select(
             canonical_url(_synth_url()).alias("canon_url"),
@@ -569,12 +576,14 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("canon_url")
         .agg(
-            F.max(
-                F.struct(col("n_chars").alias("a"), (-col("doc_id")).alias("b"))
-            ).alias("m"),
+            F.max(col("n_chars").cast("long") * T12 - col("doc_id")).alias("m"),
             F.count("*").alias("n_dups"),
         )
-        .select("canon_url", (-col("m.b")).cast("bigint").alias("doc_id"), "n_dups")
+        .select(
+            "canon_url",
+            ((F.lit(T12) - col("m") % T12) % T12).cast("bigint").alias("doc_id"),
+            "n_dups",
+        )
     )
 
 
