@@ -821,10 +821,12 @@ def decontamination_report(
 
     - the eval n-gram set dedups eval-side (an eval-sized exchange) and
       ships as a BROADCAST to the corpus scan, so the corpus-side
-      membership test is a map-side semi/inner join — the 100 TB side
-      never shuffles for the probe;
-    - only MATCHED (gram, doc) rows — contamination is rare by
-      construction — reach the per-doc rollup exchange;
+      membership test is a map-side join — the 100 TB side never
+      shuffles for the probe;
+    - the corpus is scanned and tokenized exactly ONCE: ``n_grams``
+      rides the exploded gram stream as a grouping column, so the
+      report is one partial-aggregated rollup (one ~row-per-doc
+      exchange) with no second corpus pass and no join-back;
     - per-doc gram sets are ``array_distinct`` in-row, so a boilerplate
       gram repeated inside one document counts once (set semantics on
       both sides, matching the eval-overlap definition).
@@ -842,35 +844,42 @@ def decontamination_report(
     """
     grams = F.array_distinct(word_ngrams(tokens(col(text_col)), n))
     gram_key = F.xxhash64("gram") if hash_keys else col("gram")
-    tg = train.select(col(id_col), F.explode(grams).alias("gram")).select(
-        col(id_col), gram_key.alias("gram")
+    # ONE corpus pass (r13 optimization): the train side used to be scanned
+    # and tokenized TWICE — once exploded for the probe join, once more just
+    # to count n_grams — with the two branches joined back on id.  Instead,
+    # the probe is a LEFT broadcast join whose misses count as 0, and one
+    # partial-aggregated rollup emits the final report directly: one
+    # tokenize pass, one ~row-per-doc exchange, zero join-backs.  Because
+    # ``grams`` is array_distinct'ed, ``n_grams`` IS the exploded row count
+    # (count of non-null grams), so it needs no pre-explode size() column —
+    # load-bearing detail: a size(grams) column next to explode(grams)
+    # survives CollapseProject as a FULL re-tokenization per exploded row
+    # (measured 15x on llm_curate_decontaminate), the same inlining trap
+    # exact_substring_dedup documents for its tile array.  explode_outer
+    # keeps zero-gram docs (empty or null text → one null-gram row →
+    # count(gram) = 0, and a null key can never equi-match an eval gram).
+    tg = train.select(col(id_col), F.explode_outer(grams).alias("gram")).select(
+        col(id_col),
+        F.when(col("gram").isNotNull(), gram_key).alias("gram"),
     )
     eg = (
         eval_docs.select(F.explode(grams).alias("gram"))
-        .select(gram_key.alias("gram"))
+        .select(gram_key.alias("gram"), lit(1).alias("__hit"))
         .distinct()
     )
-    hits = (
-        tg.join(broadcast(eg), "gram")
+    return (
+        tg.join(broadcast(eg), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_contaminated"))
-    )
-    # null text → null gram array → size() yields null or -1 depending on
-    # spark.sql.legacy.sizeOfNull; either would poison a downstream
-    # contamination-FRACTION threshold (divide by null/negative), so pin
-    # n_grams to 0 for null-text rows under both configs
-    base = train.select(
-        col(id_col),
-        F.greatest(
-            F.coalesce(F.size(grams).cast("long"), lit(0).cast("long")),
-            lit(0).cast("long"),
-        ).alias("n_grams"),
-    )
-    return base.join(hits, id_col, "left").select(
-        col(id_col),
-        "n_grams",
-        F.coalesce("n_contaminated", lit(0).cast("long")).alias("n_contaminated"),
-        (F.coalesce("n_contaminated", lit(0).cast("long")) > 0).alias("contaminated"),
+        .agg(
+            F.count("gram").cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_contaminated"),
+        )
+        .select(
+            col(id_col),
+            "n_grams",
+            "n_contaminated",
+            (col("n_contaminated") > 0).alias("contaminated"),
+        )
     )
 
 

@@ -910,22 +910,27 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(TS(spark, sf_dir, "documents"))
     bench_grams = (
-        sets.filter(col("doc_id") % 37 == 0).select(F.explode("s").alias("g")).distinct()
+        sets.filter(col("doc_id") % 37 == 0)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+        .withColumn("__hit", lit(1))
     )
     corpus = sets.filter(col("doc_id") % 37 != 0)
-    hits = (
-        corpus.select("doc_id", F.explode("s").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    # one corpus pass (r13 optimization; same shape as
+    # curation.decontamination_report): explode_outer keeps zero-shingle
+    # docs, the probe is a LEFT broadcast join whose misses count 0, and
+    # one partial-aggregated rollup emits the report — the old two-branch
+    # form scanned the corpus a second time for the id list and joined it
+    # back onto the hit counts
     return (
-        corpus.select("doc_id")
-        .join(hits, "doc_id", "left")
+        corpus.select("doc_id", F.explode_outer("s").alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").cast("long").alias("n_contaminated"))
         .select(
             "doc_id",
-            F.coalesce(col("n"), lit(0)).cast("long").alias("n_contaminated"),
-            (F.coalesce(col("n"), lit(0)) > 0).alias("contaminated"),
+            "n_contaminated",
+            (col("n_contaminated") > 0).alias("contaminated"),
         )
     )
 
@@ -1087,13 +1092,23 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(col("cluster"), col("doc_id")).alias("cluster"),
         F.size(tokens(col("text"))).cast("long").alias("nt"),
     )
-    # keeper = min doc_id among the cluster's longest members: a single
-    # min(struct) agg — negated length orders longest-first, then smallest id
+    # keeper = min doc_id among the cluster's longest members.  The
+    # (nt DESC, doc_id ASC) election packs into ONE BIGINT — nt·10¹² −
+    # doc_id, the llm_url_dedup key (per-nt ranges disjoint since
+    # doc_id < 10¹², so the packed max IS the struct min over
+    # (−nt, doc_id)) — because min(struct) is not hash-aggregable and
+    # planned as SortAggregate: both sides of the cluster exchange sorted.
+    # max(long) hash-aggregates; doc_id unpacks as (T − m mod T) mod T.
+    T12 = 1_000_000_000_000
     best = m.groupBy("cluster").agg(
-        F.min(F.struct((-col("nt")).alias("neg"), col("doc_id").alias("d")))["d"].alias("keeper"),
+        F.max(col("nt") * T12 - col("doc_id")).alias("m"),
         F.count("*").alias("n_members"),
     )
-    return best.select("cluster", col("keeper").cast("long"), col("n_members").cast("long"))
+    return best.select(
+        "cluster",
+        ((F.lit(T12) - col("m") % T12) % T12).cast("long").alias("keeper"),
+        col("n_members").cast("long"),
+    )
 
 
 @register(
