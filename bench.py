@@ -178,7 +178,21 @@ def main() -> None:
     # box-state stamp (round-10 verdict ask #5): three same-code readings
     # of r10 HEAD spanned 38.3-48.4s purely from background load, so the
     # artifact itself must carry enough to adjudicate drift without a
-    # re-run — loadavg at start AND end, plus the pass1/best ratio below
+    # re-run — loadavg at start AND end, plus the pass1/best ratio below.
+    # r13 adds HYPERVISOR STEAL over the run window: loadavg only sees
+    # local processes, but this box measurably loses 1-7%+ of its cycles
+    # to co-tenant VMs in bursts (/proc/stat field 8), which inflates
+    # parallel stages multiplicatively and is the residual drift source
+    # the r12 adjudication could not name.  steal_pct > ~3 means the
+    # reading ran in a noisy window — prefer a re-run.
+    def _cpu_ticks() -> list[int] | None:
+        try:
+            with open("/proc/stat") as f:
+                return [int(x) for x in f.readline().split()[1:9]]
+        except Exception:  # non-Linux / restricted: stamp null
+            return None
+
+    ticks_start = _cpu_ticks()
     load_start = os.getloadavg()
     spark = get_spark("osmdatapy-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -248,6 +262,12 @@ def main() -> None:
             passes[name].append(t)
 
     load_end = os.getloadavg()
+    ticks_end = _cpu_ticks()
+    steal_pct = None
+    if ticks_start and ticks_end:
+        d = [b - a for a, b in zip(ticks_start, ticks_end)]
+        total = sum(d)
+        steal_pct = round(100.0 * d[7] / total, 2) if total else None
     timings = {name: min(ts) for name, ts in passes.items()}
     # suite-level pass-1 wall over suite-level best-of wall.  Read it
     # TOGETHER with the totals (measured r11): an idle box shows a HIGH
@@ -319,6 +339,8 @@ def main() -> None:
         "pass1_over_best": pass1_over_best,
         "idle_gated": idle_gated,
         "idle_wait_sec": idle_wait_sec,
+        # hypervisor steal % across the whole run window (see stamp note)
+        "steal_pct": steal_pct,
     }
     # The driver captures only the LAST ~2000 chars of stdout and parses
     # the JSON it finds there (BENCH_r08/r09 recorded parsed:null because
@@ -351,6 +373,9 @@ def main() -> None:
         # idle-gate outcome: false = box was already idle; true = the gate
         # waited idle_wait_sec before starting (see detail for the budget)
         "idle_gated": idle_gated,
+        # co-tenant CPU steal % over the run window — loadavg cannot see
+        # it; > ~3 marks a noisy-window reading (adjudication evidence)
+        "steal_pct": steal_pct,
     }
     line = json.dumps(compact)
     if len(line) > 1900:
