@@ -2164,36 +2164,53 @@ _FUNNEL = ("view", "click", "purchase")
     "carries a round-4 guard.",
 )
 def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 optimization (guide §2.4 / §8): the per-step formulation chained
+    # K join+agg derivations and — because each step's count AND the next
+    # step's probe both re-derived the whole prefix — scanned events
+    # O(K²) times over 8 exchanges.  The funnel folds per user instead:
+    # ONE event scan, one user-keyed exchange gathering step-1's min and
+    # steps 2..K's timestamp lists, then the strict-order chain
+    # t_k = array_min(filter(a_k, x > t_{k-1})) is per-row Column algebra
+    # (per-user event lists are bounded), and all K step counts come from
+    # one singleton aggregate.  2 exchanges total, counts and conversion
+    # ratios identical by construction (same strict > chain, same
+    # round-4 division).
     events = T(spark, sf_dir, "events")
-    prev = None
-    counts = []
-    for step, etype in enumerate(_FUNNEL, start=1):
-        e = events.filter(col("event_type") == etype).select("user_id", "ts")
-        if prev is None:
-            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            cur = (
-                e.join(prev, "user_id")
-                .filter(col("ts") > col("t"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        counts.append(cur.agg(F.count("*").alias("n")))
-        prev = cur.select("user_id", "t")
-    rows = None
-    for step, (etype, cnt) in enumerate(zip(_FUNNEL, counts), start=1):
-        r = cnt.select(
-            lit(step).cast("bigint").alias("step"),
-            lit(etype).alias("event_type"),
-            col("n").cast("bigint").alias("n_users"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    w = Window.orderBy("step").rowsBetween(-1, -1)
-    return rows.select(
-        "step",
-        "event_type",
-        "n_users",
-        F.when(col("step") == 1, lit(1.0))
-        .otherwise(F.round(col("n_users").cast("double") / F.sum("n_users").over(w), 4))
-        .alias("conv_from_prev"),
+    aggs = [F.min(F.when(col("event_type") == _FUNNEL[0], col("ts"))).alias("t1")]
+    aggs += [
+        F.collect_list(F.when(col("event_type") == et, col("ts"))).alias(f"a{k}")
+        for k, et in enumerate(_FUNNEL[1:], start=2)
+    ]
+    per_user = (
+        events.filter(col("event_type").isin(list(_FUNNEL)))
+        .select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .agg(*aggs)
     )
+    def _after(tcol):
+        # NOTE: a default-arg capture (lambda x, tt=tcol: ...) would make
+        # this a TWO-arg lambda, which F.filter calls as (element, index)
+        return lambda x: x > tcol
+
+    t = col("t1")
+    counts = [F.count(col("t1")).alias("n1")]
+    for k in range(2, len(_FUNNEL) + 1):
+        t = F.array_min(F.filter(col(f"a{k}"), _after(t)))
+        counts.append(F.count(t).alias(f"n{k}"))
+    c = per_user.agg(*counts)
+    steps = []
+    for k, et in enumerate(_FUNNEL, start=1):
+        conv = (
+            lit(1.0)
+            if k == 1
+            else F.round(col(f"n{k}").cast("double") / col(f"n{k - 1}"), 4)
+        )
+        steps.append(
+            F.struct(
+                lit(k).cast("bigint").alias("step"),
+                lit(et).alias("event_type"),
+                col(f"n{k}").cast("bigint").alias("n_users"),
+                conv.alias("conv_from_prev"),
+            )
+        )
+    return c.select(F.explode(F.array(*steps)).alias("r")).select("r.*")

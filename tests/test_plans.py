@@ -758,7 +758,8 @@ _GLOBAL_WINDOW_OK = {
                               # ledger (one row per distinct per-key count)
     "rel_skyline_frontier",   # running-min over the per-size candidate
                               # table (~50 rows: p_size domain)
-    "rel_funnel_conversion",  # step ledger (3 rows, one per funnel stage)
+    # rel_funnel_conversion rotated out r13: the single-pass per-user fold
+    # computes all step counts in one aggregate — no step-ledger window
     # -- documented metadata-scale exception
     "rel_compaction_plan",    # running-sum over file METADATA (~1 row per
                               # file); scale rationale in its doc
