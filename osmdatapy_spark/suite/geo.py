@@ -50,24 +50,22 @@ coords AS (
 
 
 def _way_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NO pos window: `pos` was only ever an ORDERING here, and row_number
-    # over (l_linenumber, node_id) orders exactly like sorting the collected
-    # structs by those same columns ((l_linenumber, node_id) duplicates map
-    # to the same node, hence identical (lon, lat) structs — order ties are
-    # value-identical).  Dropping derived_way_refs' window removes a full
-    # member-set exchange + sort ahead of the coords join: at 100 TB the
-    # member set now crosses the node-keyed join exchange and the way-keyed
-    # gather exchange only (was: way → node → way).
-    li = T(spark, sf_dir, "lineitem").select(
-        col("l_orderkey").alias("way_id"),
-        col("l_partkey").alias("node_id"),
-        "l_linenumber",
-    )
+    # pos-window formulation, REINSTATED after a measured regression
+    # (r13 §W): a window-free variant gathered with
+    # array_sort(collect_list(struct(l_linenumber, node_id, lon, lat))) —
+    # value-identical ordering, same ONE exchange in the plan — but ran
+    # ~50% slower at clean-steal A/B (way_length 1.44 vs 2.26 s best):
+    # the window's exchange is REUSED by the gather (final-mode
+    # collect_list over co-partitioned input), while the window-free
+    # shape pays ObjectHashAggregate partial+merge array building on
+    # both sides of the same exchange.  Guide §1.1: the "ideal" plan
+    # lost to the empirical loop.
+    ways = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
-    joined = coords_lookup(li, nodes)
+    joined = coords_lookup(ways, nodes)
     return joined.groupBy("way_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("l_linenumber", "node_id", "lon", "lat"))),
+            F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))),
             lambda s: F.struct(s["lon"].alias("lon"), s["lat"].alias("lat")),
         ).alias("c")
     )
@@ -283,25 +281,19 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit
 
     from osmdatapy_spark.operators.measures import point_in_polygon_join
-    from osmdatapy_spark.suite.osm import derived_nodes
+    from osmdatapy_spark.suite.osm import derived_nodes, derived_way_refs
     from osmdatapy_spark.suite._util import T
 
-    # no pos window (same reshape as _way_coords): pos only ever ORDERED the
-    # vertex gather, and sorting the collected structs by (l_linenumber,
-    # node_id) yields the identical sequence — ties map to the same node and
-    # hence identical (vx, vy).  Removes a member-set exchange + sort.
-    ways = T(spark, sf_dir, "lineitem").select(
-        col("l_orderkey").alias("way_id"),
-        col("l_partkey").alias("node_id"),
-        "l_linenumber",
-    )
+    # pos-window formulation, reinstated with _way_coords (r13 §W): the
+    # window-free struct-sort gather was value-identical but measurably
+    # slower — see _way_coords' comment.
+    ways = derived_way_refs(spark, sf_dir)
     nodes = derived_nodes(spark, sf_dir).withColumnRenamed("osmid", "node_id")
     cx = ((col("way_id") % 360) - 180 + 0.5).cast("double")
     cy = ((F.expr("way_id div 360") % 170) - 85 + 0.5).cast("double")
     verts = coords_lookup(ways, nodes).select(
         "way_id",
-        "l_linenumber",
-        "node_id",
+        "pos",
         (cx + col("lon") * 0.35 / 180).alias("vx"),
         (cy + col("lat") * 0.35 / 85).alias("vy"),
     )
@@ -309,7 +301,7 @@ def osm_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         verts.groupBy("way_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("l_linenumber", "node_id", "vx", "vy"))),
+                F.array_sort(F.collect_list(F.struct("pos", "vx", "vy"))),
                 lambda s: F.struct(s["vx"].alias("lon"), s["vy"].alias("lat")),
             ).alias("c")
         )
