@@ -123,6 +123,125 @@ def grid_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Literal-centroid expressions: SQL-parsed + memoized plan construction
+# ---------------------------------------------------------------------------
+# The Column-algebra forms of the literal-centroid arithmetic
+# (``nearest_cell``, the PQ distance table, the LSH plane projections)
+# cost ~65 py4j round trips PER literal vector (one lit() per component)
+# — measured ~1-1.3 s of pure DRIVER time per ivfpq_topk construction,
+# ~35% of its bench wall at sf0.1 (the §I pbf_query finding, same cause).
+# The builders below emit the IDENTICAL expression (same zip_with/
+# aggregate HOF tree, same fold order, same rounding — value-identical by
+# construction) as ONE SQL string: a single parse call replaces thousands
+# of round trips.  A fully-UNROLLED arithmetic variant was ALSO tried and
+# measured 8x SLOWER in execution (0.25 s → 1.95 s for the ivfpq corpus
+# projection at sf0.1 — per-stage codegen of ~500-term trees dominates at
+# bench scale), so the HOF execution shape is deliberately kept.
+#
+# ``_memo_expr`` additionally caches the parsed Column per (py4j gateway,
+# SQL text) — the literals are IN the key, so a retrained quantizer can
+# never reuse a stale expression, and a restarted JVM misses (gateway
+# identity changes).  This caches an EXPRESSION, not data: every run
+# still computes from its inputs (same discipline as
+# operators/geometry.way_geom_type).
+
+_EXPR_MEMO: dict[tuple[int, str], Column] = {}
+
+
+def _memo_expr(sql: str) -> Column:
+    from pyspark import SparkContext
+
+    gw = getattr(SparkContext, "_gateway", None)
+    if gw is None:
+        return F.expr(sql)
+    key = (id(gw), sql)
+    cached = _EXPR_MEMO.get(key)
+    if cached is None:
+        # bound growth: the suite builds a handful of distinct quantizer
+        # expressions per session; a stale-gateway flush keeps old JVMs'
+        # JavaObjects from accumulating
+        stale = [k for k in _EXPR_MEMO if k[0] != id(gw)]
+        for k in stale:
+            del _EXPR_MEMO[k]
+        cached = _EXPR_MEMO[key] = F.expr(sql)
+    return cached
+
+
+def as_double_sql(vec_col: str) -> str:
+    """SQL twin of ``as_double(col(vec_col))``."""
+    return f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dlit(x: float) -> str:
+    """Exact SQL double literal: repr() round-trips IEEE doubles and the
+    string→double cast parses exactly, then constant-folds."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_lit_vec(comps: list[float]) -> str:
+    return "array(%s)" % ", ".join(_sql_dlit(float(c)) for c in comps)
+
+
+def _l2_sq_sql(vec_sql: str, centroid: list[float], decimals: int = 6) -> str:
+    """SQL twin of ``_l2_sq`` — same zip_with/aggregate tree, same
+    left-to-right fold, same round."""
+    return (
+        f"round(aggregate(zip_with({vec_sql}, {_sql_lit_vec(centroid)}, "
+        f"(x, c) -> (x - c) * (x - c)), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x), {decimals})"
+    )
+
+
+def _cell_structs_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    return ", ".join(
+        f"named_struct('dist', {_l2_sq_sql(vec_sql, c)}, 'cell', {k})"
+        for k, c in enumerate(centroids)
+    )
+
+
+def nearest_cell_sql(vec_sql: str, centroids: list[list[float]]) -> str:
+    """SQL twin of ``nearest_cell`` (array_min over (dist, cell) structs)."""
+    return f"array_min(array({_cell_structs_sql(vec_sql, centroids)})).cell"
+
+
+def probe_cells_sql(vec_sql: str, centroids: list[list[float]], n_probe: int) -> str:
+    """SQL twin of the ``_cell_ranking`` → transform → slice probe-cell list."""
+    return (
+        f"slice(transform(array_sort(array({_cell_structs_sql(vec_sql, centroids)})), "
+        f"s -> s.cell), 1, {n_probe})"
+    )
+
+
+def _slice_sql(vec_sql: str, start1: int, length: int) -> str:
+    return f"slice({vec_sql}, {start1}, {length})"
+
+
+def pq_codes_sql(vec_sql: str, codebooks: list[list[list[float]]], dim: int) -> str:
+    """SQL twin of ``pq_codes``: per-subspace nearest codebook cell."""
+    m_sub = len(codebooks)
+    sub = dim // m_sub
+    cells = ", ".join(
+        nearest_cell_sql(_slice_sql(vec_sql, m * sub + 1, sub), codebooks[m])
+        for m in range(m_sub)
+    )
+    return f"array({cells})"
+
+
+def pq_dtab_sql(vec_sql: str, codebooks: list[list[list[float]]], dim: int) -> str:
+    """SQL twin of the probe-side ADC distance table (m_sub × k_cells)."""
+    m_sub = len(codebooks)
+    sub = dim // m_sub
+    rows = []
+    for m in range(m_sub):
+        row = ", ".join(
+            _l2_sq_sql(_slice_sql(vec_sql, m * sub + 1, sub), cell)
+            for cell in codebooks[m]
+        )
+        rows.append(f"array({row})")
+    return "array(%s)" % ", ".join(rows)
+
+
 def _lit_vec(comps: list[float]) -> Column:
     return F.array(*[lit(float(c)) for c in comps])
 
@@ -199,7 +318,10 @@ def kmeans_centroids(
         return []
     for _ in range(iters):
         comps = (
-            v.withColumn("cell", nearest_cell(col("v"), centroids))
+            # literal-centroid assignment via memoized SQL parse (the
+            # literals are in the memo key, so each Lloyd iteration's
+            # fresh centroids parse fresh)
+            v.withColumn("cell", _memo_expr(nearest_cell_sql("`v`", centroids)))
             .select("cell", F.posexplode("v").alias("idx", "val"))
             .groupBy("cell", "idx")
             .agg(
@@ -250,23 +372,18 @@ def ivf_topk(
     result is identical either way."""
     if centroids is None:
         centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
+    # literal-centroid expressions via memoized SQL parse (see builders) —
+    # identical trees, py4j construction cost removed
+    vs = as_double_sql(vec_col)
     c = corpus.select(
         col(id_col).alias("nbr_id"),
         as_double(col(vec_col)).alias("cvec"),
-        nearest_cell(as_double(col(vec_col)), centroids).alias("cell"),
+        _memo_expr(nearest_cell_sql(vs, centroids)).alias("cell"),
     )
     p = probes.select(
         col(id_col).alias("probe_id"),
         as_double(col(vec_col)).alias("pvec"),
-        F.explode(
-            F.slice(
-                F.transform(
-                    _cell_ranking(as_double(col(vec_col)), centroids), lambda s: s["cell"]
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("cell"),
+        F.explode(_memo_expr(probe_cells_sql(vs, centroids, n_probe))).alias("cell"),
     )
     scored = (
         c.join(p, "cell")
@@ -314,15 +431,28 @@ def plane_band_buckets(
     projections.  One narrow projection + explode — the vector itself never
     leaves the row, so the only thing that shuffles downstream is
     (band, bucket, id)."""
-    v = as_double(col(vec_col))
+    # literal-plane projections via memoized SQL parse (see builders):
+    # same zip_with/aggregate dot fold, same sign test, one parse per band
+    # instead of ~65 py4j round trips per plane
+    vs = as_double_sql(vec_col)
     n_bands = len(planes) // planes_per_band
     bands = []
     for b in range(n_bands):
-        bucket = lit(0)
+        bucket_sql = "0"
         for k in range(planes_per_band):
-            plane = F.array(*[lit(c) for c in planes[b * planes_per_band + k]])
-            bucket = bucket + F.when(dot(v, plane) >= 0, lit(1 << k)).otherwise(lit(0))
-        bands.append(F.struct(lit(b).alias("band"), bucket.cast("int").alias("bucket")))
+            plane = planes[b * planes_per_band + k]
+            proj = (
+                f"aggregate(zip_with({vs}, {_sql_lit_vec(plane)}, "
+                f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            bucket_sql = (
+                f"({bucket_sql} + (CASE WHEN {proj} >= 0 THEN {1 << k} ELSE 0 END))"
+            )
+        bands.append(
+            F.struct(
+                lit(b).alias("band"), _memo_expr(bucket_sql).cast("int").alias("bucket")
+            )
+        )
     return vectors.select(col(id_col), F.explode(F.array(*bands)).alias("bb")).select(
         col(id_col), col("bb.band").alias("band"), col("bb.bucket").alias("bucket")
     )
@@ -457,33 +587,21 @@ def ivfpq_topk(
     if codebooks is None:
         codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
     v = as_double(col(vec_col))
-    sub = dim // m_sub
+    # the literal-centroid expressions (cell assignment, PQ encode, probe
+    # distance table, probe-cell ranking) build via ONE memoized SQL parse
+    # each instead of thousands of py4j lit() round trips — identical
+    # expression trees, ~1 s of driver time removed per construction (see
+    # the builder block above)
+    vs = as_double_sql(vec_col)
     c = corpus.select(
         col(id_col).alias("nbr_id"),
-        nearest_cell(v, centroids).alias("cell"),
-        pq_codes(v, codebooks, dim).alias("codes"),
-    )
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _l2_sq(F.slice(v, m * sub + 1, sub), codebooks[m][cell])
-                    for cell in range(len(codebooks[m]))
-                ]
-            )
-            for m in range(m_sub)
-        ]
+        _memo_expr(nearest_cell_sql(vs, centroids)).alias("cell"),
+        _memo_expr(pq_codes_sql(vs, codebooks, dim)).alias("codes"),
     )
     p = probes.select(
         col(id_col).alias("probe_id"),
-        dtab.alias("dtab"),
-        F.explode(
-            F.slice(
-                F.transform(_cell_ranking(v, centroids), lambda s: s["cell"]),
-                1,
-                n_probe,
-            )
-        ).alias("cell"),
+        _memo_expr(pq_dtab_sql(vs, codebooks, dim)).alias("dtab"),
+        F.explode(_memo_expr(probe_cells_sql(vs, centroids, n_probe))).alias("cell"),
     )
     adist = F.aggregate(
         F.sequence(lit(0), lit(m_sub - 1)),
@@ -571,9 +689,11 @@ def pq_codebooks(
                         F.struct(
                             lit(m).alias("m"),
                             F.slice(col("v"), m * sub + 1, sub).alias("sv"),
-                            nearest_cell(F.slice(col("v"), m * sub + 1, sub), books[m]).alias(
-                                "cell"
-                            ),
+                            _memo_expr(
+                                nearest_cell_sql(
+                                    _slice_sql("`v`", m * sub + 1, sub), books[m]
+                                )
+                            ).alias("cell"),
                         )
                         for m in range(m_sub)
                     ]
@@ -653,22 +773,15 @@ def pq_topk(
     if codebooks is None:
         codebooks = pq_codebooks(corpus, dim, id_col, vec_col, m_sub, k_cells, iters)
     v = as_double(col(vec_col))
+    # literal-codebook expressions via memoized SQL parse (see builders) —
+    # identical trees, py4j construction cost removed
+    vs = as_double_sql(vec_col)
     c = corpus.select(
-        col(id_col).alias("nbr_id"), pq_codes(v, codebooks, dim).alias("codes")
+        col(id_col).alias("nbr_id"), _memo_expr(pq_codes_sql(vs, codebooks, dim)).alias("codes")
     )
-    sub = dim // m_sub
-    dtab = F.array(
-        *[
-            F.array(
-                *[
-                    _l2_sq(F.slice(v, m * sub + 1, sub), codebooks[m][cell])
-                    for cell in range(len(codebooks[m]))
-                ]
-            )
-            for m in range(m_sub)
-        ]
+    p = probes.select(
+        col(id_col).alias("probe_id"), _memo_expr(pq_dtab_sql(vs, codebooks, dim)).alias("dtab")
     )
-    p = probes.select(col(id_col).alias("probe_id"), dtab.alias("dtab"))
     # ADC: Σ_m dtab[m][code_m], summed in DECIMAL(18,6) — every term is a
     # round-6 double, so the decimal sum is exact and order-independent
     adist = F.aggregate(
@@ -746,7 +859,10 @@ def semantic_dedup_pairs(
         centroids = kmeans_centroids(corpus, id_col, vec_col, k=n_cells, iters=iters)
     v = as_double(col(vec_col))
     assigned = corpus.select(
-        col(id_col).alias("_id"), v.alias("v"), nearest_cell(v, centroids).alias("cell")
+        col(id_col).alias("_id"),
+        v.alias("v"),
+        # literal-centroid assignment via memoized SQL parse (see builders)
+        _memo_expr(nearest_cell_sql(as_double_sql(vec_col), centroids)).alias("cell"),
     )
     buckets = assigned.groupBy("cell").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
     # quantizer cells are low-cardinality (k buckets): spread chunk

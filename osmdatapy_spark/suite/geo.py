@@ -1468,7 +1468,11 @@ def osm_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def osm_settlement_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.artifacts import train_once
-    from osmdatapy_spark.functions.similarity import kmeans_centroids, nearest_cell
+    from osmdatapy_spark.functions.similarity import (
+        _memo_expr,
+        kmeans_centroids,
+        nearest_cell_sql,
+    )
 
     nodes = derived_nodes(spark, sf_dir)
     vecs = nodes.select(
@@ -1482,7 +1486,9 @@ def osm_settlement_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = vecs.select(
         "vec_id",
         col("embedding").alias("v"),
-        nearest_cell(col("embedding"), cents).alias("cluster"),
+        # literal-centroid assignment via memoized SQL parse (similarity.py
+        # builders) — identical expression tree to nearest_cell
+        _memo_expr(nearest_cell_sql("`embedding`", cents)).alias("cluster"),
     )
     return assigned.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_nodes"),
