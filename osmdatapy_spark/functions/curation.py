@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, col, lit
 
+from osmdatapy_spark.functions._cache import managed_persist
 from osmdatapy_spark.functions.dedup import _bucket_pairs, jaccard_candidate_pairs
 from osmdatapy_spark.functions.text import hash_bucket, tokens, word_ngrams
 
@@ -314,14 +315,14 @@ def tfidf_pairs(
     # localCheckpoint (round-4 finding, see bigram_lm_scores): nothing
     # here is iterative, and an evicted checkpoint block is fatal while
     # an evicted persisted block recomputes from lineage.
-    tf = tf.persist()
+    tf = managed_persist(tf, "tfidf.tf")
     dfreq = tf.groupBy("tok_h").agg(
         F.count("*").alias("df"),
         # sorted by id (struct order: first field), so in-row forward
         # pairing yields the canonical id_a < id_b orientation
         F.array_sort(F.collect_list(F.struct("id", "tf"))).alias("posts"),
     )
-    dfreq = dfreq.persist()
+    dfreq = managed_persist(dfreq, "tfidf.dfreq")
     # norm²·FP per doc over ALL its tokens: Σ tf²·FP // df²
     norms = (
         tf.join(dfreq.select("tok_h", "df"), "tok_h")
@@ -331,7 +332,8 @@ def tfidf_pairs(
         )
         .groupBy("id")
         .agg(F.sum("c").alias("norm_fp"))
-    ).persist()
+    )
+    norms = managed_persist(norms, "tfidf.norms")
 
     fp = lit(FP_SCALE).cast("long")
 
@@ -364,8 +366,8 @@ def tfidf_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum("c").alias("num_low"), F.max("is_cand_tok").alias("is_cand"))
         .filter(col("is_cand"))
-        .persist()
     )
+    low = managed_persist(low, "tfidf.low")
 
     # --- Zipf-head tokens (df > expand_df_cap): bounded join remainder.
     # Scoring must still cover these shared tokens exactly; each doc holds
@@ -686,6 +688,8 @@ def exact_substring_dedup(
     # raw mode), both before the partial agg and after the exchange.
     # The decimal arithmetic is exact at every step (31- and 32-digit
     # intermediates, scale 0); `div`/`%` unpack is exact integral math.
+    # Boundary corners (id = 10¹²−1, p = 2³¹−1) are pinned by
+    # tests/test_packed_elections.py.
     _PK = F.expr(
         f"CAST({id_col} AS DECIMAL(19,0)) * CAST(10000000000 AS DECIMAL(11,0))"
         " + CAST(p AS DECIMAL(11,0))"
@@ -906,8 +910,9 @@ def bigram_lm_scores(
     second agg, no second pass over the corpus) and pre-joined INTO it —
     vocabulary²-bounded — so the corpus-sized stream crosses exactly one
     scoring exchange; vocabulary size is a one-row broadcast, derived
-    from the count table's endpoints plus single-token docs (no second
-    corpus explode).  The scoring join is a shuffle join, deliberately
+    from the count table's endpoints plus single-token sentinel rows that
+    ride the same exploded stream (ONE corpus scan+tokenize total).  The
+    scoring join is a shuffle join, deliberately
     NOT broadcast (at 100 TB the count table is corpus-sized) — then one
     per-doc agg.  Determinism: each ln() is rounded to 6 places (1-ulp
     library guard) and summed in DECIMAL, so the parallel sum is
@@ -917,15 +922,33 @@ def bigram_lm_scores(
     """
     toks = tokens(col(text_col))
     n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+    # single-token docs ride the SAME exploded stream as sentinel rows
+    # (w1 = the token, w2 = NULL) so the corpus is scanned+tokenized
+    # exactly ONCE (r13 verdict ask #3: the old separate `singles` branch
+    # was a second full corpus pass just to find size==1 token arrays).
+    # Sentinels are filtered out of the counting/scoring legs below and
+    # feed only the vocabulary union — identical values either way.
+    bigrams = (
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"), F.element_at(toks, i + 1).alias("w2")
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        )
+        .when(
+            n == 1,
+            F.array(
+                F.struct(
+                    F.element_at(toks, 1).alias("w1"),
+                    lit(None).cast("string").alias("w2"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    )
     stream = docs.select(col(id_col), F.explode(bigrams).alias("bg")).select(
         id_col, col("bg.w1").alias("w1"), col("bg.w2").alias("w2")
     )
@@ -939,9 +962,13 @@ def bigram_lm_scores(
     # the 19M-row bigram cache got evicted mid-join and the job died with
     # 'Block rdd_N does not exist' (round-4 finding); a persisted block
     # just recomputes from lineage.
-    stream = stream.persist()
-    c12 = stream.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c12 = c12.persist()
+    stream = managed_persist(stream, "bigram_lm.stream")
+    # the bigram-only face of the stream (sentinel w2-NULL rows excluded);
+    # the inner scoring join could never match them, but filtering keeps
+    # the count table and the per-doc rollup visibly sentinel-free
+    pairs = stream.filter(col("w2").isNotNull())
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = managed_persist(c12, "bigram_lm.c12")
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # context totals ride the COUNT TABLE, not the stream: attaching C(w1·)
     # to C(w1,w2) first is a vocabulary²-bounded join, so the corpus-sized
@@ -951,16 +978,12 @@ def bigram_lm_scores(
     # byte mover in this query; locally AQE broadcasts either way, so the
     # values and the local plan cost are unchanged)
     c12j = c12.join(c1, "w1")
-    # vocabulary WITHOUT a second corpus explode: every token of a doc with
-    # >= 2 tokens appears in some bigram (as w1 or w2), so V = distinct over
-    # the count table's endpoints plus the tokens of single-token docs — a
-    # count-table-sized distinct plus a near-empty filtered corpus pass,
-    # replacing the r12 corpus-sized explode → two-stage countDistinct
-    singles = (
-        docs.select(tokens(col(text_col)).alias("t"))
-        .filter(F.size("t") == 1)
-        .select(F.element_at("t", 1).alias("w"))
-    )
+    # vocabulary WITHOUT a second corpus pass: every token of a doc with
+    # >= 2 tokens appears in some bigram (as w1 or w2), and single-token
+    # docs contribute their token via the sentinel rows already in the
+    # persisted stream — so V = distinct over the count table's endpoints
+    # plus the sentinels, zero additional corpus scans
+    singles = stream.filter(col("w2").isNull()).select(col("w1").alias("w"))
     vocab = (
         c12.select(col("w1").alias("w"))
         .union(c12.select(col("w2").alias("w")))
@@ -969,7 +992,7 @@ def bigram_lm_scores(
     )
     logp = F.round(F.log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
     return (
-        stream.join(c12j, ["w1", "w2"])
+        pairs.join(c12j, ["w1", "w2"])
         .join(broadcast(vocab))
         .groupBy(id_col)
         .agg(

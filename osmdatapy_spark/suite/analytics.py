@@ -2170,11 +2170,20 @@ def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(K²) times over 8 exchanges.  The funnel folds per user instead:
     # ONE event scan, one user-keyed exchange gathering step-1's min and
     # steps 2..K's timestamp lists, then the strict-order chain
-    # t_k = array_min(filter(a_k, x > t_{k-1})) is per-row Column algebra
-    # (per-user event lists are bounded), and all K step counts come from
-    # one singleton aggregate.  2 exchanges total, counts and conversion
-    # ratios identical by construction (same strict > chain, same
-    # round-4 division).
+    # t_k = array_min(filter(a_k, x > t_{k-1})) is per-row Column algebra,
+    # and all K step counts come from one singleton aggregate.  2
+    # exchanges total, counts and conversion ratios identical by
+    # construction (same strict > chain, same round-4 division).
+    # DATA-CONTRACT assumption (r13 advice): per-user step-2..K event
+    # lists are BOUNDED (human-scale activity; the synthetic events table
+    # is ~uniform over users).  collect_list state is per-user-unbounded
+    # in principle — a degenerate user with tens of millions of events
+    # would balloon one group's agg buffer where the old join/agg form
+    # degraded gracefully.  At the 100 TB posture, cap such users
+    # upstream (e.g. min(ts)-per-day pre-dedup keyed the same way — one
+    # extra partial agg on the SAME user exchange) before this fold; the
+    # declared query keeps the uncapped fold because the oracle counts
+    # every event and the contract bounds per-user volume.
     events = T(spark, sf_dir, "events")
     aggs = [F.min(F.when(col("event_type") == _FUNNEL[0], col("ts"))).alias("t1")]
     aggs += [

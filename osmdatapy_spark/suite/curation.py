@@ -564,7 +564,8 @@ def llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (n_chars DESC, doc_id ASC) election packs into ONE BIGINT —
     # exactly the oracle's own arg_max key (n_chars·10¹² − doc_id; the
     # per-n ranges are disjoint since doc_id < 10¹², so the packed max is
-    # the struct max) — because max(struct) is not hash-aggregable and
+    # the struct max; boundary-pinned by tests/test_packed_elections.py)
+    # — because max(struct) is not hash-aggregable and
     # planned as SortAggregate: a map-side sort of the full doc table.
     # max(long) hash-aggregates; doc_id unpacks as (T − m mod T) mod T.
     T12 = 1_000_000_000_000

@@ -26,6 +26,7 @@ from osmdatapy_spark.functions.multimodal import (
     extract_features,
     sample_frames,
 )
+from osmdatapy_spark.functions._cache import managed_persist
 from osmdatapy_spark.functions.similarity import brute_force_topk, embed_neardup_pairs
 from osmdatapy_spark.functions.text import (
     STOPWORDS,
@@ -380,7 +381,7 @@ def _jaccard_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one row per doc with its shingle set; persisted because three
     # downstream branches (explode for candidates, both sides of the pair
     # join) would otherwise each re-tokenize the corpus
-    sets = shingle_sets(docs).persist()
+    sets = managed_persist(shingle_sets(docs), "jaccard.sets")
     shingled = sets.select("doc_id", F.explode(col("s")).alias("s"))
     cand = jaccard_candidate_pairs(shingled, "doc_id", "s", max_doc_freq=20)
     sa = sets.select(col("doc_id").alias("id_a"), col("s").alias("sa"))
@@ -1096,8 +1097,9 @@ def llm_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (nt DESC, doc_id ASC) election packs into ONE BIGINT — nt·10¹² −
     # doc_id, the llm_url_dedup key (per-nt ranges disjoint since
     # doc_id < 10¹², so the packed max IS the struct min over
-    # (−nt, doc_id)) — because min(struct) is not hash-aggregable and
-    # planned as SortAggregate: both sides of the cluster exchange sorted.
+    # (−nt, doc_id); boundary-pinned by tests/test_packed_elections.py)
+    # — because min(struct) is not hash-aggregable and planned as
+    # SortAggregate: both sides of the cluster exchange sorted.
     # max(long) hash-aggregates; doc_id unpacks as (T − m mod T) mod T.
     T12 = 1_000_000_000_000
     best = m.groupBy("cluster").agg(
@@ -1381,7 +1383,9 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-corpus shingle+hash pipeline runs once, not once per branch
     # (production keeps the store's signatures as a materialized table —
     # this persist is the single-batch stand-in for it)
-    bands = band_rows(sig, "doc_id", num_perm=8, band_size=2).persist()
+    bands = managed_persist(
+        band_rows(sig, "doc_id", num_perm=8, band_size=2), "incremental_dedup.bands"
+    )
 
     is_store = col("doc_id") % 10 == 0
     # r13 optimization (guide §2.4): the semi-join + distinct + join-back
@@ -1530,7 +1534,10 @@ def _minhash_estimate_oracle() -> str:
 def llm_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmdatapy_spark.functions.dedup import lsh_band_pairs
 
-    sig = minhash_signature(_shingled(spark, sf_dir), "doc_id", "s", num_perm=8).persist()
+    sig = managed_persist(
+        minhash_signature(_shingled(spark, sf_dir), "doc_id", "s", num_perm=8),
+        "minhash_estimate.sig",
+    )
     pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
     sa = sig.select(col("doc_id").alias("id_a"), *[col(f"mh{p}").alias(f"a{p}") for p in range(8)])
     sb = sig.select(col("doc_id").alias("id_b"), *[col(f"mh{p}").alias(f"b{p}") for p in range(8)])
@@ -1953,11 +1960,11 @@ def llm_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-running the tokenize+shingle pass per branch (NOT
     # localCheckpoint: an evicted checkpoint block is unrecoverable,
     # see functions/curation.py round-4 note)
-    shingled = _shingled(spark, sf_dir).persist()
+    shingled = managed_persist(_shingled(spark, sf_dir), "dedup_audit.shingled")
     sig = minhash_signature(shingled, "doc_id", "s", num_perm=8)
     pairs = lsh_band_pairs(sig, "doc_id", num_perm=8, band_size=2, max_bucket=50)
     sets = shingled.groupBy("doc_id").agg(F.collect_set("s").alias("gs"))
-    sets = sets.persist()
+    sets = managed_persist(sets, "dedup_audit.sets")
     sa = sets.select(col("doc_id").alias("id_a"), col("gs").alias("ga"))
     sb = sets.select(col("doc_id").alias("id_b"), col("gs").alias("gb"))
     j = jaccard_similarity(col("ga"), col("gb"))
@@ -2443,7 +2450,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("t").cast("long").alias("dl"),
         F.filter("t", lambda x: x.isin(*_BM25_TERMS)).alias("qt"),
-    ).persist()
+    )
+    pre = managed_persist(pre, "bm25.pre")
     stats = pre.agg(
         F.count("*").cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

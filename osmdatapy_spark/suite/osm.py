@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
+from osmdatapy_spark.functions._cache import managed_persist
 from osmdatapy_spark.operators.geometry import linestring_wkt, point_wkt, way_geom_type
 from osmdatapy_spark.operators.rings import ring_chains
 from osmdatapy_spark.operators.topology import topology_segments, way_endpoints
@@ -472,11 +473,11 @@ def osm_point_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lets AQE broadcast the nodes table only when runtime stats say it fits.",
 )
 def osm_linestring_wkt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rides _way_coords: same coords gather, but WITHOUT derived_way_refs'
-    # pos window — sorting the collected (l_linenumber, node_id) structs
-    # orders exactly like row_number over them (ties are the same node,
-    # hence identical coords), so the member-set Exchange+Sort ahead of
-    # the node join is gone (deferred import: geo imports from osm).
+    # rides _way_coords: the shared pos-window coords gather (the r13 §W
+    # A/B settled the shape — the window's exchange is reused by the
+    # final-mode collect_list, so the window-free struct-sort variant
+    # removed no shuffle and added ObjectHashAggregate work; see the
+    # rationale in geo._way_coords).  Deferred import: geo imports osm.
     from osmdatapy_spark.suite.geo import _way_coords
 
     coords = _way_coords(spark, sf_dir)
@@ -946,7 +947,7 @@ def osm_admin_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline runs once; persist (not localCheckpoint) keeps the cached
     # subtree visible to the registry-wide plan audits (the ring-chaining
     # pandas kernel must stay lintable).
-    rings = rings.persist()
+    rings = managed_persist(rings, "admin_hierarchy.rings")
     child = rings.select(
         col("rel_id").alias("c_rel"), col("px").alias("cpx"), col("py").alias("cpy")
     )
