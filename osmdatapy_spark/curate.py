@@ -7,11 +7,10 @@ the north-star scope USABLE as one object: a ``Curate`` wraps a corpus
 DataFrame and chains curation steps lazily (every step is ordinary
 DataFrame algebra — nothing executes until an action), mirroring how the
 reference's ``Query`` composes predicates before ``osm.query`` runs
-(reference osmquery.py:165-209).  ONE deliberate exception:
-``fuzzy_dedup`` materializes its (small) duplicate-id drop-set when the
-step is CHAINED, not when the pipeline runs — the price of releasing
-the corpus-sized shingle cache immediately instead of leaking it for
-the session (see the method docstring).
+(reference osmquery.py:165-209).  Every step — including
+``fuzzy_dedup`` since r14 — composes lazily; the shingle-set cache the
+fuzzy pass persists is managed per call site (functions/_cache) and is
+released on the next invocation or via ``release("curate.fuzzy_sets")``.
 
 Default recipe (``Curate.default_recipe``): normalize → exact dedup →
 fuzzy (n-gram Jaccard) dedup → quality gate → per-domain cap.  Every
@@ -37,14 +36,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import col, lit
 
 from osmdatapy_spark.functions._cache import managed_persist
-
-# fuzzy_dedup's drop-set anti-join broadcasts at/below this many ids
-# (8-byte longs: ~80 MB of key data at the bound — safely under the
-# broadcast relation caps with room for framing) and stays a shuffle
-# join above it.  Scale-adaptive by DATA, not by core count: the same
-# bound is right locally and on a cluster because it protects executor
-# memory, not parallelism.
-_BROADCAST_DROPSET_MAX_IDS = 10_000_000
 
 
 class Curate:
@@ -134,11 +125,11 @@ class Curate:
         Both verify candidates by EXACT Jaccard, so precision is 100%
         either way — the generators trade candidate-set cost vs recall.
 
-        NOTE: unlike every other step this one runs its candidate+verify
-        pipeline EAGERLY when chained (the drop-set localCheckpoint
-        below) — that is what lets the corpus-sized shingle cache be
-        unpersisted immediately instead of living until session end.
-        The materialized unit is the duplicate-id set only.
+        Lazy like every other step (r14 — the r13 shape ran the
+        candidate+verify pipeline eagerly at chain time; see the
+        drop-set comment below for the A/B that removed it).  The
+        shingle-set cache is a managed persist: live through the final
+        action (which reads it 3x), released on the next invocation.
         """
         from osmdatapy_spark.functions.dedup import (
             jaccard_candidate_pairs,
@@ -177,29 +168,25 @@ class Curate:
             .select(col("id_b").alias(self.id_col))
             .distinct()
         )
-        # Materialize the (small: duplicate ids only) drop-set NOW so the
-        # shingle-set cache — corpus-sized, read 3x by the candidate +
-        # verify pipeline — can be freed immediately instead of leaking
-        # for the session's lifetime (round-3 finding; mirrors
-        # similarity.py's train-then-unpersist discipline).  The
-        # checkpoint also truncates lineage, so the final anti-join never
-        # re-derives the shingle pipeline.  eager=False + count(): the
-        # count IS the materializing action, so checkpoint + size probe
-        # cost ONE scheduled job, not two (r13 verdict ask #10) — the
-        # count must run before sets.unpersist() so the checkpoint job
-        # still reads the cached shingle sets.
-        dupes = dupes.localCheckpoint(eager=False)
-        n_dupes = dupes.count()
-        sets.unpersist()
-        # The checkpointed RDD carries no size statistics, so Catalyst
-        # plans the anti-join as a sort-merge — shuffling the WHOLE
-        # corpus by id to drop a (usually tiny) id set.  Broadcast when
-        # the counted set fits comfortably; above the bound (pervasively
-        # duplicated corpora) keep the sort-merge — a forced broadcast
-        # there would be a driver/executor OOM, the coords_lookup
-        # discipline.
-        if n_dupes <= _BROADCAST_DROPSET_MAX_IDS:
-            dupes = F.broadcast(dupes)
+        # LAZY composition (r14): the drop-set rides the returned plan
+        # unhinted and unmaterialized — the r13 shape eagerly
+        # localCheckpoint'ed + counted it at CHAIN time (one extra
+        # scheduled job per recipe) to free the shingle cache immediately
+        # and to pick broadcast-vs-SMJ from the counted size.  Both
+        # reasons are now served without the eager job:
+        # - the shingle cache is a managed_persist — it must be live
+        #   through the final action anyway (the dupes subtree reads it
+        #   3x inside that job) and is released on the next invocation
+        #   (or release("curate.fuzzy_sets") explicitly);
+        # - the join is UNHINTED, so AQE picks broadcast from the
+        #   drop-set's ACTUAL runtime shuffle size and falls back to
+        #   sort-merge for pervasively-duplicated corpora — the
+        #   coords_lookup discipline, with runtime truth instead of a
+        #   driver-side count.
+        # Interleaved same-session A/B at sf0.1 (llm_curation_recipe,
+        # best-of-3 pairs): eager 2.75 s vs lazy 2.29 s — the deleted
+        # job boundary and checkpoint materialization are the delta;
+        # rows identical at sf0.01 (oracle green both SFs).
         self._df = self._df.join(dupes, self.id_col, "left_anti")
         self.steps.append("fuzzy_dedup")
         return self

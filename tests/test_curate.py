@@ -121,10 +121,12 @@ def test_artifacts_save_load_roundtrip(tmp_path):
 
 
 def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
-    """Long-session hygiene (round-3 finding): the corpus-sized shingle-set
-    cache must be unpersisted once the duplicate-id set materializes —
-    only the tiny checkpointed drop-set may remain registered, and it is
-    released with the pipeline DataFrame."""
+    """Long-session hygiene (round-3 finding, r14 contract): the
+    corpus-sized shingle-set cache is a managed persist — it stays live
+    through the invocation that built it (the drop-set subtree reads it
+    3x inside the final action) and is RELEASED when the next invocation
+    registers its own, so repeated recipes never grow the session's
+    cached-RDD set."""
     def persistent_ids():
         it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
         ids = set()
@@ -133,12 +135,16 @@ def test_fuzzy_dedup_frees_shingle_cache(spark, corpus):
         return ids
 
     before = persistent_ids()
-    cur = Curate(corpus).normalize().exact_dedup().fuzzy_dedup()
-    cur.df().count()
-    leaked = persistent_ids() - before
-    # the shingle persist + the dupes localCheckpoint would be 2+ new
-    # entries; with the unpersist in place at most the checkpoint remains
-    assert len(leaked) <= 1, f"orphaned cached RDDs: {leaked}"
+    Curate(corpus).normalize().exact_dedup().fuzzy_dedup().df().count()
+    after_first = persistent_ids() - before
+    # at most the managed shingle cache remains registered
+    assert len(after_first) <= 1, f"orphaned cached RDDs: {after_first}"
+    Curate(corpus).normalize().exact_dedup().fuzzy_dedup().df().count()
+    after_second = persistent_ids() - before
+    # the second invocation REPLACED the first's cache — no growth
+    assert len(after_second) <= len(after_first), (
+        f"cached-RDD growth across invocations: {after_first} -> {after_second}"
+    )
 
 
 def test_substring_dedup_step_available(spark):
